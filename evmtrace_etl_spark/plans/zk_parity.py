@@ -1,0 +1,307 @@
+"""Differential parity queries for the zk-trace domain pipeline.
+
+Both sides consume the SAME deterministic fixture
+(``sources.fixtures.TRACE_ROWS``): Spark via ``createDataFrame`` + the
+real pipeline operators, DuckDB via an inline VALUES relation + a pure-SQL
+re-statement of the same batch semantics.  The driver (and our pytest)
+compares row counts, schemas and order-insensitive value hashes.
+
+Hash-safety conventions: array columns are emitted sorted and
+comma-joined; decimals as strings; all counts cast to BIGINT on the DuckDB
+side (DuckDB ``sum(BIGINT) → HUGEINT`` would otherwise diverge from
+Spark's LongType).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.evm import (
+    EC_ADD_ADDRESS,
+    EC_MUL_ADDRESS,
+    EC_PAIRING_ADDRESS,
+    EC_RECOVER_ADDRESS,
+    ZERO_ADDRESS,
+)
+from ..sources import fixtures
+from .pipeline import blocks_passthrough, zk_contracts_deduped, zk_transactions
+
+
+def _join_str_array(col: str) -> F.Column:
+    return F.array_join(F.col(col), ",").alias(col)
+
+
+def _join_int_array(col: str) -> F.Column:
+    return F.array_join(
+        F.transform(F.col(col), lambda x: x.cast("string")), ","
+    ).alias(col)
+
+
+def spark_zk_transactions(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Fixture → zk_transactions, projected hash-safe (sf_dir unused: the
+    domain fixture is inline, not part of the generic testdata)."""
+    out = zk_transactions(fixtures.traces_df(spark))
+    return out.select(
+        "chain_id",
+        "transaction_hash",
+        "from_address",
+        "to_address",
+        _join_str_array("closest_address"),
+        "function_signature",
+        "transaction_index",
+        "block_number",
+        "block_timestamp",
+        "block_hash",
+        F.col("value").cast("string").alias("value"),
+        "input",
+        "gas_used_total",
+        "gas_used_first_degree",
+        "gas_used_second_degree",
+        "ec_recover_count",
+        "ec_add_count",
+        "ec_mul_count",
+        "ec_pairing_count",
+        _join_int_array("ec_pairing_input_sizes"),
+        _join_str_array("ec_recover_addresses"),
+        "error",
+    )
+
+
+def spark_zk_contracts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    out = zk_contracts_deduped(fixtures.traces_df(spark))
+    return out.select(
+        "chain_id",
+        "address",
+        _join_str_array("function_signatures"),
+        "degree",
+        "ec_recover_count",
+        "ec_add_count",
+        "ec_mul_count",
+        "ec_pairing_count",
+        _join_int_array("ec_pairing_input_sizes"),
+        _join_str_array("call"),
+    )
+
+
+def spark_blocks(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    return blocks_passthrough(fixtures.blocks_df(spark))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — same semantics, pure SQL over the same VALUES rows
+# ---------------------------------------------------------------------------
+
+def _common_ctes() -> str:
+    """Shared CTE prefix: guarded traces w/ scalar derivations, the edge
+    aggregate, per-tx rollup, eligible roots, first/second degree callers."""
+    return f"""
+WITH traces AS (SELECT * FROM {fixtures.traces_values_sql()}),
+guarded AS (
+  SELECT *,
+    CASE WHEN to_address IN ('{EC_PAIRING_ADDRESS}','{EC_RECOVER_ADDRESS}')
+              THEN '0x00000000'
+         WHEN input IS NULL THEN '0x00000000'
+         WHEN length(input) > 10 THEN substr(input, 1, 10)
+         ELSE '0x00000000' END AS sel,
+    CASE WHEN to_address = '{EC_PAIRING_ADDRESS}'
+         THEN CAST(coalesce((length(input) - 2) / 2, 0) AS INTEGER) END AS pair_size,
+    CASE WHEN to_address = '{EC_RECOVER_ADDRESS}' AND output IS NOT NULL THEN
+      CASE WHEN (length(output) - 2) / 2 < 32 THEN '{ZERO_ADDRESS}'
+           ELSE '0x' || substr(output, 27, 40) END END AS recovered
+  FROM traces
+  WHERE from_address IS NOT NULL AND to_address IS NOT NULL
+),
+edges AS (
+  SELECT chain_id, transaction_hash, from_address, to_address,
+         count(*) AS call_count,
+         sum(coalesce(gas_used, 0)) AS gas_sum
+  FROM guarded GROUP BY 1, 2, 3, 4
+),
+rollup AS (
+  SELECT chain_id, transaction_hash,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_RECOVER_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_recover_count,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_ADD_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_add_count,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_MUL_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_mul_count,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_PAIRING_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_pairing_count,
+    max(CASE WHEN to_address IN ('{EC_RECOVER_ADDRESS}','{EC_PAIRING_ADDRESS}') THEN 1 ELSE 0 END) AS has_zk
+  FROM edges GROUP BY 1, 2
+),
+roots AS (
+  SELECT * FROM traces
+  WHERE len(trace_address) = 0 AND transaction_hash IS NOT NULL
+    AND transaction_index IS NOT NULL AND from_address IS NOT NULL
+    AND to_address IS NOT NULL
+  QUALIFY row_number() OVER (
+    PARTITION BY chain_id, transaction_hash ORDER BY seq DESC) = 1
+),
+fd AS (
+  SELECT chain_id, transaction_hash, from_address AS address,
+         list_sort(list(DISTINCT to_address)) AS call
+  FROM edges
+  WHERE to_address IN ('{EC_PAIRING_ADDRESS}','{EC_RECOVER_ADDRESS}')
+  GROUP BY 1, 2, 3
+),
+sd AS (
+  SELECT e.chain_id, e.transaction_hash, e.from_address AS address,
+         list_sort(list(DISTINCT e.to_address)) AS call
+  FROM edges e
+  JOIN fd ON e.chain_id = fd.chain_id
+         AND e.transaction_hash = fd.transaction_hash
+         AND e.to_address = fd.address
+  JOIN roots r ON e.chain_id = r.chain_id
+              AND e.transaction_hash = r.transaction_hash
+  WHERE e.from_address <> r.from_address
+  GROUP BY 1, 2, 3
+)"""
+
+
+def zk_transactions_oracle_sql() -> str:
+    return (
+        _common_ctes()
+        + f""",
+fd_set AS (SELECT chain_id, transaction_hash, list_sort(list(address)) AS fd_addrs
+           FROM fd GROUP BY 1, 2),
+sd_set AS (SELECT chain_id, transaction_hash, list_sort(list(address)) AS sd_addrs
+           FROM sd GROUP BY 1, 2),
+gas_sent AS (SELECT chain_id, transaction_hash, from_address, sum(gas_sum) AS g
+             FROM edges GROUP BY 1, 2, 3),
+fd_gas AS (SELECT f.chain_id, f.transaction_hash, sum(g.g) AS gas
+           FROM fd f JOIN gas_sent g
+             ON g.chain_id = f.chain_id AND g.transaction_hash = f.transaction_hash
+            AND g.from_address = f.address
+           GROUP BY 1, 2),
+sd_gas AS (SELECT s.chain_id, s.transaction_hash, sum(g.g) AS gas
+           FROM sd s JOIN gas_sent g
+             ON g.chain_id = s.chain_id AND g.transaction_hash = s.transaction_hash
+            AND g.from_address = s.address
+           GROUP BY 1, 2),
+psz AS (SELECT chain_id, transaction_hash, list_sort(list(pair_size)) AS sizes
+        FROM guarded WHERE to_address = '{EC_PAIRING_ADDRESS}' GROUP BY 1, 2),
+recov AS (SELECT chain_id, transaction_hash,
+                 list_sort(list(DISTINCT recovered)) AS recs
+          FROM guarded WHERE recovered IS NOT NULL GROUP BY 1, 2)
+SELECT
+  CAST(r.chain_id AS BIGINT) AS chain_id,
+  r.transaction_hash,
+  r.from_address,
+  r.to_address,
+  coalesce(array_to_string(
+    CASE WHEN len(coalesce(ss.sd_addrs, CAST([] AS VARCHAR[]))) > 0
+         THEN ss.sd_addrs ELSE coalesce(fs.fd_addrs, CAST([] AS VARCHAR[])) END,
+    ','), '') AS closest_address,
+  CASE WHEN r.input IS NULL THEN '0x00000000'
+       WHEN length(r.input) > 10 THEN substr(r.input, 1, 10)
+       ELSE '0x00000000' END AS function_signature,
+  CAST(r.transaction_index AS INTEGER) AS transaction_index,
+  CAST(r.block_number AS BIGINT) AS block_number,
+  CAST(r.block_timestamp AS BIGINT) AS block_timestamp,
+  r.block_hash,
+  CAST(coalesce(r.value, 0) AS VARCHAR) AS value,
+  coalesce(r.input, '0x') AS input,
+  CAST(coalesce(r.gas_used, 0) AS BIGINT) AS gas_used_total,
+  CAST(coalesce(fg.gas, 0) AS BIGINT) AS gas_used_first_degree,
+  CAST(coalesce(sg.gas, 0) AS BIGINT) AS gas_used_second_degree,
+  ru.ec_recover_count,
+  ru.ec_add_count,
+  ru.ec_mul_count,
+  ru.ec_pairing_count,
+  coalesce(array_to_string(
+    list_transform(ps.sizes, x -> CAST(x AS VARCHAR)), ','), '') AS ec_pairing_input_sizes,
+  coalesce(array_to_string(rv.recs, ','), '') AS ec_recover_addresses,
+  r.error
+FROM roots r
+JOIN rollup ru ON ru.chain_id = r.chain_id
+              AND ru.transaction_hash = r.transaction_hash AND ru.has_zk = 1
+LEFT JOIN fd_set fs ON fs.chain_id = r.chain_id AND fs.transaction_hash = r.transaction_hash
+LEFT JOIN sd_set ss ON ss.chain_id = r.chain_id AND ss.transaction_hash = r.transaction_hash
+LEFT JOIN fd_gas fg ON fg.chain_id = r.chain_id AND fg.transaction_hash = r.transaction_hash
+LEFT JOIN sd_gas sg ON sg.chain_id = r.chain_id AND sg.transaction_hash = r.transaction_hash
+LEFT JOIN psz ps ON ps.chain_id = r.chain_id AND ps.transaction_hash = r.transaction_hash
+LEFT JOIN recov rv ON rv.chain_id = r.chain_id AND rv.transaction_hash = r.transaction_hash
+"""
+    )
+
+
+def zk_contracts_oracle_sql() -> str:
+    return (
+        _common_ctes()
+        + f""",
+committed AS (
+  SELECT r.chain_id, r.transaction_hash
+  FROM roots r JOIN rollup ru
+    ON ru.chain_id = r.chain_id AND ru.transaction_hash = r.transaction_hash
+  WHERE ru.has_zk = 1
+),
+sigs AS (
+  SELECT chain_id, transaction_hash, to_address AS address,
+         list_sort(list(DISTINCT sel)) AS sigs
+  FROM guarded GROUP BY 1, 2, 3
+),
+pc AS (
+  SELECT chain_id, transaction_hash, from_address AS address,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_RECOVER_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_recover_count,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_ADD_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_add_count,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_MUL_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_mul_count,
+    CAST(coalesce(sum(CASE WHEN to_address = '{EC_PAIRING_ADDRESS}' THEN call_count END), 0) AS BIGINT) AS ec_pairing_count
+  FROM edges
+  WHERE to_address IN ('{EC_RECOVER_ADDRESS}','{EC_ADD_ADDRESS}','{EC_MUL_ADDRESS}','{EC_PAIRING_ADDRESS}')
+  GROUP BY 1, 2, 3
+),
+psz AS (
+  SELECT chain_id, transaction_hash, from_address AS address,
+         list_sort(list(pair_size)) AS sizes
+  FROM guarded WHERE to_address = '{EC_PAIRING_ADDRESS}' GROUP BY 1, 2, 3
+),
+allc AS (
+  SELECT chain_id, transaction_hash, address, call, 0 AS degree FROM fd
+  UNION ALL
+  SELECT chain_id, transaction_hash, address, call, 1 AS degree FROM sd
+)
+SELECT CAST(chain_id AS BIGINT) AS chain_id, address, function_signatures,
+       CAST(degree AS INTEGER) AS degree,
+       ec_recover_count, ec_add_count, ec_mul_count, ec_pairing_count,
+       ec_pairing_input_sizes, call
+FROM (
+  SELECT c.chain_id, c.transaction_hash AS _tx, c.address,
+         coalesce(array_to_string(s.sigs, ','), '') AS function_signatures,
+         c.degree,
+         coalesce(p.ec_recover_count, 0) AS ec_recover_count,
+         coalesce(p.ec_add_count, 0) AS ec_add_count,
+         coalesce(p.ec_mul_count, 0) AS ec_mul_count,
+         coalesce(p.ec_pairing_count, 0) AS ec_pairing_count,
+         coalesce(array_to_string(
+           list_transform(z.sizes, x -> CAST(x AS VARCHAR)), ','), '') AS ec_pairing_input_sizes,
+         array_to_string(c.call, ',') AS call
+  FROM allc c
+  JOIN committed k ON k.chain_id = c.chain_id AND k.transaction_hash = c.transaction_hash
+  LEFT JOIN sigs s ON s.chain_id = c.chain_id AND s.transaction_hash = c.transaction_hash AND s.address = c.address
+  LEFT JOIN pc p ON p.chain_id = c.chain_id AND p.transaction_hash = c.transaction_hash AND p.address = c.address
+  LEFT JOIN psz z ON z.chain_id = c.chain_id AND z.transaction_hash = c.transaction_hash AND z.address = c.address
+)
+QUALIFY row_number() OVER (
+  PARTITION BY chain_id, address, function_signatures
+  ORDER BY degree ASC, _tx ASC) = 1
+"""
+    )
+
+
+_DUCK_TYPES = {
+    "LongType()": "BIGINT",
+    "IntegerType()": "INTEGER",
+    "DoubleType()": "DOUBLE",
+    "StringType()": "VARCHAR",
+}
+
+
+def blocks_oracle_sql() -> str:
+    casts = ", ".join(
+        f"CAST({f.name} AS {_DUCK_TYPES[repr(f.dataType)]}) AS {f.name}"
+        for f in fixtures.BLOCK_SCHEMA.fields
+        if f.name != "seq"
+    )
+    return f"""
+WITH blocks AS (SELECT * FROM {fixtures.blocks_values_sql()})
+SELECT {casts} FROM blocks
+QUALIFY row_number() OVER (PARTITION BY chain_id, number ORDER BY seq DESC) = 1
+"""

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from evmtrace_etl_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="evmtrace_etl_spark_tests", cpus=8, shuffle_partitions=8)
+    yield s
