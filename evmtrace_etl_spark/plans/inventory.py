@@ -1,0 +1,504 @@
+"""Operator-inventory queries over the driver's TPC-H-ish testdata.
+
+Each SURVEY §2 operator family is exercised by at least one
+oracle-checkable query over ``/root/testdata/sf*/`` parquet:
+
+- multi-aggregate over one grouping (A1/A2/A7 analog)        → pricing_summary
+- join + sort + limit (J-family, top-k)                       → top_revenue_orders
+- left-semi join (J1 analog)                                  → order_priority_semi
+- left-anti join (S8/D4 batch analog)                         → customers_without_orders
+- window keep-last dedup (D1/D3)                              → latest_event_per_user
+- window keep-first dedup (D2)                                → first_event_per_user
+- conditional aggregation (A7/A8)                             → event_type_stats
+- collect_set + sort_array (A3/A5)                            → user_event_sets
+- unionByName of labeled branches (U1/J5)                     → union_high_balance
+- broadcast dimension join (J6 analog)                        → brand_volume
+- multi-hop join chain (J2→J3 analog)                         → region_revenue
+- scalar selector extraction (P5/P6 analog)                   → props_selector
+- gap-based sessionization (T1 batch analog)                  → user_sessions
+
+Determinism conventions for the driver's order-insensitive value-hash:
+double aggregations are cast to DECIMAL before summing (exact, engine-
+independent); collected sets are sorted and comma-joined; every computed
+column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark's reader rejects
+        # nanos natively — read as long ns, truncate to micros (exactly what
+        # DuckDB's TIMESTAMP_NS → TIMESTAMP read does).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str, scale: int = 6) -> F.Column:
+    """Exact-sum guard: cast a double measure to decimal pre-aggregation so
+    the sum is exact and order-independent (double sums are neither)."""
+    return F.col(col).cast(f"decimal(20,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# A-family: fused multi-aggregate (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(20,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,6)").cast("string").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("sum_disc_price"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (one - _dec("l_discount"))
+                * (one + _dec("l_tax"))
+            )
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))
+           * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))
+           * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))
+           * (CAST(1 AS DECIMAL(20,6)) + CAST(l_tax AS DECIMAL(20,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join + sort + limit (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(20,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("_revenue")
+        )
+        .orderBy(F.col("_revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("_revenue").cast("string").alias("revenue"),
+        )
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(_revenue AS VARCHAR) AS revenue
+FROM (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))
+             * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))) AS DECIMAL(38,6)) AS _revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+  ORDER BY _revenue DESC, o_orderkey ASC
+  LIMIT 10
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Left-semi join (J1 commit-filter analog)
+# ---------------------------------------------------------------------------
+
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned,
+            orders.o_orderkey == returned.l_orderkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Left-anti join (batch cross-batch-dedup analog, S8/D4)
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal", 2)).cast("decimal(38,2)").cast("string").alias("total_bal"),
+        )
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_bal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window dedup: keep-last (D1/D3) and keep-first (D2)
+# ---------------------------------------------------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, event_type, ts, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+    )
+
+
+FIRST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, event_type, ts, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (A7/A8 analog)
+# ---------------------------------------------------------------------------
+
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).cast("decimal(38,6)").cast("string").alias("sum_value"),
+        F.coalesce(
+            F.sum(F.when(F.col("value") > 100.0, _dec("value"))),
+            F.lit(0),
+        )
+        .cast("decimal(38,6)")
+        .alias("sum_large"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("n_large"),
+    )
+
+
+EVENT_TYPE_STATS_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value,
+  CAST(CAST(coalesce(sum(CASE WHEN value > 100.0
+                         THEN CAST(value AS DECIMAL(20,6)) END), 0) AS DECIMAL(38,6)) AS VARCHAR) AS sum_large,
+  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# collect_set + sort_array (A3/A5 analog)
+# ---------------------------------------------------------------------------
+
+def user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+USER_EVENT_SETS_SQL = """
+SELECT user_id,
+  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+  count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unionByName of labeled branches (U1 analog)
+# ---------------------------------------------------------------------------
+
+def union_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select(
+            F.lit("customer").alias("kind"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("decimal(20,2)").cast("string").alias("bal"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000.0)
+        .select(
+            F.lit("supplier").alias("kind"),
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").cast("decimal(20,2)").cast("string").alias("bal"),
+        )
+    )
+    return cust.unionByName(supp)
+
+
+UNION_HIGH_BALANCE_SQL = """
+SELECT 'customer' AS kind, c_name AS name,
+       CAST(CAST(c_acctbal AS DECIMAL(20,2)) AS VARCHAR) AS bal
+FROM customer WHERE c_acctbal > 9000.0
+UNION ALL
+SELECT 'supplier' AS kind, s_name AS name,
+       CAST(CAST(s_acctbal AS DECIMAL(20,2)) AS VARCHAR) AS bal
+FROM supplier WHERE s_acctbal > 9000.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join (small-dim enrichment, J6 analog)
+# ---------------------------------------------------------------------------
+
+def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,6)").cast("string").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+BRAND_VOLUME_SQL = """
+SELECT p_brand,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_qty,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop join chain (region → nation → customer → orders)
+# ---------------------------------------------------------------------------
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(38,6)").cast("string").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar selector extraction (P5/P6 analog on events.props)
+# ---------------------------------------------------------------------------
+
+def props_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sel = (
+        F.when(F.col("props").isNull(), F.lit("----"))
+        .when(F.length("props") > 4, F.substring("props", 1, 4))
+        .otherwise(F.lit("----"))
+    )
+    return (
+        ev.withColumn("selector", sel)
+        .groupBy("selector")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+PROPS_SELECTOR_SQL = """
+SELECT CASE WHEN props IS NULL THEN '----'
+            WHEN length(props) > 4 THEN substr(props, 1, 4)
+            ELSE '----' END AS selector,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (T1 batch analog): 30-minute inactivity gap
+# ---------------------------------------------------------------------------
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("decimal(38,6)").cast("string").alias("session_value"),
+    )
+
+
+USER_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS _new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessioned AS (
+  SELECT user_id, value,
+    sum(_new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "inv_pricing_summary": pricing_summary,
+    "inv_top_revenue_orders": top_revenue_orders,
+    "inv_order_priority_semi": order_priority_semi,
+    "inv_customers_without_orders": customers_without_orders,
+    "inv_latest_event_per_user": latest_event_per_user,
+    "inv_first_event_per_user": first_event_per_user,
+    "inv_event_type_stats": event_type_stats,
+    "inv_user_event_sets": user_event_sets,
+    "inv_union_high_balance": union_high_balance,
+    "inv_brand_volume": brand_volume,
+    "inv_region_revenue": region_revenue,
+    "inv_props_selector": props_selector,
+    "inv_user_sessions": user_sessions,
+}
+
+ORACLES = {
+    "inv_pricing_summary": PRICING_SUMMARY_SQL,
+    "inv_top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
+    "inv_order_priority_semi": ORDER_PRIORITY_SEMI_SQL,
+    "inv_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "inv_latest_event_per_user": LATEST_EVENT_PER_USER_SQL,
+    "inv_first_event_per_user": FIRST_EVENT_PER_USER_SQL,
+    "inv_event_type_stats": EVENT_TYPE_STATS_SQL,
+    "inv_user_event_sets": USER_EVENT_SETS_SQL,
+    "inv_union_high_balance": UNION_HIGH_BALANCE_SQL,
+    "inv_brand_volume": BRAND_VOLUME_SQL,
+    "inv_region_revenue": REGION_REVENUE_SQL,
+    "inv_props_selector": PROPS_SELECTOR_SQL,
+    "inv_user_sessions": USER_SESSIONS_SQL,
+}

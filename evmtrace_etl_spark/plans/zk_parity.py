@@ -305,3 +305,17 @@ WITH blocks AS (SELECT * FROM {fixtures.blocks_values_sql()})
 SELECT {casts} FROM blocks
 QUALIFY row_number() OVER (PARTITION BY chain_id, number ORDER BY seq DESC) = 1
 """
+
+
+# Driver-contract registration (aggregated by evmtrace_etl_spark.registry).
+QUERIES = {
+    "zk_transactions": spark_zk_transactions,
+    "zk_contracts": spark_zk_contracts,
+    "zk_blocks": spark_blocks,
+}
+
+ORACLES = {
+    "zk_transactions": zk_transactions_oracle_sql(),
+    "zk_contracts": zk_contracts_oracle_sql(),
+    "zk_blocks": blocks_oracle_sql(),
+}
