@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths over ``embeddings(vec_id, embedding, label)``:
+
+- **Brute-force cosine top-k** (baseline): a small query set is
+  broadcast against the full table; per-pair cosine is computed
+  JVM-side with ``zip_with`` + ``aggregate`` (sequential left-to-right
+  accumulation — bit-identical to the DuckDB oracle's ``list_sum`` over
+  the same doubles); top-k by row_number over (rounded sim DESC, id).
+- **Sign-LSH ANN** (scale path): 8 fixed random hyperplanes → 8-bit
+  bucket signature; candidates = same-bucket vectors only.  At 100 TB
+  the bucket signature becomes the shuffle/cluster key (expected
+  n/256 per bucket, uniform for mean-centered data); brute force is
+  kept as the in-bucket scorer.
+
+Ranking uses cosine rounded to 6 decimals (both engines round
+identically on identical doubles) with vec_id as tie-break, making
+top-k fully deterministic across engines.
+
+All column math is Spark builtins — no Python in the hot path; an
+embedding dot product over array<float> stays inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import HYPERPLANES
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_lsh_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """8-bit sign-LSH bucket id from the fixed hyperplanes."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(HYPERPLANES):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(
+            _dot(F.col(vec_col), plane_col) >= 0, F.lit(2**j)
+        ).otherwise(0)
+    return emb.withColumn("bucket", bucket)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every vec_id < n_queries against all others.
+
+    Output: query_id, neighbor_id, rank, sim (rounded to 6 dp).
+    """
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: same scoring as brute force but candidates restricted to
+    the query's sign-LSH bucket (the 100 TB path — equi-join on bucket
+    instead of a cross join)."""
+    bucketed = with_lsh_bucket(emb, vec_col)
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("bucket"),
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    scored = (
+        bucketed.join(F.broadcast(queries), on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets
+    (vec_a < vec_b, cosine ≥ threshold) — the embedding analog of the
+    MinHash near-dup dedup."""
+    bucketed = with_lsh_bucket(emb, vec_col)
+    a = bucketed.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("_va")
+    )
+    b = bucketed.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("_vb")
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators over a ``documents(doc_id, text, ...)`` table:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All per-document columns are JVM-side builtins (whole-stage codegen) —
+narrow transformations, no shuffle until the final aggregate.  Ratios
+are double divisions of exact integers, so the DuckDB oracle reproduces
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_token_estimate,
+    fingerprint,
+    lang_id,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+
+
+def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document analysis columns.
+
+    Output: doc_id, n_chars_actual, n_tokens, n_bpe_tokens, alpha_chars,
+    punct_chars, stopword_hits_en, stopword_ratio, punct_ratio,
+    avg_token_len, pred_lang, fingerprint, quality_bucket.
+    """
+    toks = tokens(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    punct_chars = F.length(
+        F.regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")
+    )
+    n_tokens = F.size(toks)
+    sw_en = stopword_hits(toks, "en")
+    stop_ratio = F.when(
+        n_tokens > 0, sw_en.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, punct_chars.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    avg_tok = F.when(
+        n_tokens > 0, alpha_chars.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.when(n_tokens < 10, F.lit("too_short"))
+        .when(punct_ratio > 0.2, F.lit("punct_heavy"))
+        .when(stop_ratio < 0.01, F.lit("low_signal"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        bpe_token_estimate(text_col).alias("n_bpe_tokens"),
+        alpha_chars.alias("alpha_chars"),
+        punct_chars.alias("punct_chars"),
+        sw_en.alias("stopword_hits_en"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        avg_tok.alias("avg_token_len"),
+        lang_id(toks).alias("pred_lang"),
+        fingerprint(text_col).alias("fingerprint"),
+        quality.alias("quality_bucket"),
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus rollup over the profile columns."""
+    prof = doc_profile(docs, text_col).join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    return prof.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.countDistinct("fingerprint").alias("n_unique_fingerprints"),
+        F.sum(
+            F.when(F.col("quality_bucket") == "ok", 1).otherwise(0)
+        ).alias("n_quality_ok"),
+    )
+
+
+def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predicted-vs-labelled language counts (lang-ID evaluation)."""
+    prof = doc_profile(docs, text_col).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    return prof.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -1,11 +1,408 @@
-"""LLM-training-data pipeline queries (dedup / similarity / text /
-multimodal) over ``documents.parquet`` and ``embeddings.parquet``.
+"""LLM-training-data pipeline queries over ``documents.parquet`` and
+``embeddings.parquet``, with DuckDB oracle SQL generated from the SAME
+shared constants (``functions.text``) as the Spark plans — minhash
+permutations, LSH banding, hyperplanes, stopword sets are identical on
+both sides, so every query is value-hash checkable.
 
-Populated by the operators in ``evmtrace_etl_spark.operators.{text,dedup,
-similarity,multimodal}``; registered here for the driver contract.
+Cross-engine determinism contract:
+- integer hash = first 7 hex chars of md5 → int (bit-identical);
+- all float math is double precision with identical sequential
+  accumulation order (Spark ``aggregate`` ≡ DuckDB ``list_reduce``);
+- double aggregates that cross a groupBy are decimal-cast first;
+- arrays are sorted and comma-joined before output.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_REGEX,
+    BUCKET_CAP,
+    EMBED_DIM,
+    HYPERPLANES,
+    LANG_ORDER,
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE31,
+    PERMS,
+    SHINGLE_K,
+    STOPWORDS,
+)
+from ..operators import dedup, multimodal, similarity, text_analysis
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _join_longs(col: str) -> F.Column:
+    return F.array_join(
+        F.transform(F.col(col), lambda x: x.cast("string")), ","
+    ).alias(col)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side registered queries
+# ---------------------------------------------------------------------------
+
+def llm_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.exact_dup_groups(_docs(spark, sf_dir))
+    return out.select(
+        "fingerprint", "n_dups", "keep_doc_id", _join_longs("dup_doc_ids")
+    )
+
+
+def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def llm_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.simhash_buckets(_docs(spark, sf_dir))
+    return out.select("simhash", "n_docs", _join_longs("doc_ids"))
+
+
+def llm_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = text_analysis.doc_profile(_docs(spark, sf_dir))
+    return prof.select(
+        "doc_id",
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("alpha_chars").cast("long").alias("alpha_chars"),
+        F.col("punct_chars").cast("long").alias("punct_chars"),
+        F.col("stopword_hits_en").cast("long").alias("stopword_hits_en"),
+        "stopword_ratio",
+        "punct_ratio",
+        "avg_token_len",
+        "pred_lang",
+        "fingerprint",
+        "quality_bucket",
+    )
+
+
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.corpus_stats(_docs(spark, sf_dir))
+
+
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_confusion(_docs(spark, sf_dir))
+
+
+def llm_media_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_rollup(_docs(spark, sf_dir))
+
+
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_emb(spark, sf_dir))
+
+
+def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_emb(spark, sf_dir))
+
+
+def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), 0.4)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generation (same constants as the Spark plans)
+# ---------------------------------------------------------------------------
+
+def _sql_h32(expr: str) -> str:
+    """md5-hex→int hash identical to functions.text.hash32."""
+    return (
+        "list_reduce(list_transform(string_split_regex("
+        f"substr(md5({expr}),1,7), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16 + b)"
+    )
+
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')"
+)
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"round({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})), 6)"
+    )
+
+
+def _sql_plane_dot(plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+    )
+
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN {2 ** j} ELSE 0 END)"
+    for j, p in enumerate(HYPERPLANES)
+)
+
+
+def _shingle_ctes() -> str:
+    """CTE prefix doc_base → sh (distinct sorted shingle-hash sets)."""
+    k = SHINGLE_K
+    return f"""
+doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+    list_transform(range(1, len(toks)-{k}+2),
+                   i -> array_to_string(toks[i:i+{k - 1}], ' ')),
+    s -> {_sql_h32('s')}))) AS sset
+  FROM doc_base WHERE len(toks) >= {k}
+)"""
+
+
+def _near_dup_sql(threshold: float) -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sset, x -> ({a}*x + {b}) % {MERSENNE31}))"
+        for a, b in PERMS
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, array_to_string(list_transform("
+        f"signature[{b * LSH_ROWS + 1}:{b * LSH_ROWS + LSH_ROWS}], "
+        "x -> CAST(x AS VARCHAR)), '-') AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_shingle_ctes()},
+sig AS (SELECT doc_id, sset, [{mh}] AS signature FROM sh),
+bands AS ({bands}),
+sized AS (SELECT doc_id, band_id, band_key,
+                 count(*) OVER (PARTITION BY band_id, band_key) AS _n
+          FROM bands),
+capped AS (SELECT * FROM sized WHERE _n <= {BUCKET_CAP}),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+jac AS (SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+  CAST(len(sa.sset) + len(sb.sset)
+       - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
+  FROM pairs
+  JOIN sh sa ON sa.doc_id = pairs.doc_a
+  JOIN sh sb ON sb.doc_id = pairs.doc_b)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+EXACT_DUP_GROUPS_SQL = f"""
+WITH f AS (SELECT doc_id, {_FP} AS fingerprint FROM documents)
+SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keep_doc_id,
+       array_to_string(list_sort(list(doc_id)), ',') AS dup_doc_ids
+FROM f GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+NEAR_DUP_PAIRS_SQL = _near_dup_sql(0.5)
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN coalesce(list_sum(list_transform(th, "
+    f"x -> CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+    f"THEN {2 ** b} ELSE 0 END)"
+    for b in range(32)
+)
+
+SIMHASH_BUCKETS_SQL = f"""
+WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+th AS (SELECT doc_id, list_transform(toks, t -> {_sql_h32('t')}) AS th
+       FROM doc_base WHERE len(toks) >= 1),
+s AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM th)
+SELECT simhash, count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM s GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+def _sql_lang_case() -> str:
+    branches = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"{_sql_stop_hits(lang)} > 0"] + [
+            f"{_sql_stop_hits(lang)} >= {_sql_stop_hits(o)}"
+            for o in LANG_ORDER[i + 1:]
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+_PUNCT = "length(regexp_replace(text, '[^!-/:-@[-`{-~]', '', 'g'))"
+_ALPHA = "length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+_BPE = (
+    "len(regexp_extract_all(lower(text), "
+    f"'{BPE_REGEX.replace(chr(39), chr(39) * 2)}'))"
+)
+
+_PROFILE_CTE = f"""
+prof AS (
+  SELECT doc_id, text, lang, source, {_TOKS} AS toks,
+    CAST(length(text) AS BIGINT) AS n_chars_actual,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST({_BPE} AS BIGINT) AS n_bpe_tokens,
+    CAST({_ALPHA} AS BIGINT) AS alpha_chars,
+    CAST({_PUNCT} AS BIGINT) AS punct_chars,
+    {_FP} AS fingerprint
+  FROM documents
+),
+prof2 AS (
+  SELECT *,
+    CAST({_sql_stop_hits('en')} AS BIGINT) AS stopword_hits_en,
+    CASE WHEN n_tokens > 0
+         THEN CAST({_sql_stop_hits('en')} AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN n_chars_actual > 0
+         THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars_actual AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tokens > 0
+         THEN CAST(alpha_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         ELSE 0.0 END AS avg_token_len,
+    {_sql_lang_case()} AS pred_lang
+  FROM prof
+),
+prof3 AS (
+  SELECT *,
+    CASE WHEN n_tokens < 10 THEN 'too_short'
+         WHEN punct_ratio > 0.2 THEN 'punct_heavy'
+         WHEN stopword_ratio < 0.01 THEN 'low_signal'
+         ELSE 'ok' END AS quality_bucket
+  FROM prof2
+)"""
+
+TEXT_PROFILE_SQL = f"""
+WITH {_PROFILE_CTE}
+SELECT doc_id, n_chars_actual, n_tokens, n_bpe_tokens, alpha_chars,
+       punct_chars, stopword_hits_en, stopword_ratio, punct_ratio,
+       avg_token_len, pred_lang, fingerprint, quality_bucket
+FROM prof3
+"""
+
+CORPUS_STATS_SQL = f"""
+WITH {_PROFILE_CTE}
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+  count(DISTINCT fingerprint) AS n_unique_fingerprints,
+  CAST(sum(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality_ok
+FROM prof3 GROUP BY source
+"""
+
+LANG_CONFUSION_SQL = f"""
+WITH {_PROFILE_CTE}
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM prof3 GROUP BY lang, pred_lang
+"""
+
+_MEDIA_TYPES_SQL = "['image/png', 'audio/wav', 'video/mp4']"
+
+MEDIA_ROLLUP_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    ({_MEDIA_TYPES_SQL})[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    md5(text) AS content_md5
+  FROM documents
+),
+f AS (SELECT *, (n_bytes % 997) / 997.0 AS fake_feature FROM m)
+SELECT media_type, count(*) AS n_media,
+  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+  count(DISTINCT content_md5) AS n_unique,
+  CAST(CAST(sum(CAST(fake_feature AS DECIMAL(20,6))) AS DECIMAL(38,6))
+       AS VARCHAR) AS feature_sum
+FROM f GROUP BY media_type
+"""
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cos('q.qv', 'e.embedding')} AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+ANN_TOPK_SQL = f"""
+WITH eb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM eb WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cos('q.qv', 'e.embedding')} AS sim
+  FROM eb e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+EMBEDDING_NEAR_DUPS_SQL = f"""
+WITH eb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_sql_cos('a.embedding', 'b.embedding')} AS sim
+  FROM eb a JOIN eb b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4
+"""
+
+
+QUERIES = {
+    "llm_exact_dup_groups": llm_exact_dup_groups,
+    "llm_near_dup_pairs": llm_near_dup_pairs,
+    "llm_simhash_buckets": llm_simhash_buckets,
+    "llm_text_profile": llm_text_profile,
+    "llm_corpus_stats": llm_corpus_stats,
+    "llm_lang_confusion": llm_lang_confusion,
+    "llm_media_rollup": llm_media_rollup,
+    "llm_cosine_topk": llm_cosine_topk,
+    "llm_ann_topk": llm_ann_topk,
+    "llm_embedding_near_dups": llm_embedding_near_dups,
+}
+
+ORACLES = {
+    "llm_exact_dup_groups": EXACT_DUP_GROUPS_SQL,
+    "llm_near_dup_pairs": NEAR_DUP_PAIRS_SQL,
+    "llm_simhash_buckets": SIMHASH_BUCKETS_SQL,
+    "llm_text_profile": TEXT_PROFILE_SQL,
+    "llm_corpus_stats": CORPUS_STATS_SQL,
+    "llm_lang_confusion": LANG_CONFUSION_SQL,
+    "llm_media_rollup": MEDIA_ROLLUP_SQL,
+    "llm_cosine_topk": COSINE_TOPK_SQL,
+    "llm_ann_topk": ANN_TOPK_SQL,
+    "llm_embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+}
