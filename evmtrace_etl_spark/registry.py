@@ -15,19 +15,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from .plans import inventory, llm_data, zk_parity
+def _modules():
+    from .plans import geth, inventory, llm_data, zk_parity
 
+    return (zk_parity, geth, inventory, llm_data)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (zk_parity, inventory, llm_data):
+    for mod in _modules():
         out.update(getattr(mod, "QUERIES", {}))
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from .plans import inventory, llm_data, zk_parity
-
     out: dict[str, str] = {}
-    for mod in (zk_parity, inventory, llm_data):
+    for mod in _modules():
         out.update(getattr(mod, "ORACLES", {}))
     return out
