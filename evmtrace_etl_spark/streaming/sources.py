@@ -1,0 +1,103 @@
+"""Streaming sources (S1–S4): Kafka and file streams decoded with strict
+schemas — ``from_json`` + explicit StructType, never inference
+(reference decodes with serde_json into fixed structs,
+src/consumer/kafka/mod.rs:41-50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import BLOCK_SCHEMA, TRACE_SCHEMA
+
+
+def _payload_schema(schema: T.StructType) -> T.StructType:
+    """Wire payloads carry neither chain_id (topic-implied, reference
+    config.rs:98-114) nor seq (assigned from the Kafka offset)."""
+    return T.StructType(
+        [f for f in schema.fields if f.name not in ("chain_id", "seq")]
+    )
+
+
+TRACE_PAYLOAD_SCHEMA = _payload_schema(TRACE_SCHEMA)
+BLOCK_PAYLOAD_SCHEMA = _payload_schema(BLOCK_SCHEMA)
+
+
+def decode_payloads(
+    raw: DataFrame,
+    schema: T.StructType,
+    chain_id: int,
+    value_col: str = "value",
+    seq_col: str | None = "offset",
+) -> DataFrame:
+    """S3 — bytes → typed rows: strict-schema JSON decode, chain_id from
+    the topic binding, seq from the Kafka offset (the explicit arrival
+    order the keep-last dedups need)."""
+    payload = _payload_schema(schema)
+    decoded = raw.select(
+        F.from_json(F.col(value_col).cast("string"), payload).alias("_r"),
+        *( [F.col(seq_col).cast("long").alias("seq")] if seq_col else [] ),
+    )
+    cols = [F.col(f"_r.{f.name}").alias(f.name) for f in payload.fields]
+    out = decoded.select(
+        F.lit(chain_id).cast("long").alias("chain_id"),
+        *cols,
+        *( [F.col("seq")] if seq_col else [F.lit(0).cast("long").alias("seq")] ),
+    )
+    # restore canonical column order
+    return out.select(*[f.name for f in schema.fields])
+
+
+def kafka_trace_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    chain_id: int,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> DataFrame:
+    """S1 — one topic per chain (reference kafka/trace/mod.rs:24-51).
+    ``maxOffsetsPerTrigger`` plays the reference's 100k-row flush bound
+    (main.rs:105) as source-side backpressure."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    return decode_payloads(reader.load(), TRACE_SCHEMA, chain_id)
+
+
+def kafka_block_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    chain_id: int,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S2 — block topic consumer (reference kafka/block.rs:24-51)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_payloads(raw, BLOCK_SCHEMA, chain_id)
+
+
+def file_trace_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based trace stream (full TRACE_SCHEMA JSON lines) — the local
+    stand-in for S1 used by the streaming smoke tests; same downstream
+    plan as the Kafka path."""
+    return spark.readStream.schema(TRACE_SCHEMA).json(path)
+
+
+def file_block_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(BLOCK_SCHEMA).json(path)
