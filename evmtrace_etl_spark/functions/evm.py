@@ -108,10 +108,14 @@ def to_checksum_udf(addresses: pd.Series) -> pd.Series:
     Sink-side only: internal columns stay lowercase so joins/groupBys never
     touch a Python UDF (reference checksums only when rendering SQL rows,
     src/types/etl_result.rs:166-172,196-200,221,239-242,293).
+
+    Hashing is batch-vectorized (numpy Keccak-f over the whole Arrow
+    batch, or a compiled Keccak when importable) — the per-address
+    pure-Python loop lives on only as the test oracle.
     """
-    return addresses.map(
-        lambda a: to_checksum_address(a) if isinstance(a, str) else a
-    )
+    from .keccak_batch import checksum_batch
+
+    return checksum_batch(addresses)
 
 
 def checksum_array_udf():
@@ -119,10 +123,44 @@ def checksum_array_udf():
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def _udf(arrays: pd.Series) -> pd.Series:
-        return arrays.map(
-            lambda arr: None
-            if arr is None
-            else [to_checksum_address(a) for a in arr]
+        from .keccak_batch import checksum_batch
+
+        lengths = arrays.map(lambda a: 0 if a is None else len(a))
+        flat = pd.Series(
+            [a for arr in arrays if arr is not None for a in arr],
+            dtype="object",
         )
+        summed = checksum_batch(flat).tolist() if len(flat) else []
+        out, pos = [], 0
+        for arr, n in zip(arrays, lengths):
+            if arr is None:
+                out.append(None)
+            else:
+                out.append(summed[pos : pos + n])
+                pos += n
+        return pd.Series(out, index=arrays.index, dtype="object")
 
     return _udf
+
+
+def with_checksummed_addresses(
+    df, cols: list[str] = (), array_cols: list[str] = ()
+):
+    """Sink serialization step: EIP-55 the given address columns, matching
+    the reference's to_checksum at SQL-render time (etl_result.rs:166-172,
+    196-200, 221, 239-242, 293).  Internal plans stay lowercase."""
+    arr_udf = checksum_array_udf()
+    for c in cols:
+        df = df.withColumn(c, to_checksum_udf(F.col(c)))
+    for c in array_cols:
+        df = df.withColumn(c, arr_udf(F.col(c)))
+    return df
+
+
+#: per-output checksummed columns (reference call sites in etl_result.rs)
+TRANSACTION_ADDRESS_COLS = (
+    ["from_address", "to_address"],
+    ["closest_address", "ec_recover_addresses"],
+)
+CONTRACT_ADDRESS_COLS = (["address"], ["call"])
+BLOCK_ADDRESS_COLS = (["miner"], [])

@@ -26,6 +26,12 @@ from typing import Protocol
 
 from pyspark.sql import DataFrame
 
+from ..functions.evm import (
+    BLOCK_ADDRESS_COLS,
+    CONTRACT_ADDRESS_COLS,
+    TRANSACTION_ADDRESS_COLS,
+    with_checksummed_addresses,
+)
 from ..plans.pipeline import ZkParts, blocks_passthrough, zk_results
 
 TX_KEYS = ["chain_id", "transaction_hash"]
@@ -37,22 +43,33 @@ class UpsertSink(Protocol):  # ParquetUpsertSink / DbApiUpsertSink
     def upsert(self, df: DataFrame, table: str, keys, mode: str = "ignore") -> None: ...
 
 
-def process_trace_batch(batch: DataFrame, sink: UpsertSink) -> None:
+def process_trace_batch(
+    batch: DataFrame, sink: UpsertSink, checksum: bool = True
+) -> None:
     """One micro-batch: traces → (transactions, contracts) → upsert.
 
     D1/D2's in-batch dedup is inside the builders; D4/D5 (cross-batch +
-    sink dedup) is the sink's insert-if-absent."""
+    sink dedup) is the sink's insert-if-absent.  ``checksum`` applies the
+    reference's sink-time EIP-55 formatting (P9)."""
     tx, contracts = zk_results(batch)
+    if checksum:
+        tx = with_checksummed_addresses(tx, *TRANSACTION_ADDRESS_COLS)
+        contracts = with_checksummed_addresses(
+            contracts, *CONTRACT_ADDRESS_COLS
+        )
     sink.upsert(tx, "transactions", TX_KEYS, mode="ignore")
     sink.upsert(contracts, "contracts", CONTRACT_KEYS, mode="ignore")
 
 
-def process_block_batch(batch: DataFrame, sink: UpsertSink) -> None:
+def process_block_batch(
+    batch: DataFrame, sink: UpsertSink, checksum: bool = True
+) -> None:
     """EP2 micro-batch: blocks passthrough → full-row upsert (D3 + DO
     UPDATE, etl_result.rs:267-281)."""
-    sink.upsert(
-        blocks_passthrough(batch), "blocks", BLOCK_KEYS, mode="update"
-    )
+    out = blocks_passthrough(batch)
+    if checksum:
+        out = with_checksummed_addresses(out, *BLOCK_ADDRESS_COLS)
+    sink.upsert(out, "blocks", BLOCK_KEYS, mode="update")
 
 
 def start_zk_stream(

@@ -1,0 +1,60 @@
+"""Batch-vectorized Keccak vs the scalar pure-Python oracle, plus a
+throughput floor (the VERDICT r1 scale-killer fix)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+
+from evmtrace_etl_spark.functions.keccak import keccak256, to_checksum_address
+from evmtrace_etl_spark.functions.keccak_batch import (
+    checksum_batch,
+    keccak256_batch,
+)
+
+# EIP-55 spec vectors
+VECTORS = [
+    "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+    "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+    "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+    "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb",
+]
+
+
+def test_keccak_batch_matches_scalar():
+    msgs = [b"", b"abc", b"a" * 40, b"x" * 135]
+    for m in msgs:
+        arr = np.frombuffer(m, dtype=np.uint8).reshape(1, len(m))
+        assert keccak256_batch(arr).tobytes() == keccak256(m), m
+
+
+def test_checksum_batch_vectors():
+    got = checksum_batch(pd.Series([v.lower() for v in VECTORS]))
+    assert list(got) == VECTORS
+
+
+def test_checksum_batch_mixed_inputs():
+    s = pd.Series([VECTORS[0].lower(), None, "0xabc", VECTORS[1].lower()])
+    got = checksum_batch(s)
+    assert got[0] == VECTORS[0]
+    assert got[1] is None
+    assert got[3] == VECTORS[1]
+
+
+def test_checksum_batch_random_agreement_and_speed():
+    rng = np.random.RandomState(7)
+    addrs = [
+        "0x" + bytes(rng.randint(0, 256, 20, dtype=np.uint8)).hex()
+        for _ in range(5000)
+    ]
+    t0 = time.perf_counter()
+    got = checksum_batch(pd.Series(addrs))
+    dt = time.perf_counter() - t0
+    # spot-check agreement with the scalar oracle
+    for i in range(0, 5000, 500):
+        assert got[i] == to_checksum_address(addrs[i])
+    # throughput floor: VERDICT asked for >100k addr/s; the vectorized
+    # permutation does ~1M/s on this box — assert a conservative bound
+    assert 5000 / dt > 100_000, f"checksum too slow: {5000 / dt:.0f}/s"

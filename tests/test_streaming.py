@@ -37,7 +37,15 @@ def test_stream_matches_batch(spark, traces_json_dir, tmp_path):
     )
     q.awaitTermination(120)
 
+    from evmtrace_etl_spark.functions.evm import (
+        CONTRACT_ADDRESS_COLS,
+        TRANSACTION_ADDRESS_COLS,
+        with_checksummed_addresses,
+    )
+
     tx_batch, c_batch = zk_results(fixtures.traces_df(spark))
+    tx_batch = with_checksummed_addresses(tx_batch, *TRANSACTION_ADDRESS_COLS)
+    c_batch = with_checksummed_addresses(c_batch, *CONTRACT_ADDRESS_COLS)
     assert _rows(sink.read(spark, "transactions")) == _rows(tx_batch)
     assert _rows(sink.read(spark, "contracts")) == _rows(c_batch)
 
@@ -65,10 +73,16 @@ def test_block_stream_upsert(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     q.awaitTermination(120)
+    from evmtrace_etl_spark.functions.evm import (
+        BLOCK_ADDRESS_COLS,
+        with_checksummed_addresses,
+    )
     from evmtrace_etl_spark.plans.pipeline import blocks_passthrough
 
     assert _rows(sink.read(spark, "blocks")) == _rows(
-        blocks_passthrough(fixtures.blocks_df(spark))
+        with_checksummed_addresses(
+            blocks_passthrough(fixtures.blocks_df(spark)), *BLOCK_ADDRESS_COLS
+        )
     )
 
 
