@@ -128,6 +128,7 @@ def flattened_to_traces(flat: DataFrame) -> DataFrame:
         "from_address",
         "to_address",
         F.col("value").cast("decimal(38,0)").alias("value"),
+        F.col("value").alias("value_raw"),
         "input",
         "output",
         "trace_type",

@@ -152,7 +152,7 @@ def zk_contracts(traces: DataFrame, parts: ZkParts | None = None) -> DataFrame:
 
     committed = roots.join(
         rollup.filter(F.col("has_zk")).select(*TX_KEY), on=TX_KEY
-    ).select(*TX_KEY)
+    ).select(*TX_KEY, F.col("seq").alias("_root_seq"))
 
     callers = fd.unionByName(sd)  # U1
     sigs = signatures_by_callee(edges)
@@ -183,7 +183,7 @@ def zk_contracts(traces: DataFrame, parts: ZkParts | None = None) -> DataFrame:
                 F.col("ec_pairing_input_sizes"), _empty_int_array()
             ).alias("ec_pairing_input_sizes"),
             F.col("call"),
-            F.col("transaction_hash").alias("_tx"),  # dropped by sink dedup
+            F.col("_root_seq"),  # arrival order; dropped by sink dedup
         )
     )
 
@@ -193,20 +193,21 @@ def zk_contracts_deduped(
 ) -> DataFrame:
     """Contracts after the sink-level keep-first dedup D2 on
     (chain_id, address, function_signatures) — reference
-    etl_result.rs:246-248.  First = lowest degree, then tx order; within a
-    single commit the reference chains first-degree before second-degree
-    rows (trace_tree.rs:115-118), so degree is the primary order.
+    etl_result.rs:246-248.  'First' = the reference's buffer arrival
+    order: commits happen in stream order (root seq) and within one
+    commit first-degree rows precede second-degree (trace_tree.rs:115-118)
+    — so the order is (root seq, degree), not transaction-hash order.
     """
     from pyspark.sql import Window
 
     c = zk_contracts(traces, parts)
     w = Window.partitionBy(
         "chain_id", "address", "function_signatures"
-    ).orderBy(F.col("degree").asc(), F.col("_tx").asc())
+    ).orderBy(F.col("_root_seq").asc(), F.col("degree").asc())
     return (
         c.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_tx")
+        .drop("_rn", "_root_seq")
     )
 
 

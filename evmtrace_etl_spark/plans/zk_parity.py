@@ -228,7 +228,7 @@ def zk_contracts_oracle_sql() -> str:
         _common_ctes()
         + f""",
 committed AS (
-  SELECT r.chain_id, r.transaction_hash
+  SELECT r.chain_id, r.transaction_hash, r.seq AS root_seq
   FROM roots r JOIN rollup ru
     ON ru.chain_id = r.chain_id AND ru.transaction_hash = r.transaction_hash
   WHERE ru.has_zk = 1
@@ -263,7 +263,7 @@ SELECT CAST(chain_id AS BIGINT) AS chain_id, address, function_signatures,
        ec_recover_count, ec_add_count, ec_mul_count, ec_pairing_count,
        ec_pairing_input_sizes, call
 FROM (
-  SELECT c.chain_id, c.transaction_hash AS _tx, c.address,
+  SELECT c.chain_id, k.root_seq AS _root_seq, c.address,
          coalesce(array_to_string(s.sigs, ','), '') AS function_signatures,
          c.degree,
          coalesce(p.ec_recover_count, 0) AS ec_recover_count,
@@ -281,7 +281,7 @@ FROM (
 )
 QUALIFY row_number() OVER (
   PARTITION BY chain_id, address, function_signatures
-  ORDER BY degree ASC, _tx ASC) = 1
+  ORDER BY _root_seq ASC, degree ASC) = 1
 """
     )
 
@@ -307,15 +307,35 @@ QUALIFY row_number() OVER (PARTITION BY chain_id, number ORDER BY seq DESC) = 1
 """
 
 
+def spark_block_enrichment(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """J6 — deduped heads with nulled transaction_count/size re-enriched
+    from the detail lookup must reproduce the deduped blocks (the detail
+    side is an RPC re-fetch, unique per (chain, number))."""
+    from ..operators.enrichment import enrich_blocks
+
+    blocks = blocks_passthrough(fixtures.blocks_df(spark))
+    heads = blocks.withColumn(
+        "transaction_count", F.lit(None).cast("int")
+    ).withColumn("size", F.lit(None).cast("int"))
+    return enrich_blocks(heads, blocks)
+
+
+def block_enrichment_oracle_sql() -> str:
+    # enrichment restores exactly the deduped passthrough
+    return blocks_oracle_sql()
+
+
 # Driver-contract registration (aggregated by evmtrace_etl_spark.registry).
 QUERIES = {
     "zk_transactions": spark_zk_transactions,
     "zk_contracts": spark_zk_contracts,
     "zk_blocks": spark_blocks,
+    "zk_block_enrichment": spark_block_enrichment,
 }
 
 ORACLES = {
     "zk_transactions": zk_transactions_oracle_sql(),
     "zk_contracts": zk_contracts_oracle_sql(),
     "zk_blocks": blocks_oracle_sql(),
+    "zk_block_enrichment": block_enrichment_oracle_sql(),
 }

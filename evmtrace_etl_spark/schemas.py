@@ -36,6 +36,10 @@ TRACE_SCHEMA = T.StructType(
         T.StructField("from_address", T.StringType(), True),
         T.StructField("to_address", T.StringType(), True),
         T.StructField("value", T.DecimalType(38, 0), True),
+        # the documented U256 escape hatch: the wire decimal string,
+        # preserved verbatim (values ≥ 1e38 wei overflow DecimalType(38,0)
+        # to null; the raw column keeps full 2^256 fidelity)
+        T.StructField("value_raw", T.StringType(), True),
         T.StructField("input", T.StringType(), True),
         T.StructField("output", T.StringType(), True),
         T.StructField("trace_type", T.StringType(), True),

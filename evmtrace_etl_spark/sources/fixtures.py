@@ -81,6 +81,7 @@ def _t(
         "from_address": frm,
         "to_address": to,
         "value": None if value is None else Decimal(value),
+        "value_raw": None if value is None else str(value),
         "input": input,
         "output": output,
         "trace_type": "call",

@@ -37,10 +37,18 @@ def decode_payloads(
     order the keep-last dedups need)."""
     payload = _payload_schema(schema)
     decoded = raw.select(
+        F.col(value_col).cast("string").alias("_raw"),
         F.from_json(F.col(value_col).cast("string"), payload).alias("_r"),
         *( [F.col(seq_col).cast("long").alias("seq")] if seq_col else [] ),
     )
-    cols = [F.col(f"_r.{f.name}").alias(f.name) for f in payload.fields]
+    cols = [
+        # value_raw: the wire decimal string verbatim (U256 escape hatch —
+        # DecimalType(38,0) would null out values ≥ 1e38 wei)
+        F.get_json_object(F.col("_raw"), "$.value").alias("value_raw")
+        if f.name == "value_raw"
+        else F.col(f"_r.{f.name}").alias(f.name)
+        for f in payload.fields
+    ]
     out = decoded.select(
         F.lit(chain_id).cast("long").alias("chain_id"),
         *cols,
