@@ -22,12 +22,20 @@ from ..functions.text import (
 )
 
 
-def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document analysis columns.
 
-    Output: doc_id, n_chars_actual, n_tokens, n_bpe_tokens, alpha_chars,
-    punct_chars, stopword_hits_en, stopword_ratio, punct_ratio,
-    avg_token_len, pred_lang, fingerprint, quality_bucket.
+    Output: doc_id, *carry_cols, n_chars_actual, n_tokens, n_bpe_tokens,
+    alpha_chars, punct_chars, stopword_hits_en, stopword_ratio,
+    punct_ratio, avg_token_len, pred_lang, fingerprint, quality_bucket.
+
+    ``carry_cols`` passes source columns through the projection — callers
+    must NOT join the profile back against the input table to recover
+    them (that is a full self-join shuffle at scale).
     """
     toks = tokens(text_col)
     text = F.col(text_col)
@@ -55,6 +63,7 @@ def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *carry_cols,
         n_chars.alias("n_chars_actual"),
         n_tokens.alias("n_tokens"),
         bpe_token_estimate(text_col).alias("n_bpe_tokens"),
@@ -72,9 +81,7 @@ def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-source corpus rollup over the profile columns."""
-    prof = doc_profile(docs, text_col).join(
-        docs.select("doc_id", "source"), on="doc_id"
-    )
+    prof = doc_profile(docs, text_col, carry_cols=("source",))
     return prof.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -88,9 +95,7 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predicted-vs-labelled language counts (lang-ID evaluation)."""
-    prof = doc_profile(docs, text_col).join(
-        docs.select("doc_id", "lang"), on="doc_id"
-    )
+    prof = doc_profile(docs, text_col, carry_cols=("lang",))
     return prof.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
