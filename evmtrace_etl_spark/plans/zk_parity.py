@@ -307,6 +307,82 @@ QUALIFY row_number() OVER (PARTITION BY chain_id, number ORDER BY seq DESC) = 1
 """
 
 
+def spark_session_edges(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """T1 — punctuation-sessionized edge rows (batch one-shot of the
+    stateful sessionizer), hash-safe projection."""
+    from ..streaming.sessionizer import session_edges, sessionize_traces
+
+    out = session_edges(sessionize_traces(fixtures.traces_df(spark)))
+    return out.select(
+        "chain_id",
+        "transaction_hash",
+        "from_address",
+        "to_address",
+        F.col("call_count").cast("long").alias("call_count"),
+        F.col("gas_sum").cast("long").alias("gas_sum"),
+        _join_str_array("selectors"),
+        F.array_join(
+            F.transform(F.col("pairing_sizes"), lambda x: x.cast("string")),
+            ",",
+        ).alias("pairing_sizes"),
+        _join_str_array("recovered"),
+    )
+
+
+def session_edges_oracle_sql() -> str:
+    """Punctuation sessions in SQL: session_id = running root count per
+    chain (ordered by seq); the max session per chain is open → dropped.
+    Valid for fixtures whose chains open with a root (ours do)."""
+    return f"""
+WITH traces AS (SELECT * FROM {fixtures.traces_values_sql()}),
+sess AS (
+  SELECT *, sum(CASE WHEN len(trace_address) = 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY chain_id ORDER BY seq
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM traces
+),
+maxs AS (SELECT chain_id, max(session_id) AS max_sid FROM sess GROUP BY 1),
+committed AS (
+  SELECT s.* FROM sess s JOIN maxs m ON s.chain_id = m.chain_id
+  WHERE s.session_id < m.max_sid
+),
+tx_of AS (
+  SELECT chain_id, session_id, transaction_hash AS sess_tx
+  FROM committed WHERE len(trace_address) = 0
+),
+guarded AS (
+  SELECT *,
+    CASE WHEN to_address IN ('{EC_PAIRING_ADDRESS}','{EC_RECOVER_ADDRESS}')
+              THEN '0x00000000'
+         WHEN input IS NULL THEN '0x00000000'
+         WHEN length(input) > 10 THEN substr(input, 1, 10)
+         ELSE '0x00000000' END AS sel,
+    CASE WHEN to_address = '{EC_PAIRING_ADDRESS}'
+         THEN CAST(coalesce((length(input) - 2) / 2, 0) AS INTEGER)
+         END AS pair_size,
+    CASE WHEN to_address = '{EC_RECOVER_ADDRESS}' AND output IS NOT NULL THEN
+      CASE WHEN (length(output) - 2) / 2 < 32 THEN '{ZERO_ADDRESS}'
+           ELSE '0x' || substr(output, 27, 40) END END AS recovered
+  FROM committed
+  WHERE from_address IS NOT NULL AND to_address IS NOT NULL
+)
+SELECT g.chain_id, t.sess_tx AS transaction_hash, g.from_address,
+  g.to_address,
+  CAST(count(*) AS BIGINT) AS call_count,
+  CAST(sum(coalesce(g.gas_used, 0)) AS BIGINT) AS gas_sum,
+  array_to_string(list_sort(list(DISTINCT g.sel)), ',') AS selectors,
+  coalesce(array_to_string(list_transform(
+    list_sort(list(g.pair_size) FILTER (g.pair_size IS NOT NULL)),
+    x -> CAST(x AS VARCHAR)), ','), '') AS pairing_sizes,
+  coalesce(array_to_string(
+    list_sort(list(DISTINCT g.recovered) FILTER (g.recovered IS NOT NULL)),
+    ','), '') AS recovered
+FROM guarded g
+JOIN tx_of t ON t.chain_id = g.chain_id AND t.session_id = g.session_id
+GROUP BY g.chain_id, t.sess_tx, g.from_address, g.to_address, g.session_id
+"""
+
+
 def spark_block_enrichment(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """J6 — deduped heads with nulled transaction_count/size re-enriched
     from the detail lookup must reproduce the deduped blocks (the detail
@@ -331,6 +407,7 @@ QUERIES = {
     "zk_contracts": spark_zk_contracts,
     "zk_blocks": spark_blocks,
     "zk_block_enrichment": spark_block_enrichment,
+    "zk_session_edges": spark_session_edges,
 }
 
 ORACLES = {
@@ -338,4 +415,5 @@ ORACLES = {
     "zk_contracts": zk_contracts_oracle_sql(),
     "zk_blocks": blocks_oracle_sql(),
     "zk_block_enrichment": block_enrichment_oracle_sql(),
+    "zk_session_edges": session_edges_oracle_sql(),
 }
