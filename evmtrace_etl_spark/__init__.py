@@ -19,13 +19,20 @@ Architecture (Spark-first, NOT a port):
 
 Layout:
   schemas.py    — explicit StructTypes (never infer on a stream)
-  functions/    — scalar column functions + the few UDFs
-  operators/    — reusable relational operators (trace tree, dedup,
-                  similarity, text analysis, multimodal, sessionization)
+  functions/    — scalar column functions + the few UDFs (EVM hex ops,
+                  Keccak/EIP-55, text/minhash/simhash hashing)
+  operators/    — reusable relational operators (trace tree, relational
+                  dedup, near-dup dedup, similarity, text analysis,
+                  multimodal, geth flatten, block enrichment)
   plans/        — end-to-end query builders (domain pipeline + the
-                  oracle-checked operator-inventory queries)
-  sources/      — readers, fixtures, sinks
+                  oracle-checked operator-inventory and LLM-data queries)
+  sources/      — fixtures and the WS/RPC feeder boundary
+  sinks.py      — idempotent upsert sinks (parquet MERGE semantics,
+                  DBAPI INSERT … ON CONFLICT)
   streaming/    — structured-streaming wiring around the batch core
+                  (sources, foreachBatch runner, stateful sessionizer,
+                  monitoring + health endpoint)
+  registry.py   — the driver-contract query/oracle registry
 """
 
 __version__ = "0.1.0"
