@@ -31,14 +31,13 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     BUCKET_CAP,
     LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE31,
+    N_PERMS,
+    PERMS,
     SHINGLE_K,
-    band_keys,
     fingerprint,
-    hash_array32,
-    minhash_signature,
-    shingles,
-    simhash32,
-    token_count,
+    hash32,
     tokens,
 )
 
@@ -76,41 +75,80 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exploded_shingle_hashes(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h) — one row per k-word shingle occurrence.
+
+    Shingling is relational: posexplode the tokens, window-lead the next
+    k-1 tokens per doc, hash the joined shingle — every step whole-stage
+    codegen (the equivalent nested higher-order functions evaluate
+    interpreted and were ~4× slower).  Docs with < SHINGLE_K tokens drop
+    out naturally (no complete shingle)."""
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("_pos", "_t0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    for i in range(1, SHINGLE_K):
+        ex = ex.withColumn(f"_t{i}", F.lead("_t0", i).over(w))
+    shingle = F.concat_ws(" ", *[f"_t{i}" for i in range(SHINGLE_K)])
+    return ex.filter(
+        F.col(f"_t{SHINGLE_K - 1}").isNotNull()
+    ).select("doc_id", hash32(shingle).alias("h"))
+
+
 def shingle_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + distinct shingle-hash set; docs with < SHINGLE_K tokens are
-    excluded (no shingles → no near-dup signal)."""
-    toks = tokens(text_col)
+    """doc_id + distinct sorted shingle-hash set; docs with < SHINGLE_K
+    tokens are excluded (no shingles → no near-dup signal)."""
     return (
-        docs.select("doc_id", toks.alias("_toks"))
-        .filter(F.size("_toks") >= SHINGLE_K)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.sort_array(hash_array32(shingles(F.col("_toks"))))
-            ).alias("shingle_set"),
+        exploded_shingle_hashes(docs, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_set("h")).alias("shingle_set")
         )
     )
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, minhash signature (N_PERMS longs), band keys (LSH_BANDS).
+    """doc_id, shingle_set, minhash signature (N_PERMS longs), band keys.
 
-    The shingle-set projection is persisted first: without a barrier,
-    Catalyst's CollapseProject inlines the tokenize→shingle→md5 chain
-    into every one of the 16 minhash + 4 band expressions (a 20×
-    recompute).  The persisted table is doc_id + ~50 ints — a tiny
-    fraction of the raw corpus, the standard trade at scale."""
+    The signature is computed by EXPLODING the shingle-hash sets and
+    taking 16 ``min((a·h+b) mod p)`` aggregates in one codegen'd hash
+    aggregate — ~10× faster than nested higher-order-function
+    expressions, which Spark evaluates interpreted.  Map-side partial
+    mins mean the shuffle carries one row per (doc, perm-min), not the
+    exploded shingles."""
     sh = shingle_hashes(docs, text_col).persist()
-    return _signatures_from_sets(sh)
+    return _signatures_from_sets(sh).join(sh, on="doc_id")
 
 
 def _signatures_from_sets(sh: DataFrame) -> DataFrame:
-    sig = minhash_signature(F.col("shingle_set"))
-    return sh.select(
+    """shingle_hashes output → doc_id, signature, bands (no shingle_set)."""
+    exploded = sh.select("doc_id", F.explode("shingle_set").alias("_h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE31)).alias(
+            f"_mh{i}"
+        )
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"_mh{b * LSH_ROWS + r}").cast("string")
+                for r in range(LSH_ROWS)
+            ],
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sigs.select(
         "doc_id",
-        "shingle_set",
-        sig.alias("signature"),
-    ).withColumn("bands", band_keys(F.col("signature")))
+        F.array(*[F.col(f"_mh{i}") for i in range(N_PERMS)]).alias(
+            "signature"
+        ),
+        F.array(*band_cols).alias("bands"),
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -180,17 +218,30 @@ def ngram_jaccard_pairs(
 
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + 32-bit simhash over the token-hash multiset (docs with no
-    tokens excluded — empty sum would set every bit)."""
-    toks = tokens(text_col)
-    # persist the token-hash projection: the 32 per-bit aggregates would
-    # otherwise each inline (and recompute) the md5 chain
-    th = (
-        docs.select("doc_id", toks.alias("_toks"))
-        .filter(F.size("_toks") >= 1)
-        .select("doc_id", hash_array32(F.col("_toks")).alias("_th"))
-        .persist()
-    )
-    return th.select("doc_id", simhash32(F.col("_th")).alias("simhash"))
+    tokens drop out — explode emits nothing for them, matching the
+    oracle's len(toks) >= 1 filter).
+
+    Explode + 32 conditional-sum aggregates: one codegen'd hash
+    aggregate with map-side partials, instead of interpreted per-row
+    higher-order functions."""
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("_t")
+    ).select("doc_id", hash32(F.col("_t")).alias("_h"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(32)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*bit_aggs)
+    val = F.lit(0).cast("long")
+    for b in range(32):
+        val = val + F.when(
+            F.col(f"_b{b}") >= 0, F.lit(2**b).cast("long")
+        ).otherwise(0)
+    return agg.select("doc_id", val.alias("simhash"))
 
 
 def simhash_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
