@@ -50,6 +50,9 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        # Intra-plan persists (ZkParts, LSH signatures) are useful within a
+        # query but would pile up across the suite — drop them between runs.
+        spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

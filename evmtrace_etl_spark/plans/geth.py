@@ -128,7 +128,9 @@ PARITY_SCHEMA = StructType(
 
 
 def spark_parity_project(spark: SparkSession, sf_dir: str = "") -> DataFrame:
-    return parity_project(spark.createDataFrame(PARITY_ROWS, PARITY_SCHEMA))
+    from ..sources.fixtures import arrow_df
+
+    return parity_project(arrow_df(spark, PARITY_ROWS, PARITY_SCHEMA))
 
 
 def parity_project_oracle_sql() -> str:

@@ -186,15 +186,34 @@ BLOCK_ROWS: list[dict] = [
 ]
 
 
+def arrow_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Arrow-backed createDataFrame for inline fixtures.
+
+    A list-of-tuples ``createDataFrame`` is Python-RDD-backed: every
+    evaluation pays a Python-worker round-trip per partition (~4-6 s per
+    query on local[32]).  Going through pandas with ``dtype=object``
+    (preserving None/Decimal/list values) hits the Arrow conversion path,
+    so the data lives JVM-side and scans are worker-free.
+    """
+    import pandas as pd
+
+    fields = [f.name for f in schema.fields]
+    if rows and isinstance(rows[0], dict):
+        data = {f: pd.Series([r[f] for r in rows], dtype=object) for f in fields}
+    else:
+        data = {
+            f: pd.Series([r[i] for r in rows], dtype=object)
+            for i, f in enumerate(fields)
+        }
+    return spark.createDataFrame(pd.DataFrame(data), schema)
+
+
 def traces_df(spark: SparkSession) -> DataFrame:
-    rows = [tuple(r[f] for f in _FIELDS) for r in TRACE_ROWS]
-    return spark.createDataFrame(rows, TRACE_SCHEMA)
+    return arrow_df(spark, TRACE_ROWS, TRACE_SCHEMA)
 
 
 def blocks_df(spark: SparkSession) -> DataFrame:
-    fields = [f.name for f in BLOCK_SCHEMA.fields]
-    rows = [tuple(r[f] for f in fields) for r in BLOCK_ROWS]
-    return spark.createDataFrame(rows, BLOCK_SCHEMA)
+    return arrow_df(spark, BLOCK_ROWS, BLOCK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -98,9 +98,11 @@ GETH_INPUT_SCHEMA = StructType(
 
 
 def geth_frames_df(spark: SparkSession) -> DataFrame:
+    from .fixtures import arrow_df
+
     # coalesce(1): 3 rows over defaultParallelism partitions would spin an
     # (empty) Python worker per partition in the mapInPandas flatten
-    return spark.createDataFrame(GETH_ROWS, GETH_INPUT_SCHEMA).coalesce(1)
+    return arrow_df(spark, GETH_ROWS, GETH_INPUT_SCHEMA).coalesce(1)
 
 
 def geth_values_sql() -> str:
