@@ -62,6 +62,12 @@ def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage standalone: exact n-gram Jaccard for every LSH
+    candidate pair, no threshold."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
 def llm_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.simhash_buckets(_docs(spark, sf_dir))
     return out.select("simhash", "n_docs", _join_longs("doc_ids"))
@@ -384,6 +390,7 @@ SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
+    "llm_ngram_jaccard": llm_ngram_jaccard,
     "llm_simhash_buckets": llm_simhash_buckets,
     "llm_text_profile": llm_text_profile,
     "llm_corpus_stats": llm_corpus_stats,
@@ -397,6 +404,7 @@ QUERIES = {
 ORACLES = {
     "llm_exact_dup_groups": EXACT_DUP_GROUPS_SQL,
     "llm_near_dup_pairs": NEAR_DUP_PAIRS_SQL,
+    "llm_ngram_jaccard": _near_dup_sql(0.0),
     "llm_simhash_buckets": SIMHASH_BUCKETS_SQL,
     "llm_text_profile": TEXT_PROFILE_SQL,
     "llm_corpus_stats": CORPUS_STATS_SQL,

@@ -38,10 +38,9 @@ def _join_int_array(col: str) -> F.Column:
     ).alias(col)
 
 
-def spark_zk_transactions(spark: SparkSession, sf_dir: str = "") -> DataFrame:
-    """Fixture → zk_transactions, projected hash-safe (sf_dir unused: the
-    domain fixture is inline, not part of the generic testdata)."""
-    out = zk_transactions(fixtures.traces_df(spark))
+def project_tx(out: DataFrame) -> DataFrame:
+    """Hash-safe projection of a transactions output table (arrays sorted
+    + comma-joined upstream, decimals as strings)."""
     return out.select(
         "chain_id",
         "transaction_hash",
@@ -66,6 +65,12 @@ def spark_zk_transactions(spark: SparkSession, sf_dir: str = "") -> DataFrame:
         _join_str_array("ec_recover_addresses"),
         "error",
     )
+
+
+def spark_zk_transactions(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """Fixture → zk_transactions, projected hash-safe (sf_dir unused: the
+    domain fixture is inline, not part of the generic testdata)."""
+    return project_tx(zk_transactions(fixtures.traces_df(spark)))
 
 
 def spark_zk_contracts(spark: SparkSession, sf_dir: str = "") -> DataFrame:

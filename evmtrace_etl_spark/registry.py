@@ -16,9 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .plans import geth, inventory, llm_data, zk_parity
+    from .plans import geth, inventory, llm_data, sink_parity, zk_parity
 
-    return (zk_parity, geth, inventory, llm_data)
+    return (zk_parity, sink_parity, geth, inventory, llm_data)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
