@@ -99,6 +99,62 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=MEDIA_FEATURE_SCHEMA)
 
 
+MEDIA_PART_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("part_kind", StringType()),
+        StructField("part_idx", LongType()),
+        StructField("part_md5", StringType()),
+        StructField("part_bytes", LongType()),
+    ]
+)
+
+
+def decode_media_parts(media: DataFrame, n_frames: int = 3) -> DataFrame:
+    """1→N media decode (frame-sample / resize / clip), Arrow-batched.
+
+    Per media row: video → ``n_frames`` sampled frame rows, image → one
+    resized-thumbnail row, audio → one clip row.  The actual decoders
+    (PIL/av/librosa) are not in this container, so each part's payload is
+    a deterministic stand-in — md5 of the blob plus a part tag — while
+    the Spark-side shape is the real one: a ``mapInPandas`` UDTF that
+    fans one binary row out to N typed part rows, no shuffle.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MEDIA_PART_SCHEMA}
+
+            def emit(doc_id, mt, kind, idx, blob):
+                tag = f"#{idx}" if kind == "frame" else f"#{kind}"
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["part_kind"].append(kind)
+                out["part_idx"].append(idx)
+                out["part_md5"].append(
+                    hashlib.md5(blob + tag.encode()).hexdigest()
+                )
+                out["part_bytes"].append(len(blob))
+
+            for doc_id, mt, blob in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media"]
+            ):
+                b = bytes(blob)
+                if mt == "video/mp4":
+                    for i in range(n_frames):
+                        emit(doc_id, mt, "frame", i, b)
+                elif mt == "image/png":
+                    emit(doc_id, mt, "thumb", 0, b)
+                else:
+                    emit(doc_id, mt, "clip", 0, b)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=MEDIA_PART_SCHEMA)
+
+
 def media_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-media-type rollup of the extracted features."""
     feats = extract_media_features(as_media_table(docs, text_col))

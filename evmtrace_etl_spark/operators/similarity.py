@@ -126,6 +126,76 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: a coarse quantizer assigns every vector to its
+    nearest centroid cell; queries probe their ``n_probe`` nearest cells
+    and score only those cells' members.
+
+    The quantizer here is deterministic for oracle parity — centroids are
+    the first ``n_centroids`` vec_ids (a production build would k-means
+    them; the *plan shape* is identical).  At scale the cell id becomes
+    the partition key: assignment is a broadcast join + per-row argmax
+    (narrow), candidate generation an equi-join on cell — the inverted-
+    file pruning that makes brute force unnecessary.
+    """
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cen_id"), F.col(vec_col).alias("_cv")
+    )
+    cen_sim = F.round(cosine(F.col(vec_col), F.col("_cv")), 6)
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            vec_col,
+            "cen_id",
+            cen_sim.alias("_cs"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("_cs").desc(), F.col("cen_id").asc()
+                )
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("_r") == 1).select(
+        "vec_id", vec_col, F.col("cen_id").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("_r") <= n_probe)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("cen_id").alias("cell"),
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

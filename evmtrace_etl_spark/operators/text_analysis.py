@@ -9,7 +9,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -76,6 +76,59 @@ def doc_profile(
         lang_id(toks).alias("pred_lang"),
         fingerprint(text_col).alias("fingerprint"),
         quality.alias("quality_bucket"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every char k-gram of the whitespace-normalized text, slide a
+    w-window over the hash sequence, keep each window's minimum.
+
+    Output: doc_id, n_fingerprints, fingerprints (sorted distinct,
+    comma-joined).  Docs shorter than k+w-1 normalized chars produce no
+    complete window and drop out (same filter in the oracle).
+
+    Scale shape: posexplode to one row per char position (narrow), a
+    per-doc window min (one shuffle on doc_id — each partition sorts its
+    docs' positions), then a hash aggregate back to doc grain.  No
+    Python, no skew (doc_id is unique per doc).
+    """
+    from ..functions.text import hash32
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    n_grams = F.length(norm) - k + 1  # number of k-gram start positions
+    # sequence(1, 0) counts DOWN in Spark — guard the short-doc case
+    starts = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: norm.substr(i, F.lit(k)))
+        ).alias("pos", "gram"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = (
+        grams.select("doc_id", "pos", hash32(F.col("gram")).alias("h"))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("_min", F.min("h").over(win))
+        # only complete windows: start positions 0 .. n_grams-w (0-based pos)
+        .filter(F.col("pos") <= F.col("_n") - w)
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count_distinct(F.col("_min")).alias("n_fingerprints"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("_min")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("fingerprints"),
     )
 
 

@@ -96,6 +96,10 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.corpus_stats(_docs(spark, sf_dir))
 
 
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.lang_confusion(_docs(spark, sf_dir))
 
@@ -114,6 +118,16 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), 0.4)
+
+
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_media_parts(
+        multimodal.as_media_table(_docs(spark, sf_dir))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +337,36 @@ SELECT lang, pred_lang, count(*) AS n_docs
 FROM prof3 GROUP BY lang, pred_lang
 """
 
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH nd AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         {_sql_h32(f"substr(norm, CAST(i AS INT), {_WINNOW_K})")} AS h,
+         length(norm) - {_WINNOW_K} + 1 AS n_grams
+  FROM nd, LATERAL (
+    SELECT unnest(range(1, greatest(length(norm) - {_WINNOW_K} + 2, 1))) AS i
+  )
+),
+m AS (
+  SELECT doc_id, i, n_grams,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS mn
+  FROM g
+)
+SELECT doc_id,
+  CAST(count(DISTINCT mn) AS BIGINT) AS n_fingerprints,
+  array_to_string(list_sort(list(DISTINCT mn)), ',') AS fingerprints
+FROM m WHERE i <= n_grams - {_WINNOW_W} + 1
+GROUP BY doc_id
+"""
+
 _MEDIA_TYPES_SQL = "['image/png', 'audio/wav', 'video/mp4']"
 
 MEDIA_ROLLUP_SQL = f"""
@@ -375,6 +419,53 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 ) WHERE rank <= 5
 """
 
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 2
+
+IVF_TOPK_SQL = f"""
+WITH c AS (SELECT vec_id AS cen_id, embedding AS cv
+           FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
+s AS (SELECT e.vec_id, e.embedding, c.cen_id,
+             {_sql_cos('e.embedding', 'c.cv')} AS cs
+      FROM embeddings e CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cs DESC, cen_id ASC) AS rk FROM s),
+assigned AS (SELECT vec_id, embedding, cen_id AS cell FROM r WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cen_id AS cell
+           FROM r WHERE vec_id < 10 AND rk <= {_IVF_PROBE}),
+sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+              {_sql_cos('p.qv', 'a.embedding')} AS sim
+       FROM assigned a JOIN probes p ON a.cell = p.cell
+       WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 5
+"""
+
+MEDIA_DECODE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    ({_MEDIA_TYPES_SQL})[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+    text,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT doc_id, media_type, 'frame' AS part_kind,
+       CAST(i AS BIGINT) AS part_idx,
+       md5(text || '#' || CAST(i AS VARCHAR)) AS part_md5,
+       n_bytes AS part_bytes
+FROM m, LATERAL (SELECT unnest(range(0, 3)) AS i)
+WHERE media_type = 'video/mp4'
+UNION ALL
+SELECT doc_id, media_type, 'thumb', 0, md5(text || '#thumb'), n_bytes
+FROM m WHERE media_type = 'image/png'
+UNION ALL
+SELECT doc_id, media_type, 'clip', 0, md5(text || '#clip'), n_bytes
+FROM m WHERE media_type = 'audio/wav'
+"""
+
 EMBEDDING_NEAR_DUPS_SQL = f"""
 WITH eb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
 p AS (
@@ -394,11 +485,14 @@ QUERIES = {
     "llm_simhash_buckets": llm_simhash_buckets,
     "llm_text_profile": llm_text_profile,
     "llm_corpus_stats": llm_corpus_stats,
+    "llm_winnow_fingerprints": llm_winnow_fingerprints,
     "llm_lang_confusion": llm_lang_confusion,
     "llm_media_rollup": llm_media_rollup,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_ann_topk": llm_ann_topk,
+    "llm_ivf_topk": llm_ivf_topk,
     "llm_embedding_near_dups": llm_embedding_near_dups,
+    "llm_media_decode": llm_media_decode,
 }
 
 ORACLES = {
@@ -408,9 +502,12 @@ ORACLES = {
     "llm_simhash_buckets": SIMHASH_BUCKETS_SQL,
     "llm_text_profile": TEXT_PROFILE_SQL,
     "llm_corpus_stats": CORPUS_STATS_SQL,
+    "llm_winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "llm_lang_confusion": LANG_CONFUSION_SQL,
     "llm_media_rollup": MEDIA_ROLLUP_SQL,
     "llm_cosine_topk": COSINE_TOPK_SQL,
     "llm_ann_topk": ANN_TOPK_SQL,
+    "llm_ivf_topk": IVF_TOPK_SQL,
     "llm_embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+    "llm_media_decode": MEDIA_DECODE_SQL,
 }
