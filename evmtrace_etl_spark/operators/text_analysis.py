@@ -93,29 +93,40 @@ def winnow_fingerprints(
     comma-joined).  Docs shorter than k+w-1 normalized chars produce no
     complete window and drop out (same filter in the oracle).
 
-    Scale shape: posexplode to one row per char position (narrow), a
-    per-doc window min (one shuffle on doc_id — each partition sorts its
-    docs' positions), then a hash aggregate back to doc grain.  No
-    Python, no skew (doc_id is unique per doc).
+    Scale shape: normalize once per doc, explode gram START POSITIONS
+    (not gram strings — the Generate node is a projection-collapse
+    barrier, so the regexp normalization runs once per doc, never once
+    per gram), substr+hash per position in codegen, then one per-doc
+    window min (the only shuffle, on doc_id) and a hash aggregate back
+    to doc grain.  No Python, no skew (doc_id is unique per doc).
     """
     from ..functions.text import hash32
 
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    n_grams = F.length(norm) - k + 1  # number of k-gram start positions
-    # sequence(1, 0) counts DOWN in Spark — guard the short-doc case
-    starts = F.when(
-        n_grams >= 1, F.sequence(F.lit(1), n_grams)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
+    normed = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(starts, lambda i: norm.substr(i, F.lit(k)))
-        ).alias("pos", "gram"),
+        norm.alias("_norm"),
+        (F.length(norm) - k + 1).alias("_n"),  # k-gram start positions
+    )
+    # sequence(1, 0) counts DOWN in Spark — guard the short-doc case
+    grams = normed.select(
+        "doc_id",
+        "_norm",
+        "_n",
+        F.explode(
+            F.when(
+                F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_p"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     mins = (
-        grams.select("doc_id", "pos", hash32(F.col("gram")).alias("h"))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        grams.select(
+            "doc_id",
+            "_n",
+            (F.col("_p") - 1).alias("pos"),
+            hash32(F.col("_norm").substr(F.col("_p"), F.lit(k))).alias("h"),
+        )
         .withColumn("_min", F.min("h").over(win))
         # only complete windows: start positions 0 .. n_grams-w (0-based pos)
         .filter(F.col("pos") <= F.col("_n") - w)
