@@ -32,7 +32,12 @@ from ..functions.evm import (
     TRANSACTION_ADDRESS_COLS,
     with_checksummed_addresses,
 )
-from ..plans.pipeline import ZkParts, blocks_passthrough, zk_results
+from ..plans.pipeline import (
+    ZkParts,
+    blocks_passthrough,
+    zk_contracts_deduped,
+    zk_transactions,
+)
 
 TX_KEYS = ["chain_id", "transaction_hash"]
 CONTRACT_KEYS = ["chain_id", "address", "function_signatures"]
@@ -50,15 +55,24 @@ def process_trace_batch(
 
     D1/D2's in-batch dedup is inside the builders; D4/D5 (cross-batch +
     sink dedup) is the sink's insert-if-absent.  ``checksum`` applies the
-    reference's sink-time EIP-55 formatting (P9)."""
-    tx, contracts = zk_results(batch)
-    if checksum:
-        tx = with_checksummed_addresses(tx, *TRANSACTION_ADDRESS_COLS)
-        contracts = with_checksummed_addresses(
-            contracts, *CONTRACT_ADDRESS_COLS
-        )
-    sink.upsert(tx, "transactions", TX_KEYS, mode="ignore")
-    sink.upsert(contracts, "contracts", CONTRACT_KEYS, mode="ignore")
+    reference's sink-time EIP-55 formatting (P9).
+
+    The shared ZkParts cache is released once both sinks have consumed
+    it — a stream processes unboundedly many micro-batches, so leaked
+    persists would pile up in executor storage memory."""
+    parts = ZkParts(batch)
+    try:
+        tx = zk_transactions(batch, parts)
+        contracts = zk_contracts_deduped(batch, parts)
+        if checksum:
+            tx = with_checksummed_addresses(tx, *TRANSACTION_ADDRESS_COLS)
+            contracts = with_checksummed_addresses(
+                contracts, *CONTRACT_ADDRESS_COLS
+            )
+        sink.upsert(tx, "transactions", TX_KEYS, mode="ignore")
+        sink.upsert(contracts, "contracts", CONTRACT_KEYS, mode="ignore")
+    finally:
+        parts.unpersist()
 
 
 def process_block_batch(
