@@ -4,21 +4,29 @@ src/dumper/postgres/insert_tree.rs:16-31; conflict policies from
 src/types/etl_result.rs:159, 216, 269-281 — transactions/contracts DO
 NOTHING, blocks DO UPDATE all columns).
 
-Two implementations:
+Three implementations behind one ``upsert(df, table, keys, mode)``
+protocol:
 
-- ``ParquetUpsertSink`` — versioned parquet directories with
-  insert-if-absent / upsert merge semantics, fully testable locally and
-  the semantic stand-in for a lakehouse ``MERGE INTO`` (Delta/Iceberg),
-  which is the real 100 TB path.  Anti-join + union is exactly the merge
-  a MERGE INTO performs; at scale the table side is pruned by partition
-  (chain_id/block range) before the join.
+- ``ParquetUpsertSink`` — versioned parquet tables with a
+  **partition-pruned merge**: tables are hive-partitioned (default
+  ``chain_id``), each micro-batch merges against ONLY the partitions it
+  touches, and untouched partitions are carried into the new version as
+  hardlinks (a metadata-only commit, the filesystem analog of a
+  Delta/Iceberg ``MERGE INTO`` transaction log entry).  Per-batch cost
+  is O(touched partitions + batch), NOT O(table) — the property that
+  makes a continuously-upserting stream viable at 100 TB.
 - ``DbApiUpsertSink`` — generates the reference's multi-row
-  ``INSERT … ON CONFLICT`` against any DB-API connection (Postgres in
-  production, sqlite in tests; the syntax is shared).  Rows are
-  collected per micro-batch like the reference's bounded dumper buffer
-  (flush ≤ 100k rows, src/main.rs:99-121) — the JDBC-per-partition
-  variant drops in behind the same interface when batches outgrow the
-  driver.
+  ``INSERT … ON CONFLICT`` against any DB-API connection, collecting the
+  micro-batch to the driver like the reference's bounded dumper buffer
+  (flush ≤ 100k rows, src/main.rs:99-121).  Test/oracle variant.
+- ``DbApiPartitionUpsertSink`` — the scale variant of the same SQL:
+  ``foreachPartition`` opens one connection PER EXECUTOR PARTITION and
+  streams batched ``executemany`` calls — no driver materialization,
+  write bandwidth scales with the cluster.
+
+Both DB-API sinks derive the placeholder from the driver's paramstyle
+(sqlite ``qmark`` '?', psycopg2 ``format`` '%s') and run executemany via
+a cursor, which is the portable DB-API surface.
 
 Cross-batch dedup (S8/D4, the reference's Redis GET/MSET cache) falls
 out of insert-if-absent: a key inserted by batch N is silently skipped
@@ -28,20 +36,90 @@ idempotent sink replaces offset bookkeeping (T3).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: DB-API paramstyle → positional placeholder token
+_PARAM_TOKENS = {"qmark": "?", "format": "%s", "pyformat": "%s"}
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` using hardlinks (copy fallback).
+
+    Hardlinking makes carrying an untouched partition into the next
+    table version a metadata-only operation — the on-disk stand-in for
+    an object-store manifest re-listing the same immutable files.
+    """
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.scandir(src):
+        s, d = entry.path, os.path.join(dst, entry.name)
+        if entry.is_dir():
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def _link_missing_partitions(old_dir: str, new_dir: str) -> list[str]:
+    """Carry forward every partition directory of ``old_dir`` that the
+    new version did not rewrite.  Returns the carried (relative) dirs.
+
+    Only DIRECTORIES absent from the new version are linked: a partition
+    dir present in both was rewritten by the merge and keeps only its
+    new files; loose root files (_SUCCESS) are never carried.
+    """
+    carried: list[str] = []
+    for entry in os.scandir(old_dir):
+        if not entry.is_dir():
+            continue
+        dst = os.path.join(new_dir, entry.name)
+        if os.path.exists(dst):
+            carried += [
+                os.path.join(entry.name, c)
+                for c in _link_missing_partitions(entry.path, dst)
+            ]
+        else:
+            _link_tree(entry.path, dst)
+            carried.append(entry.name)
+    return carried
 
 
 class ParquetUpsertSink:
-    """Versioned-directory parquet tables with upsert merge semantics."""
+    """Versioned, hive-partitioned parquet tables with partition-pruned
+    upsert merge semantics.
 
-    def __init__(self, base_dir: str):
+    Layout::
+
+        <base>/<table>/_VERSION          current version name
+        <base>/<table>/_SCHEMA           column order + types (JSON)
+        <base>/<table>/v3/chain_id=1/…   hive-partitioned data
+
+    ``upsert`` stages the batch once, derives its touched partition
+    values, merges against ONLY those partitions of the current version
+    (partition pruning pushes the filter into the scan), writes the
+    merged partitions into a fresh version directory, and hardlinks
+    every untouched partition across — so a batch touching 1 of N
+    partitions rewrites exactly 1 partition.  Tables without the
+    partition column fall back to a whole-table merge.
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        partition_cols: Sequence[str] = ("chain_id",),
+    ):
         self.base_dir = base_dir
+        self.partition_cols = tuple(partition_cols)
 
+    # -- version / schema bookkeeping ----------------------------------
     def _current(self, table: str) -> str | None:
         marker = os.path.join(self.base_dir, table, "_VERSION")
         if not os.path.exists(marker):
@@ -49,12 +127,30 @@ class ParquetUpsertSink:
         with open(marker) as fh:
             return fh.read().strip()
 
+    def _schema(self, table: str) -> T.StructType | None:
+        path = os.path.join(self.base_dir, table, "_SCHEMA")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return T.StructType.fromJson(json.load(fh))
+
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Current table contents, in the original column order/types
+        (the stored schema pins partition-column types against hive
+        partition-value re-inference)."""
         v = self._current(table)
         if v is None:
             return None
-        return spark.read.parquet(os.path.join(self.base_dir, table, v))
+        reader = spark.read
+        schema = self._schema(table)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(os.path.join(self.base_dir, table, v))
+        if schema is not None:
+            df = df.select(*[f.name for f in schema.fields])
+        return df
 
+    # -- the merge ------------------------------------------------------
     def upsert(
         self,
         df: DataFrame,
@@ -64,55 +160,137 @@ class ParquetUpsertSink:
     ) -> None:
         """mode='ignore' → insert-if-absent (DO NOTHING); mode='update' →
         replace existing rows with the batch's (DO UPDATE all columns)."""
-        spark = df.sparkSession
-        existing = self.read(spark, table)
-        if existing is None:
-            out = df
-        elif mode == "ignore":
-            fresh = df.join(existing, on=list(keys), how="left_anti")
-            out = existing.unionByName(fresh)
-        elif mode == "update":
-            kept = existing.join(df, on=list(keys), how="left_anti")
-            out = kept.unionByName(df)
-        else:  # pragma: no cover
+        if mode not in ("ignore", "update"):  # pragma: no cover
             raise ValueError(f"unknown upsert mode {mode!r}")
-
-        cur = self._current(table)
-        nxt = "v0" if cur is None else f"v{int(cur[1:]) + 1}"
+        spark = df.sparkSession
         tdir = os.path.join(self.base_dir, table)
-        out.write.mode("overwrite").parquet(os.path.join(tdir, nxt))
-        with open(os.path.join(tdir, "_VERSION"), "w") as fh:
-            fh.write(nxt)
-        if cur is not None:
+        cur = self._current(table)
+        pcols = [c for c in self.partition_cols if c in df.columns]
+
+        if cur is None:
+            # first write: no merge, no probe — write the batch directly
+            self._commit(df, tdir, "v0", pcols)
+            return
+
+        # Stage the batch once: the staged copy feeds BOTH the touched-
+        # partition probe and the merge, so the upstream batch plan runs
+        # exactly once (the reference's bounded buffer has the same role).
+        # Not underscore/dot-prefixed: Spark file listing hides such paths.
+        stage = os.path.join(tdir, "staging-tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        df.write.parquet(stage)
+        batch = spark.read.schema(df.schema).parquet(stage)
+        try:
+            existing = self.read(spark, table)
+            if pcols:
+                touched = batch.select(*pcols).distinct().collect()
+                if not touched:  # empty batch: nothing to merge
+                    return
+                pred = F.lit(False)
+                for row in touched:
+                    clause = F.lit(True)
+                    for c in pcols:
+                        clause = clause & (F.col(c) == F.lit(row[c]))
+                    pred = pred | clause
+                # partition pruning: only touched partitions are read
+                existing = existing.filter(pred)
+            if mode == "ignore":
+                fresh = batch.join(existing, on=list(keys), how="left_anti")
+                out = existing.unionByName(fresh)
+            else:
+                kept = existing.join(batch, on=list(keys), how="left_anti")
+                out = kept.unionByName(batch)
+
+            nxt = f"v{int(cur[1:]) + 1}"
+            self._commit(out, tdir, nxt, pcols, link_from=cur)
+            # hardlinked files survive in the new version
             shutil.rmtree(os.path.join(tdir, cur), ignore_errors=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def _commit(
+        self,
+        out: DataFrame,
+        tdir: str,
+        version: str,
+        pcols: Sequence[str],
+        link_from: str | None = None,
+    ) -> str:
+        """Write ``out`` as table version ``version``, carry untouched
+        partitions forward from ``link_from``, and swap the marker."""
+        ndir = os.path.join(tdir, version)
+        writer = out.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(ndir)
+        if link_from is not None and pcols:
+            _link_missing_partitions(os.path.join(tdir, link_from), ndir)
+        with open(os.path.join(tdir, "_SCHEMA"), "w") as fh:
+            json.dump(out.schema.jsonValue(), fh)
+        with open(os.path.join(tdir, "_VERSION"), "w") as fh:
+            fh.write(version)
+        return ndir
+
+
+def _flatten_for_sql(df: DataFrame) -> DataFrame:
+    """Serialize array/decimal columns to strings the way the reference
+    renders sets into its SQL literals."""
+    cols = []
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "array":
+            cols.append(
+                F.array_join(
+                    F.transform(F.col(f_.name), lambda x: x.cast("string")),
+                    ",",
+                ).alias(f_.name)
+            )
+        elif f_.dataType.typeName() == "decimal":
+            cols.append(F.col(f_.name).cast("string").alias(f_.name))
+        else:
+            cols.append(F.col(f_.name))
+    return df.select(*cols)
+
+
+def _upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    mode: str,
+    paramstyle: str,
+) -> str:
+    token = _PARAM_TOKENS[paramstyle]
+    cols = ", ".join(columns)
+    params = ", ".join([token] * len(columns))
+    conflict = ", ".join(keys)
+    if mode == "ignore":
+        # etl_result.rs:159/216 — ON CONFLICT (…) DO NOTHING
+        action = "DO NOTHING"
+    else:
+        # etl_result.rs:269-281 — DO UPDATE SET every non-key column
+        sets = ", ".join(
+            f"{c} = excluded.{c}" for c in columns if c not in keys
+        )
+        action = f"DO UPDATE SET {sets}"
+    return (
+        f"INSERT INTO {table} ({cols}) VALUES ({params}) "
+        f"ON CONFLICT ({conflict}) {action}"
+    )
 
 
 class DbApiUpsertSink:
-    """Reference-parity SQL upsert over a DB-API connection factory."""
+    """Reference-parity SQL upsert over a DB-API connection factory
+    (driver-side collect — the test/oracle variant; use
+    ``DbApiPartitionUpsertSink`` when batches outgrow the driver).
 
-    def __init__(self, connection_factory: Callable):
+    ``paramstyle`` follows the driver module's ``paramstyle`` attribute:
+    'qmark' (sqlite3) or 'format'/'pyformat' (psycopg2, MySQLdb).
+    """
+
+    def __init__(
+        self, connection_factory: Callable, paramstyle: str = "qmark"
+    ):
         self._connect = connection_factory
-
-    @staticmethod
-    def _sql(
-        table: str, columns: Sequence[str], keys: Sequence[str], mode: str
-    ) -> str:
-        cols = ", ".join(columns)
-        params = ", ".join(["?"] * len(columns))
-        conflict = ", ".join(keys)
-        if mode == "ignore":
-            # etl_result.rs:159/216 — ON CONFLICT (…) DO NOTHING
-            action = "DO NOTHING"
-        else:
-            # etl_result.rs:269-281 — DO UPDATE SET every non-key column
-            sets = ", ".join(
-                f"{c} = excluded.{c}" for c in columns if c not in keys
-            )
-            action = f"DO UPDATE SET {sets}"
-        return (
-            f"INSERT INTO {table} ({cols}) VALUES ({params}) "
-            f"ON CONFLICT ({conflict}) {action}"
-        )
+        self.paramstyle = paramstyle
 
     def upsert(
         self,
@@ -121,31 +299,85 @@ class DbApiUpsertSink:
         keys: Sequence[str],
         mode: str = "ignore",
     ) -> None:
-        # array columns are serialized to comma-joined strings (the
-        # reference renders sets the same way into its SQL literals)
-        cols = []
-        for f_ in df.schema.fields:
-            if f_.dataType.typeName() == "array":
-                cols.append(
-                    F.array_join(
-                        F.transform(
-                            F.col(f_.name), lambda x: x.cast("string")
-                        ),
-                        ",",
-                    ).alias(f_.name)
-                )
-            elif f_.dataType.typeName() == "decimal":
-                cols.append(F.col(f_.name).cast("string").alias(f_.name))
-            else:
-                cols.append(F.col(f_.name))
-        flat = df.select(*cols)
+        flat = _flatten_for_sql(df)
         rows = [tuple(r) for r in flat.collect()]
         if not rows:
             return
-        sql = self._sql(table, flat.columns, keys, mode)
+        sql = _upsert_sql(table, flat.columns, keys, mode, self.paramstyle)
         conn = self._connect()
         try:
-            conn.executemany(sql, rows)
+            cur = conn.cursor()
+            try:
+                cur.executemany(sql, rows)
+            finally:
+                cur.close()
             conn.commit()
         finally:
             conn.close()
+
+
+class DbApiPartitionUpsertSink:
+    """Executor-side ``INSERT … ON CONFLICT`` upsert: one DB connection
+    per Spark partition, batched ``executemany`` flushes, nothing ever
+    materialized on the driver (the Spark-idiomatic JDBC-writer shape).
+
+    ``connection_factory`` must be serializable (it is shipped to the
+    executors by cloudpickle) and must open a NEW connection per call —
+    e.g. ``lambda: sqlite3.connect(path)`` or
+    ``lambda: psycopg2.connect(dsn)``.
+
+    At 1000 executors this holds ≤ one connection per core; cap write
+    parallelism with ``max_parallelism`` (coalesce before the write) to
+    respect the database's connection/ingest limits.
+    """
+
+    def __init__(
+        self,
+        connection_factory: Callable,
+        paramstyle: str = "qmark",
+        batch_size: int = 10_000,
+        max_parallelism: int | None = None,
+    ):
+        self._connect = connection_factory
+        self.paramstyle = paramstyle
+        self.batch_size = batch_size
+        self.max_parallelism = max_parallelism
+
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: Sequence[str],
+        mode: str = "ignore",
+    ) -> None:
+        flat = _flatten_for_sql(df)
+        if self.max_parallelism:
+            flat = flat.coalesce(self.max_parallelism)
+        sql = _upsert_sql(table, flat.columns, keys, mode, self.paramstyle)
+        factory = self._connect
+        batch_size = self.batch_size
+
+        def _write_partition(rows: Iterable) -> None:
+            conn = None
+            buf: list[tuple] = []
+            try:
+                for row in rows:
+                    if conn is None:
+                        conn = factory()  # connect lazily: skip empty parts
+                    buf.append(tuple(row))
+                    if len(buf) >= batch_size:
+                        cur = conn.cursor()
+                        cur.executemany(sql, buf)
+                        cur.close()
+                        buf.clear()
+                if conn is not None:
+                    if buf:
+                        cur = conn.cursor()
+                        cur.executemany(sql, buf)
+                        cur.close()
+                    conn.commit()
+            finally:
+                if conn is not None:
+                    conn.close()
+
+        flat.foreachPartition(_write_partition)

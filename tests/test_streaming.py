@@ -6,13 +6,18 @@ Postgres share the syntax); decode must round-trip the strict schema."""
 from __future__ import annotations
 
 import json
+import os
 import sqlite3
 import urllib.request
 
 import pytest
 
 from evmtrace_etl_spark.plans.pipeline import zk_results
-from evmtrace_etl_spark.sinks import DbApiUpsertSink, ParquetUpsertSink
+from evmtrace_etl_spark.sinks import (
+    DbApiPartitionUpsertSink,
+    DbApiUpsertSink,
+    ParquetUpsertSink,
+)
 from evmtrace_etl_spark.sources import fixtures
 from evmtrace_etl_spark.streaming import monitor, runner, sources
 
@@ -141,14 +146,120 @@ class _NoCloseConn:
     def __init__(self, conn):
         self._conn = conn
 
-    def executemany(self, *a):
-        return self._conn.executemany(*a)
+    def cursor(self):
+        return self._conn.cursor()
 
     def commit(self):
         self._conn.commit()
 
     def close(self):
         pass
+
+
+def _inodes(vdir):
+    """(relative path, inode) for every parquet data file under vdir."""
+    out = {}
+    for root, _dirs, files in os.walk(str(vdir)):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, str(vdir))] = os.stat(p).st_ino
+    return out
+
+
+def test_parquet_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """A batch touching 1 of 3 chain partitions must rewrite only that
+    partition: untouched partitions are carried as hardlinks (same
+    inode, same file name), the touched one gets fresh files."""
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    schema = "chain_id long, number long, gas_used long"
+    b1 = spark.createDataFrame(
+        [(c, i, c * 100 + i) for c in (1, 2, 3) for i in range(5)], schema
+    )
+    sink.upsert(b1, "blocks", ["chain_id", "number"], mode="update")
+    tdir = tmp_path / "sink" / "blocks"
+    before = _inodes(tdir / "v0")
+    assert any("chain_id=2" in p for p in before)  # partitioned layout
+
+    b2 = spark.createDataFrame([(2, 1, 999), (2, 9, 209)], schema)
+    sink.upsert(b2, "blocks", ["chain_id", "number"], mode="update")
+    after = _inodes(tdir / "v1")
+
+    untouched_before = {p: i for p, i in before.items() if "chain_id=2" not in p}
+    untouched_after = {p: i for p, i in after.items() if "chain_id=2" not in p}
+    assert untouched_before == untouched_after  # hardlink carry-forward
+    touched_after = {i for p, i in after.items() if "chain_id=2" in p}
+    touched_before = {i for p, i in before.items() if "chain_id=2" in p}
+    assert touched_after and not (touched_after & touched_before)
+
+    got = {
+        (r.chain_id, r.number): r.gas_used
+        for r in sink.read(spark, "blocks").collect()
+    }
+    expect = {(c, i): c * 100 + i for c in (1, 2, 3) for i in range(5)}
+    expect[(2, 1)] = 999
+    expect[(2, 9)] = 209
+    assert got == expect
+    assert sink.read(spark, "blocks").columns == [
+        "chain_id", "number", "gas_used",
+    ]
+
+
+def test_parquet_upsert_ignore_mode_partitioned(spark, tmp_path):
+    """insert-if-absent across partitions: replayed keys are skipped,
+    new keys land in their partition."""
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    schema = "chain_id long, transaction_hash string, v long"
+    keys = ["chain_id", "transaction_hash"]
+    sink.upsert(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 2)], schema),
+        "tx", keys, mode="ignore",
+    )
+    sink.upsert(
+        spark.createDataFrame([(1, "a", 99), (1, "c", 3)], schema),
+        "tx", keys, mode="ignore",
+    )
+    got = {
+        (r.chain_id, r.transaction_hash): r.v
+        for r in sink.read(spark, "tx").collect()
+    }
+    assert got == {(1, "a"): 1, (2, "b"): 2, (1, "c"): 3}
+
+
+def test_dbapi_partition_sink_matches_collect(spark, tmp_path):
+    """The foreachPartition writer must produce the same table as the
+    driver-collect writer, and stay idempotent under replay."""
+    tx, _ = zk_results(fixtures.traces_df(spark))
+    ddl = ", ".join(tx.columns)
+    paths = {}
+    for name in ("collect", "part"):
+        db = str(tmp_path / f"{name}.db")
+        conn = sqlite3.connect(db)
+        conn.execute(
+            f"CREATE TABLE transactions ({ddl}, "
+            "PRIMARY KEY (chain_id, transaction_hash))"
+        )
+        conn.commit()
+        conn.close()
+        paths[name] = db
+
+    DbApiUpsertSink(lambda: sqlite3.connect(paths["collect"])).upsert(
+        tx, "transactions", runner.TX_KEYS, mode="ignore"
+    )
+    part_db = paths["part"]
+    psink = DbApiPartitionUpsertSink(
+        lambda: sqlite3.connect(part_db, timeout=60), max_parallelism=4
+    )
+    psink.upsert(tx, "transactions", runner.TX_KEYS, mode="ignore")
+    psink.upsert(tx, "transactions", runner.TX_KEYS, mode="ignore")  # replay
+
+    def rows(db):
+        with sqlite3.connect(db) as c:
+            return sorted(c.execute("SELECT * FROM transactions").fetchall())
+
+    assert rows(paths["collect"]) == rows(part_db)
+    assert len(rows(part_db)) == tx.count()
+    assert os.path.exists(part_db)
 
 
 def test_monitoring_and_health(spark):
