@@ -140,41 +140,49 @@ def ivf_topk(
 
     The quantizer here is deterministic for oracle parity — centroids are
     the first ``n_centroids`` vec_ids (a production build would k-means
-    them; the *plan shape* is identical).  At scale the cell id becomes
-    the partition key: assignment is a broadcast join + per-row argmax
-    (narrow), candidate generation an equi-join on cell — the inverted-
-    file pruning that makes brute force unnecessary.
+    them; the *plan shape* is identical).  The tiny centroid codebook is
+    collected once and inlined as plan literals — the Spark analog of
+    broadcasting an IVF index's dictionary — so assignment is a single
+    narrow projection (per-row array-of-struct max, NO Exchange, no
+    16×-row window shuffle); candidate generation is an equi-join on
+    cell — the inverted-file pruning that makes brute force unnecessary.
+    At scale the cell id becomes the partition key.
     """
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cen_id"), F.col(vec_col).alias("_cv")
+    cents = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", vec_col)
+        .collect()
     )
-    cen_sim = F.round(cosine(F.col(vec_col), F.col("_cv")), 6)
-    ranked = (
-        emb.crossJoin(F.broadcast(cents))
+    # per-centroid (sim, -cen_id) structs: sorted ascending then reversed
+    # = (sim DESC, cen_id ASC) — same order as the oracle's row_number.
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in cvec]),
+                    ),
+                    6,
+                ).alias("cs"),
+                F.lit(-cen_id).alias("neg_cen"),
+            )
+            for cen_id, cvec in cents
+        ]
+    )
+    with_cells = emb.withColumn("_cells", F.reverse(F.array_sort(sims)))
+    assigned = with_cells.select(
+        "vec_id", vec_col, (-F.col("_cells")[0]["neg_cen"]).alias("cell")
+    )
+    probes = (
+        with_cells.filter(F.col("vec_id") < n_queries)
         .select(
-            "vec_id",
-            vec_col,
-            "cen_id",
-            cen_sim.alias("_cs"),
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(F.slice(F.col("_cells"), 1, n_probe)).alias("_c"),
         )
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("_cs").desc(), F.col("cen_id").asc()
-                )
-            ),
-        )
-    )
-    assigned = ranked.filter(F.col("_r") == 1).select(
-        "vec_id", vec_col, F.col("cen_id").alias("cell")
-    )
-    probes = ranked.filter(
-        (F.col("vec_id") < n_queries) & (F.col("_r") <= n_probe)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("cen_id").alias("cell"),
+        .select("query_id", "_qv", (-F.col("_c")["neg_cen"]).alias("cell"))
     )
     sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
     scored = (
