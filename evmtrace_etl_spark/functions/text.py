@@ -57,6 +57,21 @@ HYPERPLANES: list[list[float]] = [
     for _ in range(N_HYPERPLANES)
 ]
 
+# Wider signature for the banded embedding-LSH path.  Sizing rule: with
+# B bands of R planes each, bucket count per band is 2^R and a pair
+# whose signs agree with probability p survives banding with
+# 1-(1-p^R)^B; R bounds expected bucket size at ~n/2^R, so pick
+# R ≈ log2(n / target_bucket_size) and add bands to recover recall.
+# Separate LCG seed: extending the seed-42 stream would silently change
+# every constant derived after HYPERPLANES above.
+N_PLANES_WIDE = 24
+EMB_BANDS = 3  # 3 bands × 8 planes = 24-bit total signature
+_gw = _lcg_stream(777)
+HYPERPLANES_WIDE: list[list[float]] = [
+    [(next(_gw) / (1 << 31)) * 2.0 - 1.0 for _ in range(EMBED_DIM)]
+    for _ in range(N_PLANES_WIDE)
+]
+
 #: tiny per-language stopword sets for the n-gram/stopword lang-id heuristic
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import HYPERPLANES
+from ..functions.text import (
+    BUCKET_CAP,
+    EMB_BANDS,
+    HYPERPLANES,
+    HYPERPLANES_WIDE,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -47,15 +52,62 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def with_lsh_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """8-bit sign-LSH bucket id from the fixed hyperplanes."""
+def _sign_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Integer sign-LSH bucket over the given hyperplanes (bit j set iff
+    the vector's dot with plane j is non-negative)."""
     bucket = F.lit(0)
-    for j, plane in enumerate(HYPERPLANES):
+    for j, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(v) for v in plane])
         bucket = bucket + F.when(
             _dot(F.col(vec_col), plane_col) >= 0, F.lit(2**j)
         ).otherwise(0)
-    return emb.withColumn("bucket", bucket)
+    return bucket
+
+
+def with_lsh_bucket(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Sign-LSH bucket id from ``planes`` (default: the fixed 8 → 256
+    buckets; pass more planes as the corpus grows — see the sizing rule
+    in ``functions.text``)."""
+    return emb.withColumn(
+        "bucket", _sign_bucket(vec_col, planes or HYPERPLANES)
+    )
+
+
+def with_band_buckets(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_bands: int = EMB_BANDS,
+) -> DataFrame:
+    """Banded sign-LSH: the plane set split into ``n_bands`` contiguous
+    bands, one (band_id, band_key) row per band per vector (exploded —
+    the narrow fan-out that feeds the band-bucket equi-join, exactly the
+    MinHash banding shape in operators.dedup)."""
+    planes = planes or HYPERPLANES_WIDE
+    r = len(planes) // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                _sign_bucket(vec_col, planes[b * r : (b + 1) * r]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return emb.select(
+        "vec_id", vec_col, F.explode(bands).alias("_band")
+    ).select(
+        "vec_id",
+        vec_col,
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_key").alias("band_key"),
+    )
 
 
 def brute_force_topk(
@@ -96,11 +148,13 @@ def lsh_topk(
     n_queries: int = 10,
     k: int = 5,
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k: same scoring as brute force but candidates restricted to
     the query's sign-LSH bucket (the 100 TB path — equi-join on bucket
-    instead of a cross join)."""
-    bucketed = with_lsh_bucket(emb, vec_col)
+    instead of a cross join).  ``planes`` sizes the bucket space; see the
+    sizing rule in ``functions.text``."""
+    bucketed = with_lsh_bucket(emb, vec_col, planes)
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -208,11 +262,13 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets
     (vec_a < vec_b, cosine ≥ threshold) — the embedding analog of the
-    MinHash near-dup dedup."""
-    bucketed = with_lsh_bucket(emb, vec_col)
+    MinHash near-dup dedup.  Single-signature variant; prefer
+    ``banded_near_dup_pairs`` when recall matters at scale."""
+    bucketed = with_lsh_bucket(emb, vec_col, planes)
     a = bucketed.select(
         "bucket", F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("_va")
     )
@@ -224,6 +280,52 @@ def embedding_near_dup_pairs(
         a.join(b, on="bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def banded_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_bands: int = EMB_BANDS,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Banded-LSH embedding near-dup pairs: candidates from ANY of the
+    ``n_bands`` sub-signature buckets (deduped), then cosine-verified.
+
+    The scale path the single-signature variant can't be: per band the
+    expected bucket size is n/2^(planes/n_bands) — the cross term is
+    O(n²/2^R) per band, with recall recovered by the band union instead
+    of by shrinking R.  Degenerate buckets (e.g. the all-zeros region)
+    are dropped by ``bucket_cap``, same skew guard as the MinHash path.
+    The only wide ops: the band-bucket join and the candidate-pair
+    distinct, both keyed near-uniformly.
+    """
+    banded = with_band_buckets(emb, vec_col, planes, n_bands)
+    w = Window.partitionBy("band_id", "band_key")
+    capped = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= bucket_cap
+    )
+    a = capped.select(
+        "band_id", "band_key", F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = capped.select(
+        "band_id", "band_key", F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, on=["band_id", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "_va", "_vb")
+        .dropDuplicates(["vec_a", "vec_b"])  # union of bands, deduped
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )

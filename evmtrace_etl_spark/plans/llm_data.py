@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     BPE_REGEX,
     BUCKET_CAP,
+    EMB_BANDS,
     EMBED_DIM,
     HYPERPLANES,
+    HYPERPLANES_WIDE,
     LANG_ORDER,
     LSH_BANDS,
     LSH_ROWS,
@@ -118,6 +120,12 @@ def llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), 0.4)
+
+
+def llm_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-plane / 3-band LSH near-dups — the recall-preserving scale
+    variant of llm_embedding_near_dups."""
+    return similarity.banded_near_dup_pairs(_emb(spark, sf_dir), 0.4)
 
 
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,6 +485,39 @@ p AS (
 SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4
 """
 
+_BANDED_R = len(HYPERPLANES_WIDE) // EMB_BANDS
+
+
+def _band_bucket_sql(band: int) -> str:
+    sl = HYPERPLANES_WIDE[band * _BANDED_R : (band + 1) * _BANDED_R]
+    return " + ".join(
+        f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j, p in enumerate(sl)
+    )
+
+
+_BANDED_UNION = "\nUNION ALL\n".join(
+    f"SELECT vec_id, embedding, {b} AS band_id, {_band_bucket_sql(b)} "
+    "AS band_key FROM embeddings"
+    for b in range(EMB_BANDS)
+)
+
+BANDED_NEAR_DUPS_SQL = f"""
+WITH bands AS ({_BANDED_UNION}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS _n
+          FROM bands),
+capped AS (SELECT * FROM sized WHERE _n <= {BUCKET_CAP}),
+p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.vec_id < b.vec_id),
+s AS (SELECT vec_a, vec_b, {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+      FROM p
+      JOIN embeddings ea ON ea.vec_id = p.vec_a
+      JOIN embeddings eb ON eb.vec_id = p.vec_b)
+SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4
+"""
+
 
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
@@ -492,6 +533,7 @@ QUERIES = {
     "llm_ann_topk": llm_ann_topk,
     "llm_ivf_topk": llm_ivf_topk,
     "llm_embedding_near_dups": llm_embedding_near_dups,
+    "llm_banded_near_dups": llm_banded_near_dups,
     "llm_media_decode": llm_media_decode,
 }
 
@@ -509,5 +551,6 @@ ORACLES = {
     "llm_ann_topk": ANN_TOPK_SQL,
     "llm_ivf_topk": IVF_TOPK_SQL,
     "llm_embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+    "llm_banded_near_dups": BANDED_NEAR_DUPS_SQL,
     "llm_media_decode": MEDIA_DECODE_SQL,
 }
