@@ -406,6 +406,95 @@ def block_enrichment_oracle_sql() -> str:
     return blocks_oracle_sql()
 
 
+#: P9 oracle vectors — (lowercase, EIP-55) pairs.  Expected values were
+#: computed OFFLINE by functions.keccak.to_checksum_address (whose
+#: Keccak-256 is pinned to FIPS-202/EIP-55 unit vectors in
+#: tests/test_functions.py and tests/test_keccak_batch.py) and embedded
+#: as literals, so the driver compare exercises the runtime UDF against
+#: a fixed VALUES relation, not against itself.  The first four rows are
+#: the EIP-55 spec's own mixed-case test vectors.
+CHECKSUM_VECTORS = [
+    ("0x5aaeb6053f3e94c9b9a09f33669435e7ef1beaed",
+     "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed"),
+    ("0xfb6916095ca1df60bb79ce92ce3ea74c37c5d359",
+     "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359"),
+    ("0xdbf03b407c01e7cd3cbea99509d93f8dddc8c6fb",
+     "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB"),
+    ("0xd1220a0cf47c7b9be7a2e6ba89f429762e7b9adb",
+     "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb"),
+    ("0x000000000000000000000000000000000000e0a1",
+     "0x000000000000000000000000000000000000E0A1"),
+    ("0x000000000000000000000000000000000000e0a2",
+     "0x000000000000000000000000000000000000E0a2"),
+    ("0x000000000000000000000000000000000000e0a3",
+     "0x000000000000000000000000000000000000e0A3"),
+    ("0x00000000000000000000000000000000000000c1",
+     "0x00000000000000000000000000000000000000C1"),
+    ("0x00000000000000000000000000000000000000c2",
+     "0x00000000000000000000000000000000000000c2"),
+    ("0x00000000000000000000000000000000000000c3",
+     "0x00000000000000000000000000000000000000C3"),
+    ("0x00000000000000000000000000000000000000c4",
+     "0x00000000000000000000000000000000000000C4"),
+    ("0x00000000000000000000000000000000000000c5",
+     "0x00000000000000000000000000000000000000c5"),
+    ("0x00000000000000000000000000000000000000c6",
+     "0x00000000000000000000000000000000000000c6"),
+    ("0x00000000000000000000000000000000000000c7",
+     "0x00000000000000000000000000000000000000C7"),
+    ("0x00000000000000000000000000000000000000c8",
+     "0x00000000000000000000000000000000000000C8"),
+    ("0x00000000000000000000000000000000000000c9",
+     "0x00000000000000000000000000000000000000C9"),
+    ("0x0000000000000000000000000000000000003397",
+     "0x0000000000000000000000000000000000003397"),
+    ("0x00000000000000000000000000000000000033fb",
+     "0x00000000000000000000000000000000000033FB"),
+    ("0x0000000000000000000000000000000000000001",
+     "0x0000000000000000000000000000000000000001"),
+    ("0x0000000000000000000000000000000000000008",
+     "0x0000000000000000000000000000000000000008"),
+    ("0xaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+     "0xaAaAaAaaAaAaAaaAaAAAAAAAAaaaAaAaAaaAaaAa"),
+]
+
+
+def spark_checksummed_addresses(
+    spark: SparkSession, sf_dir: str = ""
+) -> DataFrame:
+    """P9 as a driver row: EIP-55 checksum through BOTH runtime paths —
+    the scalar ``to_checksum_udf`` and the array ``checksum_array_udf``
+    — via the same ``with_checksummed_addresses`` entrypoint the sink
+    runner uses (reference to_checksum at SQL-render time,
+    src/types/etl_result.rs:166-172)."""
+    from ..functions.evm import with_checksummed_addresses
+
+    df = spark.createDataFrame(
+        [(a,) for a, _ in CHECKSUM_VECTORS], "address string"
+    ).select(
+        "address",
+        F.col("address").alias("checksummed"),
+        F.array("address", "address").alias("_pair"),
+    )
+    out = with_checksummed_addresses(df, ["checksummed"], ["_pair"])
+    return out.select(
+        "address",
+        "checksummed",
+        F.array_join("_pair", ",").alias("pair_checksummed"),
+    )
+
+
+def checksum_oracle_sql() -> str:
+    rows = ",\n".join(
+        f"('{a}', '{c}', '{c},{c}')" for a, c in CHECKSUM_VECTORS
+    )
+    return (
+        "SELECT * FROM (VALUES\n"
+        f"{rows}\n"
+        ") AS t(address, checksummed, pair_checksummed)"
+    )
+
+
 # Driver-contract registration (aggregated by evmtrace_etl_spark.registry).
 QUERIES = {
     "zk_transactions": spark_zk_transactions,
@@ -413,6 +502,7 @@ QUERIES = {
     "zk_blocks": spark_blocks,
     "zk_block_enrichment": spark_block_enrichment,
     "zk_session_edges": spark_session_edges,
+    "zk_checksum_addresses": spark_checksummed_addresses,
 }
 
 ORACLES = {
@@ -421,4 +511,5 @@ ORACLES = {
     "zk_blocks": blocks_oracle_sql(),
     "zk_block_enrichment": block_enrichment_oracle_sql(),
     "zk_session_edges": session_edges_oracle_sql(),
+    "zk_checksum_addresses": checksum_oracle_sql(),
 }
