@@ -213,9 +213,14 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CAST(ts AS TIMESTAMP) truncates TIMESTAMP_NS → micros so both engines
+# compare micro-truncated values (Spark reads ts div 1000) even if the
+# generator ever emits sub-microsecond components.
 LATEST_EVENT_PER_USER_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts, value FROM events)
 SELECT user_id, event_id, event_type, ts, value
-FROM events
+FROM e
 QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """
@@ -234,8 +239,10 @@ def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FIRST_EVENT_PER_USER_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts, value FROM events)
 SELECT user_id, event_id, event_type, ts, value
-FROM events
+FROM e
 QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
 """
@@ -448,12 +455,15 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 USER_SESSIONS_SQL = """
-WITH flagged AS (
+WITH e AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
   SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS _new_session
-  FROM events
+  FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 sessioned AS (

@@ -50,18 +50,29 @@ class ZkParts:
     once instead of twice (VERDICT r1 'What's wrong #4').  Within one
     action Catalyst's ReusedExchange already dedups the shuffle; the
     persist extends that across actions.
+
+    ``persist=True`` callers own the cache and MUST call ``unpersist()``
+    when done (``process_trace_batch`` does).  Single-output standalone
+    paths pass ``persist=False`` — one action evaluates one DataFrame,
+    so ReusedExchange already covers it and nothing is left cached
+    behind the caller's back.
     """
 
-    def __init__(self, traces: DataFrame):
-        self.edges = edge_aggregate(traces).persist()
-        self.roots = root_traces(traces).persist()
+    def __init__(self, traces: DataFrame, persist: bool = True):
+        self.edges = edge_aggregate(traces)
+        self.roots = root_traces(traces)
+        self._persisted = persist
+        if persist:
+            self.edges = self.edges.persist()
+            self.roots = self.roots.persist()
         self.rollup = transaction_rollup(self.edges)
         self.fd = first_degree_callers(self.edges)
         self.sd = second_degree_callers(self.edges, self.fd, self.roots)
 
     def unpersist(self) -> None:
-        self.edges.unpersist()
-        self.roots.unpersist()
+        if self._persisted:
+            self.edges.unpersist()
+            self.roots.unpersist()
 
 
 def zk_results(traces: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -81,7 +92,7 @@ def zk_transactions(traces: DataFrame, parts: ZkParts | None = None) -> DataFram
     closest_address (J4): second-degree callers if any survive the EOA
     exclusion, else first-degree callers (trace_tree.rs:182-187).
     """
-    parts = parts or ZkParts(traces)
+    parts = parts or ZkParts(traces, persist=False)
     edges, rollup, roots = parts.edges, parts.rollup, parts.roots
     fd, sd = parts.fd, parts.sd
     gas_sent = gas_by_caller(edges)
@@ -146,7 +157,7 @@ def zk_contracts(traces: DataFrame, parts: ZkParts | None = None) -> DataFrame:
     set called ON the address (A3), its per-precompile call counts (A8) and
     its pairing input sizes (A4).
     """
-    parts = parts or ZkParts(traces)
+    parts = parts or ZkParts(traces, persist=False)
     edges, rollup, roots = parts.edges, parts.rollup, parts.roots
     fd, sd = parts.fd, parts.sd
 

@@ -69,7 +69,13 @@ def spark_stream_transactions(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # availableNow should always terminate; a hang would otherwise
+        # surface as a confusing partial-sink oracle mismatch
+        q.stop()
+        raise TimeoutError(
+            "zk_stream_transactions: stream not finished after 120 s"
+        )
     return zk_parity.project_tx(sink.read(spark, "transactions"))
 
 

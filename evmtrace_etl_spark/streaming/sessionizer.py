@@ -144,8 +144,16 @@ def _add_trace(tree: dict, row) -> None:
 
 
 def _commit_rows(chain_id: int, tree: dict) -> list[tuple]:
-    """Emit the closed session: one edge row per pair + a root row."""
-    if tree["tx"] is None:
+    """Emit the closed session: one edge row per pair + a root row.
+
+    Sessions without a root are dropped: the reference builds its
+    Transaction from the ROOT trace's fields (trace_tree.rs:72-89), so
+    a rootless tree — only possible when a stream starts mid-transaction
+    and sees child traces before the chain's first punctuation — commits
+    nothing.  This matches session_edges_oracle_sql, which scopes edges
+    to root-keyed sessions (pinned by test_sessionizer_mid_stream_start).
+    """
+    if tree["tx"] is None or tree["root"] is None:
         return []
     out = []
     for key, e in tree["edges"].items():

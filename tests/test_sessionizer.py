@@ -75,6 +75,33 @@ def test_batch_sessionize_matches_reference_semantics(spark):
     assert tx1_root.value == 1000
 
 
+def test_sessionizer_mid_stream_start(spark):
+    """A stream that starts MID-transaction (child traces before the
+    chain's first root) must not commit the rootless pre-root session:
+    the reference builds its Transaction from the root's fields, and the
+    session oracle scopes edges to root-keyed sessions."""
+    traces = fixtures.traces_df(spark).filter("chain_id = 1")
+    # drop everything up to and including the first root (seq 1 is tx1's
+    # root): the stream now opens with tx1's child traces
+    headless = traces.filter("seq > 1")
+    out = sessionize_traces(headless).cache()
+    got = _edges_by_tx(session_edges(out))
+
+    # tx1's pre-root children produced edges in the open tree, but the
+    # session has no root → nothing committed for tx1
+    assert (1, fixtures.TXH[1]) not in got
+    # the next rooted session (tx2) still commits normally
+    full = _edges_by_tx(session_edges(sessionize_traces(traces)))
+    key = (1, fixtures.TXH[2])
+    want = sorted((r.from_address, r.to_address, r.call_count) for r in full[key])
+    have = sorted((r.from_address, r.to_address, r.call_count) for r in got[key])
+    assert have == want
+    # and no rootless root-rows leaked
+    assert session_roots(out).filter(
+        F.col("transaction_hash") == fixtures.TXH[1]
+    ).count() == 0
+
+
 def test_streaming_sessionize_across_microbatches(spark, tmp_path):
     """Sessions spanning micro-batch boundaries must commit identically:
     split the fixture into two files, trigger one file per batch."""
