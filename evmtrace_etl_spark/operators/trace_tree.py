@@ -54,12 +54,9 @@ _PRECOMPILE_COUNT_COLS = {
 }
 
 
-def edge_aggregate(traces: DataFrame) -> DataFrame:
-    """A1+A2 (+A3/A4/A5 partials) — one pass over null-guarded traces
-    (P10, reference trace_tree.rs:249) at caller/callee-pair grain.
-
-    Output grain: (chain_id, transaction_hash, from_address, to_address).
-    """
+def _edge_prepped(traces: DataFrame) -> DataFrame:
+    """Null-guarded traces with the per-row derived columns the edge
+    aggregate consumes (P10 guard + P6/P8/P7 projections)."""
     guarded = traces.filter(
         F.col("from_address").isNotNull() & F.col("to_address").isNotNull()
     )
@@ -73,14 +70,65 @@ def edge_aggregate(traces: DataFrame) -> DataFrame:
         .withColumn(
             "_recovered", F.when(is_recover, ec_recover_address("output"))
         )
-        .groupBy(*TX_KEY, "from_address", "to_address")
-        .agg(
+    )
+
+
+def _salted_partials(prepped: DataFrame, n_salts: int) -> DataFrame:
+    """Stage 1 of the salted aggregate: per (edge key, salt) partials.
+
+    The salt (seq mod n_salts — deterministic, uniform over a hot key's
+    rows) splits one pathological (tx, from, to) pair across ``n_salts``
+    reducers, so no partition processes more than ~1/n_salts of the hot
+    key's raw rows; sets are pre-deduped per salt before the merge."""
+    salted = prepped.withColumn(
+        "_salt", F.pmod(F.col("seq"), F.lit(n_salts))
+    )
+    return salted.groupBy(*TX_KEY, "from_address", "to_address", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.coalesce(F.col("gas_used"), F.lit(0))).alias("_gas"),
+        F.collect_set("_sel").alias("_sels"),
+        F.collect_list("_pair_size").alias("_psz"),
+        F.collect_set("_recovered").alias("_recs"),
+    )
+
+
+def edge_aggregate(traces: DataFrame, n_salts: int | None = None) -> DataFrame:
+    """A1+A2 (+A3/A4/A5 partials) — one pass over null-guarded traces
+    (P10, reference trace_tree.rs:249) at caller/callee-pair grain.
+
+    Output grain: (chain_id, transaction_hash, from_address, to_address).
+
+    ``n_salts`` enables the two-stage salted variant (salt → partial →
+    final) for skewed inputs: a single transaction with millions of
+    traces on one (from, to) pair otherwise concentrates on one reducer
+    — map-side partial aggregation bounds the count/sum legs but the
+    hot key's final merge still lands on a single task.  With salting,
+    stage 2 merges at most ``n_salts`` pre-reduced rows per edge key.
+    Results are identical up to array element order (every downstream
+    consumer re-sorts or re-dedups; the raw collect order was never
+    deterministic to begin with).  Default off: the fixture-scale and
+    typical-chain distributions don't need it.
+    """
+    prepped = _edge_prepped(traces)
+    if n_salts is None:
+        return prepped.groupBy(*TX_KEY, "from_address", "to_address").agg(
             F.count(F.lit(1)).alias("call_count"),
             F.sum(F.coalesce(F.col("gas_used"), F.lit(0))).alias("gas_sum"),
             F.collect_set("_sel").alias("selectors"),
             F.collect_list("_pair_size").alias("pairing_sizes"),
             F.collect_set("_recovered").alias("recovered"),
         )
+    partials = _salted_partials(prepped, n_salts)
+    return partials.groupBy(*TX_KEY, "from_address", "to_address").agg(
+        F.sum("_cnt").alias("call_count"),
+        F.sum("_gas").alias("gas_sum"),
+        F.array_distinct(F.flatten(F.collect_list("_sels"))).alias(
+            "selectors"
+        ),
+        F.flatten(F.collect_list("_psz")).alias("pairing_sizes"),
+        F.array_distinct(F.flatten(F.collect_list("_recs"))).alias(
+            "recovered"
+        ),
     )
 
 

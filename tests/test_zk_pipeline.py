@@ -152,3 +152,52 @@ def test_blocks_keep_last(spark):
     assert rows[(1, 100)]["gas_used"] == 1_111_111  # seq-4 duplicate wins
     assert rows[(1, 100)]["transaction_count"] == 12
     assert "seq" not in out.columns
+
+
+def test_salted_edge_aggregate_matches_and_bounds_skew(spark):
+    """Two-stage salted aggregate: identical results (up to array order)
+    on the standard fixture, and a 1e5-row single-hot-pair fixture whose
+    stage-1 output is bounded at n_salts rows per edge key."""
+    from evmtrace_etl_spark.operators.trace_tree import (
+        _edge_prepped,
+        _salted_partials,
+        edge_aggregate,
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r.chain_id, r.transaction_hash, r.from_address, r.to_address,
+                r.call_count, r.gas_sum, sorted(r.selectors),
+                sorted(r.pairing_sizes), sorted(r.recovered),
+            )
+            for r in df.collect()
+        )
+
+    traces = fixtures.traces_df(spark)
+    assert canon(edge_aggregate(traces, n_salts=8)) == canon(
+        edge_aggregate(traces)
+    )
+
+    # pathological: one tx, one (from, to) pair, 1e5 traces
+    n = 100_000
+    hot = spark.range(n).selectExpr(
+        "1 AS chain_id",
+        f"'{TXH[1]}' AS transaction_hash",
+        f"'{fixtures.C1}' AS from_address",
+        f"'{fixtures.C2}' AS to_address",
+        "id AS seq",
+        "CAST(NULL AS string) AS input",
+        "CAST(NULL AS string) AS output",
+        "id AS gas_used",
+        "array(CAST(id AS int)) AS trace_address",
+    )
+    n_salts = 16
+    partials = _salted_partials(_edge_prepped(hot), n_salts)
+    # the hot key is split across exactly n_salts pre-reduced rows, so
+    # the final merge consumes n_salts rows instead of 1e5
+    assert partials.count() == n_salts
+    out = edge_aggregate(hot, n_salts=n_salts).collect()
+    assert len(out) == 1
+    assert out[0].call_count == n
+    assert out[0].gas_sum == n * (n - 1) // 2
