@@ -10,20 +10,20 @@ This is ingestion-side connector code, not engine code (SURVEY §2.1) —
 the engine boundary is a DataFrame of GETH_FRAMES_SCHEMA rows.  The
 transport is injected (any ``(method, params) -> result`` callable:
 an HTTP POST in production, a canned dict in tests); the WS subscription
-itself needs a websocket client library that this container does not
-ship, so ``WsHeadSource`` raises NotImplementedError unless one is
-importable — everything after the transport is real and tested.
+(S4) lives in ``sources.ws`` — a stdlib RFC 6455 client re-exported
+here as ``WsHeadSource``, tested against an in-process fake server.
 """
 
 from __future__ import annotations
 
 import json
 import time
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import GETH_FRAMES_SCHEMA
+from .ws import WsHeadSource  # noqa: F401  (S4, re-exported)
 
 #: reference retry policy: 5 attempts, constant 2 s (ws/mod.rs:45-47)
 RETRY_ATTEMPTS = 5
@@ -81,22 +81,14 @@ class RpcClient:
         )
 
 
-class WsHeadSource:
-    """S4 — eth_subscribe(newHeads) stream.  Requires a websocket client
-    library (not shipped here); the iterator contract is the real one."""
-
-    def __init__(self, ws_url: str):
-        try:
-            import websockets  # type: ignore  # noqa: F401
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "WsHeadSource needs a websocket client library; inject "
-                "block numbers directly via RpcClient + frames_to_df instead"
-            ) from exc
-        self.ws_url = ws_url
-
-    def __iter__(self) -> Iterator[dict]:  # pragma: no cover
-        raise NotImplementedError
+__all__ = [
+    "RETRY_ATTEMPTS",
+    "RETRY_BACKOFF_SECONDS",
+    "RpcClient",
+    "WsHeadSource",
+    "frames_to_df",
+    "retry",
+]
 
 
 def frames_to_df(
