@@ -54,14 +54,20 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _sign_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Integer sign-LSH bucket over the given hyperplanes (bit j set iff
-    the vector's dot with plane j is non-negative)."""
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bucket = bucket + F.when(
-            _dot(F.col(vec_col), plane_col) >= 0, F.lit(2**j)
-        ).otherwise(0)
-    return bucket
+    the vector's dot with plane j is non-negative).
+
+    Generated as one SQL expr() string: the Column-API equivalent costs
+    a py4j round-trip per plan node (seconds at 24 planes); semantics
+    are identical (same HOF fold, same float literals — repr+`D`
+    round-trips exactly)."""
+    terms = " + ".join(
+        "(CASE WHEN aggregate(zip_with("
+        f"{vec_col}, array({', '.join(f'{float(v)!r}D' for v in plane)}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        f"(acc, x) -> acc + x) >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return F.expr(f"({terms})")
 
 
 def with_lsh_bucket(
@@ -208,24 +214,44 @@ def ivf_topk(
         .select("vec_id", vec_col)
         .collect()
     )
+    # Assignment math is generated as ONE SQL expr() string: building the
+    # same tree through the Column API costs a py4j round-trip per node
+    # (~3 s for 16 centroids), and fully-flattened element_at chains blow
+    # up Janino codegen compilation — the HOF form parsed JVM-side is the
+    # sweet spot.  Bit-parity is preserved: the aggregate() fold is the
+    # same left-to-right IEEE double chain as the oracle's list_reduce,
+    # float repr+`D` literals round-trip exactly, and centroid norms fold
+    # to Python doubles computed in the identical sequential order.
+    def _py_norm(vec: list[float]) -> float:
+        import math
+
+        s = 0.0
+        for v in vec:
+            s += float(v) * float(v)
+        return math.sqrt(s)
+
+    def _hof_dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    def _lit_arr(vec: list[float]) -> str:
+        return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
+
+    with_norm = emb.withColumn(
+        "_vnorm", F.expr(f"sqrt({_hof_dot(vec_col, vec_col)})")
+    )
     # per-centroid (sim, -cen_id) structs: sorted ascending then reversed
     # = (sim DESC, cen_id ASC) — same order as the oracle's row_number.
-    sims = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(v)) for v in cvec]),
-                    ),
-                    6,
-                ).alias("cs"),
-                F.lit(-cen_id).alias("neg_cen"),
-            )
-            for cen_id, cvec in cents
-        ]
+    sims_sql = "array(" + ", ".join(
+        f"named_struct('cs', round({_hof_dot(vec_col, _lit_arr(cvec))} / "
+        f"(_vnorm * {_py_norm(cvec)!r}D), 6), 'neg_cen', {-cen_id}L)"
+        for cen_id, cvec in cents
+    ) + ")"
+    with_cells = with_norm.withColumn(
+        "_cells", F.expr(f"reverse(array_sort({sims_sql}))")
     )
-    with_cells = emb.withColumn("_cells", F.reverse(F.array_sort(sims)))
     assigned = with_cells.select(
         "vec_id", vec_col, (-F.col("_cells")[0]["neg_cen"]).alias("cell")
     )

@@ -469,9 +469,15 @@ def spark_checksummed_addresses(
     src/types/etl_result.rs:166-172)."""
     from ..functions.evm import with_checksummed_addresses
 
-    df = spark.createDataFrame(
-        [(a,) for a, _ in CHECKSUM_VECTORS], "address string"
-    ).select(
+    from pyspark.sql import types as T
+
+    # Arrow-backed fixture df (fixtures.arrow_df): a plain createDataFrame
+    # evaluates via a pickled Python RDD — ~6 s per action for 21 rows.
+    df = fixtures.arrow_df(
+        spark,
+        [(a,) for a, _ in CHECKSUM_VECTORS],
+        T.StructType([T.StructField("address", T.StringType())]),
+    ).coalesce(1).select(
         "address",
         F.col("address").alias("checksummed"),
         F.array("address", "address").alias("_pair"),

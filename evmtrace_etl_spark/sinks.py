@@ -41,6 +41,7 @@ import os
 import shutil
 from collections.abc import Callable, Iterable, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -172,14 +173,13 @@ class ParquetUpsertSink:
             self._commit(df, tdir, "v0", pcols)
             return
 
-        # Stage the batch once: the staged copy feeds BOTH the touched-
-        # partition probe and the merge, so the upstream batch plan runs
-        # exactly once (the reference's bounded buffer has the same role).
-        # Not underscore/dot-prefixed: Spark file listing hides such paths.
-        stage = os.path.join(tdir, "staging-tmp")
-        shutil.rmtree(stage, ignore_errors=True)
-        df.write.parquet(stage)
-        batch = spark.read.schema(df.schema).parquet(stage)
+        # Materialize the batch once (executor cache, spilling to disk):
+        # the cached copy feeds BOTH the touched-partition probe and the
+        # two merge references, so the upstream batch plan runs exactly
+        # once per upsert — a micro-batch is bounded by the trigger, so
+        # it fits the cache tier (the reference's ≤100k-row dumper buffer
+        # plays the same role, src/main.rs:99-121).
+        batch = df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             existing = self.read(spark, table)
             if pcols:
@@ -206,7 +206,7 @@ class ParquetUpsertSink:
             # hardlinked files survive in the new version
             shutil.rmtree(os.path.join(tdir, cur), ignore_errors=True)
         finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            batch.unpersist()
 
     def _commit(
         self,

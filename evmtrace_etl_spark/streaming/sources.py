@@ -2,6 +2,16 @@
 schemas — ``from_json`` + explicit StructType, never inference
 (reference decodes with serde_json into fixed structs,
 src/consumer/kafka/mod.rs:41-50).
+
+CI stand-in policy: this environment ships neither a Kafka broker nor
+the spark-sql-kafka connector jar, so ``file_trace_stream`` /
+``file_block_stream`` are the PERMANENT CI stand-ins for S1/S2 — same
+strict-schema decode, same downstream foreachBatch plan, same
+checkpoint/idempotency semantics; only the source format string
+differs.  ``kafka_trace_stream`` is smoke-tested when
+``EVMTRACE_KAFKA_BOOTSTRAP`` points at a reachable broker (see
+tests/test_streaming.py::test_kafka_stream_smoke) and is otherwise a
+documented skip.
 """
 
 from __future__ import annotations
