@@ -186,42 +186,22 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 2,
-    vec_col: str = "embedding",
+def _ivf_with_cells(
+    emb: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
 ) -> DataFrame:
-    """IVF-style ANN top-k: a coarse quantizer assigns every vector to its
-    nearest centroid cell; queries probe their ``n_probe`` nearest cells
-    and score only those cells' members.
+    """``emb`` plus ``_cells``: per-centroid (sim, -cen_id) structs sorted
+    (sim DESC, cen_id ASC) — same order as the oracle's row_number.
 
-    The quantizer here is deterministic for oracle parity — centroids are
-    the first ``n_centroids`` vec_ids (a production build would k-means
-    them; the *plan shape* is identical).  The tiny centroid codebook is
-    collected once and inlined as plan literals — the Spark analog of
-    broadcasting an IVF index's dictionary — so assignment is a single
-    narrow projection (per-row array-of-struct max, NO Exchange, no
-    16×-row window shuffle); candidate generation is an equi-join on
-    cell — the inverted-file pruning that makes brute force unnecessary.
-    At scale the cell id becomes the partition key.
+    The math is generated as ONE SQL expr() string: building the same
+    tree through the Column API costs a py4j round-trip per plan node
+    (~3 s for 16 centroids), and fully-flattened element_at chains blow
+    up Janino codegen compilation — the HOF form parsed JVM-side is the
+    sweet spot.  Bit-parity is preserved: the aggregate() fold is the
+    same left-to-right IEEE double chain as the oracle's list_reduce,
+    float repr+`D` literals round-trip exactly, and centroid norms fold
+    to Python doubles computed in the identical sequential order.
     """
-    cents = sorted(
-        (r[0], r[1])
-        for r in emb.filter(F.col("vec_id") < n_centroids)
-        .select("vec_id", vec_col)
-        .collect()
-    )
-    # Assignment math is generated as ONE SQL expr() string: building the
-    # same tree through the Column API costs a py4j round-trip per node
-    # (~3 s for 16 centroids), and fully-flattened element_at chains blow
-    # up Janino codegen compilation — the HOF form parsed JVM-side is the
-    # sweet spot.  Bit-parity is preserved: the aggregate() fold is the
-    # same left-to-right IEEE double chain as the oracle's list_reduce,
-    # float repr+`D` literals round-trip exactly, and centroid norms fold
-    # to Python doubles computed in the identical sequential order.
+
     def _py_norm(vec: list[float]) -> float:
         import math
 
@@ -242,16 +222,60 @@ def ivf_topk(
     with_norm = emb.withColumn(
         "_vnorm", F.expr(f"sqrt({_hof_dot(vec_col, vec_col)})")
     )
-    # per-centroid (sim, -cen_id) structs: sorted ascending then reversed
-    # = (sim DESC, cen_id ASC) — same order as the oracle's row_number.
     sims_sql = "array(" + ", ".join(
         f"named_struct('cs', round({_hof_dot(vec_col, _lit_arr(cvec))} / "
         f"(_vnorm * {_py_norm(cvec)!r}D), 6), 'neg_cen', {-cen_id}L)"
         for cen_id, cvec in cents
     ) + ")"
-    with_cells = with_norm.withColumn(
+    return with_norm.withColumn(
         "_cells", F.expr(f"reverse(array_sort({sims_sql}))")
     )
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell per vector — a single narrow projection.
+
+    The codebook is inlined as plan literals (the Spark analog of
+    broadcasting an IVF index's dictionary), so assignment is a per-row
+    array-of-struct max: NO Exchange, no 16×-row window shuffle.
+    ``tests/test_plan_shapes.py`` pins that property.
+    """
+    with_cells = _ivf_with_cells(emb, cents, vec_col)
+    return with_cells.select(
+        "vec_id", vec_col, (-F.col("_cells")[0]["neg_cen"]).alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: a coarse quantizer assigns every vector to its
+    nearest centroid cell; queries probe their ``n_probe`` nearest cells
+    and score only those cells' members.
+
+    The quantizer here is deterministic for oracle parity — centroids are
+    the first ``n_centroids`` vec_ids (a production build would k-means
+    them; the *plan shape* is identical).  Assignment is shuffle-free
+    (``ivf_assignments``); candidate generation is an equi-join on
+    cell — the inverted-file pruning that makes brute force unnecessary.
+    At scale the cell id becomes the partition key.
+    """
+    cents = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    with_cells = _ivf_with_cells(emb, cents, vec_col)
     assigned = with_cells.select(
         "vec_id", vec_col, (-F.col("_cells")[0]["neg_cen"]).alias("cell")
     )

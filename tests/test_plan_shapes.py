@@ -1,0 +1,131 @@
+"""Physical-plan regression tests — the scale properties the engine
+claims (SURVEY §4) pinned as assertions, so a refactor that silently
+reintroduces a shuffle, loses a broadcast, drops partition pruning, or
+pushes Python into a hot path fails CI rather than a 100 TB run.
+
+Plans are captured from ``df.explain(...)`` output (the user-facing
+surface); AQE leaves the initial plan visible under AdaptiveSparkPlan,
+which is what these assertions read.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.operators import similarity, text_analysis, trace_tree
+from evmtrace_etl_spark.operators.enrichment import enrich_blocks
+from evmtrace_etl_spark.sinks import ParquetUpsertSink
+from evmtrace_etl_spark.sources import fixtures
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_ivf_assignment_is_shuffle_free(emb):
+    """VERDICT r2 'what's wrong #4' done-criterion: centroid assignment
+    is a narrow projection — no Exchange, no Window — because the
+    codebook is inlined, not joined."""
+    cents = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    plan = plan_of(similarity.ivf_assignments(emb, cents))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    # and the math stayed JVM-side
+    assert "EvalPython" not in plan
+
+
+def test_lsh_topk_broadcasts_queries(emb):
+    """The ANN probe side is tiny and must broadcast: candidate
+    generation is a BroadcastHashJoin on the bucket key, never a
+    shuffled join of the full table."""
+    plan = plan_of(similarity.lsh_topk(emb))
+    assert "BroadcastHashJoin" in plan
+    # the big side is never exchanged for the join: the only Exchange
+    # allowed downstream is the final top-k window's hashpartitioning
+    assert "SortMergeJoin" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries(emb):
+    plan = plan_of(similarity.brute_force_topk(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_text_hot_paths_stay_jvm_side(docs):
+    """doc_profile / winnow_fingerprints are whole-stage-codegen
+    territory: no row-at-a-time or Arrow Python evaluation anywhere."""
+    for df in (
+        text_analysis.doc_profile(docs),
+        text_analysis.winnow_fingerprints(docs),
+    ):
+        plan = plan_of(df)
+        assert "EvalPython" not in plan  # Batch- and Arrow- variants
+
+
+def test_edge_aggregate_single_exchange(spark):
+    """A1/A2: one hash-partitioned Exchange with map-side partial
+    aggregation (HashAggregate below AND above it) — the one full-data
+    shuffle the zk domain is designed around."""
+    # simple mode prints each node once (formatted repeats them in the
+    # details section, which would double the count)
+    plan = plan_of(trace_tree.edge_aggregate(fixtures.traces_df(spark)), "simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_enrichment_join_broadcasts_blocks(spark):
+    """J6: the per-batch block-detail dimension is small and must
+    broadcast against the head side."""
+    from evmtrace_etl_spark.plans.pipeline import blocks_passthrough
+
+    blocks = blocks_passthrough(fixtures.blocks_df(spark))
+    heads = blocks.withColumn(
+        "transaction_count", F.lit(None).cast("int")
+    )
+    plan = plan_of(enrich_blocks(heads, blocks))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sink_read_prunes_partitions(spark, tmp_path):
+    """The hive-partitioned sink layout actually yields partition
+    pruning: a chain_id predicate lands in PartitionFilters, so a merge
+    over 1 of N chains scans 1 of N directories."""
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    df = spark.range(8).select(
+        (F.col("id") % 4).alias("chain_id"), F.col("id").alias("number")
+    )
+    sink.upsert(df, "blocks", ["chain_id", "number"], mode="update")
+    read = sink.read(spark, "blocks").filter(F.col("chain_id") == 1)
+    plan = plan_of(read)
+    assert "PartitionFilters" in plan
+    # the predicate must appear inside PartitionFilters, not only as a
+    # post-scan Filter
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "chain_id" in pf_line
