@@ -1,0 +1,124 @@
+"""Deterministic sharding + stratified sampling for training-data export
+(no reference counterpart — the LLM-data tier's corpus-partitioning ops).
+
+Both operators key on the shared ``functions.text.hash32`` (first 7 hex
+digits of md5), so shard membership and sample selection are (a)
+reproducible across runs and engines — the DuckDB oracle computes the
+identical hash — and (b) independent of row order, partitioning, and
+cluster size, which is what makes a 100 TB export resumable and
+auditable.  Everything is JVM builtins: the hash is one md5 projection,
+sampling is a narrow filter (no shuffle at all), and the shard rollup is
+a single hash-keyed groupBy with map-side partials.
+
+At scale the shard column is the write key:
+``df.repartition(n_shards, "shard_id").write.partitionBy("shard_id")``
+gives size-balanced, deterministic training shards; changing
+``n_shards`` re-deals every doc with no coordination state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash32, token_count
+from .text_analysis import doc_profile
+
+#: Default deterministic shard count (a real export sizes this so each
+#: shard lands in the 1-10 GB range).
+N_SHARDS = 32
+
+#: Per-quality-bucket keep percentage (out of 100) for the stratified
+#: sample: keep clean text, downsample noisy strata, drop fragments.
+SAMPLE_RATES = {
+    "ok": 80,
+    "punct_heavy": 25,
+    "low_signal": 10,
+    "too_short": 0,
+}
+
+
+def _keep_hash(id_col: str, salt: str) -> F.Column:
+    """Uniform [0, 100) bucket from the salted doc id — the salt decouples
+    independent sampling decisions made over the same corpus."""
+    return (
+        hash32(F.concat(F.lit(salt + "#"), F.col(id_col).cast("string")))
+        % 100
+    )
+
+
+def with_shard(
+    docs: DataFrame, n_shards: int = N_SHARDS, id_col: str = "doc_id"
+) -> DataFrame:
+    """``shard_id`` ∈ [0, n_shards) from the hashed doc id."""
+    return docs.withColumn(
+        "shard_id",
+        hash32(
+            F.concat(F.lit("shard#"), F.col(id_col).cast("string"))
+        )
+        % n_shards,
+    )
+
+
+def train_shards(
+    docs: DataFrame, n_shards: int = N_SHARDS, text_col: str = "text"
+) -> DataFrame:
+    """Per-shard manifest of the deterministic shard assignment.
+
+    Output: shard_id, n_docs, total_tokens, n_sources, min_doc_id,
+    max_doc_id — the audit row a shard writer emits next to each shard.
+    """
+    return (
+        with_shard(docs, n_shards)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(text_col).cast("long")).alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def stratified_sample_stats(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-stratified deterministic sampling, reported per stratum.
+
+    A doc is kept iff ``hash32('sample#' || doc_id) % 100 < rate[bucket]``
+    — a pure projection + filter, so the sampled corpus is reproducible
+    and the pass is shuffle-free until this audit rollup.
+
+    Output: quality_bucket, n_total, n_sampled, sampled_tokens,
+    min_sampled_doc_id, max_sampled_doc_id.
+    """
+    rates = rates if rates is not None else SAMPLE_RATES
+    prof = doc_profile(docs, text_col)
+    rate = F.lit(None).cast("long")
+    for bucket, pct in sorted(rates.items()):
+        rate = F.when(F.col("quality_bucket") == bucket, pct).otherwise(rate)
+    keep = _keep_hash("doc_id", "sample") < rate
+    return (
+        prof.withColumn("_keep", keep)
+        .groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.sum(
+                F.when(F.col("_keep"), F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("sampled_tokens"),
+            F.min(F.when(F.col("_keep"), F.col("doc_id"))).alias(
+                "min_sampled_doc_id"
+            ),
+            F.max(F.when(F.col("_keep"), F.col("doc_id"))).alias(
+                "max_sampled_doc_id"
+            ),
+        )
+    )

@@ -32,7 +32,7 @@ from ..functions.text import (
     SHINGLE_K,
     STOPWORDS,
 )
-from ..operators import dedup, multimodal, similarity, text_analysis
+from ..operators import dedup, multimodal, sampling, similarity, text_analysis
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,6 +136,16 @@ def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_parts(
         multimodal.as_media_table(_docs(spark, sf_dir))
     )
+
+
+def llm_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-shard manifest for training-data export."""
+    return sampling.train_shards(_docs(spark, sf_dir))
+
+
+def llm_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified deterministic sample, audited per stratum."""
+    return sampling.stratified_sample_stats(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +529,43 @@ SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4
 """
 
 
+_SHARD_HASH = _sql_h32("'shard#' || CAST(doc_id AS VARCHAR)")
+_SAMPLE_HASH = _sql_h32("'sample#' || CAST(doc_id AS VARCHAR)")
+
+TRAIN_SHARDS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, {_TOKS} AS toks,
+         {_SHARD_HASH} % {sampling.N_SHARDS} AS shard_id
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs,
+  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+  count(DISTINCT source) AS n_sources,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM s GROUP BY shard_id
+"""
+
+_SAMPLE_RATE_CASE = "CASE " + " ".join(
+    f"WHEN quality_bucket = '{b}' THEN {pct}"
+    for b, pct in sorted(sampling.SAMPLE_RATES.items())
+) + " ELSE NULL END"
+
+QUALITY_SAMPLE_SQL = f"""
+WITH {_PROFILE_CTE},
+k AS (
+  SELECT *, ({_SAMPLE_HASH} % 100) < ({_SAMPLE_RATE_CASE}) AS _keep
+  FROM prof3
+)
+SELECT quality_bucket, count(*) AS n_total,
+  CAST(sum(CASE WHEN _keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  CAST(sum(CASE WHEN _keep THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS sampled_tokens,
+  min(CASE WHEN _keep THEN doc_id END) AS min_sampled_doc_id,
+  max(CASE WHEN _keep THEN doc_id END) AS max_sampled_doc_id
+FROM k GROUP BY quality_bucket
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -535,6 +582,8 @@ QUERIES = {
     "llm_embedding_near_dups": llm_embedding_near_dups,
     "llm_banded_near_dups": llm_banded_near_dups,
     "llm_media_decode": llm_media_decode,
+    "llm_train_shards": llm_train_shards,
+    "llm_quality_sample": llm_quality_sample,
 }
 
 ORACLES = {
@@ -553,4 +602,6 @@ ORACLES = {
     "llm_embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "llm_banded_near_dups": BANDED_NEAR_DUPS_SQL,
     "llm_media_decode": MEDIA_DECODE_SQL,
+    "llm_train_shards": TRAIN_SHARDS_SQL,
+    "llm_quality_sample": QUALITY_SAMPLE_SQL,
 }

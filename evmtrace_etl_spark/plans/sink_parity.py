@@ -20,6 +20,12 @@ DuckDB oracle expresses the equivalent batch semantics:
 - ``zk_upsert_blocks`` — D3/D5 keep-last across two micro-batches with
   DO-UPDATE semantics (etl_result.rs:267-281): the later batch's
   duplicate (chain_id, number) rows overwrite the earlier batch's.
+- ``inv_event_windows`` — T5's "optionally watermark on timestamp"
+  leg made real: an event-time tumbling-window aggregate
+  (``withWatermark`` + ``window``) in update mode, every window update
+  DO-UPDATE-upserted by key — the standard Spark pattern for
+  late-data-tolerant rollups that the reference's punctuation model
+  cannot express.  The oracle is the batch date_trunc equivalent.
 
 EIP-55 checksumming (P9) is disabled on these paths because the oracle
 is pure SQL; the checksum leg is covered by unit vectors in
@@ -33,6 +39,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sinks import ParquetUpsertSink
 from ..sources import fixtures
@@ -107,14 +114,92 @@ def spark_upsert_blocks(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return sink.read(spark, "blocks")
 
 
+def spark_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → file stream → watermarked 1-hour tumbling windows
+    (update mode) → DO-UPDATE upsert keyed (window_start, event_type) →
+    final windows table.
+
+    The watermark bounds streaming state: windows older than
+    max(event_time) - delay are finalized and evicted, so state size is
+    O(active windows), not O(stream history) — the property that keeps
+    an unbounded stream's aggregation memory flat at scale.  Update-mode
+    emission + the idempotent DO-UPDATE sink means every re-emission of
+    a window converges to the final count (the same T3/T5 idempotency
+    contract as the zk sinks).
+    """
+    from .inventory import _t
+
+    base = _workdir("event_windows")
+    src = os.path.join(base, "src")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # one file → one micro-batch: deterministic (no cross-batch arrival
+    # order, so the watermark can never drop fixture rows)
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact, order-independent sum (double sums are neither)
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    sink = ParquetUpsertSink(
+        os.path.join(base, "sink"), partition_cols=("event_type",)
+    )
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        sink.upsert(
+            batch, "windows", ["window_start", "event_type"], mode="update"
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("inv_event_windows: stream not finished after 120 s")
+    return sink.read(spark, "windows")
+
+
+EVENT_WINDOWS_SQL = """
+WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6))
+            AS VARCHAR) AS value_sum
+FROM ev GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "zk_stream_transactions": spark_stream_transactions,
     "zk_upsert_replay": spark_upsert_replay,
     "zk_upsert_blocks": spark_upsert_blocks,
+    "inv_event_windows": spark_event_windows,
 }
 
 ORACLES = {
     "zk_stream_transactions": zk_parity.zk_transactions_oracle_sql(),
     "zk_upsert_replay": zk_parity.zk_transactions_oracle_sql(),
     "zk_upsert_blocks": zk_parity.blocks_oracle_sql(),
+    "inv_event_windows": EVENT_WINDOWS_SQL,
 }

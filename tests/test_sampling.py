@@ -1,0 +1,65 @@
+"""Sharding/sampling determinism — the properties that make a 100 TB
+export resumable: assignment is a pure function of the doc id, so it
+cannot depend on partitioning, row order, or cluster size."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.operators import sampling
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_shard_assignment_partitioning_invariant(docs):
+    a = _rows(sampling.train_shards(docs))
+    b = _rows(sampling.train_shards(docs.repartition(13)))
+    assert a == b
+
+
+def test_shard_ids_in_range_and_total_preserved(docs):
+    shards = sampling.train_shards(docs).collect()
+    assert all(0 <= r.shard_id < sampling.N_SHARDS for r in shards)
+    assert sum(r.n_docs for r in shards) == docs.count()
+
+
+def test_stratified_sample_respects_rates(docs):
+    stats = {r.quality_bucket: r for r in
+             sampling.stratified_sample_stats(docs).collect()}
+    for bucket, row in stats.items():
+        assert 0 <= row.n_sampled <= row.n_total
+        if sampling.SAMPLE_RATES.get(bucket) == 0:
+            assert row.n_sampled == 0
+            assert row.min_sampled_doc_id is None
+
+
+def test_sample_selection_is_stable_across_runs(docs):
+    a = _rows(sampling.stratified_sample_stats(docs))
+    b = _rows(sampling.stratified_sample_stats(docs.repartition(7)))
+    assert a == b
+
+
+def test_shard_rollup_is_single_exchange(docs):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sampling.train_shards(docs).explain(mode="simple")
+    plan = buf.getvalue()
+    # narrow hash projection + one keyed aggregate; distinct-source adds
+    # its expand within the same key, never a second full-data shuffle
+    assert plan.count("Exchange") <= 2
+    assert "EvalPython" not in plan
