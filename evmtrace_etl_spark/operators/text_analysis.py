@@ -9,7 +9,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -93,52 +93,65 @@ def winnow_fingerprints(
     comma-joined).  Docs shorter than k+w-1 normalized chars produce no
     complete window and drop out (same filter in the oracle).
 
-    Scale shape: normalize once per doc, explode gram START POSITIONS
-    (not gram strings — the Generate node is a projection-collapse
-    barrier, so the regexp normalization runs once per doc, never once
-    per gram), substr+hash per position in codegen, then one per-doc
-    window min (the only shuffle, on doc_id) and a hash aggregate back
-    to doc grain.  No Python, no skew (doc_id is unique per doc).
+    Scale shape: ZERO exchanges — the whole computation is per-doc
+    array math (hash array → sliding-window mins → distinct/sort), so
+    it pipelines over the scan with no shuffle, no sort, no aggregate
+    state.  Each heavy expression is pinned behind an
+    ``explode(array(...))`` Generate (a 1→1 barrier): projection
+    collapse would otherwise inline the normalization into the
+    per-gram lambda (once per GRAM) and the gram-hash array into the
+    per-window lambda (once per WINDOW — quadratic).  No Python, no
+    skew (one row per doc end-to-end).
     """
     from ..functions.text import hash32
 
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    normed = docs.select(
-        "doc_id",
-        norm.alias("_norm"),
-        (F.length(norm) - k + 1).alias("_n"),  # k-gram start positions
-    )
-    # sequence(1, 0) counts DOWN in Spark — guard the short-doc case
-    grams = normed.select(
-        "doc_id",
-        "_norm",
-        "_n",
-        F.explode(
-            F.when(
-                F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"))
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("_p"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    mins = (
-        grams.select(
+    # barrier 1: normalize once per doc
+    base = (
+        docs.select("doc_id", F.explode(F.array(norm)).alias("_norm"))
+        .filter(F.length("_norm") >= k + w - 1)  # ≥1 complete window
+        .select(
             "doc_id",
-            "_n",
-            (F.col("_p") - 1).alias("pos"),
-            hash32(F.col("_norm").substr(F.col("_p"), F.lit(k))).alias("h"),
+            "_norm",
+            (F.length("_norm") - k + 1).alias("_ng"),  # n. of k-grams
         )
-        .withColumn("_min", F.min("h").over(win))
-        # only complete windows: start positions 0 .. n_grams-w (0-based pos)
-        .filter(F.col("pos") <= F.col("_n") - w)
     )
-    return mins.groupBy("doc_id").agg(
-        F.count_distinct(F.col("_min")).alias("n_fingerprints"),
+    # barrier 2: hash every k-gram once (array of _ng hashes per doc)
+    hashed = base.select(
+        "doc_id",
+        "_ng",
+        F.explode(
+            F.array(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_ng")),
+                    lambda p: hash32(F.col("_norm").substr(p, F.lit(k))),
+                )
+            )
+        ).alias("_hs"),
+    )
+    # barrier 3: per-window mins over the hash array, distinct + sorted
+    mins = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.sort_array(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.col("_ng") - w + 1),
+                            lambda i: F.array_min(
+                                F.slice(F.col("_hs"), i, F.lit(w))
+                            ),
+                        )
+                    )
+                )
+            )
+        ).alias("_mins"),
+    )
+    return mins.select(
+        "doc_id",
+        F.size("_mins").cast("long").alias("n_fingerprints"),
         F.array_join(
-            F.transform(
-                F.sort_array(F.collect_set("_min")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+            F.transform(F.col("_mins"), lambda x: x.cast("string")), ","
         ).alias("fingerprints"),
     )
 

@@ -86,6 +86,13 @@ def test_text_hot_paths_stay_jvm_side(docs):
         assert "EvalPython" not in plan  # Batch- and Arrow- variants
 
 
+def test_winnow_is_shuffle_free(docs):
+    """Winnowing is per-doc array math end-to-end: zero Exchanges, so it
+    pipelines over the scan with no shuffle/sort/aggregation state."""
+    plan = plan_of(text_analysis.winnow_fingerprints(docs), "simple")
+    assert plan.count("Exchange") == 0
+
+
 def test_edge_aggregate_single_exchange(spark):
     """A1/A2: one hash-partitioned Exchange with map-side partial
     aggregation (HashAggregate below AND above it) — the one full-data
