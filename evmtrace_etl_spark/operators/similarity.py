@@ -308,6 +308,42 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Recall@k of the sign-LSH ANN path against exact brute force —
+    the self-evaluation harness for the approximate index ("measure,
+    don't guess": bucket-count / plane-sizing changes are judged by this
+    number, not by intuition).
+
+    Output: query_id, n_exact, n_hit, recall (n_hit / k as a rounded
+    double — both engines divide identical IEEE doubles, so the oracle
+    matches bit-for-bit).  Both legs reuse the production operators, so
+    this measures exactly what ships.
+    """
+    exact = brute_force_topk(emb, n_queries, k, vec_col)
+    approx = lsh_topk(emb, n_queries, k, vec_col, planes).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    joined = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

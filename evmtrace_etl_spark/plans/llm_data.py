@@ -138,6 +138,11 @@ def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN path vs exact brute force."""
+    return similarity.ann_recall(_emb(spark, sf_dir))
+
+
 def llm_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-shard manifest for training-data export."""
     return sampling.train_shards(_docs(spark, sf_dir))
@@ -529,6 +534,38 @@ SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4
 """
 
 
+ANN_RECALL_SQL = f"""
+WITH eb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM eb WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_sql_cos('q.qv', 'e.embedding')} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_sql_cos('q.qv', 'e.embedding')} DESC, e.vec_id ASC) AS rank
+    FROM eb e JOIN q ON e.bucket = q.bucket
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+)
+SELECT exact.query_id, count(*) AS n_exact,
+  CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact LEFT JOIN approx
+  ON exact.query_id = approx.query_id
+ AND exact.neighbor_id = approx.neighbor_id
+GROUP BY exact.query_id
+"""
+
 _SHARD_HASH = _sql_h32("'shard#' || CAST(doc_id AS VARCHAR)")
 _SAMPLE_HASH = _sql_h32("'sample#' || CAST(doc_id AS VARCHAR)")
 
@@ -582,6 +619,7 @@ QUERIES = {
     "llm_embedding_near_dups": llm_embedding_near_dups,
     "llm_banded_near_dups": llm_banded_near_dups,
     "llm_media_decode": llm_media_decode,
+    "llm_ann_recall": llm_ann_recall,
     "llm_train_shards": llm_train_shards,
     "llm_quality_sample": llm_quality_sample,
 }
@@ -602,6 +640,7 @@ ORACLES = {
     "llm_embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "llm_banded_near_dups": BANDED_NEAR_DUPS_SQL,
     "llm_media_decode": MEDIA_DECODE_SQL,
+    "llm_ann_recall": ANN_RECALL_SQL,
     "llm_train_shards": TRAIN_SHARDS_SQL,
     "llm_quality_sample": QUALITY_SAMPLE_SQL,
 }
