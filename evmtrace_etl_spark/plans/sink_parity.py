@@ -114,7 +114,9 @@ def spark_upsert_blocks(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return sink.read(spark, "blocks")
 
 
-def spark_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spark_event_windows(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """events → file stream → watermarked 1-hour tumbling windows
     (update mode) → DO-UPDATE upsert keyed (window_start, event_type) →
     final windows table.
@@ -126,6 +128,12 @@ def spark_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission + the idempotent DO-UPDATE sink means every re-emission of
     a window converges to the final count (the same T3/T5 idempotency
     contract as the zk sinks).
+
+    ``state_partitions`` sizes the state store (fixed per checkpoint at
+    first start): stateful-agg parallelism should track the KEY space
+    (active windows × event types — small here), not the input volume —
+    map-side partials absorb the volume before the state shuffle, and
+    every state partition costs a store instance + per-batch commit.
     """
     from .inventory import _t
 
@@ -166,16 +174,23 @@ def spark_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, "windows", ["window_start", "event_type"], mode="update"
         )
 
-    q = (
-        agg.writeStream.foreachBatch(_process)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("inv_event_windows: stream not finished after 120 s")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.foreachBatch(_process)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "inv_event_windows: stream not finished after 120 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink.read(spark, "windows")
 
 
