@@ -158,9 +158,20 @@ class ParquetUpsertSink:
         table: str,
         keys: Sequence[str],
         mode: str = "ignore",
+        touched_partitions: Sequence[dict] | None = None,
     ) -> None:
         """mode='ignore' → insert-if-absent (DO NOTHING); mode='update' →
-        replace existing rows with the batch's (DO UPDATE all columns)."""
+        replace existing rows with the batch's (DO UPDATE all columns).
+
+        ``touched_partitions`` (a list of ``{partition_col: value}``
+        dicts) is the caller's pruning hint: a stream runner can derive
+        it once per micro-batch from the RAW input (a cheap narrow
+        distinct) instead of this sink probing the fully-derived batch
+        plan — one whole plan materialization saved per upsert.  A
+        SUPERSET is safe (an over-touched partition is merged
+        unchanged); a subset is not (rows outside the hint would
+        silently merge against nothing and duplicate keys).
+        """
         if mode not in ("ignore", "update"):  # pragma: no cover
             raise ValueError(f"unknown upsert mode {mode!r}")
         spark = df.sparkSession
@@ -173,17 +184,26 @@ class ParquetUpsertSink:
             self._commit(df, tdir, "v0", pcols)
             return
 
-        # Materialize the batch once (executor cache, spilling to disk):
-        # the cached copy feeds BOTH the touched-partition probe and the
-        # two merge references, so the upstream batch plan runs exactly
-        # once per upsert — a micro-batch is bounded by the trigger, so
-        # it fits the cache tier (the reference's ≤100k-row dumper buffer
-        # plays the same role, src/main.rs:99-121).
-        batch = df.persist(StorageLevel.MEMORY_AND_DISK)
+        batch = df
+        hinted = touched_partitions is not None and bool(pcols)
+        # Without a hint the batch is materialized once into the executor
+        # cache (spilling to disk): the cached copy feeds BOTH the
+        # touched-partition probe and the merge references, so the
+        # upstream plan runs exactly once per upsert — a micro-batch is
+        # trigger-bounded, so it fits the cache tier (the reference's
+        # ≤100k-row dumper buffer plays the same role, src/main.rs:99-121).
+        # With a hint, 'ignore' references the batch once (no cache
+        # needed); 'update' references it twice (anti-join + union), so
+        # it is still cached to keep the single-evaluation guarantee.
+        if not hinted or mode == "update":
+            batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             existing = self.read(spark, table)
             if pcols:
-                touched = batch.select(*pcols).distinct().collect()
+                if hinted:
+                    touched = list(touched_partitions)
+                else:
+                    touched = batch.select(*pcols).distinct().collect()
                 if not touched:  # empty batch: nothing to merge
                     return
                 pred = F.lit(False)
@@ -206,7 +226,8 @@ class ParquetUpsertSink:
             # hardlinked files survive in the new version
             shutil.rmtree(os.path.join(tdir, cur), ignore_errors=True)
         finally:
-            batch.unpersist()
+            if not hinted or mode == "update":
+                batch.unpersist()
 
     def _commit(
         self,
@@ -298,7 +319,10 @@ class DbApiUpsertSink:
         table: str,
         keys: Sequence[str],
         mode: str = "ignore",
+        touched_partitions: Sequence[dict] | None = None,
     ) -> None:
+        # touched_partitions is accepted for UpsertSink interchangeability
+        # and ignored: ON CONFLICT prunes by index, not partition
         flat = _flatten_for_sql(df)
         rows = [tuple(r) for r in flat.collect()]
         if not rows:
@@ -349,7 +373,9 @@ class DbApiPartitionUpsertSink:
         table: str,
         keys: Sequence[str],
         mode: str = "ignore",
+        touched_partitions: Sequence[dict] | None = None,
     ) -> None:
+        # touched_partitions ignored — see DbApiUpsertSink.upsert
         flat = _flatten_for_sql(df)
         if self.max_parallelism:
             flat = flat.coalesce(self.max_parallelism)

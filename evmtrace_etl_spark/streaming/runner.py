@@ -45,7 +45,29 @@ BLOCK_KEYS = ["chain_id", "number"]
 
 
 class UpsertSink(Protocol):  # ParquetUpsertSink / DbApiUpsertSink
-    def upsert(self, df: DataFrame, table: str, keys, mode: str = "ignore") -> None: ...
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        keys,
+        mode: str = "ignore",
+        touched_partitions=None,
+    ) -> None: ...
+
+
+def _touched_chains(batch: DataFrame) -> list[dict] | None:
+    """Partition-pruning hint for the sinks: the micro-batch's distinct
+    chain_ids, derived from the RAW batch (a narrow distinct over one
+    column) so neither sink has to materialize its fully-derived output
+    plan just to learn which partitions it touches.  The raw batch can
+    only ever be a superset of any derived output's chains — the safe
+    direction (see ParquetUpsertSink.upsert)."""
+    if "chain_id" not in batch.columns:
+        return None
+    return [
+        {"chain_id": r[0]}
+        for r in batch.select("chain_id").distinct().collect()
+    ]
 
 
 def process_trace_batch(
@@ -62,6 +84,7 @@ def process_trace_batch(
     persists would pile up in executor storage memory."""
     parts = ZkParts(batch)
     try:
+        touched = _touched_chains(batch)
         tx = zk_transactions(batch, parts)
         contracts = zk_contracts_deduped(batch, parts)
         if checksum:
@@ -69,8 +92,14 @@ def process_trace_batch(
             contracts = with_checksummed_addresses(
                 contracts, *CONTRACT_ADDRESS_COLS
             )
-        sink.upsert(tx, "transactions", TX_KEYS, mode="ignore")
-        sink.upsert(contracts, "contracts", CONTRACT_KEYS, mode="ignore")
+        sink.upsert(
+            tx, "transactions", TX_KEYS, mode="ignore",
+            touched_partitions=touched,
+        )
+        sink.upsert(
+            contracts, "contracts", CONTRACT_KEYS, mode="ignore",
+            touched_partitions=touched,
+        )
     finally:
         parts.unpersist()
 
@@ -83,7 +112,10 @@ def process_block_batch(
     out = blocks_passthrough(batch)
     if checksum:
         out = with_checksummed_addresses(out, *BLOCK_ADDRESS_COLS)
-    sink.upsert(out, "blocks", BLOCK_KEYS, mode="update")
+    sink.upsert(
+        out, "blocks", BLOCK_KEYS, mode="update",
+        touched_partitions=_touched_chains(batch),
+    )
 
 
 def start_zk_stream(

@@ -226,6 +226,32 @@ def test_parquet_upsert_ignore_mode_partitioned(spark, tmp_path):
     assert got == {(1, "a"): 1, (2, "b"): 2, (1, "c"): 3}
 
 
+def test_parquet_upsert_hinted_matches_probed(spark, tmp_path):
+    """A caller-supplied touched-partitions hint (even a superset) must
+    produce the identical table to the sink's own probe, in both modes —
+    and an over-touched partition must still carry its data forward."""
+    schema = "chain_id long, number long, v long"
+    keys = ["chain_id", "number"]
+    b1 = spark.createDataFrame(
+        [(c, i, c * 10 + i) for c in (1, 2, 3) for i in range(3)], schema
+    )
+    b2 = spark.createDataFrame([(2, 1, 999), (2, 5, 25)], schema)
+    for mode in ("ignore", "update"):
+        probed = ParquetUpsertSink(str(tmp_path / f"p_{mode}"))
+        hinted = ParquetUpsertSink(str(tmp_path / f"h_{mode}"))
+        probed.upsert(b1, "t", keys, mode=mode)
+        hinted.upsert(b1, "t", keys, mode=mode)
+        probed.upsert(b2, "t", keys, mode=mode)
+        hinted.upsert(
+            b2, "t", keys, mode=mode,
+            # superset hint: chain 3 is not in b2
+            touched_partitions=[{"chain_id": 2}, {"chain_id": 3}],
+        )
+        got_p = sorted(map(tuple, probed.read(spark, "t").collect()))
+        got_h = sorted(map(tuple, hinted.read(spark, "t").collect()))
+        assert got_p == got_h, mode
+
+
 def test_dbapi_partition_sink_matches_collect(spark, tmp_path):
     """The foreachPartition writer must produce the same table as the
     driver-collect writer, and stay idempotent under replay."""
