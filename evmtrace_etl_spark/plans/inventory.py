@@ -31,12 +31,20 @@ from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark's reader rejects
-        # nanos natively — read as long ns, truncate to micros (exactly what
-        # DuckDB's TIMESTAMP_NS → TIMESTAMP read does).
+        # events.parquet has carried ts as either TIMESTAMP(NANOS) (older
+        # generators — Spark's reader rejects nanos natively) or plain
+        # TIMESTAMP(MICROS).  Normalize both to micros: with nanosAsLong
+        # set, a nanos column surfaces as long and gets truncated exactly
+        # the way DuckDB's TIMESTAMP_NS → TIMESTAMP read does; a micros
+        # column arrives as timestamp and passes through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if df.schema["ts"].dataType.typeName().startswith("long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif df.schema["ts"].dataType.typeName() == "timestamp_ntz":
+            # driver oracle reads it as naive TIMESTAMP; align the type
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
