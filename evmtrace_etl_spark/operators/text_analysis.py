@@ -16,6 +16,7 @@ from ..functions.text import (
     bpe_token_estimate,
     fingerprint,
     lang_id,
+    shingles as shingles_of,
     stopword_hits,
     token_count,
     tokens,
@@ -153,6 +154,96 @@ def winnow_fingerprints(
         F.array_join(
             F.transform(F.col("_mins"), lambda x: x.cast("string")), ","
         ).alias("fingerprints"),
+    )
+
+
+#: Gopher repetition-filter thresholds (Rae et al. 2021, table A1 shape):
+#: a doc is flagged repetitive when its most common 2-gram covers more
+#: than 20% of all 2-grams, or characters inside duplicated 5-grams
+#: cover more than 15% of all 5-gram characters.
+TOP_BIGRAM_MAX = 0.20
+DUP_5GRAM_CHAR_MAX = 0.15
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition / boilerplate metrics per document.
+
+    Output: doc_id, n_tokens, n_distinct_tokens, dup_token_frac,
+    top_bigram_frac, top_trigram_frac, dup_5gram_char_frac,
+    repetition_flag (1 when a Gopher threshold trips).
+
+    Docs with zero tokens produce no row (the oracle applies the same
+    filter).
+
+    Scale shape: ONE explode emits every token/2/3/5-gram tagged with
+    its size; ONE (doc_id, n, gram) hash aggregate counts occurrences
+    (map-side partials absorb the repetition that the metric is
+    hunting — a highly repetitive doc combines to few rows before the
+    shuffle); ONE (doc_id) rollup derives all six metrics with
+    conditional aggregates.  Two shuffles total, both keyed by doc-
+    prefixed near-uniform keys; no Python, no window, no self-join.
+    """
+    toks = tokens(text_col)
+
+    def _tagged(n: int) -> F.Column:
+        src = toks if n == 1 else shingles_of(toks, n)
+        return F.transform(
+            src,
+            lambda g: F.struct(
+                F.lit(n).alias("n"), g.alias("gram")
+            ),
+        )
+
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(_tagged(1), _tagged(2), _tagged(3), _tagged(5))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def _when_n(n: int, col: F.Column) -> F.Column:
+        return F.when(F.col("n") == n, col)
+
+    gram_chars = F.length("gram") * F.col("cnt")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(_when_n(1, F.col("cnt"))).cast("long").alias("n_tokens"),
+        F.count(_when_n(1, F.lit(1))).cast("long").alias("n_distinct_tokens"),
+        F.max(_when_n(2, F.col("cnt"))).cast("long").alias("_top2"),
+        F.sum(_when_n(2, F.col("cnt"))).cast("long").alias("_tot2"),
+        F.max(_when_n(3, F.col("cnt"))).cast("long").alias("_top3"),
+        F.sum(_when_n(3, F.col("cnt"))).cast("long").alias("_tot3"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("cnt") > 1), gram_chars)
+        ).cast("long").alias("_dup5chars"),
+        F.sum(_when_n(5, gram_chars)).cast("long").alias("_tot5chars"),
+    )
+
+    def _frac(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    dup_token = _frac(
+        F.col("n_tokens") - F.col("n_distinct_tokens"), F.col("n_tokens")
+    )
+    top2 = _frac(F.col("_top2"), F.col("_tot2"))
+    top3 = _frac(F.col("_top3"), F.col("_tot3"))
+    dup5 = _frac(F.coalesce(F.col("_dup5chars"), F.lit(0)), F.col("_tot5chars"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        dup_token.alias("dup_token_frac"),
+        top2.alias("top_bigram_frac"),
+        top3.alias("top_trigram_frac"),
+        dup5.alias("dup_5gram_char_frac"),
+        F.when(
+            (top2 > TOP_BIGRAM_MAX) | (dup5 > DUP_5GRAM_CHAR_MAX), 1
+        ).otherwise(0).cast("int").alias("repetition_flag"),
     )
 
 

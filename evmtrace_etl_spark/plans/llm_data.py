@@ -153,6 +153,11 @@ def llm_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample_stats(_docs(spark, sf_dir))
 
 
+def llm_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate metrics per document."""
+    return text_analysis.repetition_profile(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -603,6 +608,54 @@ FROM k GROUP BY quality_bucket
 """
 
 
+def _gram_union_sql() -> str:
+    """UNION ALL of (doc_id, n, gram) rows for n ∈ {1, 2, 3, 5}."""
+    parts = ["SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM base"]
+    for n in (2, 3, 5):
+        parts.append(
+            f"SELECT doc_id, {n}, unnest(list_transform("
+            f"range(1, len(toks)-{n}+2), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' '))) "
+            f"FROM base WHERE len(toks) >= {n}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+REPETITION_PROFILE_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS ({_gram_union_sql()}),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+d AS (SELECT doc_id,
+  CAST(sum(CASE WHEN n=1 THEN cnt END) AS BIGINT) AS n_tokens,
+  CAST(count(CASE WHEN n=1 THEN 1 END) AS BIGINT) AS n_distinct_tokens,
+  CAST(max(CASE WHEN n=2 THEN cnt END) AS BIGINT) AS top2,
+  CAST(sum(CASE WHEN n=2 THEN cnt END) AS BIGINT) AS tot2,
+  CAST(max(CASE WHEN n=3 THEN cnt END) AS BIGINT) AS top3,
+  CAST(sum(CASE WHEN n=3 THEN cnt END) AS BIGINT) AS tot3,
+  CAST(coalesce(sum(CASE WHEN n=5 AND cnt>1 THEN length(gram)*cnt END), 0)
+       AS BIGINT) AS dup5chars,
+  CAST(sum(CASE WHEN n=5 THEN length(gram)*cnt END) AS BIGINT) AS tot5chars
+  FROM c GROUP BY doc_id),
+e AS (SELECT doc_id, n_tokens, n_distinct_tokens,
+  CASE WHEN n_tokens > 0
+       THEN CAST(n_tokens - n_distinct_tokens AS DOUBLE)
+            / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN tot2 > 0 THEN CAST(top2 AS DOUBLE) / CAST(tot2 AS DOUBLE)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN tot3 > 0 THEN CAST(top3 AS DOUBLE) / CAST(tot3 AS DOUBLE)
+       ELSE 0.0 END AS top_trigram_frac,
+  CASE WHEN tot5chars > 0
+       THEN CAST(dup5chars AS DOUBLE) / CAST(tot5chars AS DOUBLE)
+       ELSE 0.0 END AS dup_5gram_char_frac
+  FROM d)
+SELECT *,
+  CAST(CASE WHEN top_bigram_frac > {text_analysis.TOP_BIGRAM_MAX}
+             OR dup_5gram_char_frac > {text_analysis.DUP_5GRAM_CHAR_MAX}
+       THEN 1 ELSE 0 END AS INT) AS repetition_flag
+FROM e
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -622,6 +675,7 @@ QUERIES = {
     "llm_ann_recall": llm_ann_recall,
     "llm_train_shards": llm_train_shards,
     "llm_quality_sample": llm_quality_sample,
+    "llm_repetition_profile": llm_repetition_profile,
 }
 
 ORACLES = {
@@ -643,4 +697,5 @@ ORACLES = {
     "llm_ann_recall": ANN_RECALL_SQL,
     "llm_train_shards": TRAIN_SHARDS_SQL,
     "llm_quality_sample": QUALITY_SAMPLE_SQL,
+    "llm_repetition_profile": REPETITION_PROFILE_SQL,
 }

@@ -47,10 +47,37 @@ from ..streaming import runner, sources
 from . import zk_parity
 
 
+def _reap_stale_workdirs() -> None:
+    """Remove scratch dirs left by evmtrace processes that no longer
+    exist (crashed or killed runs), so pid-suffixed dirs don't pile up
+    in /tmp across rounds."""
+    tmp = tempfile.gettempdir()
+    for entry in os.listdir(tmp):
+        if not entry.startswith("evmtrace_"):
+            continue
+        pid_part = entry.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user — leave it
+
+
+_reap_stale_workdirs()
+
+
 def _workdir(name: str) -> str:
-    """Deterministic per-query scratch dir, recreated on every call so
-    repeated driver runs do not accumulate state."""
-    base = os.path.join(tempfile.gettempdir(), f"evmtrace_{name}")
+    """Per-query scratch dir, recreated on every call so repeated runs
+    in one process do not accumulate state.  The pid suffix keeps
+    concurrent runs (driver verify racing a local pytest) from
+    rmtree-ing each other's live stream checkpoints; stale dirs from
+    dead pids are reaped at import."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"evmtrace_{name}_{os.getpid()}"
+    )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     return base

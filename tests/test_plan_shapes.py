@@ -93,6 +93,17 @@ def test_winnow_is_shuffle_free(docs):
     assert plan.count("Exchange") == 0
 
 
+def test_repetition_profile_two_exchanges(docs):
+    """Repetition profile is exactly two hash aggregates deep: one
+    (doc_id, n, gram) count and one per-doc rollup — no window, no
+    self-join, no Python."""
+    plan = plan_of(text_analysis.repetition_profile(docs), "simple")
+    assert plan.count("Exchange") == 2
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_edge_aggregate_single_exchange(spark):
     """A1/A2: one hash-partitioned Exchange with map-side partial
     aggregation (HashAggregate below AND above it) — the one full-data

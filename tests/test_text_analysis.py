@@ -1,0 +1,58 @@
+"""Semantic tests for the Gopher-style repetition profile (the driver
+oracle pins Spark-vs-DuckDB parity; these pin the metric definitions
+against hand-computed values on adversarial docs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from evmtrace_etl_spark.operators import text_analysis
+
+
+@pytest.fixture(scope="module")
+def rep_rows(spark):
+    docs = spark.createDataFrame(
+        [
+            # 8 tokens, all "spam": top bigram covers 7/7 2-grams,
+            # the single 5-gram is duplicated 4× → both flags trip
+            (1, "spam spam spam spam spam spam spam spam"),
+            # natural text, no repeated bigram
+            (2, "the quick brown fox jumps over a lazy dog"),
+            # punctuation only → zero tokens → no output row
+            (3, "!!! ... ???"),
+            # empty text → no output row
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = text_analysis.repetition_profile(docs)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_zero_token_docs_emit_no_row(rep_rows):
+    assert set(rep_rows) == {1, 2}
+
+
+def test_repetitive_doc_metrics(rep_rows):
+    r = rep_rows[1]
+    assert r["n_tokens"] == 8
+    assert r["n_distinct_tokens"] == 1
+    assert r["dup_token_frac"] == pytest.approx(7 / 8)
+    assert r["top_bigram_frac"] == pytest.approx(1.0)
+    assert r["top_trigram_frac"] == pytest.approx(1.0)
+    # all four 5-grams are the same string → every 5-gram char is
+    # inside a duplicated 5-gram
+    assert r["dup_5gram_char_frac"] == pytest.approx(1.0)
+    assert r["repetition_flag"] == 1
+
+
+def test_natural_doc_not_flagged(rep_rows):
+    r = rep_rows[2]
+    assert r["n_tokens"] == 9
+    assert r["n_distinct_tokens"] == 9
+    assert r["dup_token_frac"] == 0.0
+    # 8 distinct bigrams, each once → top fraction 1/8
+    assert r["top_bigram_frac"] == pytest.approx(1 / 8)
+    # 5 distinct 5-grams, none duplicated
+    assert r["dup_5gram_char_frac"] == 0.0
+    assert r["repetition_flag"] == 0
