@@ -265,3 +265,130 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Connected components over an undirected pair list via min-label
+    propagation: every vertex converges to the smallest doc_id reachable
+    from it.  Output: doc_id, component_id (only vertices that appear in
+    ``pairs`` — singletons are trivially their own component).
+
+    Scale shape: the edge list is symmetrized once, hash-partitioned by
+    neighbor and persisted; each round is ONE equi-join against the
+    current labels (both sides partitioned on the same key, so the
+    persisted edge side does not re-shuffle) plus ONE min-aggregate.
+    Rounds needed = cluster diameter, which for near-dup clusters
+    (boilerplate families, mirror chains) is small; ``max_iters`` bounds
+    adversarial chains, and each round truncates lineage with
+    ``localCheckpoint`` so plan size stays constant.  Convergence is
+    detected by the label-sum (labels only ever decrease, so an
+    unchanged sum ⇒ a fixed point) — one scalar per round to the
+    driver, never the labels themselves.  For graphs with huge diameter
+    the textbook upgrade is large-star/small-star (O(log n) rounds);
+    near-dup graphs don't need it.
+    """
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    edges = fwd.union(rev).distinct().repartition("v").persist()
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("vid"), F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    try:
+        for _ in range(max_iters):
+            nbr = edges.join(
+                labels, edges["v"] == labels["vid"]
+            ).select(F.col("u").alias("vid"), "label")
+            labels = (
+                labels.union(nbr)
+                .groupBy("vid")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            cur = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("vid").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def near_dup_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over the
+    verified MinHash/LSH pair graph — the stage that turns pairwise
+    near-dup evidence into a drop list (keep the smallest doc_id per
+    cluster, drop the rest).
+
+    Output: doc_id, component_id, component_size, is_keep (int).
+    """
+    comp = connected_components(near_dup_pairs(docs, text_col, threshold))
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        comp.join(sizes, on="component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "component_size",
+            (F.col("doc_id") == F.col("component_id"))
+            .cast("int")
+            .alias("is_keep"),
+        )
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥1 k-word
+    shingle with a holdout/evaluation set.
+
+    Output (contaminated docs only): doc_id, n_shingles (distinct),
+    n_contaminated, contamination_frac.
+
+    Scale shape: the holdout shingle set is the small side (benchmark
+    suites are MBs against a 100 TB corpus) — distinct-ed and BROADCAST,
+    so the training side is never shuffled for the probe; the only wide
+    op is the per-doc rollup, keyed by doc_id.  Marking uses a broadcast
+    LEFT join so both "how many shingles" and "how many contaminated"
+    come out of one aggregate pass.
+    """
+    train_sh = exploded_shingle_hashes(docs, text_col)
+    hold_sh = (
+        exploded_shingle_hashes(holdout, text_col)
+        .select("h").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = train_sh.join(F.broadcast(hold_sh), on="h", how="left")
+    n_cont = F.count_distinct(
+        F.when(F.col("_hit") == 1, F.col("h"))
+    ).alias("n_contaminated")
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shingles"), n_cont)
+        .filter(F.col("n_contaminated") > 0)
+        .withColumn(
+            "contamination_frac",
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )

@@ -158,6 +158,25 @@ def llm_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.repetition_profile(_docs(spark, sf_dir))
 
 
+#: Pseudo-benchmark split for the decontamination query: every 13th
+#: doc_id plays the holdout set (same predicate in the oracle).
+DECON_MOD = 13
+
+
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters (connected components over the
+    verified LSH pair graph) with keep/drop decision per doc."""
+    return dedup.near_dup_components(_docs(spark, sf_dir))
+
+
+def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 k-shingle with the pseudo-holdout."""
+    docs = _docs(spark, sf_dir)
+    hold = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return dedup.contamination(train, hold)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -656,6 +675,42 @@ FROM e
 """
 
 
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE nd AS ({_near_dup_sql(0.5)}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM nd
+          UNION SELECT doc_b, doc_a FROM nd),
+reach AS (
+  SELECT s AS v, s AS r FROM edges
+  UNION
+  SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component_id FROM reach GROUP BY v),
+sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+          FROM comp GROUP BY component_id)
+SELECT doc_id, component_id, component_size,
+       CAST(CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS INT)
+         AS is_keep
+FROM comp JOIN sizes USING (component_id)
+"""
+
+
+DECONTAMINATION_SQL = f"""
+WITH {_shingle_ctes()},
+hold AS (SELECT DISTINCT unnest(sset) AS h FROM sh
+         WHERE doc_id % {DECON_MOD} = 0),
+tr AS (SELECT doc_id, unnest(sset) AS h FROM sh
+       WHERE doc_id % {DECON_MOD} <> 0)
+SELECT tr.doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(hold.h) AS BIGINT) AS n_contaminated,
+  CAST(count(hold.h) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS contamination_frac
+FROM tr LEFT JOIN hold ON tr.h = hold.h
+GROUP BY tr.doc_id
+HAVING count(hold.h) > 0
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -676,6 +731,8 @@ QUERIES = {
     "llm_train_shards": llm_train_shards,
     "llm_quality_sample": llm_quality_sample,
     "llm_repetition_profile": llm_repetition_profile,
+    "llm_dedup_components": llm_dedup_components,
+    "llm_decontamination": llm_decontamination,
 }
 
 ORACLES = {
@@ -698,4 +755,6 @@ ORACLES = {
     "llm_train_shards": TRAIN_SHARDS_SQL,
     "llm_quality_sample": QUALITY_SAMPLE_SQL,
     "llm_repetition_profile": REPETITION_PROFILE_SQL,
+    "llm_dedup_components": DEDUP_COMPONENTS_SQL,
+    "llm_decontamination": DECONTAMINATION_SQL,
 }

@@ -1,0 +1,85 @@
+"""Semantics of the transitive-dedup and decontamination operators on
+hand-built graphs (the driver oracle pins Spark-vs-DuckDB parity; these
+pin behavior on adversarial shapes the fixture corpus may not hit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.operators import dedup
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 (diameter 3) + island {10, 11} + pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-vertex path needs several propagation rounds; the label-sum
+    # fixed-point test must not stop early
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = dedup.connected_components(pairs, max_iters=20).collect()
+    assert {r["component_id"] for r in got} == {0}
+    assert len(got) == n + 1
+
+
+def test_near_dup_components_keep_flags(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text + " extra"), (50, "unrelated "
+          "words entirely different from the other documents here")],
+        "doc_id long, text string",
+    )
+    out = dedup.near_dup_components(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # 50 shares nothing → not in any component
+    assert set(by_id) == {1, 2, 3}
+    assert all(r["component_id"] == 1 for r in out)
+    assert all(r["component_size"] == 3 for r in out)
+    assert [by_id[i]["is_keep"] for i in (1, 2, 3)] == [1, 0, 0]
+
+
+def test_contamination_counts(spark):
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, shared + " eleven twelve"), (2, "totally different words "
+          "with no overlap at all whatsoever in this doc")],
+        "doc_id long, text string",
+    )
+    hold = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    out = dedup.contamination(docs, hold).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 1
+    # doc 1 has 12 tokens, the holdout its first 10; all of the
+    # holdout's shingles appear in doc 1
+    k = dedup.SHINGLE_K
+    assert r["n_shingles"] == 12 - k + 1
+    assert r["n_contaminated"] == 10 - k + 1
+    assert r["contamination_frac"] == pytest.approx(
+        (10 - k + 1) / (12 - k + 1)
+    )
+
+
+def test_contamination_holdout_is_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    hold = spark.createDataFrame(
+        [(2, "c d e f g h i j")], "doc_id long, text string"
+    )
+    plan = dedup.contamination(docs, hold)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
