@@ -367,24 +367,28 @@ def contamination(
 
     Scale shape: the holdout shingle set is the small side (benchmark
     suites are MBs against a 100 TB corpus) — distinct-ed and BROADCAST,
-    so the training side is never shuffled for the probe; the only wide
-    op is the per-doc rollup, keyed by doc_id.  Marking uses a broadcast
-    LEFT join so both "how many shingles" and "how many contaminated"
-    come out of one aggregate pass.
+    so the training side is never shuffled for the probe.  Shingle
+    occurrences are deduped by an explicit (doc_id, h) groupBy BEFORE
+    counting — map-side partials collapse repeats, and the final rollup
+    is a plain count/conditional-sum.  (Two ``count_distinct`` in one
+    agg would instead compile to an Expand that doubles every exploded
+    row through the shuffle — measured and rejected.)
     """
-    train_sh = exploded_shingle_hashes(docs, text_col)
+    train_sh = exploded_shingle_hashes(docs, text_col).distinct()
     hold_sh = (
         exploded_shingle_hashes(holdout, text_col)
         .select("h").distinct()
         .withColumn("_hit", F.lit(1))
     )
     marked = train_sh.join(F.broadcast(hold_sh), on="h", how="left")
-    n_cont = F.count_distinct(
-        F.when(F.col("_hit") == 1, F.col("h"))
-    ).alias("n_contaminated")
     return (
         marked.groupBy("doc_id")
-        .agg(F.count_distinct("h").alias("n_shingles"), n_cont)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_hit") == 1, 1).otherwise(0)
+            ).alias("n_contaminated"),
+        )
         .filter(F.col("n_contaminated") > 0)
         .withColumn(
             "contamination_frac",

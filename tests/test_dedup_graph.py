@@ -83,3 +83,6 @@ def test_contamination_holdout_is_broadcast(spark):
     plan = dedup.contamination(docs, hold)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # two count_distinct in one agg would compile to an Expand that
+    # doubles every shingle row through the shuffle — pinned out
+    assert "Expand" not in plan
