@@ -175,51 +175,84 @@ def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Docs with zero tokens produce no row (the oracle applies the same
     filter).
 
-    Scale shape: ONE explode emits every token/2/3/5-gram tagged with
-    its size; ONE (doc_id, n, gram) hash aggregate counts occurrences
-    (map-side partials absorb the repetition that the metric is
-    hunting — a highly repetitive doc combines to few rows before the
-    shuffle); ONE (doc_id) rollup derives all six metrics with
-    conditional aggregates.  Two shuffles total, both keyed by doc-
-    prefixed near-uniform keys; no Python, no window, no self-join.
+    Scale shape: ZERO shuffles — all metrics are per-doc array math
+    (sort each gram array, then one run-length-encoding pass with an
+    ``aggregate`` HOF finds the top run and the duplicated-gram chars),
+    so the operator pipelines over the scan, embarrassingly parallel in
+    input partitions.  The explode→(doc_id, n, gram) count→rollup
+    alternative shuffles ~4× the token count as gram strings and
+    measured 2× slower at sf0.1 (17.9 s vs 9.1 s) despite staying in
+    whole-stage codegen — the shuffle dominates the interpreted-HOF
+    penalty here, the same trade ``winnow_fingerprints`` settled on.
     """
     toks = tokens(text_col)
-
-    def _tagged(n: int) -> F.Column:
-        src = toks if n == 1 else shingles_of(toks, n)
-        return F.transform(
-            src,
-            lambda g: F.struct(
-                F.lit(n).alias("n"), g.alias("gram")
-            ),
-        )
-
-    exploded = docs.select(
-        "doc_id",
-        F.explode(
-            F.concat(_tagged(1), _tagged(2), _tagged(3), _tagged(5))
-        ).alias("g"),
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-
-    counts = exploded.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    base = docs.select("doc_id", toks.alias("_toks")).filter(
+        F.size("_toks") > 0
     )
 
-    def _when_n(n: int, col: F.Column) -> F.Column:
-        return F.when(F.col("n") == n, col)
+    def _long(n: int) -> F.Column:
+        return F.lit(n).cast("long")
 
-    gram_chars = F.length("gram") * F.col("cnt")
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum(_when_n(1, F.col("cnt"))).cast("long").alias("n_tokens"),
-        F.count(_when_n(1, F.lit(1))).cast("long").alias("n_distinct_tokens"),
-        F.max(_when_n(2, F.col("cnt"))).cast("long").alias("_top2"),
-        F.sum(_when_n(2, F.col("cnt"))).cast("long").alias("_tot2"),
-        F.max(_when_n(3, F.col("cnt"))).cast("long").alias("_top3"),
-        F.sum(_when_n(3, F.col("cnt"))).cast("long").alias("_tot3"),
-        F.sum(
-            F.when((F.col("n") == 5) & (F.col("cnt") > 1), gram_chars)
-        ).cast("long").alias("_dup5chars"),
-        F.sum(_when_n(5, gram_chars)).cast("long").alias("_tot5chars"),
+    def _top_run(arr: F.Column) -> F.Column:
+        """Max run length in a sorted array = max occurrence count."""
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            _long(0).alias("run"),
+            _long(0).alias("best"),
+        )
+
+        def step(a: F.Column, x: F.Column) -> F.Column:
+            nrun = F.when(x == a["prev"], a["run"] + 1).otherwise(_long(1))
+            return F.struct(
+                x.alias("prev"),
+                nrun.alias("run"),
+                F.greatest(a["best"], nrun).alias("best"),
+            )
+
+        return F.aggregate(arr, acc0, step, lambda a: a["best"])
+
+    def _dup_chars(arr: F.Column) -> F.Column:
+        """sum(length(gram) * count) over grams with count > 1, from a
+        sorted array: the 2nd occurrence retroactively adds the 1st's
+        chars, later occurrences add their own."""
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            _long(0).alias("run"),
+            _long(0).alias("dup"),
+        )
+
+        def step(a: F.Column, x: F.Column) -> F.Column:
+            same = x == a["prev"]
+            add = (
+                F.when(same & (a["run"] == 1), F.length(x).cast("long") * 2)
+                .when(same, F.length(x).cast("long"))
+                .otherwise(_long(0))
+            )
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, a["run"] + 1).otherwise(_long(1)).alias("run"),
+                (a["dup"] + add).alias("dup"),
+            )
+
+        return F.aggregate(arr, acc0, step, lambda a: a["dup"])
+
+    g2 = F.array_sort(shingles_of(F.col("_toks"), 2))
+    g3 = F.array_sort(shingles_of(F.col("_toks"), 3))
+    g5 = F.array_sort(shingles_of(F.col("_toks"), 5))
+    stage = base.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+        _top_run(g2).alias("_top2"),
+        F.size(g2).cast("long").alias("_tot2"),
+        _top_run(g3).alias("_top3"),
+        F.size(g3).cast("long").alias("_tot3"),
+        _dup_chars(g5).alias("_dup5chars"),
+        F.aggregate(
+            g5, _long(0), lambda a, x: a + F.length(x)
+        ).alias("_tot5chars"),
     )
 
     def _frac(num: F.Column, den: F.Column) -> F.Column:
@@ -227,17 +260,16 @@ def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
             den > 0, num.cast("double") / den.cast("double")
         ).otherwise(F.lit(0.0))
 
-    dup_token = _frac(
-        F.col("n_tokens") - F.col("n_distinct_tokens"), F.col("n_tokens")
-    )
     top2 = _frac(F.col("_top2"), F.col("_tot2"))
     top3 = _frac(F.col("_top3"), F.col("_tot3"))
-    dup5 = _frac(F.coalesce(F.col("_dup5chars"), F.lit(0)), F.col("_tot5chars"))
-    return per_doc.select(
+    dup5 = _frac(F.col("_dup5chars"), F.col("_tot5chars"))
+    return stage.select(
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
-        dup_token.alias("dup_token_frac"),
+        _frac(
+            F.col("n_tokens") - F.col("n_distinct_tokens"), F.col("n_tokens")
+        ).alias("dup_token_frac"),
         top2.alias("top_bigram_frac"),
         top3.alias("top_trigram_frac"),
         dup5.alias("dup_5gram_char_frac"),

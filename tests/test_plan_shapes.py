@@ -93,12 +93,11 @@ def test_winnow_is_shuffle_free(docs):
     assert plan.count("Exchange") == 0
 
 
-def test_repetition_profile_two_exchanges(docs):
-    """Repetition profile is exactly two hash aggregates deep: one
-    (doc_id, n, gram) count and one per-doc rollup — no window, no
-    self-join, no Python."""
+def test_repetition_profile_shuffle_free(docs):
+    """Repetition profile is per-doc array math end-to-end: zero
+    Exchanges (like winnowing), no window, no self-join, no Python."""
     plan = plan_of(text_analysis.repetition_profile(docs), "simple")
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange") == 0
     assert "Window" not in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
