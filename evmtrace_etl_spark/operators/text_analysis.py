@@ -299,3 +299,65 @@ def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return prof.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+#: RE2-compatible (and java.util.regex-compatible) PII patterns — the
+#: subset of syntax the Spark and DuckDB regex engines agree on
+#: (character classes, bounded repetition, \b, \S; no lookaround).
+PII_EMAIL_RX = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL_RX = r"https?://\S+"
+PII_IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII indicator counts (emails, URLs, IPv4 literals) for
+    scrub-or-drop decisions; only docs with ≥1 hit produce a row.
+
+    Scale shape: a pure narrow projection (three ``regexp_count`` calls
+    + a filter) — pipelines over the scan, zero shuffle.  Redaction
+    itself is the same projection with ``regexp_replace``; the counts
+    are the audit surface.
+    """
+    t = F.col(text_col)
+    out = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(t), F.lit(PII_EMAIL_RX)).cast("int").alias(
+            "n_emails"
+        ),
+        F.regexp_count(t, F.lit(PII_URL_RX)).cast("int").alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_IPV4_RX)).cast("int").alias("n_ipv4"),
+    )
+    return out.filter(
+        (F.col("n_emails") + F.col("n_urls") + F.col("n_ipv4")) > 0
+    )
+
+
+#: Exact-percentile points for the length-distribution rollup.
+LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def length_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source token-length distribution: n_docs, mean, and exact
+    p25/p50/p75/p95 (linear interpolation — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` agree bit-for-bit).
+
+    Scale note: exact percentile is a TypedImperativeAggregate whose
+    partial state is a value→count map — bounded here because token
+    counts are small integers, so partials stay tiny and combine
+    map-side.  For unbounded-domain columns the swap-in is
+    ``approx_percentile`` (t-digest) at the same call site.  The mean
+    is computed as exact long sum / count, not ``avg``, so the result
+    does not depend on double accumulation order.
+    """
+    n = F.size(tokens(text_col)).alias("n_tokens")
+    base = docs.select("source", n)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+        ).alias("mean_tokens"),
+    ] + [
+        F.percentile("n_tokens", F.lit(q)).alias(f"p{int(q * 100)}")
+        for q in LENGTH_QUANTILES
+    ]
+    return base.groupBy("source").agg(*aggs)

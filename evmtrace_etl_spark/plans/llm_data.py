@@ -177,6 +177,16 @@ def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination(train, hold)
 
 
+def llm_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc email/URL/IPv4 counts for scrub-or-drop decisions."""
+    return text_analysis.pii_profile(_docs(spark, sf_dir))
+
+
+def llm_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution with exact percentiles."""
+    return text_analysis.length_quantiles(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -711,6 +721,31 @@ HAVING count(hold.h) > 0
 """
 
 
+PII_PROFILE_SQL = f"""
+WITH c AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text),
+    '{text_analysis.PII_EMAIL_RX}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '{text_analysis.PII_URL_RX}')) AS INT) AS n_urls,
+  CAST(len(regexp_extract_all(text,
+    '{text_analysis.PII_IPV4_RX}')) AS INT) AS n_ipv4
+  FROM documents)
+SELECT * FROM c WHERE n_emails + n_urls + n_ipv4 > 0
+"""
+
+
+LENGTH_QUANTILES_SQL = f"""
+WITH base AS (SELECT source, len({_TOKS}) AS n_tokens FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+  {", ".join(
+    f"quantile_cont(n_tokens, {q}) AS p{int(q * 100)}"
+    for q in text_analysis.LENGTH_QUANTILES
+  )}
+FROM base GROUP BY source
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -733,6 +768,8 @@ QUERIES = {
     "llm_repetition_profile": llm_repetition_profile,
     "llm_dedup_components": llm_dedup_components,
     "llm_decontamination": llm_decontamination,
+    "llm_pii_profile": llm_pii_profile,
+    "llm_length_quantiles": llm_length_quantiles,
 }
 
 ORACLES = {
@@ -757,4 +794,6 @@ ORACLES = {
     "llm_repetition_profile": REPETITION_PROFILE_SQL,
     "llm_dedup_components": DEDUP_COMPONENTS_SQL,
     "llm_decontamination": DECONTAMINATION_SQL,
+    "llm_pii_profile": PII_PROFILE_SQL,
+    "llm_length_quantiles": LENGTH_QUANTILES_SQL,
 }

@@ -103,6 +103,20 @@ def test_repetition_profile_shuffle_free(docs):
     assert "EvalPython" not in plan
 
 
+def test_pii_profile_shuffle_free(docs):
+    """PII counting is a pure narrow projection over the scan."""
+    plan = plan_of(text_analysis.pii_profile(docs), "simple")
+    assert plan.count("Exchange") == 0
+    assert "EvalPython" not in plan
+
+
+def test_length_quantiles_single_exchange(docs):
+    """Exact percentiles partial-aggregate map-side: one Exchange keyed
+    by source, HashAggregate/ObjectHashAggregate below and above it."""
+    plan = plan_of(text_analysis.length_quantiles(docs), "simple")
+    assert plan.count("Exchange") == 1
+
+
 def test_edge_aggregate_single_exchange(spark):
     """A1/A2: one hash-partitioned Exchange with map-side partial
     aggregation (HashAggregate below AND above it) — the one full-data
