@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     BUCKET_CAP,
     EMB_BANDS,
+    EMBED_DIM,
     HYPERPLANES,
     HYPERPLANES_WIDE,
 )
@@ -414,4 +415,61 @@ def banded_near_dup_pairs(
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
+    )
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF codebook — the training
+    step that turns ``ivf_topk``'s deterministic seed into a fitted
+    quantizer.  Output: cen_id, n_members, d0..d{dim-1} (the refined
+    centroid, per-dimension columns).
+
+    Each iteration is (1) the shuffle-free inlined-codebook assignment
+    (``ivf_assignments`` — zero Exchange) and (2) ONE aggregate keyed by
+    cell: per-dimension means as decimal-exact sums (order-independent,
+    so cross-engine deterministic) divided by the member count, rounded
+    to 6 dp.  Map-side partials reduce the shuffle to
+    n_centroids × n_tasks rows regardless of corpus size; the per-round
+    driver ``collect`` is just the codebook (k × dim scalars) — the
+    thing that gets re-inlined (broadcast) for the next assignment,
+    exactly how an IVF index build distributes its dictionary.  Cells
+    that end an iteration empty are dropped (standard Lloyd's with
+    dead-centroid pruning); seed centroids are the first
+    ``n_centroids`` vec_ids, so the whole fit is reproducible.
+    """
+    seed = sorted(
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    cents = seed
+    rolled = None
+    for it in range(n_iters):
+        assigned = ivf_assignments(emb, cents, vec_col)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_members")] + [
+            F.round(
+                F.sum(F.col(vec_col)[i].cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias(f"d{i}")
+            for i in range(dim)
+        ]
+        rolled = assigned.groupBy("cell").agg(*aggs)
+        if it < n_iters - 1:
+            cents = sorted(
+                (int(r["cell"]), [float(r[f"d{i}"]) for i in range(dim)])
+                for r in rolled.collect()
+            )
+    return rolled.select(
+        F.col("cell").alias("cen_id"),
+        "n_members",
+        *[f"d{i}" for i in range(dim)],
     )

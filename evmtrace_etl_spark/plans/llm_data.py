@@ -187,6 +187,16 @@ def llm_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.length_quantiles(_docs(spark, sf_dir))
 
 
+#: Lloyd iterations for the registered IVF-training query (the oracle
+#: SQL is unrolled to the same depth).
+IVF_TRAIN_ITERS = 2
+
+
+def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means refinement of the IVF codebook (2 Lloyd iterations)."""
+    return similarity.ivf_train(_emb(spark, sf_dir), n_iters=IVF_TRAIN_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -746,6 +756,42 @@ FROM base GROUP BY source
 """
 
 
+def _ivf_assign_ctes(tag: str, cent_src: str) -> str:
+    """CTE chain: cosine vs the ``cent_src(cen_id, cv)`` table →
+    nearest-cell assignment (same rounding/tie-break as Spark)."""
+    return f"""
+s{tag} AS (SELECT e.vec_id, e.embedding, c.cen_id,
+              {_sql_cos('e.embedding', 'c.cv')} AS cs
+       FROM embeddings e CROSS JOIN {cent_src} c),
+r{tag} AS (SELECT *, row_number() OVER (
+         PARTITION BY vec_id ORDER BY cs DESC, cen_id ASC) AS rk FROM s{tag}),
+a{tag} AS (SELECT vec_id, embedding, cen_id AS cell FROM r{tag} WHERE rk = 1)"""
+
+
+_IVF_MEAN_COLS = ", ".join(
+    f"round(CAST(sum(CAST(embedding[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE)"
+    f" / count(*), 6) AS d{i}"
+    for i in range(EMBED_DIM)
+)
+
+IVF_TRAIN_SQL = f"""
+WITH c0 AS (SELECT vec_id AS cen_id, embedding AS cv
+            FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
+{_ivf_assign_ctes('1', 'c0')},
+m1 AS (SELECT cell, i AS pos,
+              round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*), 6) AS mv
+       FROM a1, LATERAL (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t
+       GROUP BY cell, i),
+c1 AS (SELECT cell AS cen_id, list(mv ORDER BY pos) AS cv
+       FROM m1 GROUP BY cell),
+{_ivf_assign_ctes('2', 'c1')}
+SELECT cell AS cen_id, CAST(count(*) AS BIGINT) AS n_members,
+       {_IVF_MEAN_COLS}
+FROM a2 GROUP BY cell
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -770,6 +816,7 @@ QUERIES = {
     "llm_decontamination": llm_decontamination,
     "llm_pii_profile": llm_pii_profile,
     "llm_length_quantiles": llm_length_quantiles,
+    "llm_ivf_train": llm_ivf_train,
 }
 
 ORACLES = {
@@ -796,4 +843,5 @@ ORACLES = {
     "llm_decontamination": DECONTAMINATION_SQL,
     "llm_pii_profile": PII_PROFILE_SQL,
     "llm_length_quantiles": LENGTH_QUANTILES_SQL,
+    "llm_ivf_train": IVF_TRAIN_SQL,
 }
