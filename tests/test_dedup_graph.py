@@ -86,3 +86,27 @@ def test_contamination_holdout_is_broadcast(spark):
     # two count_distinct in one agg would compile to an Expand that
     # doubles every shingle row through the shuffle — pinned out
     assert "Expand" not in plan
+
+
+def test_ivf_train_centroids_are_cluster_means(spark):
+    from evmtrace_etl_spark.operators import similarity
+
+    # two tight clusters far apart in 4-d; seeds = vec_ids 0 and 1, one
+    # in each cluster, so one Lloyd iteration lands on the cluster means
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+        (2, [1.0, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.1, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["cen_id"]: r
+        for r in similarity.ivf_train(
+            emb, n_centroids=2, n_iters=1, dim=4
+        ).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0]["n_members"] == 2 and got[1]["n_members"] == 2
+    assert [got[0][f"d{i}"] for i in range(4)] == [1.0, 0.05, 0.0, 0.0]
+    assert [got[1][f"d{i}"] for i in range(4)] == [0.0, 0.05, 0.0, 1.0]
