@@ -110,3 +110,39 @@ def test_ivf_train_centroids_are_cluster_means(spark):
     assert got[0]["n_members"] == 2 and got[1]["n_members"] == 2
     assert [got[0][f"d{i}"] for i in range(4)] == [1.0, 0.05, 0.0, 0.0]
     assert [got[1][f"d{i}"] for i in range(4)] == [0.0, 0.05, 0.0, 1.0]
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check vs a reference union-find on a few random-ish
+    graphs (deterministic seeds — no flaky CI)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 40
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(35)
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        touched = {v for p in pairs for v in p}
+        want = {v: min(u for u in touched if find(u) == find(v))
+                for v in touched}
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == want, f"seed {seed}"
