@@ -18,7 +18,7 @@ gives size-balanced, deterministic training shards; changing
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash32, token_count
@@ -121,4 +121,61 @@ def stratified_sample_stats(
                 "max_sampled_doc_id"
             ),
         )
+    )
+
+
+#: Fixed token budget per packed training sequence.
+PACK_BUDGET = 2048
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_SHARDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing manifest: docs are laid into one contiguous
+    token stream per shard (deterministic hash order) and cut into
+    fixed ``budget``-token windows — the packed-pretraining layout
+    (no padding; a doc whose tokens straddle a cut crosses into the
+    next pack).
+
+    Output per pack: shard_id, pack_id, n_docs (docs starting in the
+    pack), pack_tokens (their token sum), crosses_boundary (1 when the
+    pack's last-starting doc spills into the next pack).  Zero-token
+    docs are excluded (they occupy no stream positions).
+
+    Scale shape: ONE window per shard stream (partitionBy shard_id,
+    orderBy (hash, doc_id)) computes each doc's start offset as a
+    running sum, then ONE (shard_id, pack_id) rollup.  Parallelism =
+    n_shards, the export knob: shard streams are independent, so a
+    100 TB run sizes n_shards to the cluster and each window sorts one
+    shard's manifest rows (doc_id + token count — not text).
+    """
+    sharded = (
+        with_shard(docs, n_shards)
+        .select(
+            "doc_id",
+            "shard_id",
+            token_count(text_col).cast("long").alias("_tok"),
+            hash32(
+                F.concat(F.lit("pack#"), F.col("doc_id").cast("string"))
+            ).alias("_ord"),
+        )
+        .filter(F.col("_tok") > 0)
+    )
+    w = Window.partitionBy("shard_id").orderBy("_ord", "doc_id")
+    start = F.sum("_tok").over(w) - F.col("_tok")
+    placed = sharded.select(
+        "shard_id",
+        "_tok",
+        F.floor(start / budget).cast("long").alias("pack_id"),
+        ((start % budget) + F.col("_tok") > budget)
+        .cast("int")
+        .alias("_crosses"),
+    )
+    return placed.groupBy("shard_id", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("pack_tokens"),
+        F.max("_crosses").cast("int").alias("crosses_boundary"),
     )

@@ -197,6 +197,11 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_train(_emb(spark, sf_dir), n_iters=IVF_TRAIN_ITERS)
 
 
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-pretraining manifest: fixed-token-budget packs per shard."""
+    return sampling.pack_sequences(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -792,6 +797,31 @@ FROM a2 GROUP BY cell
 """
 
 
+_PACK_ORD = _sql_h32("'pack#' || CAST(doc_id AS VARCHAR)")
+
+SEQ_PACKING_SQL = f"""
+WITH base AS (SELECT doc_id,
+    CAST(len({_TOKS}) AS BIGINT) AS tok,
+    {_PACK_ORD} AS ord,
+    {_sql_h32("'shard#' || CAST(doc_id AS VARCHAR)")}
+      % {sampling.N_SHARDS} AS shard_id
+  FROM documents),
+nz AS (SELECT * FROM base WHERE tok > 0),
+pl AS (SELECT shard_id, tok,
+    sum(tok) OVER (PARTITION BY shard_id ORDER BY ord, doc_id
+                   ROWS UNBOUNDED PRECEDING) - tok AS start
+  FROM nz)
+SELECT shard_id,
+  CAST(floor(start / {sampling.PACK_BUDGET}) AS BIGINT) AS pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS pack_tokens,
+  CAST(max(CASE WHEN start % {sampling.PACK_BUDGET} + tok
+                     > {sampling.PACK_BUDGET}
+           THEN 1 ELSE 0 END) AS INT) AS crosses_boundary
+FROM pl GROUP BY shard_id, pack_id
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -817,6 +847,7 @@ QUERIES = {
     "llm_pii_profile": llm_pii_profile,
     "llm_length_quantiles": llm_length_quantiles,
     "llm_ivf_train": llm_ivf_train,
+    "llm_seq_packing": llm_seq_packing,
 }
 
 ORACLES = {
@@ -844,4 +875,5 @@ ORACLES = {
     "llm_pii_profile": PII_PROFILE_SQL,
     "llm_length_quantiles": LENGTH_QUANTILES_SQL,
     "llm_ivf_train": IVF_TRAIN_SQL,
+    "llm_seq_packing": SEQ_PACKING_SQL,
 }

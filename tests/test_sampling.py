@@ -63,3 +63,35 @@ def test_shard_rollup_is_single_exchange(docs):
     # its expand within the same key, never a second full-data shuffle
     assert plan.count("Exchange") <= 2
     assert "EvalPython" not in plan
+
+
+def test_pack_sequences_stream_invariants(docs):
+    """Packs reconstruct a contiguous per-shard token stream: pack p's
+    cumulative token count runs past p*budget (else p would be empty),
+    and crosses_boundary is exactly 'the stream passes the next cut
+    mid-doc'."""
+    budget = sampling.PACK_BUDGET
+    out = sampling.pack_sequences(docs).collect()
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r["shard_id"]].append(r)
+    assert by_shard, "no packs produced"
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        ids = [r["pack_id"] for r in rows]
+        # pack_ids never repeat (a long doc crossing several cuts may
+        # swallow packs whole, so ids may skip — but only forward)
+        assert ids == sorted(set(ids)), shard
+        assert all(r["n_docs"] > 0 for r in rows)
+        # the stream is contiguous: its total length must reach past
+        # the last pack's start cut, and the last pack crosses the next
+        # cut iff the stream runs past it
+        total = sum(r["pack_tokens"] for r in rows)
+        last = rows[-1]
+        assert total > last["pack_id"] * budget
+        if last["crosses_boundary"]:
+            assert total > (last["pack_id"] + 1) * budget
+        else:
+            assert total <= (last["pack_id"] + 1) * budget
