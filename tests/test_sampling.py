@@ -95,3 +95,18 @@ def test_pack_sequences_stream_invariants(docs):
             assert total > (last["pack_id"] + 1) * budget
         else:
             assert total <= (last["pack_id"] + 1) * budget
+
+
+def test_pack_sequences_single_exchange(docs):
+    """One shard-keyed Exchange feeds BOTH the running-offset window and
+    the (shard, pack) rollup — the rollup's distribution requirement is
+    satisfied by the window's partitioning, so no second shuffle."""
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sampling.pack_sequences(docs).explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan
