@@ -327,10 +327,16 @@ def ann_recall(
     this measures exactly what ships.
     """
     exact = brute_force_topk(emb, n_queries, k, vec_col)
-    approx = lsh_topk(emb, n_queries, k, vec_col, planes).select(
+    approx = lsh_topk(emb, n_queries, k, vec_col, planes)
+    return _recall_rollup(exact, approx)
+
+
+def _recall_rollup(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of ``approx`` top-k against ``exact`` top-k."""
+    hits = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
-    joined = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    joined = exact.join(hits, on=["query_id", "neighbor_id"], how="left")
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
@@ -343,6 +349,23 @@ def ann_recall(
             6,
         ).alias("recall"),
     )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF path against exact brute force — the probe-
+    count/centroid-count sizing loop (raising ``n_probe`` trades scan
+    volume for recall; this measures the trade on the shipped
+    operators).  Output schema matches ``ann_recall``."""
+    exact = brute_force_topk(emb, n_queries, k, vec_col)
+    approx = ivf_topk(emb, n_queries, k, n_centroids, n_probe, vec_col)
+    return _recall_rollup(exact, approx)
 
 
 def embedding_near_dup_pairs(

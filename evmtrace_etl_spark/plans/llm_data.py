@@ -202,6 +202,11 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(_docs(spark, sf_dir))
 
 
+def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF path vs exact brute force."""
+    return similarity.ivf_recall(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -797,6 +802,48 @@ FROM a2 GROUP BY cell
 """
 
 
+IVF_RECALL_SQL = f"""
+WITH c AS (SELECT vec_id AS cen_id, embedding AS cv
+           FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
+s AS (SELECT e.vec_id, e.embedding, c.cen_id,
+             {_sql_cos('e.embedding', 'c.cv')} AS cs
+      FROM embeddings e CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cs DESC, cen_id ASC) AS rk FROM s),
+assigned AS (SELECT vec_id, embedding, cen_id AS cell FROM r WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cen_id AS cell
+           FROM r WHERE vec_id < 10 AND rk <= {_IVF_PROBE}),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             {_sql_cos('p.qv', 'a.embedding')} DESC, a.vec_id ASC) AS rank
+    FROM assigned a JOIN probes p ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rank <= 5
+),
+q2 AS (SELECT vec_id AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q2.query_id ORDER BY
+             {_sql_cos('q2.qv', 'e.embedding')} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e, q2 WHERE e.vec_id <> q2.query_id
+  ) WHERE rank <= 5
+)
+SELECT exact.query_id, count(*) AS n_exact,
+  CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact LEFT JOIN approx
+  ON exact.query_id = approx.query_id
+ AND exact.neighbor_id = approx.neighbor_id
+GROUP BY exact.query_id
+"""
+
+
 _PACK_ORD = _sql_h32("'pack#' || CAST(doc_id AS VARCHAR)")
 
 SEQ_PACKING_SQL = f"""
@@ -848,6 +895,7 @@ QUERIES = {
     "llm_length_quantiles": llm_length_quantiles,
     "llm_ivf_train": llm_ivf_train,
     "llm_seq_packing": llm_seq_packing,
+    "llm_ivf_recall": llm_ivf_recall,
 }
 
 ORACLES = {
@@ -876,4 +924,5 @@ ORACLES = {
     "llm_length_quantiles": LENGTH_QUANTILES_SQL,
     "llm_ivf_train": IVF_TRAIN_SQL,
     "llm_seq_packing": SEQ_PACKING_SQL,
+    "llm_ivf_recall": IVF_RECALL_SQL,
 }
