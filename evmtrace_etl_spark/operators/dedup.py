@@ -281,16 +281,15 @@ def connected_components(
     Scale shape: the edge list is symmetrized once, hash-partitioned by
     neighbor and persisted; each round is ONE equi-join against the
     current labels (both sides partitioned on the same key, so the
-    persisted edge side does not re-shuffle) plus ONE min-aggregate.
-    Rounds needed = cluster diameter, which for near-dup clusters
-    (boilerplate families, mirror chains) is small; ``max_iters`` bounds
-    adversarial chains, and each round truncates lineage with
-    ``localCheckpoint`` so plan size stays constant.  Convergence is
-    detected by the label-sum (labels only ever decrease, so an
-    unchanged sum ⇒ a fixed point) — one scalar per round to the
-    driver, never the labels themselves.  For graphs with huge diameter
-    the textbook upgrade is large-star/small-star (O(log n) rounds);
-    near-dup graphs don't need it.
+    persisted edge side does not re-shuffle), ONE min-aggregate, and
+    ONE pointer-jumping self-join (label := label-of-label) that
+    squares the propagation distance — convergence in O(log diameter)
+    rounds, so ``max_iters`` = 15 covers diameters past 2^15 and
+    adversarial boilerplate chains can't exhaust it.  Each round
+    truncates lineage with ``localCheckpoint`` so plan size stays
+    constant.  Convergence is detected by the label-sum (labels only
+    ever decrease, so an unchanged sum ⇒ a fixed point) — one scalar
+    per round to the driver, never the labels themselves.
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -306,10 +305,26 @@ def connected_components(
             nbr = edges.join(
                 labels, edges["v"] == labels["vid"]
             ).select(F.col("u").alias("vid"), "label")
-            labels = (
+            merged = (
                 labels.union(nbr)
                 .groupBy("vid")
                 .agg(F.min("label").alias("label"))
+            )
+            # pointer jumping: every label is itself a vertex, so one
+            # self-join hops to the label's label — doubling how far a
+            # minimum travels per round
+            chase = merged.select(
+                F.col("vid").alias("_cv"), F.col("label").alias("_cl")
+            )
+            labels = (
+                merged.join(chase, merged["label"] == chase["_cv"], "left")
+                .select(
+                    "vid",
+                    F.least(
+                        F.coalesce(F.col("_cl"), F.col("label")),
+                        F.col("label"),
+                    ).alias("label"),
+                )
                 .localCheckpoint()
             )
             cur = labels.agg(

@@ -146,3 +146,15 @@ def test_connected_components_matches_union_find(spark):
             for r in dedup.connected_components(df).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_connected_components_deep_chain_with_few_rounds(spark):
+    # pointer jumping squares propagation distance per round: a
+    # 100-edge path must converge well inside 8 rounds (plain
+    # min-propagation would need 100)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    got = dedup.connected_components(pairs, max_iters=8).collect()
+    assert {r["component_id"] for r in got} == {0}
+    assert len(got) == 101
