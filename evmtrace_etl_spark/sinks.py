@@ -229,6 +229,55 @@ class ParquetUpsertSink:
             if not hinted or mode == "update":
                 batch.unpersist()
 
+    def compact(
+        self, spark: SparkSession, table: str, n_tasks: int = 8
+    ) -> None:
+        """Maintenance: rewrite the current version with each hive
+        partition's rows clustered into one task → one file per
+        partition directory (an unpartitioned table coalesces to
+        ``n_tasks`` files).  Micro-batch merges write one file per
+        shuffle task per touched partition, so a long-running stream
+        leaves partitions fragmented — this is the offline coalesce
+        pass a 100 TB sink schedules off the hot path (what OPTIMIZE
+        does on Delta/Iceberg; at that scale add a salt column to split
+        partitions bigger than one task should hold).  The rewrite is a
+        fresh version + marker swap, so concurrent readers of the old
+        version are unaffected (same crash contract as ``upsert``).
+        """
+        df = self.read(spark, table)
+        if df is None:
+            return
+        tdir = os.path.join(self.base_dir, table)
+        cur = self._current(table)
+        pcols = [c for c in self.partition_cols if c in df.columns]
+        if pcols:
+            out = df.repartition(n_tasks, *pcols)
+        else:
+            out = df.coalesce(n_tasks)
+        self._commit(out, tdir, f"v{int(cur[1:]) + 1}", pcols)
+        shutil.rmtree(os.path.join(tdir, cur), ignore_errors=True)
+
+    def vacuum(self, table: str) -> list[str]:
+        """Remove version directories other than the current one — the
+        crash-recovery sweep for an interrupted upsert (killed between
+        the marker swap and the old-version rmtree).  Returns removed
+        names."""
+        tdir = os.path.join(self.base_dir, table)
+        cur = self._current(table)
+        removed = []
+        if cur is None or not os.path.isdir(tdir):
+            return removed
+        for entry in os.listdir(tdir):
+            path = os.path.join(tdir, entry)
+            if (
+                os.path.isdir(path)
+                and entry.startswith("v")
+                and entry != cur
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(entry)
+        return removed
+
     def _commit(
         self,
         out: DataFrame,

@@ -333,3 +333,47 @@ def test_monitoring_and_health(spark):
         assert health["stats"]["latest_trace_block_1"] >= 100
     finally:
         server.shutdown()
+
+
+def test_sink_compact_and_vacuum(spark, tmp_path):
+    """compact: same rows, one data file per hive partition; vacuum:
+    removes a stale version dir left by a crash before cleanup."""
+    import os
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    schema = "chain_id long, number long, gas_used long"
+    b1 = spark.createDataFrame(
+        [(c, i, c * 100 + i) for c in (1, 2) for i in range(20)], schema
+    )
+    sink.upsert(b1.repartition(8), "blocks", ["chain_id", "number"],
+                mode="update")
+    before = {
+        (r.chain_id, r.number): r.gas_used
+        for r in sink.read(spark, "blocks").collect()
+    }
+    tdir = tmp_path / "sink" / "blocks"
+
+    def files_in(part):
+        cur = (tdir / "_VERSION").read_text()
+        d = tdir / cur / part
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in("chain_id=1")) > 1  # fragmented before compact
+    sink.compact(spark, "blocks")
+    assert len(files_in("chain_id=1")) == 1
+    assert len(files_in("chain_id=2")) == 1
+    after = {
+        (r.chain_id, r.number): r.gas_used
+        for r in sink.read(spark, "blocks").collect()
+    }
+    assert after == before
+
+    # simulate a crash that left an old version behind
+    stale = tdir / "v999"
+    stale.mkdir()
+    (stale / "junk").write_text("x")
+    removed = sink.vacuum("blocks")
+    assert "v999" in removed
+    assert not stale.exists()
+    cur = (tdir / "_VERSION").read_text()
+    assert (tdir / cur).exists()
