@@ -411,3 +411,81 @@ def contamination(
             / F.col("n_shingles").cast("double"),
         )
     )
+
+
+#: Banded-SimHash parameters: 4 bands of 8 bits each.  Two signatures
+#: within Hamming distance 3 differ in ≤3 bits, which can dirty at most
+#: 3 of the 4 bands — at least one band is identical, so the band
+#: equi-join finds every such pair (no false negatives up to distance
+#: SIMHASH_BANDS - 1).
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 32 // SIMHASH_BANDS
+SIMHASH_MAX_DIST = SIMHASH_BANDS - 1
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dist: int = SIMHASH_MAX_DIST,
+) -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance ≤ ``max_dist``
+    — the multi-table banding upgrade over ``simhash_buckets``'s
+    distance-0 clusters.
+
+    Output: doc_a, doc_b, hamming (int).
+
+    Scale shape: the signature table is tiny (doc_id + one long); each
+    doc explodes into ``SIMHASH_BANDS`` (band_id, band_key) rows — the
+    same banded equi-join as MinHash-LSH, with uniform hash-derived
+    keys — and candidates are verified with one ``bit_count(a XOR b)``
+    projection.  By the pigeonhole bound the bands are exhaustive for
+    ``max_dist`` ≤ SIMHASH_BANDS - 1; larger distances need more bands
+    (same table, wider explode).
+    """
+    sigs = simhash_docs(docs, text_col)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(
+                            F.col("simhash"), b * SIMHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_key").alias("band_key"),
+    )
+    a = bands.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("_sig_a"),
+    )
+    b = bands.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("_sig_b"),
+    )
+    hamming = F.bit_count(
+        F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))
+    ).cast("int")
+    return (
+        a.join(b, on=["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )

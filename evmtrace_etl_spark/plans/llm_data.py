@@ -207,6 +207,11 @@ def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_recall(_emb(spark, sf_dir))
 
 
+def llm_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dup pairs at Hamming distance ≤ 3."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -802,6 +807,28 @@ FROM a2 GROUP BY cell
 """
 
 
+_SIMHASH_BANDS_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {b} AS band_id, "
+    f"(simhash >> {b * dedup.SIMHASH_BAND_BITS}) "
+    f"& {(1 << dedup.SIMHASH_BAND_BITS) - 1} AS band_key FROM s"
+    for b in range(dedup.SIMHASH_BANDS)
+)
+
+SIMHASH_NEAR_DUPS_SQL = f"""
+WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+th AS (SELECT doc_id, list_transform(toks, t -> {_sql_h32('t')}) AS th
+       FROM doc_base WHERE len(toks) >= 1),
+s AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM th),
+bands AS ({_SIMHASH_BANDS_UNION})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_DIST}
+"""
+
+
 IVF_RECALL_SQL = f"""
 WITH c AS (SELECT vec_id AS cen_id, embedding AS cv
            FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
@@ -896,6 +923,7 @@ QUERIES = {
     "llm_ivf_train": llm_ivf_train,
     "llm_seq_packing": llm_seq_packing,
     "llm_ivf_recall": llm_ivf_recall,
+    "llm_simhash_near_dups": llm_simhash_near_dups,
 }
 
 ORACLES = {
@@ -925,4 +953,5 @@ ORACLES = {
     "llm_ivf_train": IVF_TRAIN_SQL,
     "llm_seq_packing": SEQ_PACKING_SQL,
     "llm_ivf_recall": IVF_RECALL_SQL,
+    "llm_simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
 }

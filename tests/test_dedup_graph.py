@@ -158,3 +158,22 @@ def test_connected_components_deep_chain_with_few_rounds(spark):
     got = dedup.connected_components(pairs, max_iters=8).collect()
     assert {r["component_id"] for r in got} == {0}
     assert len(got) == 101
+
+
+def test_simhash_near_dups_finds_close_pairs(spark):
+    same = ("the quick brown fox jumps over the lazy dog while autumn "
+            "leaves drift across the quiet river valley at dawn")
+    other = ("completely unrelated legal boilerplate concerning maritime "
+             "insurance obligations and arbitration venue selection rules")
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, same + " extra"), (9, other)],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_near_dups(docs).collect()}
+    # identical docs: distance 0
+    assert rows.get((1, 2)) == 0
+    # the near-identical doc must be within the banded-search bound
+    assert (1, 3) in rows and rows[(1, 3)] <= dedup.SIMHASH_MAX_DIST
+    # the unrelated doc pairs with nobody
+    assert not any(9 in p for p in rows)
