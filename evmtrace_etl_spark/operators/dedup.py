@@ -436,11 +436,15 @@ def simhash_near_dups(
 
     Scale shape: the signature table is tiny (doc_id + one long); each
     doc explodes into ``SIMHASH_BANDS`` (band_id, band_key) rows — the
-    same banded equi-join as MinHash-LSH, with uniform hash-derived
-    keys — and candidates are verified with one ``bit_count(a XOR b)``
-    projection.  By the pigeonhole bound the bands are exhaustive for
-    ``max_dist`` ≤ SIMHASH_BANDS - 1; larger distances need more bands
-    (same table, wider explode).
+    same banded equi-join as MinHash-LSH — and candidates are verified
+    with one ``bit_count(a XOR b)`` projection.  By the pigeonhole
+    bound the bands are exhaustive for ``max_dist`` ≤ SIMHASH_BANDS - 1;
+    larger distances need more bands (same table, wider explode).
+    An 8-bit band has only 256 keys, so band buckets grow O(n) with the
+    corpus — ``BUCKET_CAP`` drops degenerate buckets (the MinHash
+    path's skew guard, same documented coverage trade-off); a corpus
+    where capped buckets matter should move to a 64-bit signature
+    (16-bit bands) rather than raise the cap.
     """
     sigs = simhash_docs(docs, text_col)
     bands = sigs.select(
@@ -467,6 +471,10 @@ def simhash_near_dups(
         F.col("_b.band_id").alias("band_id"),
         F.col("_b.band_key").alias("band_key"),
     )
+    bands = bands.withColumn(
+        "_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    ).filter(F.col("_n") <= BUCKET_CAP)
     a = bands.select(
         "band_id",
         "band_key",

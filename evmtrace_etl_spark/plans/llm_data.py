@@ -819,7 +819,10 @@ WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 th AS (SELECT doc_id, list_transform(toks, t -> {_sql_h32('t')}) AS th
        FROM doc_base WHERE len(toks) >= 1),
 s AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM th),
-bands AS ({_SIMHASH_BANDS_UNION})
+bands0 AS ({_SIMHASH_BANDS_UNION}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS _n
+          FROM bands0),
+bands AS (SELECT * FROM sized WHERE _n <= {BUCKET_CAP})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM bands a JOIN bands b
