@@ -9,7 +9,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -361,3 +361,81 @@ def length_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for q in LENGTH_QUANTILES
     ]
     return base.groupBy("source").agg(*aggs)
+
+
+#: Unigram-LM scoring parameters: vocabulary = the VOCAB_SIZE most
+#: frequent tokens (ties broken lexicographically); out-of-vocabulary
+#: tokens get a fixed floor probability of OOV_NUM / total_tokens.
+VOCAB_SIZE = 4096
+OOV_NUM = 0.5
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = VOCAB_SIZE,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability — the cheap stand-in for the
+    perplexity filter (CCNet-style) that ranks docs by how typical
+    their token distribution is of the corpus; gibberish and OCR noise
+    score low.
+
+    Output: doc_id, n_tokens, n_oov, oov_frac, avg_logprob (docs with
+    zero tokens produce no row).
+
+    Scale shape: pass 1 is a (token) count aggregate — map-side
+    partials collapse repeats, and the result (≤ corpus vocabulary)
+    orders by (count DESC, token ASC) to take the top ``vocab_size``
+    rows, which then BROADCAST; pass 2 is a narrow broadcast LEFT join
+    of exploded tokens against that dictionary plus one per-doc
+    rollup.  Log values are decimal-cast before summing so the mean is
+    independent of accumulation order (the cross-engine determinism
+    rule used throughout this package).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("_t")
+    )
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").cast("long").alias("_total"))
+    vocab = (
+        counts.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("_cnt").desc(), F.col("_t").asc())
+            ),
+        )
+        .filter(F.col("_rk") <= vocab_size)
+        .select("_t", "_cnt")
+    )
+    marked = (
+        toks.join(F.broadcast(vocab), on="_t", how="left")
+        .crossJoin(F.broadcast(total))
+    )
+    logp = F.log(
+        F.coalesce(F.col("_cnt").cast("double"), F.lit(float(OOV_NUM)))
+        / F.col("_total").cast("double")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_cnt").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(logp.cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_frac"),
+            "avg_logprob",
+        )
+    )

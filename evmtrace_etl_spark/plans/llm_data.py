@@ -212,6 +212,11 @@ def llm_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(_docs(spark, sf_dir))
 
 
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability (perplexity-filter proxy)."""
+    return text_analysis.unigram_logprob_scores(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -874,6 +879,29 @@ GROUP BY exact.query_id
 """
 
 
+UNIGRAM_LOGPROB_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS t FROM base),
+c AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+v AS (SELECT t, cnt FROM (
+    SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rk
+    FROM c
+  ) WHERE rk <= {text_analysis.VOCAB_SIZE}),
+m AS (SELECT tk.doc_id, v.cnt FROM tk LEFT JOIN v ON tk.t = v.t)
+SELECT m.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS oov_frac,
+  round(CAST(sum(CAST(ln(
+      coalesce(CAST(m.cnt AS DOUBLE), {text_analysis.OOV_NUM})
+      / CAST(tot.total AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE)
+    / count(*), 6) AS avg_logprob
+FROM m, tot GROUP BY m.doc_id
+"""
+
+
 _PACK_ORD = _sql_h32("'pack#' || CAST(doc_id AS VARCHAR)")
 
 SEQ_PACKING_SQL = f"""
@@ -927,6 +955,7 @@ QUERIES = {
     "llm_seq_packing": llm_seq_packing,
     "llm_ivf_recall": llm_ivf_recall,
     "llm_simhash_near_dups": llm_simhash_near_dups,
+    "llm_unigram_logprob": llm_unigram_logprob,
 }
 
 ORACLES = {
@@ -957,4 +986,5 @@ ORACLES = {
     "llm_seq_packing": SEQ_PACKING_SQL,
     "llm_ivf_recall": IVF_RECALL_SQL,
     "llm_simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
+    "llm_unigram_logprob": UNIGRAM_LOGPROB_SQL,
 }

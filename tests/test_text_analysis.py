@@ -56,3 +56,19 @@ def test_natural_doc_not_flagged(rep_rows):
     # 5 distinct 5-grams, none duplicated
     assert r["dup_5gram_char_frac"] == 0.0
     assert r["repetition_flag"] == 0
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(1, 9)]
+    rows.append((100, "zxqv wqpx jklm vbnf qwer tyui asdf ghjk"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_analysis.unigram_logprob_scores(docs).collect()
+    }
+    # the repeated doc's tokens dominate the corpus → high logprob;
+    # the gibberish doc's tokens are rare singletons → much lower
+    assert out[100]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[1]["n_oov"] == 0  # small corpus: everything in vocab
+    assert out[100]["oov_frac"] == 0.0
