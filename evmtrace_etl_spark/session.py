@@ -8,6 +8,7 @@ Arrow on (Pandas-UDF fast path), explicit shuffle partition count.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +42,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # managed tables (bucketed exports) land outside the repo; on a
+        # cluster this is the real warehouse/metastore path
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(
+                    tempfile.gettempdir(), "evmtrace_warehouse"
+                ),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -456,3 +456,29 @@ class DbApiPartitionUpsertSink:
                     conn.close()
 
         flat.foreachPartition(_write_partition)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Export as a hash-bucketed, per-bucket-sorted managed table — the
+    co-located-join layout: any later join or aggregate keyed on
+    ``key`` reads matching buckets directly and skips its Exchange
+    entirely (pinned by ``tests/test_plan_shapes.py``).
+
+    At 100 TB this is the answer to "we join on this key every day":
+    pay the shuffle once at write time, never again at read time.
+    ``n_buckets`` is sized like shuffle partitions (each bucket ≈ one
+    task's worth); both sides of a recurring join must use the same
+    bucket count and key.
+    """
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

@@ -160,3 +160,25 @@ def test_sink_read_prunes_partitions(spark, tmp_path):
         line for line in plan.splitlines() if "PartitionFilters" in line
     )
     assert "chain_id" in pf_line
+
+
+def test_bucketed_table_joins_without_exchange(spark, docs):
+    """write_bucketed pays the shuffle at write time: a later self-join
+    and a groupBy on the bucket key plan with ZERO Exchanges."""
+    from evmtrace_etl_spark.sinks import write_bucketed
+
+    write_bucketed(docs.select("doc_id", "source"), "bucketed_docs_t")
+    try:
+        t1 = spark.table("bucketed_docs_t")
+        t2 = spark.table("bucketed_docs_t")
+        join_plan = plan_of(
+            t1.hint("merge").join(t2, on="doc_id"), "simple"
+        )
+        assert "Exchange" not in join_plan
+        assert "SortMergeJoin" in join_plan
+        agg_plan = plan_of(
+            t1.groupBy("doc_id").agg(F.count(F.lit(1))), "simple"
+        )
+        assert "Exchange" not in agg_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_docs_t")
