@@ -35,22 +35,26 @@ TRACE_PAYLOAD_SCHEMA = _payload_schema(TRACE_SCHEMA)
 BLOCK_PAYLOAD_SCHEMA = _payload_schema(BLOCK_SCHEMA)
 
 
-def decode_payloads(
+def _decode_marked(
     raw: DataFrame,
-    schema: T.StructType,
-    chain_id: int,
-    value_col: str = "value",
-    seq_col: str | None = "offset",
+    payload: T.StructType,
+    value_col: str,
+    seq_col: str | None,
 ) -> DataFrame:
-    """S3 — bytes → typed rows: strict-schema JSON decode, chain_id from
-    the topic binding, seq from the Kafka offset (the explicit arrival
-    order the keep-last dedups need)."""
-    payload = _payload_schema(schema)
-    decoded = raw.select(
+    return raw.select(
         F.col(value_col).cast("string").alias("_raw"),
         F.from_json(F.col(value_col).cast("string"), payload).alias("_r"),
         *( [F.col(seq_col).cast("long").alias("seq")] if seq_col else [] ),
     )
+
+
+def _project_decoded(
+    decoded: DataFrame,
+    payload: T.StructType,
+    schema: T.StructType,
+    chain_id: int,
+    seq_col: str | None,
+) -> DataFrame:
     cols = [
         # value_raw: the wire decimal string verbatim (U256 escape hatch —
         # DecimalType(38,0) would null out values ≥ 1e38 wei)
@@ -66,6 +70,73 @@ def decode_payloads(
     )
     # restore canonical column order
     return out.select(*[f.name for f in schema.fields])
+
+
+def decode_payloads(
+    raw: DataFrame,
+    schema: T.StructType,
+    chain_id: int,
+    value_col: str = "value",
+    seq_col: str | None = "offset",
+) -> DataFrame:
+    """S3 — bytes → typed rows: strict-schema JSON decode, chain_id from
+    the topic binding, seq from the Kafka offset (the explicit arrival
+    order the keep-last dedups need)."""
+    payload = _payload_schema(schema)
+    decoded = _decode_marked(raw, payload, value_col, seq_col)
+    return _project_decoded(decoded, payload, schema, chain_id, seq_col)
+
+
+def decode_payloads_split(
+    raw: DataFrame,
+    schema: T.StructType,
+    chain_id: int,
+    value_col: str = "value",
+    seq_col: str | None = "offset",
+) -> tuple[DataFrame, DataFrame]:
+    """S3 with bad-record routing: returns ``(good, quarantine)``.
+
+    Malformed payloads are detected the canonical Spark way — a
+    ``columnNameOfCorruptRecord`` field added to the parse schema
+    (PERMISSIVE ``from_json`` otherwise returns an all-null struct, not
+    a null one).  The reference's serde error path skips such records
+    silently (kafka/mod.rs:47-49); routing them to a quarantine output
+    instead (raw payload + chain_id + seq) preserves them for
+    audit/replay — the bad-record sideline every production ingest
+    needs.  Both outputs share the single decode projection; the split
+    is two narrow filters over it.
+    """
+    payload = _payload_schema(schema)
+    probe = T.StructType(
+        list(payload.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    decoded = raw.select(
+        F.col(value_col).cast("string").alias("_raw"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            probe,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_r"),
+        *(
+            [F.col(seq_col).cast("long").alias("seq")]
+            if seq_col
+            else []
+        ),
+    )
+    is_bad = F.col("_r").isNull() | F.col("_r._corrupt").isNotNull()
+    good = _project_decoded(
+        decoded.filter(~is_bad), payload, schema, chain_id, seq_col
+    )
+    quarantine = decoded.filter(is_bad).select(
+        F.lit(chain_id).cast("long").alias("chain_id"),
+        F.col("_raw").alias("raw_payload"),
+        *(
+            [F.col("seq")]
+            if seq_col
+            else [F.lit(0).cast("long").alias("seq")]
+        ),
+    )
+    return good, quarantine
 
 
 def kafka_trace_stream(

@@ -377,3 +377,25 @@ def test_sink_compact_and_vacuum(spark, tmp_path):
     assert not stale.exists()
     cur = (tdir / "_VERSION").read_text()
     assert (tdir / cur).exists()
+
+
+def test_decode_payloads_split_quarantines_bad_json(spark):
+    """S3 bad-record routing: malformed payloads land in the quarantine
+    output with their raw bytes; good rows decode exactly as the
+    non-split path."""
+    src = fixtures.traces_df(spark).filter("chain_id = 1")
+    payload_cols = [f.name for f in sources.TRACE_PAYLOAD_SCHEMA.fields]
+    wire = src.selectExpr(
+        "to_json(struct(" + ", ".join(payload_cols) + ")) AS value",
+        "seq AS offset",
+    )
+    junk = spark.createDataFrame(
+        [("{not json", 900), ("", 901)], "value string, offset long"
+    )
+    good, bad = sources.decode_payloads_split(
+        wire.unionByName(junk), fixtures.TRACE_SCHEMA, chain_id=1
+    )
+    assert _rows(good) == _rows(src)
+    bad_rows = {(r.raw_payload, r.seq) for r in bad.collect()}
+    assert bad_rows == {("{not json", 900), ("", 901)}
+    assert bad.columns == ["chain_id", "raw_payload", "seq"]
