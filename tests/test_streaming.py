@@ -399,3 +399,89 @@ def test_decode_payloads_split_quarantines_bad_json(spark):
     bad_rows = {(r.raw_payload, r.seq) for r in bad.collect()}
     assert bad_rows == {("{not json", 900), ("", 901)}
     assert bad.columns == ["chain_id", "raw_payload", "seq"]
+
+
+def test_watermark_drops_closed_windows_keeps_open_ones(spark, tmp_path):
+    """Late-data semantics pinned: after the watermark passes a window's
+    end, late rows for it are DROPPED; late rows for a still-open
+    window are still aggregated.  (maxFilesPerTrigger=1 forces the two
+    files into separate micro-batches, oldest mtime first, so batch 2
+    runs under the watermark advanced by batch 1.)"""
+    import os as _os
+    import time as _time
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000  # epoch seconds, on the hour boundary? no — use exact hours
+    h = 3600
+    t0 = (base // h) * h  # align to an hour
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        d = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            p for p in _os.listdir(d) if p.endswith(".parquet")
+        )
+        dst = str(src / (name + ".parquet"))
+        _os.rename(_os.path.join(d, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    from datetime import datetime, timezone
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    # batch 1: events at t0+10:30h and t0+11:30h (relative) → max event
+    # time t0+11.5h → watermark after batch 1 = t0+10.5h
+    write_file("b1", [("a", ts(t0 + int(10.5 * h)), 1.0),
+                      ("a", ts(t0 + int(11.5 * h)), 1.0)], _time.time() - 100)
+    # batch 2: one VERY late row (window [9h,10h) closed: end 10h <
+    # watermark 10.5h) and one mildly late row (window [10h,11h) still
+    # open: end 11h > watermark)
+    write_file("b2", [("a", ts(t0 + int(9.25 * h)), 1.0),
+                      ("a", ts(t0 + int(10.75 * h)), 1.0)], _time.time() - 50)
+
+    from evmtrace_etl_spark.sinks import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"), partition_cols=())
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda b, _i: sink.upsert(
+                b, "w", ["window_start", "event_type"], mode="update"
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["window_start"].hour, r["n_events"])
+        for r in sink.read(spark, "w").collect()
+    }
+    hours = {ws for ws, _ in got}
+    start_hour = ts(t0 + int(9 * h)).hour
+    # the closed 9h window never appears (its only row arrived too late)
+    assert start_hour not in hours
+    # the open 10h window counts BOTH its on-time row and the late one
+    assert (ts(t0 + int(10 * h)).hour, 2) in got
+    # the 11h window has its single on-time row
+    assert (ts(t0 + int(11 * h)).hour, 1) in got
