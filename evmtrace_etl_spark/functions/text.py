@@ -131,6 +131,21 @@ def hash_array32(arr: Column) -> Column:
     return F.transform(arr, hash32)
 
 
+def md5_long(col: Column, start: int, length: int) -> Column:
+    """Integer value of md5 hex digits [start, start+length), 1-based.
+
+    ``length`` <= 15 keeps the value inside the positive signed-long
+    range in both Spark and DuckDB (16 digits could reach 2^64-1).
+    ``md5_long(c, 1, 7)`` == ``hash32(c)``; the 64-bit SimHash uses the
+    (1,8) and (9,8) halves for two independent 32-bit token hashes.
+    """
+    if not 1 <= length <= 15:
+        raise ValueError("md5_long length must be in [1, 15]")
+    return F.conv(
+        F.substring(F.md5(col), start, length), 16, 10
+    ).cast("long")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     c = F.col(col) if isinstance(col, str) else col

@@ -6,7 +6,9 @@ Four families over a ``documents(doc_id, text, ...)`` table:
 - **MinHash + LSH near-dup**: shingle → minhash signature → banded
   bucket keys → candidate pairs ONLY within buckets (never all-pairs)
   → exact n-gram Jaccard verification on the shingle-hash sets.
-- **SimHash**: 32-bit signature per doc; identical-signature buckets.
+- **SimHash**: 32-bit signature per doc with identical-signature
+  buckets; a 64-bit signature (two 32-bit halves) with 16-bit banding
+  for the Hamming≤3 near-dup search.
 - **n-gram Jaccard**: the verification stage, exposed standalone.
 
 Scale design (100 TB): the per-doc stages (tokenize/shingle/hash/sign)
@@ -25,7 +27,7 @@ near-dup family is the LLM-data extension required by BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -38,6 +40,7 @@ from ..functions.text import (
     SHINGLE_K,
     fingerprint,
     hash32,
+    md5_long,
     tokens,
 )
 
@@ -413,14 +416,107 @@ def contamination(
     )
 
 
-#: Banded-SimHash parameters: 4 bands of 8 bits each.  Two signatures
-#: within Hamming distance 3 differ in ≤3 bits, which can dirty at most
-#: 3 of the 4 bands — at least one band is identical, so the band
-#: equi-join finds every such pair (no false negatives up to distance
-#: SIMHASH_BANDS - 1).
+#: Banded-SimHash parameters: a 64-bit signature in 4 bands of 16 bits.
+#: Two signatures within Hamming distance 3 differ in ≤3 bits, which can
+#: dirty at most 3 of the 4 bands — at least one band is identical, so
+#: the band equi-join finds every such pair (no false negatives up to
+#: distance SIMHASH_BANDS - 1).  16-bit bands give 65,536 keys per band:
+#: on a uniform corpus the mean bucket crosses BUCKET_CAP only past
+#: ~4M docs *per band key space* (vs ~16K for the old 8-bit bands) and
+#: ``simhash_band_stats`` surfaces the loss when it happens.
+SIMHASH64_BITS = 64
 SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = 32 // SIMHASH_BANDS
+SIMHASH_BAND_BITS = SIMHASH64_BITS // SIMHASH_BANDS
 SIMHASH_MAX_DIST = SIMHASH_BANDS - 1
+
+
+def simhash64_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + 64-bit simhash carried as two 32-bit halves
+    (``sim_lo`` = bits 0-31, ``sim_hi`` = bits 32-63, each in
+    [0, 2^32)).  Two halves because a single BIGINT signature with bit
+    63 set would overflow the signed range in both Spark and DuckDB;
+    all downstream math (band keys, XOR popcount) splits the same way.
+
+    Token-hash bits come from md5 hex digits 1-8 (lo) and 9-16 (hi) —
+    two independent 32-bit hashes from one md5 evaluation per token.
+    Same shape as ``simhash_docs``: explode + 64 conditional-sum
+    aggregates compile to one codegen'd hash aggregate with map-side
+    partials; docs with no tokens drop out (explode emits nothing).
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("_t")
+    ).select(
+        "doc_id",
+        md5_long(F.col("_t"), 1, 8).alias("_hlo"),
+        md5_long(F.col("_t"), 9, 8).alias("_hhi"),
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_{half}{b}")
+        for half, src in (("lo", "_hlo"), ("hi", "_hhi"))
+        for b in range(32)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*bit_aggs)
+
+    def _assemble(half: str) -> Column:
+        val = F.lit(0).cast("long")
+        for b in range(32):
+            val = val + F.when(
+                F.col(f"_{half}{b}") >= 0, F.lit(2**b).cast("long")
+            ).otherwise(0)
+        return val
+
+    return agg.select(
+        "doc_id",
+        _assemble("lo").alias("sim_lo"),
+        _assemble("hi").alias("sim_hi"),
+    )
+
+
+def _simhash_band_key(b: int) -> Column:
+    """16-bit band key ``b`` of a (sim_lo, sim_hi) signature: bands 0-1
+    from the low half, 2-3 from the high half."""
+    src = "sim_lo" if b < SIMHASH_BANDS // 2 else "sim_hi"
+    shift = (b % (SIMHASH_BANDS // 2)) * SIMHASH_BAND_BITS
+    return (
+        F.shiftright(F.col(src), shift)
+        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+    )
+
+
+def _simhash_bands(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi, band_id, band_key) — one row per band,
+    with the per-bucket size ``_n`` attached (pre-cap)."""
+    sigs = simhash64_docs(docs, text_col)
+    bands = sigs.select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        _simhash_band_key(b).alias("band_key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_key").alias("band_key"),
+    )
+    return bands.withColumn(
+        "_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    )
 
 
 def simhash_near_dups(
@@ -434,61 +530,38 @@ def simhash_near_dups(
 
     Output: doc_a, doc_b, hamming (int).
 
-    Scale shape: the signature table is tiny (doc_id + one long); each
+    Scale shape: the signature table is tiny (doc_id + two ints); each
     doc explodes into ``SIMHASH_BANDS`` (band_id, band_key) rows — the
     same banded equi-join as MinHash-LSH — and candidates are verified
-    with one ``bit_count(a XOR b)`` projection.  By the pigeonhole
-    bound the bands are exhaustive for ``max_dist`` ≤ SIMHASH_BANDS - 1;
+    with one split-XOR popcount projection.  By the pigeonhole bound
+    the bands are exhaustive for ``max_dist`` ≤ SIMHASH_BANDS - 1;
     larger distances need more bands (same table, wider explode).
-    An 8-bit band has only 256 keys, so band buckets grow O(n) with the
-    corpus — ``BUCKET_CAP`` drops degenerate buckets (the MinHash
-    path's skew guard, same documented coverage trade-off); a corpus
-    where capped buckets matter should move to a 64-bit signature
-    (16-bit bands) rather than raise the cap.
+    ``BUCKET_CAP`` still drops degenerate buckets (boilerplate corpora
+    collapsing one key), but with 65,536 keys per band uniform traffic
+    no longer saturates the cap at realistic corpus sizes — and
+    ``simhash_band_stats`` reports exactly how many docs the cap
+    dropped, so the coverage trade-off is observable, not silent.
     """
-    sigs = simhash_docs(docs, text_col)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(
-                            F.col("simhash"), b * SIMHASH_BAND_BITS
-                        )
-                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-                        .alias("band_key"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("_b"),
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("_b.band_id").alias("band_id"),
-        F.col("_b.band_key").alias("band_key"),
+    bands = _simhash_bands(docs, text_col).filter(
+        F.col("_n") <= BUCKET_CAP
     )
-    bands = bands.withColumn(
-        "_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
-    ).filter(F.col("_n") <= BUCKET_CAP)
     a = bands.select(
         "band_id",
         "band_key",
         F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("_sig_a"),
+        F.col("sim_lo").alias("_lo_a"),
+        F.col("sim_hi").alias("_hi_a"),
     )
     b = bands.select(
         "band_id",
         "band_key",
         F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("_sig_b"),
+        F.col("sim_lo").alias("_lo_b"),
+        F.col("sim_hi").alias("_hi_b"),
     )
-    hamming = F.bit_count(
-        F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))
+    hamming = (
+        F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+        + F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
     ).cast("int")
     return (
         a.join(b, on=["band_id", "band_key"])
@@ -496,4 +569,38 @@ def simhash_near_dups(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_dist)
+    )
+
+
+def simhash_band_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-band coverage report for the banded SimHash search: how many
+    buckets exist, how many exceed ``BUCKET_CAP`` (and are therefore
+    dropped by ``simhash_near_dups``), and how many doc-slots that
+    drop forfeits.  ``max_bucket`` shows how close the hottest key is
+    to the cap.  This is the ADVICE-mandated visibility hook: capped
+    coverage loss is a reported number, never a silent collapse.
+
+    Output: band_id, n_buckets, n_dropped_buckets, n_docs_dropped,
+    max_bucket.
+    """
+    per_bucket = (
+        _simhash_bands(docs, text_col)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_bucket.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.when(F.col("_n") > BUCKET_CAP, 1).otherwise(0)
+            ).cast("long").alias("n_dropped_buckets"),
+            F.sum(
+                F.when(F.col("_n") > BUCKET_CAP, F.col("_n")).otherwise(0)
+            ).cast("long").alias("n_docs_dropped"),
+            F.max("_n").alias("max_bucket"),
+        )
+        .orderBy("band_id")
     )

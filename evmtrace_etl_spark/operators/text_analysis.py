@@ -9,7 +9,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -397,14 +397,13 @@ def unigram_logprob_scores(
     )
     counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_cnt"))
     total = counts.agg(F.sum("_cnt").cast("long").alias("_total"))
+    # orderBy + limit compiles to TakeOrderedAndProject: each partition
+    # keeps its local top-k and the driver merges k rows — no global
+    # single-task sort of the corpus vocabulary (which is 10^8+ rows at
+    # full scale).  Tie-break on token keeps the cut deterministic.
     vocab = (
-        counts.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.orderBy(F.col("_cnt").desc(), F.col("_t").asc())
-            ),
-        )
-        .filter(F.col("_rk") <= vocab_size)
+        counts.orderBy(F.col("_cnt").desc(), F.col("_t").asc())
+        .limit(vocab_size)
         .select("_t", "_cnt")
     )
     marked = (

@@ -212,6 +212,12 @@ def llm_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(_docs(spark, sf_dir))
 
 
+def llm_simhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket/drop coverage report for the banded SimHash
+    search — surfaces what BUCKET_CAP forfeits instead of hiding it."""
+    return dedup.simhash_band_stats(_docs(spark, sf_dir))
+
+
 def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean unigram log-probability (perplexity-filter proxy)."""
     return text_analysis.unigram_logprob_scores(_docs(spark, sf_dir))
@@ -226,6 +232,16 @@ def _sql_h32(expr: str) -> str:
     return (
         "list_reduce(list_transform(string_split_regex("
         f"substr(md5({expr}),1,7), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16 + b)"
+    )
+
+
+def _sql_md5_long(expr: str, start: int, length: int) -> str:
+    """md5 hex digits [start, start+length) as BIGINT — identical to
+    functions.text.md5_long (length <= 15 stays in signed range)."""
+    return (
+        "list_reduce(list_transform(string_split_regex("
+        f"substr(md5({expr}),{start},{length}), ''), "
         "c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16 + b)"
     )
 
@@ -812,28 +828,74 @@ FROM a2 GROUP BY cell
 """
 
 
-_SIMHASH_BANDS_UNION = "\nUNION ALL\n".join(
-    f"SELECT doc_id, simhash, {b} AS band_id, "
-    f"(simhash >> {b * dedup.SIMHASH_BAND_BITS}) "
-    f"& {(1 << dedup.SIMHASH_BAND_BITS) - 1} AS band_key FROM s"
+# 64-bit SimHash as two 32-bit halves (sim_lo = md5 hex digits 1-8,
+# sim_hi = digits 9-16) — a single BIGINT signature with bit 63 set
+# would overflow the signed range, so both engines split identically.
+def _simhash_half_bits(th_col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform({th_col}, "
+        f"x -> CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(32)
+    )
+
+
+def _simhash64_band_key(b: int) -> str:
+    src = "sim_lo" if b < dedup.SIMHASH_BANDS // 2 else "sim_hi"
+    shift = (b % (dedup.SIMHASH_BANDS // 2)) * dedup.SIMHASH_BAND_BITS
+    return f"({src} >> {shift}) & {(1 << dedup.SIMHASH_BAND_BITS) - 1}"
+
+
+_SIMHASH64_BANDS_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, sim_lo, sim_hi, {b} AS band_id, "
+    f"{_simhash64_band_key(b)} AS band_key FROM s"
     for b in range(dedup.SIMHASH_BANDS)
 )
 
 SIMHASH_NEAR_DUPS_SQL = f"""
 WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-th AS (SELECT doc_id, list_transform(toks, t -> {_sql_h32('t')}) AS th
+th AS (SELECT doc_id,
+              list_transform(toks, t -> {_sql_md5_long('t', 1, 8)}) AS th_lo,
+              list_transform(toks, t -> {_sql_md5_long('t', 9, 8)}) AS th_hi
        FROM doc_base WHERE len(toks) >= 1),
-s AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM th),
-bands0 AS ({_SIMHASH_BANDS_UNION}),
+s AS (SELECT doc_id,
+             CAST({_simhash_half_bits('th_lo')} AS BIGINT) AS sim_lo,
+             CAST({_simhash_half_bits('th_hi')} AS BIGINT) AS sim_hi
+      FROM th),
+bands0 AS ({_SIMHASH64_BANDS_UNION}),
 sized AS (SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS _n
           FROM bands0),
 bands AS (SELECT * FROM sized WHERE _n <= {BUCKET_CAP})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+            + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
-  AND bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_DIST}
+  AND bit_count(xor(a.sim_lo, b.sim_lo))
+      + bit_count(xor(a.sim_hi, b.sim_hi)) <= {dedup.SIMHASH_MAX_DIST}
+"""
+
+SIMHASH_BAND_STATS_SQL = f"""
+WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+th AS (SELECT doc_id,
+              list_transform(toks, t -> {_sql_md5_long('t', 1, 8)}) AS th_lo,
+              list_transform(toks, t -> {_sql_md5_long('t', 9, 8)}) AS th_hi
+       FROM doc_base WHERE len(toks) >= 1),
+s AS (SELECT doc_id,
+             CAST({_simhash_half_bits('th_lo')} AS BIGINT) AS sim_lo,
+             CAST({_simhash_half_bits('th_hi')} AS BIGINT) AS sim_hi
+      FROM th),
+bands0 AS ({_SIMHASH64_BANDS_UNION}),
+per_bucket AS (SELECT band_id, band_key, count(*) AS _n
+               FROM bands0 GROUP BY band_id, band_key)
+SELECT band_id, count(*) AS n_buckets,
+       CAST(sum(CASE WHEN _n > {BUCKET_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_buckets,
+       CAST(sum(CASE WHEN _n > {BUCKET_CAP} THEN _n ELSE 0 END)
+            AS BIGINT) AS n_docs_dropped,
+       max(_n) AS max_bucket
+FROM per_bucket GROUP BY band_id ORDER BY band_id
 """
 
 
@@ -955,6 +1017,7 @@ QUERIES = {
     "llm_seq_packing": llm_seq_packing,
     "llm_ivf_recall": llm_ivf_recall,
     "llm_simhash_near_dups": llm_simhash_near_dups,
+    "llm_simhash_band_stats": llm_simhash_band_stats,
     "llm_unigram_logprob": llm_unigram_logprob,
 }
 
@@ -986,5 +1049,6 @@ ORACLES = {
     "llm_seq_packing": SEQ_PACKING_SQL,
     "llm_ivf_recall": IVF_RECALL_SQL,
     "llm_simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
+    "llm_simhash_band_stats": SIMHASH_BAND_STATS_SQL,
     "llm_unigram_logprob": UNIGRAM_LOGPROB_SQL,
 }

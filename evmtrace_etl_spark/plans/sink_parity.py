@@ -151,7 +151,14 @@ def spark_event_windows(
     The watermark bounds streaming state: windows older than
     max(event_time) - delay are finalized and evicted, so state size is
     O(active windows), not O(stream history) — the property that keeps
-    an unbounded stream's aggregation memory flat at scale.  Update-mode
+    an unbounded stream's aggregation memory flat at scale.  Note the
+    late-DROP guarantee lags eviction by one micro-batch: Spark >= 3.4
+    filters late input with the previous batch's watermark
+    (``watermarkForLateEvents``) while evicting state with the current
+    one, so a row for a just-closed window may still be aggregated in
+    the first batch after closure and is only guaranteed dropped from
+    the second (pinned in ``tests/test_streaming.py``
+    ``test_watermark_drops_closed_windows_keeps_open_ones``).  Update-mode
     emission + the idempotent DO-UPDATE sink means every re-emission of
     a window converges to the final count (the same T3/T5 idempotency
     contract as the zk sinks).

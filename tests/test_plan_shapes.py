@@ -86,6 +86,16 @@ def test_text_hot_paths_stay_jvm_side(docs):
         assert "EvalPython" not in plan  # Batch- and Arrow- variants
 
 
+def test_unigram_vocab_topk_is_distributed(docs):
+    """The vocabulary cut in unigram_logprob_scores must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k
+    rows), never as a row_number over a global un-partitioned Window —
+    the latter funnels the whole corpus vocabulary through one task."""
+    plan = plan_of(text_analysis.unigram_logprob_scores(docs), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_winnow_is_shuffle_free(docs):
     """Winnowing is per-doc array math end-to-end: zero Exchanges, so it
     pipelines over the scan with no shuffle/sort/aggregation state."""

@@ -404,9 +404,20 @@ def test_decode_payloads_split_quarantines_bad_json(spark):
 def test_watermark_drops_closed_windows_keeps_open_ones(spark, tmp_path):
     """Late-data semantics pinned: after the watermark passes a window's
     end, late rows for it are DROPPED; late rows for a still-open
-    window are still aggregated.  (maxFilesPerTrigger=1 forces the two
-    files into separate micro-batches, oldest mtime first, so batch 2
-    runs under the watermark advanced by batch 1.)"""
+    window are still aggregated.
+
+    Spark (>= 3.4) runs stateful operators with TWO watermarks: state
+    EVICTION uses the watermark computed from all previous batches, but
+    late-event FILTERING uses the watermark as of one batch earlier
+    (``watermarkForLateEvents``, introduced for multi-stateful-operator
+    consistency).  So a late row is only guaranteed dropped starting
+    from the SECOND micro-batch after the watermark passed its window's
+    end — in the first such batch it may still be aggregated (and its
+    window's state evicted right after).  The file layout below
+    therefore advances the watermark in batch 1, cycles it into the
+    late-events watermark during batch 2, and delivers the very-late
+    row in batch 3.  (maxFilesPerTrigger=1 + distinct mtimes force one
+    file per micro-batch, oldest first.)"""
     import os as _os
     import time as _time
     from pyspark.sql import functions as F
@@ -437,11 +448,13 @@ def test_watermark_drops_closed_windows_keeps_open_ones(spark, tmp_path):
     # time t0+11.5h → watermark after batch 1 = t0+10.5h
     write_file("b1", [("a", ts(t0 + int(10.5 * h)), 1.0),
                       ("a", ts(t0 + int(11.5 * h)), 1.0)], _time.time() - 100)
-    # batch 2: one VERY late row (window [9h,10h) closed: end 10h <
-    # watermark 10.5h) and one mildly late row (window [10h,11h) still
-    # open: end 11h > watermark)
-    write_file("b2", [("a", ts(t0 + int(9.25 * h)), 1.0),
-                      ("a", ts(t0 + int(10.75 * h)), 1.0)], _time.time() - 50)
+    # batch 2: a mildly late row (window [10h,11h) still open: end 11h >
+    # watermark 10.5h) — aggregated; also cycles the 10.5h watermark
+    # into the late-events watermark for batch 3
+    write_file("b2", [("a", ts(t0 + int(10.75 * h)), 1.0)], _time.time() - 50)
+    # batch 3: one VERY late row (window [9h,10h) closed: end 10h <
+    # late-events watermark 10.5h) — dropped before aggregation
+    write_file("b3", [("a", ts(t0 + int(9.25 * h)), 1.0)], _time.time() - 25)
 
     from evmtrace_etl_spark.sinks import ParquetUpsertSink
 
