@@ -37,6 +37,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,10 +48,22 @@ from ..streaming import runner, sources
 from . import zk_parity
 
 
+#: Age past which a scratch dir is reaped even if its pid is alive —
+#: pid reuse would otherwise shield a stale dir forever.  Far above any
+#: single run's lifetime, so a live owner is never raced.
+_WORKDIR_MAX_AGE_S = 24 * 3600
+
+_reaped = False
+
+
 def _reap_stale_workdirs() -> None:
     """Remove scratch dirs left by evmtrace processes that no longer
     exist (crashed or killed runs), so pid-suffixed dirs don't pile up
-    in /tmp across rounds."""
+    in /tmp across rounds.  Dirs whose pid is alive but whose mtime is
+    older than ``_WORKDIR_MAX_AGE_S`` are reaped too (the pid was
+    reused by an unrelated process).  Called lazily from ``_workdir``
+    on first use — importing this module has no filesystem side
+    effects."""
     tmp = tempfile.gettempdir()
     for entry in os.listdir(tmp):
         if not entry.startswith("evmtrace_"):
@@ -58,15 +71,20 @@ def _reap_stale_workdirs() -> None:
         pid_part = entry.rsplit("_", 1)[-1]
         if not pid_part.isdigit() or int(pid_part) == os.getpid():
             continue
+        path = os.path.join(tmp, entry)
         try:
             os.kill(int(pid_part), 0)
         except ProcessLookupError:
-            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
+            continue
         except PermissionError:
-            pass  # pid alive under another user — leave it
-
-
-_reap_stale_workdirs()
+            pass  # pid alive under another user — fall through to age
+        try:
+            age = _time.time() - os.stat(path).st_mtime
+        except OSError:
+            continue
+        if age > _WORKDIR_MAX_AGE_S:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def _workdir(name: str) -> str:
@@ -74,7 +92,12 @@ def _workdir(name: str) -> str:
     in one process do not accumulate state.  The pid suffix keeps
     concurrent runs (driver verify racing a local pytest) from
     rmtree-ing each other's live stream checkpoints; stale dirs from
-    dead pids are reaped at import."""
+    dead (or pid-reused, past the age limit) processes are reaped on
+    this process's first scratch-dir request."""
+    global _reaped
+    if not _reaped:
+        _reaped = True
+        _reap_stale_workdirs()
     base = os.path.join(
         tempfile.gettempdir(), f"evmtrace_{name}_{os.getpid()}"
     )

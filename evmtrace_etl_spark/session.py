@@ -43,13 +43,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # managed tables (bucketed exports) land outside the repo; on a
-        # cluster this is the real warehouse/metastore path
+        # cluster this is the real warehouse/metastore path.  The pid
+        # suffix isolates concurrent local processes (a driver verify
+        # racing a pytest would otherwise overwrite each other's
+        # managed-table files); the name matches the evmtrace_*_{pid}
+        # scratch-dir convention, so sink_parity's reaper collects
+        # warehouses of dead processes too.
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
                 "SPARK_GRAFT_WAREHOUSE",
                 os.path.join(
-                    tempfile.gettempdir(), "evmtrace_warehouse"
+                    tempfile.gettempdir(),
+                    f"evmtrace_warehouse_{os.getpid()}",
                 ),
             ),
         )
