@@ -439,9 +439,12 @@ def simhash64_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Token-hash bits come from md5 hex digits 1-8 (lo) and 9-16 (hi) —
     two independent 32-bit hashes from one md5 evaluation per token.
-    Same shape as ``simhash_docs``: explode + 64 conditional-sum
-    aggregates compile to one codegen'd hash aggregate with map-side
-    partials; docs with no tokens drop out (explode emits nothing).
+    Same shape as ``simhash_docs`` (one codegen'd hash aggregate with
+    map-side partials; docs with no tokens drop out since explode emits
+    nothing) but branch-free: instead of 64 ±1 conditional sums it
+    aggregates the raw bit sums ``s_b = Σ (h >> b) & 1`` plus one token
+    count ``n``, and sets signature bit b iff ``2*s_b >= n`` — exactly
+    the "±1 majority is >= 0" rule, with no CASE per bit per row.
     """
     exploded = docs.select(
         "doc_id", F.explode(tokens(text_col)).alias("_t")
@@ -452,20 +455,21 @@ def simhash64_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     bit_aggs = [
         F.sum(
-            F.when(
-                F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+            F.shiftright(F.col(src), b).bitwiseAND(F.lit(1))
         ).alias(f"_{half}{b}")
         for half, src in (("lo", "_hlo"), ("hi", "_hhi"))
         for b in range(32)
     ]
-    agg = exploded.groupBy("doc_id").agg(*bit_aggs)
+    agg = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_tok"), *bit_aggs
+    )
 
     def _assemble(half: str) -> Column:
         val = F.lit(0).cast("long")
         for b in range(32):
             val = val + F.when(
-                F.col(f"_{half}{b}") >= 0, F.lit(2**b).cast("long")
+                F.col(f"_{half}{b}") * 2 >= F.col("_n_tok"),
+                F.lit(2**b).cast("long"),
             ).otherwise(0)
         return val
 
