@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import hash32, token_count
+from ..functions.text import hash32, token_count, tokens
 from .text_analysis import doc_profile
 
 #: Default deterministic shard count (a real export sizes this so each
@@ -178,4 +178,59 @@ def pack_sequences(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_tok").cast("long").alias("pack_tokens"),
         F.max("_crosses").cast("int").alias("crosses_boundary"),
+    )
+
+
+#: Training-chunk defaults: window size and stride in tokens (stride <
+#: chunk ⇒ overlapping context windows, the usual LM pretraining shape).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Cut every document into overlapping fixed-size token windows —
+    the per-document chunk manifest for context-window training (the
+    within-doc complement of ``pack_sequences``, which packs across
+    docs).
+
+    Output: doc_id, chunk_id, start_tok (1-based), n_tokens,
+    chunk_fp (md5 of the space-joined window — the join key for
+    chunk-level dedup downstream).  Docs with no tokens emit nothing;
+    a doc shorter than ``chunk_tokens`` emits exactly one (short)
+    chunk.  The final window is the last start position ≤
+    ``len - chunk + 1``, so every token is covered when ``stride <=
+    chunk_tokens`` and window starts are stride-aligned —
+    ``chunk_id == (start_tok - 1) / stride`` by construction, no
+    ordinality bookkeeping.
+
+    Scale shape: tokenize → per-row ``sequence``/``explode``/``slice``
+    array math, all JVM builtins — a pure narrow 1→N projection with
+    ZERO shuffle (pinned in ``tests/test_plan_shapes.py``); chunk count
+    scales with token count, never with corpus size.
+    """
+    base = docs.select(
+        "doc_id", tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= 1)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(
+            F.size("_toks") - F.lit(chunk_tokens - 1), F.lit(1)
+        ),
+        F.lit(stride),
+    )
+    exploded = base.select(
+        "doc_id", "_toks", F.explode(starts).alias("start_tok")
+    )
+    window = F.slice(F.col("_toks"), F.col("start_tok"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / stride).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", window)).alias("chunk_fp"),
     )

@@ -438,3 +438,48 @@ def unigram_logprob_scores(
             "avg_logprob",
         )
     )
+
+
+#: Default corpus top-n-gram report size.
+TOP_NGRAMS_K = 50
+
+
+def top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = TOP_NGRAMS_K,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the boilerplate-discovery
+    report that drives template/stopphrase blocklists (the corpus-level
+    companion of the per-doc Gopher repetition filter).
+
+    Output: ngram, n_docs, n_occurrences — top ``k`` by occurrence
+    count, ties broken by ngram text so the cut is deterministic.
+
+    Scale shape: two-level aggregate, then a distributed top-k.  Level 1
+    groups by (ngram, doc_id) — map-side partials collapse within-doc
+    repeats before the shuffle; level 2 is one ngram-keyed rollup where
+    ``n_docs`` is a plain count of pre-distinct rows — NO count_distinct,
+    so no Expand doubling the shuffle (the same trap documented on the
+    corpus-stats rollup).  The final cut is ``orderBy().limit()`` →
+    ``TakeOrderedAndProject``: per-partition top-k, driver merges k rows
+    — the corpus n-gram table itself (easily 10^9+ keys at 100 TB) is
+    never globally sorted and never single-tasked.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles_of(tokens(text_col), n)).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", "doc_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_c").cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -223,6 +223,16 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def llm_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k bigram report (boilerplate discovery)."""
+    return text_analysis.top_ngrams(_docs(spark, sf_dir))
+
+
+def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows per doc (training chunks)."""
+    return sampling.chunk_docs(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -876,6 +886,38 @@ WHERE a.doc_id < b.doc_id
       + bit_count(xor(a.sim_hi, b.sim_hi)) <= {dedup.SIMHASH_MAX_DIST}
 """
 
+TOP_NGRAMS_SQL = f"""
+WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+          FROM doc_base WHERE len(toks) >= 2),
+per_doc AS (SELECT ngram, doc_id, count(*) AS _c
+            FROM grams GROUP BY ngram, doc_id)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(_c) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT {text_analysis.TOP_NGRAMS_K}
+"""
+
+_CHUNK = sampling.CHUNK_TOKENS
+_STRIDE = sampling.CHUNK_STRIDE
+
+DOC_CHUNKS_SQL = f"""
+WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS n
+         FROM doc_base WHERE len(toks) >= 1)
+SELECT doc_id,
+       CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(len(toks[s:s+{_CHUNK - 1}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[s:s+{_CHUNK - 1}], ' ')) AS chunk_fp
+FROM base, LATERAL (
+  SELECT unnest(range(1, greatest(n - {_CHUNK} + 1, 1) + 1, {_STRIDE})) AS s
+) t
+"""
+
 SIMHASH_BAND_STATS_SQL = f"""
 WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 th AS (SELECT doc_id,
@@ -1019,6 +1061,8 @@ QUERIES = {
     "llm_simhash_near_dups": llm_simhash_near_dups,
     "llm_simhash_band_stats": llm_simhash_band_stats,
     "llm_unigram_logprob": llm_unigram_logprob,
+    "llm_top_ngrams": llm_top_ngrams,
+    "llm_doc_chunks": llm_doc_chunks,
 }
 
 ORACLES = {
@@ -1051,4 +1095,6 @@ ORACLES = {
     "llm_simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
     "llm_simhash_band_stats": SIMHASH_BAND_STATS_SQL,
     "llm_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "llm_top_ngrams": TOP_NGRAMS_SQL,
+    "llm_doc_chunks": DOC_CHUNKS_SQL,
 }

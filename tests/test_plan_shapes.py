@@ -96,6 +96,24 @@ def test_unigram_vocab_topk_is_distributed(docs):
     assert "Window" not in plan
 
 
+def test_top_ngrams_topk_is_distributed(docs):
+    """top_ngrams must cut with TakeOrderedAndProject (the corpus n-gram
+    table is never globally sorted) and must NOT plan an Expand — n_docs
+    comes from pre-distinct (ngram, doc) rows, not count_distinct."""
+    plan = plan_of(text_analysis.top_ngrams(docs), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Expand" not in plan
+
+
+def test_chunk_docs_is_shuffle_free(docs):
+    """chunk_docs is a pure narrow 1→N projection (tokenize → sequence →
+    explode → slice): zero Exchanges, pipelines over the scan."""
+    from evmtrace_etl_spark.operators import sampling
+
+    plan = plan_of(sampling.chunk_docs(docs), "simple")
+    assert plan.count("Exchange") == 0
+
+
 def test_winnow_is_shuffle_free(docs):
     """Winnowing is per-doc array math end-to-end: zero Exchanges, so it
     pipelines over the scan with no shuffle/sort/aggregation state."""
