@@ -234,3 +234,45 @@ def chunk_docs(
         F.size(window).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", window)).alias("chunk_fp"),
     )
+
+
+def chunk_dup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sub-document dedup: chunks (from ``chunk_docs``) whose window
+    fingerprint recurs — repeated boilerplate passages that survive
+    doc-level dedup because their surrounding documents differ.
+
+    Output: chunk_fp, n_chunks, n_docs, doc_ids (sorted distinct,
+    comma-joined) for every fingerprint seen more than once.
+
+    Scale shape: two-level aggregate over the narrow chunk manifest —
+    level 1 groups by (chunk_fp, doc_id) so level 2's ``n_docs`` is a
+    plain count of pre-distinct rows (NO count_distinct, so no Expand
+    doubling the shuffle) and ``doc_ids`` collects already-unique ids;
+    both exchanges key on the uniform md5 fingerprint, no salting
+    needed.  Same shape as doc-level ``exact_dup_groups``, one level
+    down.
+    """
+    chunks = chunk_docs(docs, text_col, chunk_tokens, stride)
+    per_doc = chunks.groupBy("chunk_fp", "doc_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_doc.groupBy("chunk_fp")
+        .agg(
+            F.sum("_c").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_chunks") > 1)
+    )

@@ -233,6 +233,11 @@ def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_docs(_docs(spark, sf_dir))
 
 
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring chunk fingerprints (sub-document boilerplate dedup)."""
+    return sampling.chunk_dup_groups(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (same constants as the Spark plans)
 # ---------------------------------------------------------------------------
@@ -918,6 +923,25 @@ FROM base, LATERAL (
 ) t
 """
 
+CHUNK_DEDUP_SQL = f"""
+WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS n
+         FROM doc_base WHERE len(toks) >= 1),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[s:s+{_CHUNK - 1}], ' ')) AS chunk_fp
+  FROM base, LATERAL (
+    SELECT unnest(range(1, greatest(n - {_CHUNK} + 1, 1) + 1, {_STRIDE}))
+           AS s
+  ) t),
+per_doc AS (SELECT chunk_fp, doc_id, count(*) AS _c
+            FROM chunks GROUP BY chunk_fp, doc_id)
+SELECT chunk_fp, CAST(sum(_c) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM per_doc GROUP BY chunk_fp HAVING sum(_c) > 1
+"""
+
 SIMHASH_BAND_STATS_SQL = f"""
 WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 th AS (SELECT doc_id,
@@ -1063,6 +1087,7 @@ QUERIES = {
     "llm_unigram_logprob": llm_unigram_logprob,
     "llm_top_ngrams": llm_top_ngrams,
     "llm_doc_chunks": llm_doc_chunks,
+    "llm_chunk_dedup": llm_chunk_dedup,
 }
 
 ORACLES = {
@@ -1097,4 +1122,5 @@ ORACLES = {
     "llm_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "llm_top_ngrams": TOP_NGRAMS_SQL,
     "llm_doc_chunks": DOC_CHUNKS_SQL,
+    "llm_chunk_dedup": CHUNK_DEDUP_SQL,
 }

@@ -114,6 +114,15 @@ def test_chunk_docs_is_shuffle_free(docs):
     assert plan.count("Exchange") == 0
 
 
+def test_chunk_dedup_has_no_expand(docs):
+    """chunk_dup_groups derives n_docs from pre-distinct (fp, doc) rows
+    — a count_distinct would plan an Expand that doubles the shuffle."""
+    from evmtrace_etl_spark.operators import sampling
+
+    plan = plan_of(sampling.chunk_dup_groups(docs), "simple")
+    assert "Expand" not in plan
+
+
 def test_winnow_is_shuffle_free(docs):
     """Winnowing is per-doc array math end-to-end: zero Exchanges, so it
     pipelines over the scan with no shuffle/sort/aggregation state."""
