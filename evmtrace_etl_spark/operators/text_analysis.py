@@ -457,28 +457,70 @@ def top_ngrams(
     Output: ngram, n_docs, n_occurrences — top ``k`` by occurrence
     count, ties broken by ngram text so the cut is deterministic.
 
-    Scale shape: two-level aggregate, then a distributed top-k.  Level 1
-    groups by (ngram, doc_id) — map-side partials collapse within-doc
-    repeats before the shuffle; level 2 is one ngram-keyed rollup where
-    ``n_docs`` is a plain count of pre-distinct rows — NO count_distinct,
-    so no Expand doubling the shuffle (the same trap documented on the
-    corpus-stats rollup).  The final cut is ``orderBy().limit()`` →
-    ``TakeOrderedAndProject``: per-partition top-k, driver merges k rows
-    — the corpus n-gram table itself (easily 10^9+ keys at 100 TB) is
-    never globally sorted and never single-tasked.
+    Scale shape: the per-doc combine happens in ARRAY MATH before any
+    exchange — sort the doc's gram array, find run starts, emit one
+    (ngram, count) struct per DISTINCT gram — so the single shuffle
+    carries per-doc pre-combined pairs, not raw occurrences (the same
+    shuffle-avoidance trade ``repetition_profile`` measured 2× faster
+    than explode+count), and ``n_docs`` is a plain row count — NO
+    count_distinct, so no Expand.  The final cut is ``orderBy().limit()``
+    → ``TakeOrderedAndProject``: per-partition top-k, driver merges k
+    rows — the corpus n-gram table itself (easily 10^9+ keys at 100 TB)
+    is never globally sorted and never single-tasked.  Intermediate
+    arrays sit behind ``explode(array(...))`` Generate barriers so
+    projection collapse cannot inline the sort into the per-element
+    lambdas (the ``winnow_fingerprints`` rule).
     """
-    grams = docs.select(
-        "doc_id",
-        F.explode(shingles_of(tokens(text_col), n)).alias("ngram"),
+    # barrier 0: tokenize once per doc — without this, projection
+    # collapse inlines the regexp split into the shingle lambda and the
+    # split re-runs once per GRAM (measured 20× the tokenize cost)
+    toked = docs.select(
+        "doc_id", F.explode(F.array(tokens(text_col))).alias("_t")
     )
-    per_doc = grams.groupBy("ngram", "doc_id").agg(
-        F.count(F.lit(1)).alias("_c")
+    # barrier 1: build + sort the gram array once per doc
+    base = toked.select(
+        "doc_id",
+        F.explode(
+            F.array(F.array_sort(shingles_of(F.col("_t"), n)))
+        ).alias("_g"),
+    ).filter(F.size("_g") >= 1)
+    # barrier 2: 1-based run-start positions in the sorted array
+    # (position 1, plus every i whose gram differs from its left
+    # neighbor; F.get is 0-based and null-safe, and `i == 1` absorbs
+    # the null comparison at the left edge)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("_g")),
+        lambda i: (i == F.lit(1))
+        | (F.get(F.col("_g"), i - 1) != F.get(F.col("_g"), i - 2)),
+    )
+    pos = base.select(
+        "doc_id", "_g", F.explode(F.array(starts)).alias("_pos")
+    )
+    # one struct per distinct gram: run length = next start - this start
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_pos")),
+        lambda j: F.struct(
+            F.get(F.col("_g"), F.get(F.col("_pos"), j - 1) - 1).alias(
+                "ngram"
+            ),
+            (
+                F.coalesce(
+                    F.get(F.col("_pos"), j), F.size("_g") + 1
+                )
+                - F.get(F.col("_pos"), j - 1)
+            )
+            .cast("long")
+            .alias("cnt"),
+        ),
+    )
+    per_doc = pos.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.ngram").alias("ngram"), F.col("_p.cnt").alias("cnt")
     )
     return (
         per_doc.groupBy("ngram")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("_c").cast("long").alias("n_occurrences"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
