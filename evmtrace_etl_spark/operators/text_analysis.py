@@ -236,10 +236,31 @@ def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
         return F.aggregate(arr, acc0, step, lambda a: a["dup"])
 
-    g2 = F.array_sort(shingles_of(F.col("_toks"), 2))
-    g3 = F.array_sort(shingles_of(F.col("_toks"), 3))
-    g5 = F.array_sort(shingles_of(F.col("_toks"), 5))
-    stage = base.select(
+    # Build + sort each gram array ONCE behind a Generate barrier:
+    # each array feeds two consumers below (run-finder + size), and
+    # interpreted HOF expressions get no common-subexpression
+    # elimination, so un-barriered they would each evaluate twice.
+    grams = base.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.array_sort(shingles_of(F.col("_toks"), 2)).alias(
+                        "g2"
+                    ),
+                    F.array_sort(shingles_of(F.col("_toks"), 3)).alias(
+                        "g3"
+                    ),
+                    F.array_sort(shingles_of(F.col("_toks"), 5)).alias(
+                        "g5"
+                    ),
+                )
+            )
+        ).alias("_g"),
+    )
+    g2, g3, g5 = F.col("_g.g2"), F.col("_g.g3"), F.col("_g.g5")
+    stage = grams.select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("_toks")).cast("long").alias(
