@@ -202,11 +202,13 @@ def chunk_docs(
     chunk_fp (md5 of the space-joined window — the join key for
     chunk-level dedup downstream).  Docs with no tokens emit nothing;
     a doc shorter than ``chunk_tokens`` emits exactly one (short)
-    chunk.  The final window is the last start position ≤
-    ``len - chunk + 1``, so every token is covered when ``stride <=
-    chunk_tokens`` and window starts are stride-aligned —
-    ``chunk_id == (start_tok - 1) / stride`` by construction, no
-    ordinality bookkeeping.
+    chunk.  Starts are stride-aligned with the last start ≤
+    ``len - chunk + 1`` — DROP-REMAINDER semantics: a tail of fewer
+    than ``stride`` tokens past the last aligned window is not emitted
+    (coverage is exact when ``stride`` divides ``len - chunk``; a
+    non-aligned tail window would duplicate suffix content and break
+    the ``chunk_id == (start_tok - 1) / stride`` arithmetic both
+    engines rely on).
 
     Scale shape: tokenize → per-row ``sequence``/``explode``/``slice``
     array math, all JVM builtins — a pure narrow 1→N projection with

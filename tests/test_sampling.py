@@ -110,3 +110,77 @@ def test_pack_sequences_single_exchange(docs):
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
     assert "EvalPython" not in plan
+
+
+def _chunk_fixture(spark):
+    """Docs spanning the chunking edge cases: empty (emits nothing),
+    single token, one-below/at/above the window size, one full stride
+    past it, and a long multi-window doc."""
+    C, S = sampling.CHUNK_TOKENS, sampling.CHUNK_STRIDE
+    sizes = {
+        "empty": 0, "one": 1, "below": C - 1, "exact": C,
+        "above": C + 1, "stride": C + S, "long": 3 * S + C + 7,
+    }
+    rows = [
+        (i, name, " ".join(f"w{j}" for j in range(n)))
+        for i, (name, n) in enumerate(sorted(sizes.items()))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string, text string")
+    return df, {i: n for i, (_, n) in enumerate(sorted(sizes.items()))}
+
+
+def test_chunk_docs_drop_remainder_coverage(spark):
+    """Drop-remainder chunking pinned: windows are stride-aligned with
+    chunk_id == (start_tok - 1) / stride, tokens [1, last_start+C-1]
+    are covered contiguously, and the uncovered tail is strictly
+    shorter than one stride (exact coverage when stride divides
+    len - chunk)."""
+    C, S = sampling.CHUNK_TOKENS, sampling.CHUNK_STRIDE
+    df, sizes = _chunk_fixture(spark)
+    out = sampling.chunk_docs(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    empty_ids = [i for i, n in sizes.items() if n == 0]
+    for i in empty_ids:
+        assert i not in by_doc  # the empty doc emits nothing
+    for doc_id, n in sizes.items():
+        if n == 0:
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["start_tok"])
+        covered = set()
+        for r in chunks:
+            assert (r["start_tok"] - 1) % S == 0
+            assert r["chunk_id"] == (r["start_tok"] - 1) // S
+            assert 1 <= r["n_tokens"] <= C
+            assert r["n_tokens"] == min(C, n - r["start_tok"] + 1)
+            covered.update(
+                range(r["start_tok"], r["start_tok"] + r["n_tokens"])
+            )
+        top = max(covered)
+        assert covered == set(range(1, top + 1)), f"doc {doc_id} gap"
+        assert n - top < S, f"doc {doc_id} dropped a full stride"
+        if n <= C or (n - C) % S == 0:
+            assert top == n  # exact coverage
+        # a doc shorter than one window emits exactly one chunk
+        if n <= C:
+            assert len(chunks) == 1
+
+
+def test_chunk_fp_keys_identical_windows(spark):
+    """Two docs sharing an identical window produce the same chunk_fp —
+    the join key chunk-level dedup relies on."""
+    text = " ".join(f"w{j}" for j in range(sampling.CHUNK_TOKENS))
+    df = spark.createDataFrame(
+        [(1, text), (2, text + " tail0"), (3, "completely different")],
+        "doc_id long, text string",
+    )
+    out = sampling.chunk_docs(df).collect()
+    fp = {}
+    for r in out:
+        fp.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_fp"]
+    assert fp[1][0] == fp[2][0]       # shared first window
+    assert fp[1][0] != fp[3][0]
+    dups = {r["chunk_fp"]: r for r in sampling.chunk_dup_groups(df).collect()}
+    assert fp[1][0] in dups
+    assert dups[fp[1][0]]["doc_ids"] == "1,2"
