@@ -251,6 +251,86 @@ def spark_event_windows(
     return sink.read(spark, "windows")
 
 
+def spark_stream_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming corpus ingestion with cross-batch exact dedup — the
+    LLM-data tier's S8 analog: documents → 2-file stream (batch 2 is a
+    FULL REPLAY of batch 1, the re-ingested-dump case) → streaming
+    ``dropDuplicates`` on the normalized-text fingerprint → append-mode
+    foreachBatch into the insert-if-absent sink.
+
+    The state store carries every fingerprint from batch 1 into batch
+    2 and must reject the entire replay, so the final table holds each
+    distinct fingerprint exactly once — the oracle is a plain DISTINCT
+    over the batch table.  Output: fingerprint (doc identity is
+    intentionally dropped: ``dropDuplicates`` keeps an arbitrary member
+    of each duplicate class, so only the fingerprint set is
+    deterministic).
+
+    Scale note: no watermark → state is O(distinct corpus), the right
+    semantics for bounded dump ingestion; an unbounded feed would use
+    ``dropDuplicatesWithinWatermark`` to bound state by the dedup
+    horizon instead.
+    """
+    from .inventory import _t
+    from ..functions.text import fingerprint as _fp
+
+    base = _workdir("stream_dedup_docs")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _stage(name: str, mtime: float) -> None:
+        d = os.path.join(base, "stage_" + name)
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            p for p in os.listdir(d) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(os.path.join(d, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _stage("b1", now - 100)
+    _stage("b2_replay", now - 50)  # full replay, older-first ordering
+
+    sink = ParquetUpsertSink(os.path.join(base, "sink"), partition_cols=())
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = (
+        stream.select(_fp("text").alias("fingerprint"))
+        .dropDuplicates(["fingerprint"])
+    )
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        sink.upsert(batch, "fps", ["fingerprint"], mode="ignore")
+
+    q = (
+        deduped.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "llm_stream_dedup_docs: stream not finished after 120 s"
+        )
+    return sink.read(spark, "fps")
+
+
+STREAM_DEDUP_DOCS_SQL = """
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       AS fingerprint
+FROM documents
+"""
+
+
 EVENT_WINDOWS_SQL = """
 WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
             FROM events)
@@ -267,6 +347,7 @@ QUERIES = {
     "zk_upsert_replay": spark_upsert_replay,
     "zk_upsert_blocks": spark_upsert_blocks,
     "inv_event_windows": spark_event_windows,
+    "llm_stream_dedup_docs": spark_stream_dedup_docs,
 }
 
 ORACLES = {
@@ -274,4 +355,5 @@ ORACLES = {
     "zk_upsert_replay": zk_parity.zk_transactions_oracle_sql(),
     "zk_upsert_blocks": zk_parity.blocks_oracle_sql(),
     "inv_event_windows": EVENT_WINDOWS_SQL,
+    "llm_stream_dedup_docs": STREAM_DEDUP_DOCS_SQL,
 }

@@ -498,3 +498,56 @@ def test_watermark_drops_closed_windows_keeps_open_ones(spark, tmp_path):
     assert (ts(t0 + int(10 * h)).hour, 2) in got
     # the 11h window has its single on-time row
     assert (ts(t0 + int(11 * h)).hour, 1) in got
+
+
+def test_stream_dedup_state_rejects_replay(spark, tmp_path):
+    """The streaming dropDuplicates STATE must reject the replayed
+    batch — zero rows may reach the sink in batch 2.  (The sink's own
+    insert-if-absent would mask a broken state store in the final
+    table, so this pins where the dedup actually happens.)"""
+    import os as _os
+    import time as _time
+
+    from evmtrace_etl_spark.functions.text import fingerprint
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "Alpha  Beta")],
+        "doc_id long, text string",
+    )  # doc 3 normalizes to doc 1's fingerprint → in-batch dup
+
+    def stage(name, mtime):
+        d = str(tmp_path / ("stage_" + name))
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(p for p in _os.listdir(d) if p.endswith(".parquet"))
+        dst = str(src / (name + ".parquet"))
+        _os.rename(_os.path.join(d, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    stage("b1", _time.time() - 100)
+    stage("b2", _time.time() - 50)  # full replay
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    deduped = stream.select(
+        fingerprint("text").alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])
+
+    batches = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda b, i: batches.append((i, sorted(r[0] for r in b.collect())))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    sizes = {i: len(fps) for i, fps in batches}
+    assert sizes[0] == 2          # in-batch dup (doc 3) collapsed
+    assert sizes.get(1, 0) == 0   # replay fully rejected by state
