@@ -53,6 +53,16 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with PRE-COMPUTED norms: every pair-scoring operator
+    attaches ``_norm`` per side BEFORE its join, so column pruning
+    pushes the norm below the join and each vector's norm is an
+    interpreted-HOF fold once per ROW instead of once per PAIR (3 dot
+    products per pair → 1).  Bit-identical to ``cosine`` — the same
+    float ops in the same order, just evaluated once."""
+    return _dot(a, b) / (na * nb)
+
+
 def _sign_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Integer sign-LSH bucket over the given hyperplanes (bit j set iff
     the vector's dot with plane j is non-negative).
@@ -128,11 +138,19 @@ def brute_force_topk(
     Output: query_id, neighbor_id, rank, sim (rounded to 6 dp).
     """
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    sim = F.round(
+        _cos_pre(
+            F.col("_qv"), F.col(vec_col), F.col("_qn"), F.col("_nrm")
+        ),
+        6,
+    )
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        emb.withColumn("_nrm", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -161,13 +179,21 @@ def lsh_topk(
     the query's sign-LSH bucket (the 100 TB path — equi-join on bucket
     instead of a cross join).  ``planes`` sizes the bucket space; see the
     sizing rule in ``functions.text``."""
-    bucketed = with_lsh_bucket(emb, vec_col, planes)
+    bucketed = with_lsh_bucket(emb, vec_col, planes).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        F.col("_nrm").alias("_qn"),
         F.col("bucket"),
     )
-    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    sim = F.round(
+        _cos_pre(
+            F.col("_qv"), F.col(vec_col), F.col("_qn"), F.col("_nrm")
+        ),
+        6,
+    )
     scored = (
         bucketed.join(F.broadcast(queries), on="bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -278,18 +304,30 @@ def ivf_topk(
     )
     with_cells = _ivf_with_cells(emb, cents, vec_col)
     assigned = with_cells.select(
-        "vec_id", vec_col, (-F.col("_cells")[0]["neg_cen"]).alias("cell")
+        "vec_id",
+        vec_col,
+        _norm(F.col(vec_col)).alias("_nrm"),
+        (-F.col("_cells")[0]["neg_cen"]).alias("cell"),
     )
     probes = (
         with_cells.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
             F.explode(F.slice(F.col("_cells"), 1, n_probe)).alias("_c"),
         )
-        .select("query_id", "_qv", (-F.col("_c")["neg_cen"]).alias("cell"))
+        .select(
+            "query_id", "_qv", "_qn",
+            (-F.col("_c")["neg_cen"]).alias("cell"),
+        )
     )
-    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    sim = F.round(
+        _cos_pre(
+            F.col("_qv"), F.col(vec_col), F.col("_qn"), F.col("_nrm")
+        ),
+        6,
+    )
     scored = (
         assigned.join(F.broadcast(probes), on="cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -378,14 +416,25 @@ def embedding_near_dup_pairs(
     (vec_a < vec_b, cosine ≥ threshold) — the embedding analog of the
     MinHash near-dup dedup.  Single-signature variant; prefer
     ``banded_near_dup_pairs`` when recall matters at scale."""
-    bucketed = with_lsh_bucket(emb, vec_col, planes)
+    bucketed = with_lsh_bucket(emb, vec_col, planes).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
     a = bucketed.select(
-        "bucket", F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("_va")
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     b = bucketed.select(
-        "bucket", F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("_vb")
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(
+        _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        6,
+    )
     return (
         a.join(b, on="bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -414,26 +463,31 @@ def banded_near_dup_pairs(
     The only wide ops: the band-bucket join and the candidate-pair
     distinct, both keyed near-uniformly.
     """
-    banded = with_band_buckets(emb, vec_col, planes, n_bands)
+    banded = with_band_buckets(emb, vec_col, planes, n_bands).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
     w = Window.partitionBy("band_id", "band_key")
     capped = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
         F.col("_n") <= bucket_cap
     )
     a = capped.select(
         "band_id", "band_key", F.col("vec_id").alias("vec_a"),
-        F.col(vec_col).alias("_va"),
+        F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"),
     )
     b = capped.select(
         "band_id", "band_key", F.col("vec_id").alias("vec_b"),
-        F.col(vec_col).alias("_vb"),
+        F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"),
     )
     pairs = (
         a.join(b, on=["band_id", "band_key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "_va", "_vb")
+        .select("vec_a", "vec_b", "_va", "_vb", "_na", "_nb")
         .dropDuplicates(["vec_a", "vec_b"])  # union of bands, deduped
     )
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(
+        _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        6,
+    )
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
