@@ -221,14 +221,17 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 
-def lang_id(toks: Column) -> Column:
-    """Argmax of stopword hits with LANG_ORDER tie-break; 'und' if no hits.
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax over PRE-COMPUTED per-lang hit counts with LANG_ORDER
+    tie-break; 'und' if no hits.  The cascade references each count up
+    to len(LANG_ORDER) times, so callers should pass MATERIALIZED
+    columns — interpreted filter-HOF counts composed in here would
+    re-evaluate (tokens included) once per reference.
 
     Cascade: branch i fires iff hits[i] > 0 and hits[i] >= every LATER
-    lang — correct because if an earlier lang beat it, that earlier branch
-    would have fired first.
+    lang — correct because if an earlier lang beat it, that earlier
+    branch would have fired first.
     """
-    hits = {lang: stopword_hits(toks, lang) for lang in LANG_ORDER}
     expr = None
     for i, lang in enumerate(LANG_ORDER):
         cond = hits[lang] > 0
@@ -240,6 +243,14 @@ def lang_id(toks: Column) -> Column:
             else expr.when(cond, F.lit(lang))
         )
     return expr.otherwise(F.lit("und"))
+
+
+def lang_id(toks: Column) -> Column:
+    """Convenience one-expression form — see ``lang_id_from_hits`` for
+    the staged version hot paths should prefer."""
+    return lang_id_from_hits(
+        {lang: stopword_hits(toks, lang) for lang in LANG_ORDER}
+    )
 
 
 def bpe_token_estimate(col: Column | str) -> Column:

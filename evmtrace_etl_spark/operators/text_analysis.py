@@ -13,9 +13,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    LANG_ORDER,
     bpe_token_estimate,
     fingerprint,
-    lang_id,
+    lang_id_from_hits,
     shingles as shingles_of,
     stopword_hits,
     token_count,
@@ -37,16 +38,45 @@ def doc_profile(
     ``carry_cols`` passes source columns through the projection — callers
     must NOT join the profile back against the input table to recover
     them (that is a full self-join shuffle at scale).
+
+    Staged in three projections so every expensive expression runs
+    ONCE per row: the token array sits behind a Generate barrier
+    (composed, the regexp split re-ran once per downstream reference —
+    the lang-id cascade alone holds ~10), the per-lang stopword counts
+    and char-class scans are materialized next, and the final
+    projection is pure attribute arithmetic.
     """
-    toks = tokens(text_col)
     text = F.col(text_col)
-    n_chars = F.length(text)
-    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
-    punct_chars = F.length(
-        F.regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")
+    # barrier: tokenize once per doc
+    toked = docs.select(
+        "doc_id",
+        *carry_cols,
+        text_col,
+        F.explode(F.array(tokens(text_col))).alias("_toks"),
     )
-    n_tokens = F.size(toks)
-    sw_en = stopword_hits(toks, "en")
+    # materialize every multiply-referenced metric
+    staged = toked.select(
+        "doc_id",
+        *carry_cols,
+        text_col,
+        F.length(text).alias("_nchars"),
+        F.length(
+            F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+        ).alias("_alpha"),
+        F.length(
+            F.regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")
+        ).alias("_punct"),
+        F.size("_toks").alias("_ntok"),
+        *[
+            stopword_hits(F.col("_toks"), lang).alias(f"_hit_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    n_chars = F.col("_nchars")
+    alpha_chars = F.col("_alpha")
+    punct_chars = F.col("_punct")
+    n_tokens = F.col("_ntok")
+    sw_en = F.col("_hit_en")
     stop_ratio = F.when(
         n_tokens > 0, sw_en.cast("double") / n_tokens.cast("double")
     ).otherwise(F.lit(0.0))
@@ -62,7 +92,7 @@ def doc_profile(
         .when(stop_ratio < 0.01, F.lit("low_signal"))
         .otherwise(F.lit("ok"))
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         *carry_cols,
         n_chars.alias("n_chars_actual"),
@@ -74,7 +104,9 @@ def doc_profile(
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         avg_tok.alias("avg_token_len"),
-        lang_id(toks).alias("pred_lang"),
+        lang_id_from_hits(
+            {lang: F.col(f"_hit_{lang}") for lang in LANG_ORDER}
+        ).alias("pred_lang"),
         fingerprint(text_col).alias("fingerprint"),
         quality.alias("quality_bucket"),
     )
