@@ -290,11 +290,12 @@ def ivf_topk(
     and score only those cells' members.
 
     The quantizer here is deterministic for oracle parity — centroids are
-    the first ``n_centroids`` vec_ids (a production build would k-means
-    them; the *plan shape* is identical).  Assignment is shuffle-free
-    (``ivf_assignments``); candidate generation is an equi-join on
-    cell — the inverted-file pruning that makes brute force unnecessary.
-    At scale the cell id becomes the partition key.
+    the first ``n_centroids`` vec_ids (``ivf_trained_topk`` is the
+    fitted-quantizer composition; the *plan shape* is identical).
+    Assignment is shuffle-free (``ivf_assignments``); candidate
+    generation is an equi-join on cell — the inverted-file pruning that
+    makes brute force unnecessary.  At scale the cell id becomes the
+    partition key.
     """
     cents = sorted(
         (r[0], r[1])
@@ -302,6 +303,20 @@ def ivf_topk(
         .select("vec_id", vec_col)
         .collect()
     )
+    return _ivf_topk_with_cents(
+        emb, cents, n_queries, k, n_probe, vec_col
+    )
+
+
+def _ivf_topk_with_cents(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_queries: int,
+    k: int,
+    n_probe: int,
+    vec_col: str,
+) -> DataFrame:
+    """Serve top-k from an explicit codebook (seed or trained)."""
     with_cells = _ivf_with_cells(emb, cents, vec_col)
     assigned = with_cells.select(
         "vec_id",
@@ -549,4 +564,36 @@ def ivf_train(
         F.col("cell").alias("cen_id"),
         "n_members",
         *[f"d{i}" for i in range(dim)],
+    )
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """The full production IVF path: fit the codebook with Lloyd's
+    (``ivf_train``), then serve top-k from the FITTED cells — the
+    train→serve composition ``ivf_topk``'s deterministic seed stands in
+    for.
+
+    The only driver round-trip between the stages is the trained
+    codebook itself (≤ k × dim scalars — the same collect ``ivf_train``
+    already ends on), re-inlined as plan literals for the shuffle-free
+    assignment; everything else stays distributed.  Rounded 6-dp
+    centroid means are what both engines serve from, so the oracle
+    reproduces the scores bit-for-bit.
+    """
+    trained = ivf_train(emb, n_centroids, n_iters, vec_col, dim)
+    cents = sorted(
+        (int(r["cen_id"]), [float(r[f"d{i}"]) for i in range(dim)])
+        for r in trained.collect()
+    )
+    return _ivf_topk_with_cents(
+        emb, cents, n_queries, k, n_probe, vec_col
     )

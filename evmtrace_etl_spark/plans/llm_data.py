@@ -197,6 +197,13 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_train(_emb(spark, sf_dir), n_iters=IVF_TRAIN_ITERS)
 
 
+def llm_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the codebook, then serve top-k from the fitted cells."""
+    return similarity.ivf_trained_topk(
+        _emb(spark, sf_dir), n_iters=IVF_TRAIN_ITERS
+    )
+
+
 def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed-pretraining manifest: fixed-token-budget packs per shard."""
     return sampling.pack_sequences(_docs(spark, sf_dir))
@@ -825,8 +832,7 @@ _IVF_MEAN_COLS = ", ".join(
     for i in range(EMBED_DIM)
 )
 
-IVF_TRAIN_SQL = f"""
-WITH c0 AS (SELECT vec_id AS cen_id, embedding AS cv
+_IVF_LLOYD_CTES = f"""c0 AS (SELECT vec_id AS cen_id, embedding AS cv
             FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
 {_ivf_assign_ctes('1', 'c0')},
 m1 AS (SELECT cell, i AS pos,
@@ -836,10 +842,39 @@ m1 AS (SELECT cell, i AS pos,
        GROUP BY cell, i),
 c1 AS (SELECT cell AS cen_id, list(mv ORDER BY pos) AS cv
        FROM m1 GROUP BY cell),
-{_ivf_assign_ctes('2', 'c1')}
+{_ivf_assign_ctes('2', 'c1')}"""
+
+IVF_TRAIN_SQL = f"""
+WITH {_IVF_LLOYD_CTES}
 SELECT cell AS cen_id, CAST(count(*) AS BIGINT) AS n_members,
        {_IVF_MEAN_COLS}
 FROM a2 GROUP BY cell
+"""
+
+# train → serve composition: the round-2 cell means become the serving
+# codebook (c2), then the same assign/probe/score/rank chain as
+# IVF_TOPK_SQL runs against the FITTED cells.
+IVF_TRAINED_TOPK_SQL = f"""
+WITH {_IVF_LLOYD_CTES},
+m2 AS (SELECT cell, i AS pos,
+              round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*), 6) AS mv
+       FROM a2, LATERAL (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t
+       GROUP BY cell, i),
+c2 AS (SELECT cell AS cen_id, list(mv ORDER BY pos) AS cv
+       FROM m2 GROUP BY cell),
+{_ivf_assign_ctes('3', 'c2')},
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cen_id AS cell
+           FROM r3 WHERE vec_id < 10 AND rk <= {_IVF_PROBE}),
+sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+              {_sql_cos('p.qv', 'a.embedding')} AS sim
+       FROM a3 a JOIN probes p ON a.cell = p.cell
+       WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 5
 """
 
 
@@ -1088,6 +1123,7 @@ QUERIES = {
     "llm_top_ngrams": llm_top_ngrams,
     "llm_doc_chunks": llm_doc_chunks,
     "llm_chunk_dedup": llm_chunk_dedup,
+    "llm_ivf_trained_topk": llm_ivf_trained_topk,
 }
 
 ORACLES = {
@@ -1123,4 +1159,5 @@ ORACLES = {
     "llm_top_ngrams": TOP_NGRAMS_SQL,
     "llm_doc_chunks": DOC_CHUNKS_SQL,
     "llm_chunk_dedup": CHUNK_DEDUP_SQL,
+    "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
 }
