@@ -204,6 +204,20 @@ def llm_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TRAINED IVF path vs exact brute force — closes
+    the measure-don't-guess loop on the Lloyd's fit (compare against
+    llm_ivf_recall's seed-codebook figure).  The comparison is the
+    point, not a guaranteed win: at toy scale the fit can LOWER recall
+    at fixed n_probe (Lloyd's concentrates cells, spreading a query's
+    true neighbors across more of them) — exactly the regression this
+    harness exists to catch before a production index re-fit."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb)
+    approx = similarity.ivf_trained_topk(emb, n_iters=IVF_TRAIN_ITERS)
+    return similarity._recall_rollup(exact, approx)
+
+
 def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed-pretraining manifest: fixed-token-budget packs per shard."""
     return sampling.pack_sequences(_docs(spark, sf_dir))
@@ -1042,6 +1056,49 @@ GROUP BY exact.query_id
 """
 
 
+IVF_TRAINED_RECALL_SQL = f"""
+WITH {_IVF_LLOYD_CTES},
+m2 AS (SELECT cell, i AS pos,
+              round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*), 6) AS mv
+       FROM a2, LATERAL (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t
+       GROUP BY cell, i),
+c2 AS (SELECT cell AS cen_id, list(mv ORDER BY pos) AS cv
+       FROM m2 GROUP BY cell),
+{_ivf_assign_ctes('3', 'c2')},
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cen_id AS cell
+           FROM r3 WHERE vec_id < 10 AND rk <= {_IVF_PROBE}),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             {_sql_cos('p.qv', 'a.embedding')} DESC, a.vec_id ASC) AS rank
+    FROM a3 a JOIN probes p ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rank <= 5
+),
+q2 AS (SELECT vec_id AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q2.query_id ORDER BY
+             {_sql_cos('q2.qv', 'e.embedding')} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e, q2 WHERE e.vec_id <> q2.query_id
+  ) WHERE rank <= 5
+)
+SELECT exact.query_id, count(*) AS n_exact,
+  CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact LEFT JOIN approx
+  ON exact.query_id = approx.query_id
+ AND exact.neighbor_id = approx.neighbor_id
+GROUP BY exact.query_id
+"""
+
+
 UNIGRAM_LOGPROB_SQL = f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tk AS (SELECT doc_id, unnest(toks) AS t FROM base),
@@ -1124,6 +1181,7 @@ QUERIES = {
     "llm_doc_chunks": llm_doc_chunks,
     "llm_chunk_dedup": llm_chunk_dedup,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
+    "llm_ivf_trained_recall": llm_ivf_trained_recall,
 }
 
 ORACLES = {
@@ -1160,4 +1218,5 @@ ORACLES = {
     "llm_doc_chunks": DOC_CHUNKS_SQL,
     "llm_chunk_dedup": CHUNK_DEDUP_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
+    "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
 }
