@@ -96,3 +96,26 @@ def test_checksum_udf(spark):
     )
     got = df.select(to_checksum_udf(F.col("addr"))).collect()[0][0]
     assert got == "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed"
+
+
+def test_md5_long_halves_and_hash32_equivalence(spark):
+    """md5_long(c,1,7) == hash32(c); the (1,8)/(9,8) halves used by the
+    64-bit SimHash stay inside [0, 2^32); length bounds enforced."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from evmtrace_etl_spark.functions.text import hash32, md5_long
+
+    df = spark.createDataFrame(
+        [(f"token{i}",) for i in range(50)], "t string"
+    ).select(
+        hash32(F.col("t")).alias("h32"),
+        md5_long(F.col("t"), 1, 7).alias("m7"),
+        md5_long(F.col("t"), 1, 8).alias("lo"),
+        md5_long(F.col("t"), 9, 8).alias("hi"),
+    )
+    for r in df.collect():
+        assert r["h32"] == r["m7"]
+        assert 0 <= r["lo"] < 2**32 and 0 <= r["hi"] < 2**32
+    with _pytest.raises(ValueError):
+        md5_long(F.col("t"), 1, 16)
