@@ -493,9 +493,25 @@ def _simhash_band_key(b: int) -> Column:
 
 def _simhash_bands(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, sim_lo, sim_hi, band_id, band_key) — one row per band,
-    with the per-bucket size ``_n`` attached (pre-cap)."""
+    with the per-bucket size ``_n`` attached (pre-cap) via a
+    band-keyed count window — the same sizing shape as the MinHash
+    path.  (A groupBy + broadcast-join-back was measured as the
+    alternative: the count table is bounded by the 4 × 2^16 key space
+    so it broadcasts by construction, but the extra plan branch
+    re-evaluates the signature aggregate, which costs more than the
+    window's sort of the 4-rows-per-doc band table.)
+    """
+    return _simhash_bands_raw(docs, text_col).withColumn(
+        "_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    )
+
+
+def _simhash_bands_raw(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi, band_id, band_key) — one row per band,
+    no bucket sizing attached."""
     sigs = simhash64_docs(docs, text_col)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         "sim_lo",
         "sim_hi",
@@ -516,10 +532,6 @@ def _simhash_bands(docs: DataFrame, text_col: str) -> DataFrame:
         "sim_hi",
         F.col("_b.band_id").alias("band_id"),
         F.col("_b.band_key").alias("band_key"),
-    )
-    return bands.withColumn(
-        "_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
     )
 
 
@@ -590,7 +602,7 @@ def simhash_band_stats(
     max_bucket.
     """
     per_bucket = (
-        _simhash_bands(docs, text_col)
+        _simhash_bands_raw(docs, text_col)
         .groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
