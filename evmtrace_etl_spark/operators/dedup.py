@@ -501,16 +501,29 @@ def _simhash_bands(docs: DataFrame, text_col: str) -> DataFrame:
     re-evaluates the signature aggregate, which costs more than the
     window's sort of the 4-rows-per-doc band table.)
     """
-    return _simhash_bands_raw(docs, text_col).withColumn(
+    return _simhash_bands_raw(docs, text_col, materialize=True).withColumn(
         "_n",
         F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
     )
 
 
-def _simhash_bands_raw(docs: DataFrame, text_col: str) -> DataFrame:
+def _simhash_bands_raw(
+    docs: DataFrame, text_col: str, materialize: bool = False
+) -> DataFrame:
     """(doc_id, sim_lo, sim_hi, band_id, band_key) — one row per band,
-    no bucket sizing attached."""
+    no bucket sizing attached.
+
+    ``materialize=True`` localCheckpoints the signature table first —
+    callers whose downstream plan references the bands on BOTH sides of
+    a self-join (the near-dup pair join) would otherwise evaluate the
+    64-sum signature aggregate once per side.  The checkpoint is cheap
+    by construction: one row per doc, doc_id + two ints (the same
+    small-table reasoning as ``connected_components``' per-round
+    labels).  Single-consumer callers (band stats) skip it.
+    """
     sigs = simhash64_docs(docs, text_col)
+    if materialize:
+        sigs = sigs.localCheckpoint()
     return sigs.select(
         "doc_id",
         "sim_lo",
