@@ -633,3 +633,61 @@ def simhash_band_stats(
         )
         .orderBy("band_id")
     )
+
+
+def cross_source_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Which sources copy from each other: the near-dup pair graph
+    rolled up to an (source_a, source_b) matrix — the corpus-curation
+    view that decides which feeds to de-prioritize or dedup against
+    each other (same-source pairs report internal duplication).
+
+    Output: source_a <= source_b (unordered pair, canonically sorted),
+    n_pairs, avg_jaccard (6 dp, decimal-summed so the mean is
+    order-independent).
+
+    Scale shape: the pair list is the already-bucketed LSH output
+    (never all-pairs); attaching sources is two BROADCAST-able joins
+    against the (doc_id, source) projection — at corpus scale that
+    projection is big, but the pair list is the small side by
+    construction, so the planner broadcasts IT; the rollup is one
+    grouped aggregate on a key space bounded by |sources|^2.
+    """
+    pairs = near_dup_pairs(docs, text_col, threshold)
+    src = docs.select("doc_id", "source")
+    labelled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("_sa"),
+            ),
+            on="doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("_sb"),
+            ),
+            on="doc_b",
+        )
+    )
+    return (
+        labelled.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+        )
+    )

@@ -278,3 +278,62 @@ def chunk_dup_groups(
         )
         .filter(F.col("n_chunks") > 1)
     )
+
+
+#: Temperature exponent for source-mixture weighting (alpha < 1 upweights
+#: small sources, the multilingual-sampling convention).
+MIXTURE_ALPHA = 0.5
+#: Docs per training epoch that the mixture allocates.
+MIXTURE_BUDGET = 100_000
+
+
+def source_mixture(
+    docs: DataFrame,
+    alpha: float = MIXTURE_ALPHA,
+    budget: int = MIXTURE_BUDGET,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-weighted training mixture over sources: weight_s =
+    tokens_s^alpha / Σ tokens^alpha — alpha < 1 flattens the size
+    distribution toward uniform (the standard way to keep small
+    high-quality feeds from drowning in web-scale ones) — and a per-
+    epoch document allocation under ``budget``.
+
+    Output: source, n_docs, total_tokens, weight (6 dp),
+    docs_per_epoch (floor of weight × budget).
+
+    Scale shape: one per-source aggregate (map-side partials absorb the
+    corpus), then the Σ tokens^alpha normalizer joins back as a
+    BROADCAST scalar — the per-source table is |sources| rows, so both
+    stages are trivially small after the first rollup.
+    """
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(text_col).cast("long"))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    # sqrt for the default alpha: IEEE-754 requires sqrt to be correctly
+    # rounded, so Spark (JVM) and DuckDB (libm) agree bit-for-bit; pow
+    # carries no such guarantee across math libraries, so non-default
+    # alphas are supported but not oracle-pinned.
+    tok_d = F.col("total_tokens").cast("double")
+    powed = per_src.withColumn(
+        "_pw",
+        F.sqrt(tok_d) if alpha == 0.5 else F.pow(tok_d, F.lit(alpha)),
+    )
+    total = powed.agg(F.sum("_pw").alias("_tot"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("_pw") / F.col("_tot"), 6).alias("weight"),
+            F.floor(
+                F.col("_pw") / F.col("_tot") * F.lit(float(budget))
+            )
+            .cast("long")
+            .alias("docs_per_epoch"),
+        )
+    )

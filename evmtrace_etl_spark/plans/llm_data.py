@@ -197,6 +197,17 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_train(_emb(spark, sf_dir), n_iters=IVF_TRAIN_ITERS)
 
 
+def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair — which feeds
+    copy from each other."""
+    return dedup.cross_source_near_dups(_docs(spark, sf_dir))
+
+
+def llm_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (sqrt) training mixture over sources."""
+    return sampling.source_mixture(_docs(spark, sf_dir))
+
+
 def llm_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the codebook, then serve top-k from the fitted cells."""
     return similarity.ivf_trained_topk(
@@ -972,6 +983,33 @@ FROM base, LATERAL (
 ) t
 """
 
+CROSS_SOURCE_DUPS_SQL = f"""
+WITH nd AS ({_near_dup_sql(0.5)}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS avg_jaccard
+FROM nd
+JOIN src sa ON sa.doc_id = nd.doc_a
+JOIN src sb ON sb.doc_id = nd.doc_b
+GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+"""
+
+SOURCE_MIXTURE_SQL = f"""
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT)
+                      AS total_tokens
+             FROM documents GROUP BY source),
+p AS (SELECT *, sqrt(CAST(total_tokens AS DOUBLE)) AS pw FROM per),
+t AS (SELECT sum(pw) AS tot FROM p)
+SELECT source, n_docs, total_tokens,
+       round(pw / tot, 6) AS weight,
+       CAST(floor(pw / tot * 100000.0) AS BIGINT) AS docs_per_epoch
+FROM p, t
+"""
+
 CHUNK_DEDUP_SQL = f"""
 WITH doc_base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 base AS (SELECT doc_id, toks, len(toks) AS n
@@ -1182,6 +1220,8 @@ QUERIES = {
     "llm_chunk_dedup": llm_chunk_dedup,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
+    "llm_cross_source_dups": llm_cross_source_dups,
+    "llm_source_mixture": llm_source_mixture,
 }
 
 ORACLES = {
@@ -1219,4 +1259,6 @@ ORACLES = {
     "llm_chunk_dedup": CHUNK_DEDUP_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
+    "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
+    "llm_source_mixture": SOURCE_MIXTURE_SQL,
 }
