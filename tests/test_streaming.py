@@ -551,3 +551,84 @@ def test_stream_dedup_state_rejects_replay(spark, tmp_path):
     sizes = {i: len(fps) for i, fps in batches}
     assert sizes[0] == 2          # in-batch dup (doc 3) collapsed
     assert sizes.get(1, 0) == 0   # replay fully rejected by state
+
+
+def test_stream_dedup_within_watermark_expires_state(spark, tmp_path):
+    """Pins the documented unbounded-feed variant of the streaming
+    dedup: dropDuplicatesWithinWatermark keeps a fingerprint's state
+    only within the dedup horizon.  A duplicate inside the horizon is
+    dropped; once the watermark moves past the horizon the key's state
+    is expired and the same payload is admitted again — bounded state
+    in exchange for horizon-scoped (not corpus-wide) dedup.  Like the
+    late-drop guarantee in the windowed-aggregate test above, expiry
+    lags one micro-batch: state removal runs at the end of the batch
+    whose watermark passed the horizon, so a duplicate arriving in that
+    SAME batch is still matched against the old state and dropped; from
+    the next batch on it is admitted."""
+    import os as _os
+    import time as _time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from evmtrace_etl_spark.functions.text import fingerprint
+
+    src = tmp_path / "src"
+    src.mkdir()
+    h = 3600
+    t0 = (1_700_000_000 // h) * h
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    def stage(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, text string")
+        d = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(p for p in _os.listdir(d) if p.endswith(".parquet"))
+        dst = str(src / (name + ".parquet"))
+        _os.rename(_os.path.join(d, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    # b1: original + in-horizon duplicate 10 min later
+    stage("b1", [(ts(t0), "alpha beta"), (ts(t0 + 600), "alpha beta")],
+          now - 100)
+    # b2: advances the watermark far past the 1h horizon
+    stage("b2", [(ts(t0 + 10 * h), "unrelated text")], now - 50)
+    # b3: the SAME payload again — the watermark passed the horizon in
+    # b2, but removal runs at the END of this batch, so still dropped
+    stage("b3", [(ts(t0 + 10 * h + 60), "alpha beta")], now - 25)
+    # b4: one batch later the state is gone — admitted again
+    stage("b4", [(ts(t0 + 10 * h + 120), "alpha beta")], now - 12)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    deduped = (
+        stream.select("ts", fingerprint("text").alias("fingerprint"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    batches = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda b, i: batches.append((i, b.count()))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    emitted = dict(batches)
+    assert emitted.get(0) == 1  # in-horizon duplicate dropped
+    assert emitted.get(1) == 1  # unrelated row admitted
+    # first post-horizon copy races end-of-batch state removal: dropped
+    assert emitted.get(2) == 0
+    # state expired → the next copy is admitted again
+    assert emitted.get(3) == 1
