@@ -436,6 +436,54 @@ GROUP BY 1
 """
 
 
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction over ``events.props`` — the batch analog of
+    S3's strict-schema payload decode: ``from_json`` against a declared
+    schema (malformed/null rows surface as NULL fields, counted, never
+    dropped silently — the quarantine-accounting convention), then one
+    keyed rollup of the extracted value.
+
+    Output: event_type, n_events, n_bad_props, k_sum, k_avg (6 dp).
+
+    Scale shape: ``from_json`` is a JVM-side per-row projection (no
+    Python, no shuffle); the only exchange is the final group-by.
+    """
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT")["k"].alias("_k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad_props"),
+            F.sum(F.col("_k").cast("long")).alias("k_sum"),
+            F.round(
+                F.sum(F.col("_k").cast("decimal(38,6)")).cast("double")
+                / F.count(F.col("_k")),
+                6,
+            ).alias("k_avg"),
+        )
+    )
+
+
+PROPS_JSON_STATS_SQL = """
+WITH p AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_props,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       round(CAST(sum(CAST(k AS DECIMAL(38,6))) AS DOUBLE) / count(k), 6)
+         AS k_avg
+FROM p GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gap-based sessionization (T1 batch analog): 30-minute inactivity gap
 # ---------------------------------------------------------------------------
@@ -502,6 +550,7 @@ QUERIES = {
     "inv_brand_volume": brand_volume,
     "inv_region_revenue": region_revenue,
     "inv_props_selector": props_selector,
+    "inv_props_json_stats": props_json_stats,
     "inv_user_sessions": user_sessions,
 }
 
@@ -518,5 +567,6 @@ ORACLES = {
     "inv_brand_volume": BRAND_VOLUME_SQL,
     "inv_region_revenue": REGION_REVENUE_SQL,
     "inv_props_selector": PROPS_SELECTOR_SQL,
+    "inv_props_json_stats": PROPS_JSON_STATS_SQL,
     "inv_user_sessions": USER_SESSIONS_SQL,
 }
