@@ -408,6 +408,90 @@ GROUP BY r_name
 """
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level revenue totals via ``ROLLUP(region, nation)`` — the
+    OLAP grouping-sets surface: per-nation, per-region subtotal, and
+    grand total in ONE aggregate.  ``grouping_id`` disambiguates the
+    NULL-filled subtotal rows from real NULL keys.
+
+    Scale note: rollup plans an Expand (each input row feeds every
+    grouping set) — here that 3× duplication IS the operator's
+    semantics, unlike the accidental count_distinct Expand this
+    codebase avoids elsewhere; map-side partials still collapse per
+    grouping set before the single shuffle.
+    """
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(_dec("o_totalprice"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT r_name, n_name,
+  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+#: The closed event-type domain for the pivot — a pivot's output schema
+#: must be static, so the column list is declared, not inferred (the
+#: same reason the stream decode declares its schema).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts pivoted to one column per event type —
+    ``groupBy().pivot(values=...)`` with the value list DECLARED:
+    passing explicit values keeps the plan a single pass (Spark
+    otherwise runs an extra distinct job to discover them, and the
+    output schema would depend on the data).  Unseen types produce 0
+    columns, not missing ones."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+USER_EVENT_PIVOT_SQL = f"""
+SELECT user_id,
+  {", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
+    for t in EVENT_TYPES
+  )}
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar selector extraction (P5/P6 analog on events.props)
 # ---------------------------------------------------------------------------
@@ -552,6 +636,8 @@ QUERIES = {
     "inv_props_selector": props_selector,
     "inv_props_json_stats": props_json_stats,
     "inv_user_sessions": user_sessions,
+    "inv_revenue_rollup": revenue_rollup,
+    "inv_user_event_pivot": user_event_pivot,
 }
 
 ORACLES = {
@@ -569,4 +655,6 @@ ORACLES = {
     "inv_props_selector": PROPS_SELECTOR_SQL,
     "inv_props_json_stats": PROPS_JSON_STATS_SQL,
     "inv_user_sessions": USER_SESSIONS_SQL,
+    "inv_revenue_rollup": REVENUE_ROLLUP_SQL,
+    "inv_user_event_pivot": USER_EVENT_PIVOT_SQL,
 }
