@@ -15,7 +15,10 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - broadcast dimension join (J6 analog)                        → brand_volume
 - multi-hop join chain (J2→J3 analog)                         → region_revenue
 - scalar selector extraction (P5/P6 analog)                   → props_selector
+- typed JSON extraction (S3 strict-schema decode analog)      → props_json_stats
 - gap-based sessionization (T1 batch analog)                  → user_sessions
+- ROLLUP grouping sets + grouping_id (OLAP subtotal surface)  → revenue_rollup
+- declared-values pivot (static output schema, single pass)   → user_event_pivot
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
