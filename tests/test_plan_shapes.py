@@ -219,3 +219,36 @@ def test_bucketed_table_joins_without_exchange(spark, docs):
         assert "Exchange" not in agg_plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_docs_t")
+
+
+def test_pivot_with_declared_values_needs_no_inference_job(spark):
+    """pivot(values=...) with the list declared: the declared values are
+    baked into the pivotfirst plan node (no eager distinct job ran to
+    discover them before planning), and the shape is exactly the two
+    map-side-combined aggregates pivot compiles to — (user, type)
+    counts, then per-user pivotfirst — with no Python eval."""
+    from evmtrace_etl_spark.plans.inventory import user_event_pivot
+
+    plan = plan_of(user_event_pivot(spark, SF_DIR), "simple")
+    assert "pivotfirst" in plan and "click" in plan  # values are literals
+    assert plan.count("Exchange") == 2
+    assert "EvalPython" not in plan
+
+
+def test_rollup_plans_expand_by_design(spark):
+    """ROLLUP grouping sets legitimately Expand each row into its
+    grouping sets — pinned so the one sanctioned Expand stays put while
+    accidental (count_distinct) Expands stay banned elsewhere."""
+    from evmtrace_etl_spark.plans.inventory import revenue_rollup
+
+    plan = plan_of(revenue_rollup(spark, SF_DIR), "simple")
+    assert "Expand" in plan
+
+
+def test_props_json_extraction_stays_jvm_side(spark):
+    """from_json is a JVM projection — no Python eval, one Exchange."""
+    from evmtrace_etl_spark.plans.inventory import props_json_stats
+
+    plan = plan_of(props_json_stats(spark, SF_DIR), "simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
