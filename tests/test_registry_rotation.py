@@ -1,0 +1,35 @@
+"""Pin the least-recently-verified rotation in the registry.
+
+The driver checks only the first ``registry._DRIVER_WINDOW`` entries of
+``queries()`` per round; this test asserts the ordering invariants that
+keep union coverage complete across rounds.
+"""
+
+from __future__ import annotations
+
+from evmtrace_etl_spark import registry
+
+
+def test_never_verified_queries_lead_the_window():
+    names = list(registry.queries())
+    seen = registry._last_verified()
+    rounds = [seen.get(n, 0) for n in names]
+    # Non-decreasing: least-recently-verified strictly first.
+    assert rounds == sorted(rounds)
+    # Every never-verified query sits inside the driver window.
+    never = [n for n in names if n not in seen]
+    assert all(names.index(n) < registry._DRIVER_WINDOW for n in never)
+
+
+def test_queries_and_oracles_share_an_order():
+    q = list(registry.queries())
+    o = list(registry.oracle_sql())
+    assert o == [n for n in q if n in set(o)]
+
+
+def test_rotation_survives_missing_correctness_files(monkeypatch, tmp_path):
+    # In a checkout without driver artifacts the registry must still
+    # return every query (ordering degrades to registration order).
+    monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
+    names = list(registry.queries())
+    assert len(names) == len(set(names)) >= 65
