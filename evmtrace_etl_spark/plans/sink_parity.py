@@ -149,6 +149,77 @@ def spark_upsert_replay(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return zk_parity.project_tx(sink.read(spark, "transactions"))
 
 
+#: project_tx's output schema after the DB-API round-trip (arrays are
+#: comma-joined and decimals stringified by the sink's _flatten_for_sql,
+#: so the table read back from SQL is already in hash-safe form).
+_TX_FLAT_SCHEMA = (
+    "chain_id long, transaction_hash string, from_address string, "
+    "to_address string, closest_address string, function_signature string, "
+    "transaction_index int, block_number long, block_timestamp long, "
+    "block_hash string, value string, input string, gas_used_total long, "
+    "gas_used_first_degree long, gas_used_second_degree long, "
+    "ec_recover_count long, ec_add_count long, ec_mul_count long, "
+    "ec_pairing_count long, ec_pairing_input_sizes string, "
+    "ec_recover_addresses string, error string"
+)
+
+
+def spark_upsert_partition(
+    spark: SparkSession, sf_dir: str = ""
+) -> DataFrame:
+    """``zk_upsert_replay`` routed through the EXECUTOR-SIDE DB writer
+    (S7/D5 scale leg, reference src/dumper/postgres.rs:41-92): two
+    ``process_trace_batch`` cycles — chain-1 traces, then a full replay —
+    through ``DbApiPartitionUpsertSink``, whose ``foreachPartition``
+    opens one sqlite connection per Spark partition and streams batched
+    ``INSERT … ON CONFLICT DO NOTHING`` ``executemany`` calls with no
+    driver materialization.  The replay batch must be rejected row-for-
+    row by the conflict clause, so the final table equals the one-shot
+    batch result (same oracle as ``zk_upsert_replay``).
+
+    The read-back at the end is the ORACLE-verification path, not the
+    write path: at scale the table lives in the database and is never
+    collected.  sqlite serializes concurrent partition writers on the
+    file lock (timeout=60 makes them wait, not fail); a server database
+    takes the writes genuinely in parallel.
+    """
+    import sqlite3
+
+    from ..plans.pipeline import zk_results
+    from ..sinks import DbApiPartitionUpsertSink
+
+    base = _workdir("upsert_partition")
+    db = os.path.join(base, "sink.db")
+    traces = fixtures.traces_df(spark)
+    # schema-only use of the builders (no job): the DDL mirrors the
+    # flattened column set the sink will emit
+    tx_t, con_t = zk_results(traces)
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            f"CREATE TABLE transactions ({', '.join(tx_t.columns)}, "
+            "PRIMARY KEY (chain_id, transaction_hash))"
+        )
+        conn.execute(
+            f"CREATE TABLE contracts ({', '.join(con_t.columns)}, "
+            "PRIMARY KEY (chain_id, address, function_signatures))"
+        )
+
+    sink = DbApiPartitionUpsertSink(
+        lambda: sqlite3.connect(db, timeout=60), max_parallelism=4
+    )
+    runner.process_trace_batch(
+        traces.filter("chain_id = 1"), sink, checksum=False
+    )
+    runner.process_trace_batch(traces, sink, checksum=False)
+
+    cols = zk_parity.project_tx(tx_t).columns
+    with sqlite3.connect(db) as conn:
+        rows = conn.execute(
+            f"SELECT {', '.join(cols)} FROM transactions"
+        ).fetchall()
+    return spark.createDataFrame(rows, _TX_FLAT_SCHEMA)
+
+
 def spark_upsert_blocks(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Two block micro-batches with a cross-batch duplicate (chain 1,
     block 100): DO-UPDATE upsert keeps the later batch's row."""
@@ -345,6 +416,7 @@ FROM ev GROUP BY 1, 2
 QUERIES = {
     "zk_stream_transactions": spark_stream_transactions,
     "zk_upsert_replay": spark_upsert_replay,
+    "zk_upsert_partition": spark_upsert_partition,
     "zk_upsert_blocks": spark_upsert_blocks,
     "inv_event_windows": spark_event_windows,
     "llm_stream_dedup_docs": spark_stream_dedup_docs,
@@ -353,6 +425,7 @@ QUERIES = {
 ORACLES = {
     "zk_stream_transactions": zk_parity.zk_transactions_oracle_sql(),
     "zk_upsert_replay": zk_parity.zk_transactions_oracle_sql(),
+    "zk_upsert_partition": zk_parity.zk_transactions_oracle_sql(),
     "zk_upsert_blocks": zk_parity.blocks_oracle_sql(),
     "inv_event_windows": EVENT_WINDOWS_SQL,
     "llm_stream_dedup_docs": STREAM_DEDUP_DOCS_SQL,
