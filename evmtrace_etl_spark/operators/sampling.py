@@ -322,7 +322,16 @@ def source_mixture(
         "_pw",
         F.sqrt(tok_d) if alpha == 0.5 else F.pow(tok_d, F.lit(alpha)),
     )
-    total = powed.agg(F.sum("_pw").alias("_tot"))
+    # exact, order-independent normalizer: double summation is neither
+    # (Spark's partition order vs DuckDB's scan order could differ by
+    # ulps and flip round(weight, 6) / floor at boundaries), so each
+    # term is fixed to 12 dp and summed as DECIMAL, then divided as
+    # double
+    total = powed.agg(
+        F.sum(F.col("_pw").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("_tot")
+    )
     return (
         powed.crossJoin(F.broadcast(total))
         .select(

@@ -538,7 +538,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",
-        F.from_json(F.col("props"), "k INT")["k"].alias("_k"),
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("_k"),
     )
     return (
         parsed.groupBy("event_type")
@@ -557,9 +557,20 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PROPS_JSON_STATS_SQL = """
+#: DuckDB restatement of Spark's strict typed parse ``from_json('k
+#: BIGINT')``: only a JSON *number* that is integral extracts; quoted
+#: numbers, floats, bools, arrays, malformed JSON all null out (pinned
+#: case-by-case in tests/test_json_parity.py).
+PROPS_K_SQL_EXPR = """
+CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
+          IN ('BIGINT', 'UBIGINT')
+     THEN TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)
+END
+""".strip()
+
+PROPS_JSON_STATS_SQL = f"""
 WITH p AS (SELECT event_type,
-                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  {PROPS_K_SQL_EXPR} AS k
            FROM events)
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -1003,7 +1003,8 @@ WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                       AS total_tokens
              FROM documents GROUP BY source),
 p AS (SELECT *, sqrt(CAST(total_tokens AS DOUBLE)) AS pw FROM per),
-t AS (SELECT sum(pw) AS tot FROM p)
+t AS (SELECT CAST(sum(CAST(pw AS DECIMAL(38,12))) AS DOUBLE) AS tot
+      FROM p)
 SELECT source, n_docs, total_tokens,
        round(pw / tot, 6) AS weight,
        CAST(floor(pw / tot * 100000.0) AS BIGINT) AS docs_per_epoch

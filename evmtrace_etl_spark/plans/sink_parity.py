@@ -53,15 +53,46 @@ from . import zk_parity
 #: single run's lifetime, so a live owner is never raced.
 _WORKDIR_MAX_AGE_S = 24 * 3600
 
+#: Bound on the recursive-mtime walk, so a pathological scratch tree
+#: can't stall startup; hitting the cap counts as "recently written"
+#: (reaping stays conservative).
+_WORKDIR_WALK_CAP = 10_000
+
 _reaped = False
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (inclusive), walking at most
+    ``_WORKDIR_WALK_CAP`` entries.  A live owner writes into NESTED dirs
+    (stream checkpoints, warehouse versions) without refreshing the top-
+    level dir's mtime, so the age gate must look at the whole tree."""
+    try:
+        newest = os.stat(path).st_mtime
+    except OSError:
+        return _time.time()  # vanished/unstatable: treat as fresh
+    seen = 0
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            seen += 1
+            if seen > _WORKDIR_WALK_CAP:
+                return _time.time()
+            try:
+                newest = max(
+                    newest, os.stat(os.path.join(root, name)).st_mtime
+                )
+            except OSError:
+                continue
+    return newest
 
 
 def _reap_stale_workdirs() -> None:
     """Remove scratch dirs left by evmtrace processes that no longer
     exist (crashed or killed runs), so pid-suffixed dirs don't pile up
-    in /tmp across rounds.  Dirs whose pid is alive but whose mtime is
-    older than ``_WORKDIR_MAX_AGE_S`` are reaped too (the pid was
-    reused by an unrelated process).  Called lazily from ``_workdir``
+    in /tmp across rounds.  Dirs whose pid is alive are reaped only when
+    NOTHING in the tree was written for ``_WORKDIR_MAX_AGE_S`` (the pid
+    was reused by an unrelated process) — a genuinely long-lived owner,
+    e.g. a streaming run, keeps writing into nested checkpoint/warehouse
+    dirs and is therefore never raced.  Called lazily from ``_workdir``
     on first use — importing this module has no filesystem side
     effects."""
     tmp = tempfile.gettempdir()
@@ -79,11 +110,7 @@ def _reap_stale_workdirs() -> None:
             continue
         except PermissionError:
             pass  # pid alive under another user — fall through to age
-        try:
-            age = _time.time() - os.stat(path).st_mtime
-        except OSError:
-            continue
-        if age > _WORKDIR_MAX_AGE_S:
+        if _time.time() - _newest_mtime(path) > _WORKDIR_MAX_AGE_S:
             shutil.rmtree(path, ignore_errors=True)
 
 

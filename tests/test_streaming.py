@@ -632,3 +632,39 @@ def test_stream_dedup_within_watermark_expires_state(spark, tmp_path):
     assert emitted.get(2) == 0
     # state expired → the next copy is admitted again
     assert emitted.get(3) == 1
+
+
+def test_workdir_reaper_spares_live_nested_writers(tmp_path, monkeypatch):
+    """The age-based reap must key off the NEWEST mtime in the tree: a
+    long-lived owner (a streaming run) writes into nested checkpoint
+    dirs without refreshing the top-level dir's mtime, and must never be
+    rmtree'd out from under a live pid."""
+    import tempfile
+    import time
+
+    from evmtrace_etl_spark.plans import sink_parity as sp
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    old = time.time() - 2 * sp._WORKDIR_MAX_AGE_S
+
+    # dead-pid dir: reaped regardless of mtime
+    dead = tmp_path / "evmtrace_dead_999999999"
+    dead.mkdir()
+
+    # live pid, stale top-level mtime, FRESH nested write: spared
+    busy = tmp_path / "evmtrace_busy_1"
+    (busy / "ckpt").mkdir(parents=True)
+    (busy / "ckpt" / "offsets").write_text("42")
+    os.utime(busy, (old, old))
+    os.utime(busy / "ckpt", (old, old))  # fresh leaf keeps it alive
+
+    # live pid, everything stale: pid-reuse case, reaped
+    stale = tmp_path / "evmtrace_stale_1"
+    (stale / "ckpt").mkdir(parents=True)
+    for p in (stale / "ckpt", stale):
+        os.utime(p, (old, old))
+
+    sp._reap_stale_workdirs()
+    assert not dead.exists()
+    assert busy.exists()
+    assert not stale.exists()
