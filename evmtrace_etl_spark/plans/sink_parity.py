@@ -37,6 +37,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,11 +121,17 @@ def _workdir(name: str) -> str:
     concurrent runs (driver verify racing a local pytest) from
     rmtree-ing each other's live stream checkpoints; stale dirs from
     dead (or pid-reused, past the age limit) processes are reaped on
-    this process's first scratch-dir request."""
+    this process's first scratch-dir request — in a daemon thread,
+    because deleting another process's checkpoint trees is housekeeping
+    that must not bill wall-clock to whichever query happens to ask for
+    scratch space first (it only touches dirs this process can never
+    own, so there is no race with the dir being created here)."""
     global _reaped
     if not _reaped:
         _reaped = True
-        _reap_stale_workdirs()
+        threading.Thread(
+            target=_reap_stale_workdirs, daemon=True
+        ).start()
     base = os.path.join(
         tempfile.gettempdir(), f"evmtrace_{name}_{os.getpid()}"
     )
@@ -325,6 +332,11 @@ def spark_event_windows(
     )
 
     def _process(batch: DataFrame, _batch_id: int) -> None:
+        # availableNow runs one final empty batch to commit the advanced
+        # watermark (state eviction); skipping it saves the sink a full
+        # persist + probe + merge cycle over zero rows
+        if batch.isEmpty():
+            return
         sink.upsert(
             batch, "windows", ["window_start", "event_type"], mode="update"
         )
@@ -405,6 +417,8 @@ def spark_stream_dedup_docs(
     )
 
     def _process(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():  # replay batch dedupes to zero rows
+            return
         sink.upsert(batch, "fps", ["fingerprint"], mode="ignore")
 
     q = (
