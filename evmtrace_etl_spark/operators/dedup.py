@@ -270,6 +270,13 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Rounds the most recent ``connected_components`` call ran before its
+#: fixed point — instrumentation for the pointer-jumping complexity pin
+#: (``tests/test_plan_shapes.py``): a chain of diameter d must converge
+#: in O(log d) rounds, not O(d).
+LAST_CC_ROUNDS = 0
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -294,6 +301,8 @@ def connected_components(
     ever decrease, so an unchanged sum ⇒ a fixed point) — one scalar
     per round to the driver, never the labels themselves.
     """
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     edges = fwd.union(rev).distinct().repartition("v").persist()
@@ -305,6 +314,7 @@ def connected_components(
     prev_sum = None
     try:
         for _ in range(max_iters):
+            LAST_CC_ROUNDS += 1
             nbr = edges.join(
                 labels, edges["v"] == labels["vid"]
             ).select(F.col("u").alias("vid"), "label")

@@ -252,3 +252,20 @@ def test_props_json_extraction_stays_jvm_side(spark):
     plan = plan_of(props_json_stats(spark, SF_DIR), "simple")
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_dedup_components_pointer_jumping_is_logarithmic(spark):
+    """A 128-vertex chain (diameter 127) must converge in
+    ceil(log2(d)) + 1 rounds (the +1 is the fixed-point detection
+    round).  Linear min-propagation would need ~127 rounds — this pin
+    fails fast if an edit silently drops the label-of-label self-join
+    that squares the propagation distance each round."""
+    from evmtrace_etl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(127)], "doc_a long, doc_b long"
+    )
+    out = dedup.connected_components(pairs).collect()
+    assert len(out) == 128
+    assert {r.component_id for r in out} == {0}
+    assert dedup.LAST_CC_ROUNDS <= 8  # ceil(log2(127)) + 1
