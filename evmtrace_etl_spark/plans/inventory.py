@@ -19,6 +19,8 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - gap-based sessionization (T1 batch analog)                  → user_sessions
 - ROLLUP grouping sets + grouping_id (OLAP subtotal surface)  → revenue_rollup
 - declared-values pivot (static output schema, single pass)   → user_event_pivot
+- backward as-of join (union-tag merge, no inequality join)   → asof_attribution
+- interval-containment range join (time-bucket equi-join)     → session_range_join
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -635,6 +637,166 @@ GROUP BY user_id, session_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# As-of join (backward attribution) + bucketed range join — the two
+# time-series join operators Spark lacks as built-ins, expressed with
+# the scale-correct strategies (union-tag merge / bucket equi-join)
+# ---------------------------------------------------------------------------
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'purchase' event, the same user's most recent 'click'
+    at-or-before it (ad attribution).  Exercises
+    ``relational.asof_join``: ONE shuffle per side on user_id, one sort,
+    zero join operators — where the naive ``c.ts <= p.ts`` inequality
+    join degenerates at scale (pinned in tests/test_plan_shapes.py)."""
+    from ..operators import relational
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = relational.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id", "ts"],
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("asof_event_id").alias("click_id"),
+        F.unix_micros("asof_ts").alias("click_us"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )
+
+
+ASOF_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+best AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         c.ts AS click_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       b.click_id,
+       epoch_us(b.click_ts) AS click_us,
+       epoch_us(p.ts) - epoch_us(b.click_ts) AS gap_us
+FROM p LEFT JOIN best b ON b.purchase_id = p.event_id AND b.rn = 1
+"""
+
+
+def session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase sessions (30-min gap) as time intervals, range-joined to
+    the same user's 'error' events falling inside them — errors during a
+    buying session.  Exercises ``relational.interval_join_bucketed``:
+    the containment predicate becomes a (user, time-bucket) equi-join,
+    never a nested-loop (pinned in tests/test_plan_shapes.py)."""
+    from ..operators import relational
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        purchases.withColumn(
+            "_ns", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = relational.interval_join_bucketed(
+        sess,
+        errors,
+        on=["user_id"],
+        start="s_start",
+        end="s_end",
+        point_time="ts",
+    )
+    hits = joined.groupBy("user_id", "session_id").agg(
+        F.count("event_id").alias("n_errors"),
+        F.sum(_dec("value")).cast("decimal(38,6)").cast("string")
+        .alias("err_value"),
+    )
+    return sess.join(hits, ["user_id", "session_id"], "left").select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_purchases",
+        F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+        "err_value",
+    )
+
+
+SESSION_RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+p AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS _ns
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessioned AS (
+  SELECT user_id, ts,
+    sum(_ns) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts) AS s_start, max(ts) AS s_end,
+         count(*) AS n_purchases
+  FROM sessioned GROUP BY user_id, session_id
+),
+err AS (SELECT user_id, ts, value FROM e WHERE event_type = 'error')
+SELECT s.user_id, s.session_id, s.n_purchases,
+       CAST(count(er.ts) AS BIGINT) AS n_errors,
+       CAST(CAST(sum(CAST(er.value AS DECIMAL(20,6))) AS DECIMAL(38,6))
+            AS VARCHAR) AS err_value
+FROM sessions s
+LEFT JOIN err er
+  ON er.user_id = s.user_id AND er.ts BETWEEN s.s_start AND s.s_end
+GROUP BY s.user_id, s.session_id, s.n_purchases
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -652,6 +814,8 @@ QUERIES = {
     "inv_user_sessions": user_sessions,
     "inv_revenue_rollup": revenue_rollup,
     "inv_user_event_pivot": user_event_pivot,
+    "inv_asof_attribution": asof_attribution,
+    "inv_session_range_join": session_range_join,
 }
 
 ORACLES = {
@@ -671,4 +835,6 @@ ORACLES = {
     "inv_user_sessions": USER_SESSIONS_SQL,
     "inv_revenue_rollup": REVENUE_ROLLUP_SQL,
     "inv_user_event_pivot": USER_EVENT_PIVOT_SQL,
+    "inv_asof_attribution": ASOF_ATTRIBUTION_SQL,
+    "inv_session_range_join": SESSION_RANGE_JOIN_SQL,
 }

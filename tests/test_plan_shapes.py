@@ -269,3 +269,30 @@ def test_dedup_components_pointer_jumping_is_logarithmic(spark):
     assert len(out) == 128
     assert {r.component_id for r in out} == {0}
     assert dedup.LAST_CC_ROUNDS <= 8  # ceil(log2(127)) + 1
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """The backward as-of join must compile to the union-tag merge
+    (Exchange + Sort + Window), never to an inequality join — Catalyst
+    plans ``r.t <= l.t`` joins as BroadcastNestedLoop or a per-key
+    rescan, both of which collapse at scale."""
+    from evmtrace_etl_spark.plans.inventory import asof_attribution
+
+    plan = plan_of(asof_attribution(spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The range join must meet on (key, time-bucket) as a real
+    equi-join; a BroadcastNestedLoopJoin or CartesianProduct here means
+    the containment predicate leaked out of the join keys."""
+    from evmtrace_etl_spark.plans.inventory import session_range_join
+
+    plan = plan_of(session_range_join(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
