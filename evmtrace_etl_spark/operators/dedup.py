@@ -701,3 +701,70 @@ def cross_source_near_dups(
             ).alias("avg_jaccard"),
         )
     )
+
+
+def dup_span_profile(
+    docs: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-substring coverage — the scalable
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a word
+    ``n``-gram that occurs in more than one document marks a duplicated
+    span; a doc's ``dup_fraction`` is the share of its n-gram positions
+    covered by such spans, the signal an exact-substring dedup pass
+    cuts on.
+
+    Output: doc_id, n_grams, n_dup_grams, dup_fraction (round 6).  Docs
+    shorter than ``n`` tokens drop out.
+
+    Scale shape: no suffix array, no sort over the corpus, no join of
+    raw gram STRINGS.  Grams are hashed to 64 bits immediately
+    (xxhash64 — JVM-side, never shuffled as text), then two stacked
+    map-side-combined aggregates: per-(gram, doc) occurrence counts
+    (the big shuffle, dedup-compressed), per-gram doc counts (small),
+    and an equi-join of the two on the gram hash feeding the final
+    per-doc rollup.  Collisions add ~n_grams²/2⁶⁴ false dup marks —
+    immaterial as a dedup *signal*, and the exact pass that acts on it
+    re-verifies bytes anyway."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")),
+        " ",
+    )
+    base = docs.select("doc_id", toks.alias("_w")).filter(
+        F.size("_w") >= n
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - n + 1),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(F.col("_w"), i, F.lit(n)), " ")
+                ),
+            )
+        ).alias("_g64"),
+    )
+    per_gram_doc = grams.groupBy("_g64", "doc_id").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    per_gram = per_gram_doc.groupBy("_g64").agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    joined = per_gram_doc.join(per_gram, "_g64")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("_occ").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_n_docs") > 1, F.col("_occ")).otherwise(0)
+            ).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -35,12 +35,41 @@ from ..functions.text import (
 from ..operators import dedup, multimodal, sampling, similarity, text_analysis
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the cluster's cores.
+
+    The file source splits by ``maxPartitionBytes``, so a corpus that
+    arrives as a few small parquet files yields fewer scan partitions
+    than cores — and a per-doc CPU-heavy operator downstream
+    (winnowing, SimHash signatures, per-doc n-gram profiles) then runs
+    effectively single-threaded.  One round-robin repartition of the
+    (narrow) source columns unlocks full-width execution for a few
+    milliseconds of shuffle on a small input.  At real scale the scan
+    already yields >= one partition per core and this is a NO-OP — no
+    Exchange is added.
+
+    Opt-IN per query (``wide=True`` on the loaders): measured on the
+    68-query bench, it pays off only where the dominant cost is narrow
+    per-row compute directly over the scan; plans that consume the
+    source through several branches (vocab + scoring, signatures +
+    self-join) or feed an immediate aggregate get slower — the extra
+    Exchange breaks reuse or just adds latency."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _docs(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan_out(df) if wide else df
+
+
+def _emb(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out(df) if wide else df
 
 
 def _join_longs(col: str) -> F.Column:
@@ -99,7 +128,7 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.winnow_fingerprints(_docs(spark, sf_dir))
+    return text_analysis.winnow_fingerprints(_docs(spark, sf_dir, wide=True))
 
 
 def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +186,7 @@ def llm_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate metrics per document."""
-    return text_analysis.repetition_profile(_docs(spark, sf_dir))
+    return text_analysis.repetition_profile(_docs(spark, sf_dir, wide=True))
 
 
 #: Pseudo-benchmark split for the decontamination query: every 13th
@@ -258,13 +287,13 @@ def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-SimHash near-dup pairs at Hamming distance ≤ 3."""
-    return dedup.simhash_near_dups(_docs(spark, sf_dir))
+    return dedup.simhash_near_dups(_docs(spark, sf_dir, wide=True))
 
 
 def llm_simhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band bucket/drop coverage report for the banded SimHash
     search — surfaces what BUCKET_CAP forfeits instead of hiding it."""
-    return dedup.simhash_band_stats(_docs(spark, sf_dir))
+    return dedup.simhash_band_stats(_docs(spark, sf_dir, wide=True))
 
 
 def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,6 +1242,42 @@ FROM pl GROUP BY shard_id, pack_id
 """
 
 
+
+def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated 8-gram coverage per doc (substring-dedup
+    signal, Lee et al. 2022 exact-substring approximation)."""
+    return dedup.dup_span_profile(_docs(spark, sf_dir))
+
+
+DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+per_gram_doc AS (
+  SELECT gram, doc_id, count(*) AS occ FROM grams GROUP BY gram, doc_id
+),
+per_gram AS (
+  SELECT gram, count(*) AS n_docs FROM per_gram_doc GROUP BY gram
+)
+SELECT d.doc_id,
+       CAST(sum(d.occ) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g.n_docs > 1 THEN d.occ ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       round(CAST(sum(CASE WHEN g.n_docs > 1 THEN d.occ ELSE 0 END)
+                  AS DOUBLE) / sum(d.occ), 6) AS dup_fraction
+FROM per_gram_doc d JOIN per_gram g USING (gram)
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1246,6 +1311,7 @@ QUERIES = {
     "llm_top_ngrams": llm_top_ngrams,
     "llm_doc_chunks": llm_doc_chunks,
     "llm_chunk_dedup": llm_chunk_dedup,
+    "llm_dup_spans": llm_dup_spans,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1285,6 +1351,7 @@ ORACLES = {
     "llm_top_ngrams": TOP_NGRAMS_SQL,
     "llm_doc_chunks": DOC_CHUNKS_SQL,
     "llm_chunk_dedup": CHUNK_DEDUP_SQL,
+    "llm_dup_spans": DUP_SPANS_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,

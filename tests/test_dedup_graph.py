@@ -177,3 +177,30 @@ def test_simhash_near_dups_finds_close_pairs(spark):
     assert (1, 3) in rows and rows[(1, 3)] <= dedup.SIMHASH_MAX_DIST
     # the unrelated doc pairs with nobody
     assert not any(9 in p for p in rows)
+
+
+def test_dup_span_profile_semantics(spark):
+    """A doc sharing an 8-word span with another doc counts those gram
+    positions as duplicated; a unique doc scores 0; short docs drop."""
+    from evmtrace_etl_spark.operators.dedup import dup_span_profile
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, "prefix words here " + shared),
+            (3, "entirely unique words that no other document contains at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_profile(docs).collect()}
+    assert 4 not in out                      # < 8 tokens → dropped
+    assert out[3].n_dup_grams == 0
+    assert out[3].dup_fraction == 0.0
+    # doc1: 12 tokens → 5 grams; grams fully inside `shared` (10 toks →
+    # 3 grams starting at positions 1..3) also occur in doc2 → dup
+    assert out[1].n_grams == 5
+    assert out[1].n_dup_grams == 3
+    assert out[2].n_dup_grams == 3
+    assert abs(out[1].dup_fraction - 0.6) < 1e-9

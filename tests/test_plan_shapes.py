@@ -296,3 +296,17 @@ def test_interval_join_is_bucketed_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_dup_span_profile_shape(docs):
+    """Substring-dup coverage must never shuffle gram STRINGS or plan a
+    nested loop: grams hash to 64 bits in the narrow projection, both
+    aggregates partial map-side, and the gram-stats join is a real
+    equi-join on the hash."""
+    from evmtrace_etl_spark.operators.dedup import dup_span_profile
+
+    plan = plan_of(dup_span_profile(docs), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "xxhash64" in plan  # hashed before any Exchange
