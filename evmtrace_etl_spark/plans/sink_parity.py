@@ -219,22 +219,24 @@ def spark_upsert_partition(
     """
     import sqlite3
 
-    from ..plans.pipeline import zk_results
+    from ..schemas import CONTRACT_SCHEMA, TRANSACTION_SCHEMA
     from ..sinks import DbApiPartitionUpsertSink
 
     base = _workdir("upsert_partition")
     db = os.path.join(base, "sink.db")
     traces = fixtures.traces_df(spark)
-    # schema-only use of the builders (no job): the DDL mirrors the
-    # flattened column set the sink will emit
-    tx_t, con_t = zk_results(traces)
+    # DDL straight from the declared output schemas — analyzing the
+    # builder plans just for .columns costs ~1 s of Catalyst work and
+    # leaks their ZkParts persists
     with sqlite3.connect(db) as conn:
         conn.execute(
-            f"CREATE TABLE transactions ({', '.join(tx_t.columns)}, "
+            "CREATE TABLE transactions "
+            f"({', '.join(f.name for f in TRANSACTION_SCHEMA.fields)}, "
             "PRIMARY KEY (chain_id, transaction_hash))"
         )
         conn.execute(
-            f"CREATE TABLE contracts ({', '.join(con_t.columns)}, "
+            "CREATE TABLE contracts "
+            f"({', '.join(f.name for f in CONTRACT_SCHEMA.fields)}, "
             "PRIMARY KEY (chain_id, address, function_signatures))"
         )
 
@@ -246,7 +248,9 @@ def spark_upsert_partition(
     )
     runner.process_trace_batch(traces, sink, checksum=False)
 
-    cols = zk_parity.project_tx(tx_t).columns
+    # the hash-safe projection's column order, straight from the
+    # declared flat schema (field name = first token of each pair)
+    cols = [p.strip().split()[0] for p in _TX_FLAT_SCHEMA.split(",")]
     with sqlite3.connect(db) as conn:
         rows = conn.execute(
             f"SELECT {', '.join(cols)} FROM transactions"

@@ -356,6 +356,10 @@ class DbApiUpsertSink:
     'qmark' (sqlite3) or 'format'/'pyformat' (psycopg2, MySQLdb).
     """
 
+    #: ON CONFLICT prunes by index, not partition — the runner skips
+    #: deriving the touched-partition hint (a per-batch driver collect)
+    uses_partition_hints = False
+
     def __init__(
         self, connection_factory: Callable, paramstyle: str = "qmark"
     ):
@@ -403,6 +407,9 @@ class DbApiPartitionUpsertSink:
     parallelism with ``max_parallelism`` (coalesce before the write) to
     respect the database's connection/ingest limits.
     """
+
+    #: see DbApiUpsertSink — conflict handling lives in the database
+    uses_partition_hints = False
 
     def __init__(
         self,

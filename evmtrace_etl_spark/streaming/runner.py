@@ -84,7 +84,14 @@ def process_trace_batch(
     persists would pile up in executor storage memory."""
     parts = ZkParts(batch)
     try:
-        touched = _touched_chains(batch)
+        # the probe is a driver collect per micro-batch — skip it for
+        # sinks that don't prune by partition (the DB-API writers push
+        # the conflict handling into the database instead)
+        touched = (
+            _touched_chains(batch)
+            if getattr(sink, "uses_partition_hints", True)
+            else None
+        )
         tx = zk_transactions(batch, parts)
         contracts = zk_contracts_deduped(batch, parts)
         if checksum:
