@@ -768,3 +768,91 @@ def dup_span_profile(
             ).alias("dup_fraction"),
         )
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """``contamination`` semantics behind a Bloom-filter prefilter — the
+    100 TB shape of benchmark decontamination.
+
+    The exact path broadcasts the holdout's distinct shingle set to
+    every task; that broadcast grows with the holdout.  Here the holdout
+    is folded into an ``m_bits`` Bloom bitmap instead — built
+    DISTRIBUTED, as a bit_or aggregate over (word, mask) rows with
+    map-side partials, then collected as ≤ m/64 longs (a
+    codebook-sized, holdout-size-INDEPENDENT collect) and inlined as an
+    array literal.  Corpus shingles probe ``k_hashes`` bits JVM-side
+    (Kirsch–Mitzenmacher double hashing: pos_i = h1 + i·h2 mod m); only
+    the surviving ~FPR fraction reaches the exact verify join, so the
+    result is byte-identical to ``contamination`` (a Bloom filter has
+    no false negatives) while the holdout never rides the broadcast
+    path.  Same output: doc_id, n_shingles, n_contaminated,
+    contamination_frac for contaminated docs only.
+    """
+    if m_bits % 64:  # pragma: no cover
+        raise ValueError("m_bits must be a multiple of 64")
+    train_sh = exploded_shingle_hashes(docs, text_col).distinct()
+    hold_sh = exploded_shingle_hashes(holdout, text_col).select("h").distinct()
+
+    h1 = F.pmod(F.xxhash64(F.col("h")), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.col("h"), F.lit(1)), F.lit(m_bits))
+
+    def _pos(i: int) -> Column:
+        return F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+
+    _mask = "shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+    bits = hold_sh.select(
+        F.explode(
+            F.array(*[_pos(i) for i in range(k_hashes)])
+        ).alias("_pos")
+    ).select(
+        (F.col("_pos") / 64).cast("long").alias("_word"),
+        F.expr(_mask.format(p="_pos")).alias("_m"),
+    )
+    words = [0] * (m_bits // 64)
+    for row in bits.groupBy("_word").agg(
+        F.bit_or("_m").alias("_bits")
+    ).collect():
+        words[row["_word"]] = row["_bits"]
+    # the bitmap reaches the probe as a BROADCAST one-row table, not a
+    # plan literal: an inlined 2k-element array would be re-emitted by
+    # codegen at every probe term and dominates compile time
+    bitmap = train_sh.sparkSession.createDataFrame(
+        [(words,)], "_bloom array<bigint>"
+    )
+
+    probed = train_sh.join(F.broadcast(bitmap))
+    cond = F.lit(True)
+    for i in range(k_hashes):
+        probed = probed.withColumn(f"_bp{i}", _pos(i))
+        word = F.element_at(
+            F.col("_bloom"), (F.col(f"_bp{i}") / 64).cast("int") + 1
+        )
+        cond = cond & (
+            word.bitwiseAND(F.expr(_mask.format(p=f"_bp{i}"))) != 0
+        )
+
+    per_doc = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        probed.filter(cond)  # Bloom prefilter: definite-miss drops here
+        .select("doc_id", "h")
+        .join(F.broadcast(hold_sh), on="h", how="left_semi")  # exact verify
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        per_doc.join(hits, "doc_id")
+        .filter(F.col("n_contaminated") > 0)
+        .withColumn(
+            "contamination_frac",
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )

@@ -1278,6 +1278,17 @@ GROUP BY d.doc_id
 """
 
 
+
+def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_decontamination through the Bloom-prefilter scale path —
+    bitmap built as a distributed bit_or aggregate, exact verify after;
+    byte-identical result (no false negatives), same oracle."""
+    docs = _docs(spark, sf_dir)
+    hold = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return dedup.bloom_decontaminate(train, hold)
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1300,6 +1311,7 @@ QUERIES = {
     "llm_repetition_profile": llm_repetition_profile,
     "llm_dedup_components": llm_dedup_components,
     "llm_decontamination": llm_decontamination,
+    "llm_bloom_decontamination": llm_bloom_decontamination,
     "llm_pii_profile": llm_pii_profile,
     "llm_length_quantiles": llm_length_quantiles,
     "llm_ivf_train": llm_ivf_train,
@@ -1340,6 +1352,7 @@ ORACLES = {
     "llm_repetition_profile": REPETITION_PROFILE_SQL,
     "llm_dedup_components": DEDUP_COMPONENTS_SQL,
     "llm_decontamination": DECONTAMINATION_SQL,
+    "llm_bloom_decontamination": DECONTAMINATION_SQL,
     "llm_pii_profile": PII_PROFILE_SQL,
     "llm_length_quantiles": LENGTH_QUANTILES_SQL,
     "llm_ivf_train": IVF_TRAIN_SQL,

@@ -204,3 +204,32 @@ def test_dup_span_profile_semantics(spark):
     assert out[1].n_dup_grams == 3
     assert out[2].n_dup_grams == 3
     assert abs(out[1].dup_fraction - 0.6) < 1e-9
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The Bloom path must be byte-identical to the exact broadcast
+    path — even with a deliberately tiny, collision-saturated bitmap
+    (high FPR), because the exact verify join kills false positives
+    and a Bloom filter has no false negatives."""
+    from evmtrace_etl_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    hold = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    exact = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in contamination(train, hold).collect()
+    }
+    for m_bits in (1 << 17, 64):  # roomy, and absurdly saturated
+        got = {
+            r.doc_id: (r.n_shingles, r.n_contaminated)
+            for r in bloom_decontaminate(
+                train, hold, m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact, f"m_bits={m_bits}"
