@@ -9,7 +9,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -577,4 +577,68 @@ def top_ngrams(
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per source — the per-subcorpus
+    signature-vocabulary report (smoothed idf = ln((N+1)/(df+1)) + 1,
+    the scikit-learn smoothing).
+
+    Output: source, term, tf (term occurrences in the source), df
+    (docs containing the term), score (round 6), rank (1..k; ties
+    broken by term asc so both engines rank identically — scores are
+    ranked AFTER rounding to keep ulp-level ln() differences across
+    engines from flipping adjacent ranks).
+
+    Scale shape: one explode → (term, doc) map-side-combined aggregate
+    (the big shuffle, dedup-compressed), a term-keyed df rollup, a
+    term equi-join, the corpus size as a broadcast one-row scalar
+    (never a driver literal), and a per-source window whose state is
+    bounded by k·|sources|.  Nothing driver-side, no global sort.
+    """
+    from ..functions.text import tokens
+
+    t = docs.select(
+        "doc_id", "source", F.explode(tokens(text_col)).alias("term")
+    )
+    per_doc_term = t.groupBy("term", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    df_counts = per_doc_term.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    src_term = per_doc_term.groupBy("source", "term").agg(
+        F.sum("_tf").cast("long").alias("tf")
+    )
+    scored = (
+        src_term.join(df_counts, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

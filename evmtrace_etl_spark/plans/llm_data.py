@@ -1289,6 +1289,41 @@ def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_decontaminate(train, hold)
 
 
+
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source (subcorpus signature vocabulary)."""
+    return text_analysis.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents
+),
+pdt AS (
+  SELECT term, doc_id, source, count(*) AS tf FROM t GROUP BY 1, 2, 3
+),
+dfx AS (SELECT term, count(*) AS df FROM pdt GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+st AS (
+  SELECT source, term, CAST(sum(tf) AS BIGINT) AS tf
+  FROM pdt GROUP BY source, term
+),
+scored AS (
+  SELECT st.source, st.term, st.tf, CAST(dfx.df AS BIGINT) AS df,
+         round(st.tf * (ln((n.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0), 6)
+           AS score
+  FROM st JOIN dfx USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT source, term, tf, df, score, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1324,6 +1359,7 @@ QUERIES = {
     "llm_doc_chunks": llm_doc_chunks,
     "llm_chunk_dedup": llm_chunk_dedup,
     "llm_dup_spans": llm_dup_spans,
+    "llm_tfidf_top_terms": llm_tfidf_top_terms,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1365,6 +1401,7 @@ ORACLES = {
     "llm_doc_chunks": DOC_CHUNKS_SQL,
     "llm_chunk_dedup": CHUNK_DEDUP_SQL,
     "llm_dup_spans": DUP_SPANS_SQL,
+    "llm_tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,

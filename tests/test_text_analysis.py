@@ -72,3 +72,25 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
     assert out[100]["avg_logprob"] < out[1]["avg_logprob"]
     assert out[1]["n_oov"] == 0  # small corpus: everything in vocab
     assert out[100]["oov_frac"] == 0.0
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """A term concentrated in one source outranks corpus-wide terms
+    there; ranks run 1..k with rounded-score-then-term ordering."""
+    from evmtrace_etl_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha shared", "s1"),
+            (2, "shared words only", "s1"),
+            (3, "beta beta shared words", "s2"),
+            (4, "shared words only", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r.source, r.rank): r for r in out.collect()}
+    assert rows[("s1", 1)].term == "alpha"
+    assert rows[("s1", 1)].tf == 3 and rows[("s1", 1)].df == 1
+    assert rows[("s2", 1)].term == "beta"
+    assert len(rows) == 4  # k=2 per source
