@@ -597,3 +597,110 @@ def ivf_trained_topk(
     return _ivf_topk_with_cents(
         emb, cents, n_queries, k, n_probe, vec_col
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011): vectors are
+    split into ``n_subspaces`` sub-vectors, each encoded as its nearest
+    sub-codebook centroid (L2², ties to the smallest code), and queries
+    score candidates by ADC — a per-query lookup table of
+    query-sub-vector→centroid distances, so the corpus side of the scan
+    does ``n_subspaces`` array lookups and adds per candidate instead
+    of a full-dimension distance.
+
+    Sub-codebooks are deterministic for oracle parity (centroid ``c``
+    of every subspace = sub-vector of vec_id ``c`` — the seeded analog
+    of ``ivf_topk``'s coarse quantizer; a fitted variant would train
+    per-subspace k-means exactly like ``ivf_train``).
+
+    Output: query_id, neighbor_id, rank, adist — ranked (adist ASC,
+    neighbor ASC); distances are rounded to 6 dp and summed as
+    DECIMAL(20,6) so the total is exact and order-independent across
+    engines.
+
+    Scale shape: the collect is codebook-only (n_codes rows).  Encoding
+    is a narrow per-row projection (the 64-entry distance set folds
+    JVM-side); at 100 TB the 8-byte code column REPLACES the stored
+    vector for search — a 32× memory cut that is the actual point of
+    PQ — and composes with IVF cell pruning for the candidate set,
+    which here is the same broadcast join the other ANN harnesses use.
+    """
+    cb = sorted(
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col("vec_id") < n_codes)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    dim = len(cb[0][1])
+    if dim % n_subspaces:  # pragma: no cover
+        raise ValueError("vector dim must divide by n_subspaces")
+    d = dim // n_subspaces
+
+    def _lit_arr(vec: list[float]) -> str:
+        return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
+
+    def _l2sq(sub_expr: str, cent: list[float]) -> str:
+        return (
+            f"aggregate(zip_with({sub_expr}, {_lit_arr(cent)}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    # ONE m-major array of all n_subspaces*n_codes sub-distances per
+    # row, pinned behind an explode(array(...)) Generate barrier so
+    # projection collapse cannot re-inline the 64 HOF folds into every
+    # downstream code/LUT expression — this array IS the ADC lookup
+    # table on the query side, and the per-subspace argmins on the
+    # corpus side, so each distance compiles and evaluates exactly once
+    # (the first cut compiled the folds twice into ~130 codegen
+    # expressions and spent ~7 s in Janino before the first row moved).
+    dists = ", ".join(
+        f"CAST(round({_l2sq(f'slice({vec_col}, {m * d + 1}, {d})', cb[c][1][m * d:(m + 1) * d])}, 6) AS DECIMAL(20,6))"
+        for m in range(n_subspaces)
+        for c in range(n_codes)
+    )
+    based = emb.select(
+        "vec_id",
+        F.explode(F.expr(f"array(array({dists}))")).alias("_dists"),
+    )
+
+    def _code(m: int) -> str:
+        sl = f"slice(_dists, {m * n_codes + 1}, {n_codes})"
+        return f"(array_position({sl}, array_min({sl})) - 1)"
+
+    enc = based.select(
+        "vec_id",
+        *[F.expr(_code(m)).cast("int").alias(f"_c{m}") for m in range(n_subspaces)],
+    )
+    queries = based.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_dists").alias("_lut")
+    )
+
+    adist = " + ".join(
+        f"element_at(_lut, {m * n_codes} + _c{m} + 1)"
+        for m in range(n_subspaces)
+    )
+    scored = (
+        enc.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"CAST(({adist}) AS DOUBLE)").alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

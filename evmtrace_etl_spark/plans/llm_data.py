@@ -1324,6 +1324,60 @@ FROM ranked WHERE rn <= 5
 """
 
 
+
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (8 subspaces x 8 codes, seeded
+    sub-codebooks) — the code-compressed ANN serve path."""
+    return similarity.pq_topk(_emb(spark, sf_dir))
+
+
+_PQ_M = 8   # subspaces (embedding dim 64 -> 8 dims each)
+_PQ_KS = 8  # codes per sub-codebook
+_PQ_D = EMBED_DIM // _PQ_M
+
+PQ_TOPK_SQL = f"""
+WITH cb AS (
+  SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KS}
+),
+ms AS (SELECT unnest(range({_PQ_M})) AS m),
+subs AS (
+  SELECT ms.m, cb.c,
+         list_transform(range(1, {_PQ_D + 1}),
+                        i -> CAST(cb.cv[ms.m * {_PQ_D} + i] AS DOUBLE)) AS sv
+  FROM ms CROSS JOIN cb
+),
+dists AS (
+  SELECT e.vec_id, s.m, s.c,
+    CAST(round(list_reduce(list_transform(range(1, {_PQ_D + 1}),
+      i -> (CAST(e.embedding[s.m * {_PQ_D} + i] AS DOUBLE) - s.sv[i])
+           * (CAST(e.embedding[s.m * {_PQ_D} + i] AS DOUBLE) - s.sv[i])),
+      (x, y) -> x + y), 6) AS DECIMAL(20,6)) AS dd
+  FROM embeddings e CROSS JOIN subs s
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY dd ASC, c ASC) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+approx AS (
+  SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
+         CAST(sum(qd.dd) AS DOUBLE) AS adist
+  FROM codes x JOIN dists qd ON qd.m = x.m AND qd.c = x.code
+  WHERE qd.vec_id < 10 AND x.vec_id <> qd.vec_id
+  GROUP BY qd.vec_id, x.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM approx
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1360,6 +1414,7 @@ QUERIES = {
     "llm_chunk_dedup": llm_chunk_dedup,
     "llm_dup_spans": llm_dup_spans,
     "llm_tfidf_top_terms": llm_tfidf_top_terms,
+    "llm_pq_topk": llm_pq_topk,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1402,6 +1457,7 @@ ORACLES = {
     "llm_chunk_dedup": CHUNK_DEDUP_SQL,
     "llm_dup_spans": DUP_SPANS_SQL,
     "llm_tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "llm_pq_topk": PQ_TOPK_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,

