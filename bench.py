@@ -39,6 +39,22 @@ def main() -> None:
     except Exception:
         pass
 
+    # Warm up the Python/Arrow worker pool too — daemon workers spawn
+    # lazily on the first Python-involving stage (~5-7 s for a full
+    # local[32] pool), which would otherwise be billed to whichever
+    # Arrow query happens to run first instead of the harness.
+    try:
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(cpus * 4)
+            .repartition(cpus)
+            .mapInPandas(lambda it: it, "id long")
+            .count()
+        )
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         fn = qs[name]

@@ -458,12 +458,135 @@ FROM ev GROUP BY 1, 2
 """
 
 
+
+def spark_stream_sessions(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
+    """T1's time-based leg with Spark's NATIVE session windows: the
+    events stream aggregated by ``session_window(ts, 30 min)`` per user
+    in APPEND mode (the only mode session-window aggregation supports —
+    an open session could still merge with later events, so nothing is
+    emitted until the watermark closes it, and closed sessions never
+    need retraction) → insert-once upsert keyed
+    (user_id, session_start_us) → final sessions table.
+
+    ``session_window`` is the built-in the reference's punctuation
+    sessionizer has no equivalent for: windows MERGE as events arrive,
+    state holds one open window per (user, gap-island), and the
+    watermark finalizes+evicts sessions whose end precedes it.  With a
+    zero-delay watermark the stream's final watermark is max(ts), so
+    exactly the sessions with end <= max(ts) are emitted; each user's
+    still-open tail session (last event within the gap of stream end)
+    correctly stays in state — the oracle applies the same closure
+    predicate.
+
+    Session semantics (pinned by the oracle): events < gap apart merge;
+    a gap of EXACTLY 30 min splits (Spark merges while
+    ``next.start < prev.end``), so the oracle's new-session predicate is
+    ``>=``, not the ``>`` of the batch gap-sessionizer in
+    ``inventory.user_sessions`` — the two differ only on exact-boundary
+    rows.  window.start = first event ts, window.end = last ts + gap.
+    """
+    from .inventory import _t
+
+    base = _workdir("stream_sessions")
+    src = os.path.join(base, "src")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start"))
+            .alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end"))
+            .alias("session_end_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    sink = ParquetUpsertSink(os.path.join(base, "sink"), partition_cols=())
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink.upsert(
+            batch, "sessions", ["user_id", "session_start_us"],
+            mode="ignore",  # append emissions are final — insert once
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.foreachBatch(_process)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "inv_stream_sessions: stream not finished after 120 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read(spark, "sessions")
+
+
+STREAM_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS _ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+    sum(_ns) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  epoch_us(min(ts)) AS session_start_us,
+  epoch_us(max(ts)) + 1800000000 AS session_end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6))
+       AS VARCHAR) AS value_sum
+FROM sessioned GROUP BY user_id, sid
+HAVING epoch_us(max(ts)) + 1800000000 <=
+       (SELECT epoch_us(max(CAST(ts AS TIMESTAMP))) FROM events)
+"""
+
+
 QUERIES = {
     "zk_stream_transactions": spark_stream_transactions,
     "zk_upsert_replay": spark_upsert_replay,
     "zk_upsert_partition": spark_upsert_partition,
     "zk_upsert_blocks": spark_upsert_blocks,
     "inv_event_windows": spark_event_windows,
+    "inv_stream_sessions": spark_stream_sessions,
     "llm_stream_dedup_docs": spark_stream_dedup_docs,
 }
 
@@ -473,5 +596,6 @@ ORACLES = {
     "zk_upsert_partition": zk_parity.zk_transactions_oracle_sql(),
     "zk_upsert_blocks": zk_parity.blocks_oracle_sql(),
     "inv_event_windows": EVENT_WINDOWS_SQL,
+    "inv_stream_sessions": STREAM_SESSIONS_SQL,
     "llm_stream_dedup_docs": STREAM_DEDUP_DOCS_SQL,
 }

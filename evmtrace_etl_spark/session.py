@@ -39,7 +39,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode puts driver, all executor threads, shuffle AND
+        # streaming state stores in ONE heap; 8g showed GC-driven aging
+        # late in long multi-query sessions (measured: the same upsert
+        # query 2-3x slower after ~60 queries than in a fresh session)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # managed tables (bucketed exports) land outside the repo; on a
