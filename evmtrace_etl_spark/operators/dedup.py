@@ -306,9 +306,18 @@ def connected_components(
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     edges = fwd.union(rev).distinct().repartition("v").persist()
+    # label init folds the first propagation step: starting from
+    # min(self, neighbors) instead of identity saves one full
+    # join+aggregate+checkpoint round — the same state round 1 of
+    # identity-init would reach before its pointer jump, at the cost of
+    # one map-side-combined groupBy over the persisted edges
     labels = (
-        edges.select("u").distinct()
-        .select(F.col("u").alias("vid"), F.col("u").alias("label"))
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            F.col("u").alias("vid"),
+            F.least(F.col("u"), F.col("_mn")).alias("label"),
+        )
         .localCheckpoint()
     )
     prev_sum = None
