@@ -865,3 +865,40 @@ def bloom_decontaminate(
             / F.col("n_shingles").cast("double"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion diff of two corpus snapshots: classify every
+    key as ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, content fingerprint differs) or ``unchanged`` — the decision
+    table an incremental dedup/refresh pipeline acts on (recompute
+    features for added+changed, tombstone removed, skip unchanged).
+
+    Output: key, status, old_fp, new_fp (md5 fingerprints, null on the
+    missing side).
+
+    Scale shape: fingerprints are computed in the narrow projection
+    (content never shuffles — 32-hex fp instead of the document), then
+    ONE full-outer hash equi-join on the key; both sides shuffle once,
+    statuses derive from null-ness JVM-side.  At 100 TB both snapshot
+    scans are pruned to (key, fp) columns and the join is the only
+    exchange."""
+    o = with_fingerprint(old, text_col).select(
+        F.col(key), F.col("fingerprint").alias("old_fp")
+    )
+    n = with_fingerprint(new, text_col).select(
+        F.col(key), F.col("fingerprint").alias("new_fp")
+    )
+    joined = o.join(n, on=key, how="full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(key, status.alias("status"), "old_fp", "new_fp")

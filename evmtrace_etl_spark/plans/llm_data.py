@@ -1378,6 +1378,46 @@ FROM ranked WHERE rank <= 5
 """
 
 
+
+def llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion diff: snapshot A (drops doc_id%10==9) vs
+    snapshot B (drops doc_id%10==0, revises doc_id%7==3) classified
+    added/removed/changed/unchanged per doc via one full-outer join of
+    the fingerprint projections."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 9)
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+    )
+    return dedup.snapshot_diff(old, new)
+
+
+_FP_REV = (
+    "md5(trim(regexp_replace(lower(CASE WHEN doc_id % 7 = 3 "
+    "THEN text || ' [rev2]' ELSE text END), '\\s+', ' ', 'g')))"
+)
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH o AS (
+  SELECT doc_id, {_FP} AS old_fp FROM documents WHERE doc_id % 10 <> 9
+),
+n AS (
+  SELECT doc_id, {_FP_REV} AS new_fp FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN old_fp IS NULL THEN 'added'
+       WHEN new_fp IS NULL THEN 'removed'
+       WHEN old_fp <> new_fp THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  old_fp, new_fp
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1415,6 +1455,7 @@ QUERIES = {
     "llm_dup_spans": llm_dup_spans,
     "llm_tfidf_top_terms": llm_tfidf_top_terms,
     "llm_pq_topk": llm_pq_topk,
+    "llm_snapshot_diff": llm_snapshot_diff,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1458,6 +1499,7 @@ ORACLES = {
     "llm_dup_spans": DUP_SPANS_SQL,
     "llm_tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "llm_pq_topk": PQ_TOPK_SQL,
+    "llm_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,

@@ -265,3 +265,26 @@ def test_pq_topk_structure_and_self_distance(spark):
     by_neighbor = {r.neighbor_id: r.adist for r in q0}
     if 8 in by_neighbor and 9 in by_neighbor:
         assert by_neighbor[8] == by_neighbor[9]
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses from a hand-built pair of snapshots."""
+    from evmtrace_etl_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # whitespace-normalization is part of doc identity (same fp rule
+    # as exact dedup): case/spacing churn is NOT a content change
+    new2 = spark.createDataFrame(
+        [(1, "  SAME   text ")], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r.status for r in snapshot_diff(old.filter("doc_id = 1"), new2).collect()}
+    assert got2 == {1: "unchanged"}
