@@ -310,3 +310,30 @@ def test_dup_span_profile_shape(docs):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert "xxhash64" in plan  # hashed before any Exchange
+
+
+def test_tfidf_corpus_size_is_broadcast_scalar(docs):
+    """The corpus size joins in as a broadcast one-row aggregate, never
+    a driver-side literal (no action at plan-build time) and never a
+    shuffled join; the per-source cut is a bounded window, not a
+    global sort."""
+    from evmtrace_etl_spark.operators.text_analysis import tfidf_top_terms
+
+    plan = plan_of(tfidf_top_terms(docs), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "GlobalLimit" not in plan  # top-k per group is window-bounded
+
+
+def test_snapshot_diff_is_single_full_outer_join(docs):
+    """Fingerprints project in the narrow stage (content never
+    shuffles); the classification is ONE full-outer equi-join."""
+    from evmtrace_etl_spark.operators.dedup import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    plan = plan_of(snapshot_diff(old, new), "simple")
+    assert plan.count("Join") == 1
+    assert "FullOuter" in plan
+    assert "EvalPython" not in plan
