@@ -21,6 +21,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - declared-values pivot (static output schema, single pass)   → user_event_pivot
 - backward as-of join (union-tag merge, no inequality join)   → asof_attribution
 - interval-containment range join (time-bucket equi-join)     → session_range_join
+- ordered funnel w/ sequential constraint (staged min-chain)  → funnel_stages
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -797,6 +798,91 @@ GROUP BY s.user_id, s.session_id, s.n_purchases
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase, each stage strictly at-or-
+# after the previous stage's FIRST completion (classic product-analytics
+# funnel with sequential-constraint semantics)
+# ---------------------------------------------------------------------------
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: first 'view', first 'click' at-or-after it,
+    first 'purchase' at-or-after that.  Output: user_id, stage epoch-us
+    times (null where the user never progressed) and stages_completed.
+
+    Scale shape: three stage tables derived by filtered min-aggregates
+    (map-side partials over the pruned event-type scans), chained by
+    user-keyed equi-joins carrying the running constraint — no windows
+    over raw events, no self-join of the full table; each stage's
+    input is only the users that survived the previous stage."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("_us"))
+        .join(v, "user_id")
+        .filter(F.col("_us") >= F.col("view_us"))
+        .groupBy("user_id", "view_us")
+        .agg(F.min("_us").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("_us"))
+        .join(c, "user_id")
+        .filter(F.col("_us") >= F.col("click_us"))
+        .groupBy("user_id", "view_us", "click_us")
+        .agg(F.min("_us").alias("purchase_us"))
+    )
+    out = (
+        v.join(c.select("user_id", "click_us"), "user_id", "left")
+        .join(p.select("user_id", "purchase_us"), "user_id", "left")
+    )
+    stages = (
+        F.lit(1)
+        + F.when(F.col("click_us").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("purchase_us").isNotNull(), 1).otherwise(0)
+    )
+    return out.select(
+        "user_id", "view_us", "click_us", "purchase_us",
+        stages.cast("int").alias("stages_completed"),
+    )
+
+
+FUNNEL_STAGES_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+v AS (
+  SELECT user_id, min(us) AS view_us FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.view_us, min(e.us) AS click_us
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us >= v.view_us
+  GROUP BY e.user_id, v.view_us
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS purchase_us
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= c.click_us
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+  CAST(1 + (CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+       AS INT) AS stages_completed
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -816,6 +902,7 @@ QUERIES = {
     "inv_user_event_pivot": user_event_pivot,
     "inv_asof_attribution": asof_attribution,
     "inv_session_range_join": session_range_join,
+    "inv_funnel_stages": funnel_stages,
 }
 
 ORACLES = {
@@ -837,4 +924,5 @@ ORACLES = {
     "inv_user_event_pivot": USER_EVENT_PIVOT_SQL,
     "inv_asof_attribution": ASOF_ATTRIBUTION_SQL,
     "inv_session_range_join": SESSION_RANGE_JOIN_SQL,
+    "inv_funnel_stages": FUNNEL_STAGES_SQL,
 }
