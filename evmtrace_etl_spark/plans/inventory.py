@@ -22,6 +22,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - backward as-of join (union-tag merge, no inequality join)   → asof_attribution
 - interval-containment range join (time-bucket equi-join)     → session_range_join
 - ordered funnel w/ sequential constraint (staged min-chain)  → funnel_stages
+- weekly cohort retention (distinct-collapse + broadcast rate) → cohort_retention
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -883,6 +884,71 @@ LEFT JOIN p ON p.user_id = v.user_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention (first-activity cohort x week offset)
+# ---------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users bucketed by first-activity ISO week; each later active week
+    counts toward (cohort, offset).  Output: cohort_wk, week_offset,
+    n_users, retention (share of the cohort's week-0 size, round 6).
+
+    Scale shape: the raw stream collapses immediately to distinct
+    (user, week) rows (map-side partials), cohorts derive from a
+    user-keyed min-aggregate, and the rate denominator joins back as a
+    broadcast of the offset-0 rows — key spaces are |users| then
+    |cohorts × offsets|, never event volume."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    g = (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    size = g.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_users").alias("_size")
+    )
+    return g.join(F.broadcast(size), "cohort_wk").select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_wk"),
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("_size"), 6
+        ).alias("retention"),
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events GROUP BY user_id, wk
+),
+c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+g AS (
+  SELECT c.cohort_wk,
+         CAST(date_diff('day', c.cohort_wk, e.wk) // 7 AS INT)
+           AS week_offset,
+         count(*) AS n_users
+  FROM e JOIN c ON e.user_id = c.user_id
+  GROUP BY 1, 2
+),
+s AS (SELECT cohort_wk, n_users AS _size FROM g WHERE week_offset = 0)
+SELECT CAST(g.cohort_wk AS VARCHAR) AS cohort_wk,
+       g.week_offset, CAST(g.n_users AS BIGINT) AS n_users,
+       round(CAST(g.n_users AS DOUBLE) / s._size, 6) AS retention
+FROM g JOIN s ON g.cohort_wk = s.cohort_wk
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -903,6 +969,7 @@ QUERIES = {
     "inv_asof_attribution": asof_attribution,
     "inv_session_range_join": session_range_join,
     "inv_funnel_stages": funnel_stages,
+    "inv_cohort_retention": cohort_retention,
 }
 
 ORACLES = {
@@ -925,4 +992,5 @@ ORACLES = {
     "inv_asof_attribution": ASOF_ATTRIBUTION_SQL,
     "inv_session_range_join": SESSION_RANGE_JOIN_SQL,
     "inv_funnel_stages": FUNNEL_STAGES_SQL,
+    "inv_cohort_retention": COHORT_RETENTION_SQL,
 }
