@@ -599,90 +599,80 @@ def ivf_trained_topk(
     )
 
 
-def pq_topk(
-    emb: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
-    n_subspaces: int = 8,
-    n_codes: int = 8,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization ANN top-k (Jégou et al. 2011): vectors are
-    split into ``n_subspaces`` sub-vectors, each encoded as its nearest
-    sub-codebook centroid (L2², ties to the smallest code), and queries
-    score candidates by ADC — a per-query lookup table of
-    query-sub-vector→centroid distances, so the corpus side of the scan
-    does ``n_subspaces`` array lookups and adds per candidate instead
-    of a full-dimension distance.
-
-    Sub-codebooks are deterministic for oracle parity (centroid ``c``
-    of every subspace = sub-vector of vec_id ``c`` — the seeded analog
-    of ``ivf_topk``'s coarse quantizer; a fitted variant would train
-    per-subspace k-means exactly like ``ivf_train``).
-
-    Output: query_id, neighbor_id, rank, adist — ranked (adist ASC,
-    neighbor ASC); distances are rounded to 6 dp and summed as
-    DECIMAL(20,6) so the total is exact and order-independent across
-    engines.
-
-    Scale shape: the collect is codebook-only (n_codes rows).  Encoding
-    is a narrow per-row projection (the 64-entry distance set folds
-    JVM-side); at 100 TB the 8-byte code column REPLACES the stored
-    vector for search — a 32× memory cut that is the actual point of
-    PQ — and composes with IVF cell pruning for the candidate set,
-    which here is the same broadcast join the other ANN harnesses use.
-    """
+def _pq_seed_codebook(
+    emb: DataFrame, n_codes: int, vec_col: str
+) -> list[list[float]]:
+    """Seeded sub-codebook source: the first ``n_codes`` vec_ids' full
+    vectors (subspace slicing happens at expression-build time)."""
     cb = sorted(
         (r[0], list(r[1]))
         for r in emb.filter(F.col("vec_id") < n_codes)
         .select("vec_id", vec_col)
         .collect()
     )
-    dim = len(cb[0][1])
-    if dim % n_subspaces:  # pragma: no cover
-        raise ValueError("vector dim must divide by n_subspaces")
-    d = dim // n_subspaces
+    return [vec for _, vec in cb]
 
-    def _lit_arr(vec: list[float]) -> str:
-        return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
 
-    def _l2sq(sub_expr: str, cent: list[float]) -> str:
-        return (
-            f"aggregate(zip_with({sub_expr}, {_lit_arr(cent)}, (x, y) -> "
-            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
+def _pq_lit_arr(vec: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
 
-    # ONE m-major array of all n_subspaces*n_codes sub-distances per
-    # row, pinned behind an explode(array(...)) Generate barrier so
-    # projection collapse cannot re-inline the 64 HOF folds into every
-    # downstream code/LUT expression — this array IS the ADC lookup
-    # table on the query side, and the per-subspace argmins on the
-    # corpus side, so each distance compiles and evaluates exactly once
-    # (the first cut compiled the folds twice into ~130 codegen
-    # expressions and spent ~7 s in Janino before the first row moved).
-    dists = ", ".join(
-        f"CAST(round({_l2sq(f'slice({vec_col}, {m * d + 1}, {d})', cb[c][1][m * d:(m + 1) * d])}, 6) AS DECIMAL(20,6))"
-        for m in range(n_subspaces)
-        for c in range(n_codes)
+
+def _pq_l2sq(sub_expr: str, cent: list[float]) -> str:
+    return (
+        f"aggregate(zip_with({sub_expr}, {_pq_lit_arr(cent)}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
-    based = emb.select(
+
+
+def _pq_dists_df(
+    emb: DataFrame,
+    subcents: list[list[list[float]]],
+    d: int,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, _dists): ONE m-major array of all n_subspaces*n_codes
+    rounded DECIMAL(20,6) sub-distances per row, pinned behind an
+    explode(array(...)) Generate barrier so projection collapse cannot
+    re-inline the HOF folds into every downstream code/LUT expression
+    — this array IS the ADC lookup table on the query side and feeds
+    the per-subspace argmins on the corpus side, so each distance
+    compiles and evaluates exactly once (inlining them twice put ~130
+    expressions through Janino and cost ~7 s before the first row).
+
+    ``subcents[m][c]`` = centroid c of subspace m (length-d list)."""
+    dists = ", ".join(
+        f"CAST(round({_pq_l2sq(f'slice({vec_col}, {m * d + 1}, {d})', cent)}, 6)"
+        " AS DECIMAL(20,6))"
+        for m, cents in enumerate(subcents)
+        for cent in cents
+    )
+    return emb.select(
         "vec_id",
         F.explode(F.expr(f"array(array({dists}))")).alias("_dists"),
     )
 
-    def _code(m: int) -> str:
-        sl = f"slice(_dists, {m * n_codes + 1}, {n_codes})"
-        return f"(array_position({sl}, array_min({sl})) - 1)"
 
+def _pq_code_expr(m: int, n_codes: int) -> str:
+    sl = f"slice(_dists, {m * n_codes + 1}, {n_codes})"
+    return f"(array_position({sl}, array_min({sl})) - 1)"
+
+
+def _pq_serve(
+    based: DataFrame, n_queries: int, k: int, n_subspaces: int, n_codes: int
+) -> DataFrame:
+    """codes + LUT + ADC join + per-query rank over a ``_pq_dists_df``
+    output."""
     enc = based.select(
         "vec_id",
-        *[F.expr(_code(m)).cast("int").alias(f"_c{m}") for m in range(n_subspaces)],
+        *[
+            F.expr(_pq_code_expr(m, n_codes)).cast("int").alias(f"_c{m}")
+            for m in range(n_subspaces)
+        ],
     )
     queries = based.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("_dists").alias("_lut")
     )
-
     adist = " + ".join(
         f"element_at(_lut, {m * n_codes} + _c{m} + 1)"
         for m in range(n_subspaces)
@@ -704,6 +694,146 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def _pq_subcents(
+    seeds: list[list[float]], n_subspaces: int, d: int
+) -> list[list[list[float]]]:
+    return [
+        [seed[m * d:(m + 1) * d] for seed in seeds]
+        for m in range(n_subspaces)
+    ]
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011): vectors are
+    split into ``n_subspaces`` sub-vectors, each encoded as its nearest
+    sub-codebook centroid (L2², ties to the smallest code), and queries
+    score candidates by ADC — a per-query lookup table of
+    query-sub-vector→centroid distances, so the corpus side of the scan
+    does ``n_subspaces`` array lookups and adds per candidate instead
+    of a full-dimension distance.
+
+    Sub-codebooks are deterministic for oracle parity (centroid ``c``
+    of every subspace = sub-vector of vec_id ``c`` — the seeded analog
+    of ``ivf_topk``'s coarse quantizer; ``pq_trained_topk`` is the
+    fitted composition).
+
+    Output: query_id, neighbor_id, rank, adist — ranked (adist ASC,
+    neighbor ASC); distances are rounded to 6 dp and summed as
+    DECIMAL(20,6) so the total is exact and order-independent across
+    engines.
+
+    Scale shape: the collect is codebook-only (n_codes rows).  Encoding
+    is a narrow per-row projection (the 64-entry distance set folds
+    JVM-side); at 100 TB the 8-byte code column REPLACES the stored
+    vector for search — a 32× memory cut that is the actual point of
+    PQ — and composes with IVF cell pruning for the candidate set,
+    which here is the same broadcast join the other ANN harnesses use.
+    """
+    seeds = _pq_seed_codebook(emb, n_codes, vec_col)
+    dim = len(seeds[0])
+    if dim % n_subspaces:  # pragma: no cover
+        raise ValueError("vector dim must divide by n_subspaces")
+    d = dim // n_subspaces
+    based = _pq_dists_df(
+        emb, _pq_subcents(seeds, n_subspaces, d), d, vec_col
+    )
+    return _pq_serve(based, n_queries, k, n_subspaces, n_codes)
+
+
+def pq_train(
+    emb: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """One Lloyd refinement of the seeded sub-codebooks, per subspace:
+    assign every sub-vector to its nearest seed centroid (the same
+    rounded-DECIMAL argmin the serve path uses), then move each
+    centroid to the per-dimension MEAN of its members (empty cells keep
+    their seed).  One round matches the fitted-IVF precedent — on this
+    corpus further rounds move centroids without moving recall, and
+    every collect stays codebook-sized.
+
+    Means are DECIMAL(30,6)-summed / count and divided as double, so
+    the trained centroids are bit-identical to the oracle's regardless
+    of aggregation order.  Returns ``subcents[m][c]`` for
+    ``pq_trained_topk``."""
+    seeds = _pq_seed_codebook(emb, n_codes, vec_col)
+    dim = len(seeds[0])
+    d = dim // n_subspaces
+    subcents = _pq_subcents(seeds, n_subspaces, d)
+    based = _pq_dists_df(emb, subcents, d, vec_col)
+    coded = based.join(
+        emb.select("vec_id", vec_col), "vec_id"
+    ).select(
+        vec_col,
+        *[
+            F.expr(_pq_code_expr(m, n_codes)).cast("int").alias(f"_c{m}")
+            for m in range(n_subspaces)
+        ],
+    )
+    # (m, code, dim-position, component) rows -> per-(m,c,dim) means
+    pieces = [
+        coded.select(
+            F.lit(m).alias("_m"),
+            F.col(f"_c{m}").alias("_c"),
+            F.posexplode(
+                F.expr(f"slice({vec_col}, {m * d + 1}, {d})")
+            ).alias("_i", "_v"),
+        )
+        for m in range(n_subspaces)
+    ]
+    allp = pieces[0]
+    for piece in pieces[1:]:
+        allp = allp.unionByName(piece)
+    means = (
+        allp.groupBy("_m", "_c", "_i")
+        .agg(
+            (
+                F.sum(F.col("_v").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mean")
+        )
+        .collect()
+    )
+    trained = [
+        [list(cent) for cent in cents] for cents in subcents
+    ]  # deep copy; empty cells keep seeds
+    got: dict[tuple[int, int], dict[int, float]] = {}
+    for row in means:
+        got.setdefault((row["_m"], row["_c"]), {})[row["_i"]] = row["_mean"]
+    for (m, c), dims in got.items():
+        for i, v in dims.items():
+            trained[m][c][i] = v
+    return trained
+
+
+def pq_trained_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train → serve in one query: fitted sub-codebooks from
+    ``pq_train`` re-inlined as plan literals feeding the same ADC serve
+    plan as ``pq_topk`` — the production PQ path (fit offline,
+    broadcast the codebook, encode + search shuffle-free)."""
+    trained = pq_train(emb, n_subspaces, n_codes, vec_col)
+    seeds = _pq_seed_codebook(emb, n_codes, vec_col)
+    d = len(seeds[0]) // n_subspaces
+    based = _pq_dists_df(emb, trained, d, vec_col)
+    return _pq_serve(based, n_queries, k, n_subspaces, n_codes)
 
 
 def pq_recall(

@@ -1457,6 +1457,77 @@ GROUP BY exact.query_id
 """.format(pq=_pq_ctes(RECALL_QUERIES))
 
 
+
+def llm_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ train -> serve: one per-subspace Lloyd refinement of the
+    seeded sub-codebooks (codebook-only collects), trained centroids
+    re-inlined as plan literals feeding the same ADC serve plan."""
+    return similarity.pq_trained_topk(_emb(spark, sf_dir))
+
+
+def _pq_trained_ctes(nq: int) -> str:
+    """Seed-assignment CTEs + one Lloyd mean step + the serve chain
+    re-run against the trained centroids (empty cells keep seeds)."""
+    D = _PQ_D
+    return f"""{_pq_ctes(nq)},
+cvec AS (
+  SELECT e.vec_id, ms.m, t.i,
+         CAST(e.embedding[ms.m * {D} + t.i] AS DOUBLE) AS v
+  FROM embeddings e CROSS JOIN ms
+  CROSS JOIN UNNEST(range(1, {D + 1})) AS t(i)
+),
+tmeans AS (
+  SELECT c.m, c.code AS c, cv.i,
+         CAST(sum(CAST(cv.v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS mv
+  FROM codes c JOIN cvec cv ON cv.vec_id = c.vec_id AND cv.m = c.m
+  GROUP BY c.m, c.code, cv.i
+),
+scaffold AS (
+  SELECT s.m, s.c, t.i, s.sv[t.i] AS seedv
+  FROM subs s CROSS JOIN UNNEST(range(1, {D + 1})) AS t(i)
+),
+centvals AS (
+  SELECT sc.m, sc.c, sc.i, coalesce(tm.mv, sc.seedv) AS v
+  FROM scaffold sc LEFT JOIN tmeans tm
+    ON tm.m = sc.m AND tm.c = sc.c AND tm.i = sc.i
+),
+cent2 AS (SELECT m, c, list(v ORDER BY i) AS sv FROM centvals GROUP BY m, c),
+dists2 AS (
+  SELECT e.vec_id, s.m, s.c,
+    CAST(round(list_reduce(list_transform(range(1, {D + 1}),
+      i -> (CAST(e.embedding[s.m * {D} + i] AS DOUBLE) - s.sv[i])
+           * (CAST(e.embedding[s.m * {D} + i] AS DOUBLE) - s.sv[i])),
+      (x, y) -> x + y), 6) AS DECIMAL(20,6)) AS dd
+  FROM embeddings e CROSS JOIN cent2 s
+),
+codes2 AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY dd ASC, c ASC) AS rn
+    FROM dists2)
+  WHERE rn = 1
+),
+pq_approx2 AS (
+  SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
+         CAST(sum(qd.dd) AS DOUBLE) AS adist
+  FROM codes2 x JOIN dists2 qd ON qd.m = x.m AND qd.c = x.code
+  WHERE qd.vec_id < {nq} AND x.vec_id <> qd.vec_id
+  GROUP BY qd.vec_id, x.vec_id
+),
+pq_ranked2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM pq_approx2
+)"""
+
+
+PQ_TRAINED_TOPK_SQL = f"""
+WITH {_pq_trained_ctes(10)}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+FROM pq_ranked2 WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1496,6 +1567,7 @@ QUERIES = {
     "llm_pq_topk": llm_pq_topk,
     "llm_snapshot_diff": llm_snapshot_diff,
     "llm_pq_recall": llm_pq_recall,
+    "llm_pq_trained_topk": llm_pq_trained_topk,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1541,6 +1613,7 @@ ORACLES = {
     "llm_pq_topk": PQ_TOPK_SQL,
     "llm_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "llm_pq_recall": PQ_RECALL_SQL,
+    "llm_pq_trained_topk": PQ_TRAINED_TOPK_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,

@@ -288,3 +288,26 @@ def test_snapshot_diff_statuses(spark):
     )
     got2 = {r.doc_id: r.status for r in snapshot_diff(old.filter("doc_id = 1"), new2).collect()}
     assert got2 == {1: "unchanged"}
+
+
+def test_pq_train_centroids_are_member_means(spark):
+    """One Lloyd step per subspace: each trained centroid is the exact
+    per-dimension mean of the sub-vectors assigned to it; a code with
+    no members keeps its seed."""
+    from evmtrace_etl_spark.operators.similarity import pq_train
+
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),   # seed code 0 (both subspaces)
+        (1, [4.0, 4.0, 20.0, 20.0]),   # seed code 1
+        (2, [1.0, 1.0, 11.0, 11.0]),   # near code 0 / code 0
+        (3, [3.0, 3.0, 21.0, 21.0]),   # near code 1 / code 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trained = pq_train(emb, n_subspaces=2, n_codes=2)
+    # subspace 0: code 0 members {v0, v2} -> mean (0.5, 0.5);
+    #             code 1 members {v1, v3} -> mean (3.5, 3.5)
+    assert trained[0][0] == [0.5, 0.5]
+    assert trained[0][1] == [3.5, 3.5]
+    # subspace 1: code 0 members {v0, v2} -> (10.5, 10.5); code 1 -> (20.5, 20.5)
+    assert trained[1][0] == [10.5, 10.5]
+    assert trained[1][1] == [20.5, 20.5]
