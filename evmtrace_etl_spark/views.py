@@ -1,0 +1,83 @@
+"""SQL surface: every input table and every registered query result as
+Spark temp views, so a ``spark.sql`` user can work against the engine
+without touching the Python API.
+
+The reference has no SQL layer (its one "query" is a hard-wired
+dataflow, SURVEY §3); on Spark a SQL surface is idiomatic and free —
+views are LAZY plan aliases (``createOrReplaceTempView`` stores the
+logical plan, nothing runs until a SQL query references it).  The
+exception is parameter-fitting at plan-BUILD time: the ANN queries
+collect their (codebook-sized) centroids while constructing the plan,
+so registering the full surface costs a handful of tiny collects —
+table scans and all heavy work stay lazy.  Catalyst folds
+view references into the enclosing query plan, meaning filters a user
+writes over a view push down into the underlying parquet scans exactly
+as they would through the DataFrame API.
+
+Usage::
+
+    from evmtrace_etl_spark.views import register_views
+    register_views(spark, "/root/testdata/sf0.01")
+    spark.sql("SELECT * FROM zk_transactions WHERE chain_id = 1")
+    spark.sql("SELECT * FROM documents JOIN llm_exact_dup_groups USING ()")
+
+Side-effecting queries (streaming runs, sink replays — anything whose
+``queries()`` callable executes work at BUILD time rather than
+returning a lazy plan) are excluded by default; pass
+``include_effectful=True`` to materialize those too, accepting their
+build cost at registration."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import registry
+
+#: Source tables the driver testdata provides.
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Queries whose builder RUNS side-effecting machinery (structured
+#: streams, sink replay cycles, executor-side DB writers) instead of
+#: returning a lazy plan — registering them eagerly would execute all
+#: of that at view-registration time.
+EFFECTFUL = frozenset(
+    name
+    for name, _ in __import__(
+        "evmtrace_etl_spark.plans.sink_parity", fromlist=["QUERIES"]
+    ).QUERIES.items()
+)
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    include_effectful: bool = False,
+) -> list[str]:
+    """Register source-table and query views; returns the view names.
+
+    Table views read the parquet lazily; query views are the lazy
+    DataFrames the registry builds (each a pure function of the table
+    scans, so the SQL user composes on top of the same Catalyst
+    plans the driver verifies)."""
+    registered: list[str] = []
+    import os
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+            registered.append(t)
+    for name, fn in registry.queries().items():
+        if name in EFFECTFUL and not include_effectful:
+            continue
+        try:
+            fn(spark, sf_dir).createOrReplaceTempView(name)
+            registered.append(name)
+        except Exception:
+            # a query that cannot build against this sf_dir (missing
+            # optional table) should not poison the rest of the surface
+            continue
+    return registered
