@@ -23,6 +23,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - interval-containment range join (time-bucket equi-join)     → session_range_join
 - ordered funnel w/ sequential constraint (staged min-chain)  → funnel_stages
 - weekly cohort retention (distinct-collapse + broadcast rate) → cohort_retention
+- INTERSECT / EXCEPT cohort set algebra                       → buyer_overlap
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -949,6 +950,40 @@ FROM g JOIN s ON g.cohort_wk = s.cohort_wk
 """
 
 
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT set operators (the set-op family beyond UNION)
+# ---------------------------------------------------------------------------
+
+def buyer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over two behavioral cohorts: users with 'purchase'
+    events vs users with 'error' events — INTERSECT (both), EXCEPT
+    (clean buyers), labeled and unioned into one result.  Spark
+    compiles both to aggregate-backed joins (left-semi / left-anti over
+    distinct rows) — no sort-based set operator at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erring = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = buyers.intersect(erring).select(
+        "user_id", F.lit("both").alias("cohort")
+    )
+    # subtract = SQL EXCEPT (set semantics); exceptAll would be the bag
+    # variant and leak duplicate buyer rows through
+    clean = buyers.subtract(erring).select(
+        "user_id", F.lit("clean_buyer").alias("cohort")
+    )
+    return both.unionByName(clean)
+
+
+BUYER_OVERLAP_SQL = """
+WITH b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM b INTERSECT SELECT user_id FROM e)
+UNION ALL
+SELECT user_id, 'clean_buyer' AS cohort FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM e)
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -970,6 +1005,7 @@ QUERIES = {
     "inv_session_range_join": session_range_join,
     "inv_funnel_stages": funnel_stages,
     "inv_cohort_retention": cohort_retention,
+    "inv_buyer_overlap": buyer_overlap,
 }
 
 ORACLES = {
@@ -993,4 +1029,5 @@ ORACLES = {
     "inv_session_range_join": SESSION_RANGE_JOIN_SQL,
     "inv_funnel_stages": FUNNEL_STAGES_SQL,
     "inv_cohort_retention": COHORT_RETENTION_SQL,
+    "inv_buyer_overlap": BUYER_OVERLAP_SQL,
 }
