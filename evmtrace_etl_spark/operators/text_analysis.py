@@ -642,3 +642,50 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+#: hash32 yields 7 hex digits -> [0, 2^28); dividing token-hash sums by
+#: n·2^27 maps the mean to [0, 2) so score = mean - 1 lies in [-1, 1).
+HASH_WEIGHT_SCALE = float(1 << 27)
+
+
+def quality_classifier_scores(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick linear quality classifier (fasttext-shaped): each
+    token maps to a weight through a hash projection, a doc's score is
+    the mean weight, and the keep/drop label is the sign.  The weights
+    here are hash-DERIVED placeholders (no trained model ships in this
+    repo); the distributed scoring machinery — per-token hash lookup,
+    exact mean, threshold — is the real deliverable, and a trained
+    model drops in by broadcasting its (hash-bucket → weight) table at
+    the same spot.
+
+    Output: doc_id, n_tokens, quality_score (round 6), label.
+
+    Determinism: the per-doc aggregation sums the INTEGER token hashes
+    (exact, order-free long arithmetic; max corpus-doc sum ≈ 2^41 «
+    2^53) and divides once at the end — never a float sum, so both
+    engines produce bit-identical scores.  Scale shape: one explode →
+    one map-side-combined aggregate; nothing else."""
+    from ..functions.text import hash32, tokens
+
+    t = docs.select("doc_id", F.explode(tokens(text_col)).alias("_tok"))
+    agg = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(hash32(F.col("_tok"))).alias("_hsum"),
+    )
+    score = F.round(
+        F.col("_hsum").cast("double")
+        / (F.col("n_tokens") * F.lit(HASH_WEIGHT_SCALE))
+        - 1.0,
+        6,
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("quality_score"),
+        F.when(score >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

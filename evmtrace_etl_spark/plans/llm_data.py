@@ -1528,6 +1528,28 @@ FROM pq_ranked2 WHERE rank <= 5
 """
 
 
+
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality score + keep/drop label per doc."""
+    return text_analysis.quality_classifier_scores(_docs(spark, sf_dir))
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+a AS (
+  SELECT doc_id, count(*) AS n_tokens, sum({_sql_h32('tok')}) AS hsum
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(CAST(hsum AS DOUBLE) / (n_tokens * 134217728.0) - 1.0, 6)
+    AS quality_score,
+  CASE WHEN round(CAST(hsum AS DOUBLE) / (n_tokens * 134217728.0) - 1.0, 6)
+            >= 0
+       THEN 'keep' ELSE 'drop' END AS label
+FROM a
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1568,6 +1590,7 @@ QUERIES = {
     "llm_snapshot_diff": llm_snapshot_diff,
     "llm_pq_recall": llm_pq_recall,
     "llm_pq_trained_topk": llm_pq_trained_topk,
+    "llm_quality_classifier": llm_quality_classifier,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1614,6 +1637,7 @@ ORACLES = {
     "llm_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "llm_pq_recall": PQ_RECALL_SQL,
     "llm_pq_trained_topk": PQ_TRAINED_TOPK_SQL,
+    "llm_quality_classifier": QUALITY_CLASSIFIER_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
