@@ -689,3 +689,59 @@ def quality_classifier_scores(
         .otherwise(F.lit("drop"))
         .alias("label"),
     )
+
+
+def hashed_tf_vectors(
+    docs: DataFrame, dim: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick TF vectorization — the text→embedding bridge: each
+    token hashes to one of ``dim`` buckets, a doc's vector is its
+    L2-normalized bucket-count histogram.  Output is the SPARSE long
+    form (doc_id, bucket, weight round 6) — the honest representation
+    at scale (most buckets are zero for short docs) and directly
+    SQL-verifiable; ``hashed_tf_dense`` materializes the dense
+    ``array<double>`` column for composing with the ANN/embedding
+    operators.
+
+    Determinism: counts are exact longs, the squared-norm is an exact
+    long sum (order-free), sqrt is IEEE-correctly-rounded in both
+    engines, and each weight divides once — no float accumulation
+    anywhere.  Scale shape: explode → two stacked map-side-combined
+    aggregates → window-free self-join on doc_id for the norm."""
+    from ..functions.text import hash32, tokens
+
+    t = docs.select("doc_id", F.explode(tokens(text_col)).alias("_tok"))
+    g = t.groupBy(
+        "doc_id", F.pmod(hash32(F.col("_tok")), F.lit(dim)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    ss = g.groupBy("doc_id").agg(
+        F.sum(F.col("_cnt") * F.col("_cnt")).alias("_ss")
+    )
+    return g.join(ss, "doc_id").select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round(
+            F.col("_cnt").cast("double") / F.sqrt(F.col("_ss")), 6
+        ).alias("weight"),
+    )
+
+
+def hashed_tf_dense(
+    docs: DataFrame, dim: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Dense companion of ``hashed_tf_vectors``: (vec_id, embedding
+    array<double>) rows ready for the similarity/dedup operators —
+    zero-filled buckets, same weights."""
+    sparse = hashed_tf_vectors(docs, dim, text_col)
+    packed = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "weight"))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0.0)),
+    )
+    return packed.select(
+        F.col("doc_id").alias("vec_id"), vec.alias("embedding")
+    )

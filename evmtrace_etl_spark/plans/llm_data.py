@@ -1550,6 +1550,25 @@ FROM a
 """
 
 
+
+def llm_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF vectors (sparse long form) — text -> embedding
+    bridge feeding the ANN/embedding-dedup family."""
+    return text_analysis.hashed_tf_vectors(_docs(spark, sf_dir))
+
+
+HASHED_TF_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+b AS (SELECT doc_id, {_sql_h32('tok')} % 64 AS bkt FROM t),
+g AS (SELECT doc_id, bkt, count(*) AS cnt FROM b GROUP BY doc_id, bkt),
+s AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM g GROUP BY doc_id)
+SELECT g.doc_id, CAST(g.bkt AS INT) AS bucket,
+       round(CAST(g.cnt AS DOUBLE) / sqrt(CAST(s.ss AS DOUBLE)), 6)
+         AS weight
+FROM g JOIN s ON g.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1591,6 +1610,7 @@ QUERIES = {
     "llm_pq_recall": llm_pq_recall,
     "llm_pq_trained_topk": llm_pq_trained_topk,
     "llm_quality_classifier": llm_quality_classifier,
+    "llm_hashed_tf_vectors": llm_hashed_tf_vectors,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1638,6 +1658,7 @@ ORACLES = {
     "llm_pq_recall": PQ_RECALL_SQL,
     "llm_pq_trained_topk": PQ_TRAINED_TOPK_SQL,
     "llm_quality_classifier": QUALITY_CLASSIFIER_SQL,
+    "llm_hashed_tf_vectors": HASHED_TF_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,

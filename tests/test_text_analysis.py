@@ -94,3 +94,27 @@ def test_tfidf_top_terms_ranking(spark):
     assert rows[("s1", 1)].tf == 3 and rows[("s1", 1)].df == 1
     assert rows[("s2", 1)].term == "beta"
     assert len(rows) == 4  # k=2 per source
+
+
+def test_hashed_tf_dense_composes_with_ann(spark):
+    """The dense form is a drop-in embedding table: unit-norm vectors
+    that flow straight into the similarity operators."""
+    from evmtrace_etl_spark.operators.similarity import brute_force_topk
+    from evmtrace_etl_spark.operators.text_analysis import hashed_tf_dense
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles data between stages"),
+            (1, "spark shuffles data between stages"),  # clone of 0
+            (2, "an entirely different sentence about cats"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_tf_dense(docs)
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    assert len(rows) == 3 and all(len(v) == 64 for v in rows.values())
+    for v in rows.values():  # unit norm (within rounding of weights)
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4
+    top = brute_force_topk(emb, n_queries=1, k=2)
+    best = {r.rank: r for r in top.collect()}
+    assert best[1].neighbor_id == 1 and best[1].sim == 1.0  # the clone
