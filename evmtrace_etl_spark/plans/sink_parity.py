@@ -580,6 +580,105 @@ HAVING epoch_us(max(ts)) + 1800000000 <=
 """
 
 
+
+def spark_stream_attribution(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the Structured
+    Streaming join family the reference's single-stream model has no
+    counterpart for: the purchases stream inner-joins the clicks stream
+    of the same user with a time-bound condition (click within the hour
+    before the purchase).  Both sides are watermarked and the range
+    predicate bounds the join state: a buffered click can be evicted
+    once the purchase-side watermark passes click_ts + 1 hour — without
+    the time bound the state would grow with the stream, which is why
+    Spark requires one for append-mode range joins at scale.
+
+    One staged file → both streams see the fixture in a single
+    micro-batch; inner-join emission is eager, so the sink (insert-once
+    by pair key) holds ALL qualifying pairs — the oracle is the plain
+    batch inequality join.  Output: purchase_id, click_id, gap_us.
+    """
+    from .inventory import _t
+
+    base = _workdir("stream_attr")
+    src_dir = os.path.join(base, "src")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    ev.coalesce(1).write.parquet(src_dir)
+
+    def _leg(etype: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, event_type string"
+            )
+            .parquet(src_dir)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "0 seconds")
+        )
+
+    purchases = _leg("purchase", "purchase")
+    clicks = _leg("click", "click")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "purchase_user = click_user AND "
+            "click_ts >= purchase_ts - INTERVAL 1 HOUR AND "
+            "click_ts <= purchase_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .alias("gap_us"),
+    )
+    sink = ParquetUpsertSink(os.path.join(base, "sink"), partition_cols=())
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink.upsert(
+            batch, "attribution", ["purchase_id", "click_id"], mode="ignore"
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            joined.writeStream.foreachBatch(_process)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "inv_stream_attribution: stream not finished after 120 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read(spark, "attribution")
+
+
+STREAM_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p JOIN c ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
 QUERIES = {
     "zk_stream_transactions": spark_stream_transactions,
     "zk_upsert_replay": spark_upsert_replay,
@@ -587,6 +686,7 @@ QUERIES = {
     "zk_upsert_blocks": spark_upsert_blocks,
     "inv_event_windows": spark_event_windows,
     "inv_stream_sessions": spark_stream_sessions,
+    "inv_stream_attribution": spark_stream_attribution,
     "llm_stream_dedup_docs": spark_stream_dedup_docs,
 }
 
@@ -597,5 +697,6 @@ ORACLES = {
     "zk_upsert_blocks": zk_parity.blocks_oracle_sql(),
     "inv_event_windows": EVENT_WINDOWS_SQL,
     "inv_stream_sessions": STREAM_SESSIONS_SQL,
+    "inv_stream_attribution": STREAM_ATTRIBUTION_SQL,
     "llm_stream_dedup_docs": STREAM_DEDUP_DOCS_SQL,
 }
