@@ -24,6 +24,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - ordered funnel w/ sequential constraint (staged min-chain)  → funnel_stages
 - weekly cohort retention (distinct-collapse + broadcast rate) → cohort_retention
 - INTERSECT / EXCEPT cohort set algebra                       → buyer_overlap
+- CUBE grouping sets (all margins, one aggregate)             → order_cube
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -984,6 +985,35 @@ SELECT user_id, 'clean_buyer' AS cohort FROM (SELECT user_id FROM b EXCEPT SELEC
 """
 
 
+
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CUBE(o_orderpriority, o_orderstatus)`` — all four grouping
+    sets (detail, each single-dimension margin, grand total) in one
+    aggregate; the CUBE complement of ``revenue_rollup``'s ROLLUP.
+    Same Expand-by-design note applies (4× here)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum(_dec("o_totalprice"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORDER_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+    AS gid,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6))
+       AS VARCHAR) AS revenue,
+  count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1006,6 +1036,7 @@ QUERIES = {
     "inv_funnel_stages": funnel_stages,
     "inv_cohort_retention": cohort_retention,
     "inv_buyer_overlap": buyer_overlap,
+    "inv_order_cube": order_cube,
 }
 
 ORACLES = {
@@ -1030,4 +1061,5 @@ ORACLES = {
     "inv_funnel_stages": FUNNEL_STAGES_SQL,
     "inv_cohort_retention": COHORT_RETENTION_SQL,
     "inv_buyer_overlap": BUYER_OVERLAP_SQL,
+    "inv_order_cube": ORDER_CUBE_SQL,
 }
