@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dedup_keep_last(
@@ -84,16 +85,24 @@ def asof_join(
     """
     key = list(on)
     payload = F.struct(*[F.col(c) for c in right_payload])
+    # the tiebreak keeps its NATIVE orderable type — casting to a fixed
+    # numeric type would silently null out string/timestamp tiebreaks
+    # and void the determinism guarantee
+    tie_type = (
+        right.schema[right_tiebreak].dataType
+        if right_tiebreak is not None
+        else T.LongType()
+    )
     tie = (
         F.col(right_tiebreak)
         if right_tiebreak is not None
-        else F.lit(None).cast("long")
+        else F.lit(None).cast(tie_type)
     )
     r = right.select(
         *key,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_tag"),
-        tie.cast("long").alias("_tie"),
+        tie.alias("_tie"),
         payload.alias("_payload"),
         *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
     )
@@ -101,7 +110,7 @@ def asof_join(
         *key,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_tag"),
-        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(tie_type).alias("_tie"),
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )

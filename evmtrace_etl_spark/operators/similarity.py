@@ -610,6 +610,14 @@ def _pq_seed_codebook(
         .select("vec_id", vec_col)
         .collect()
     )
+    if len(cb) != n_codes:
+        # the serve expressions stride the distance array by n_codes —
+        # a short codebook would silently index across subspace
+        # boundaries, so refuse rather than corrupt
+        raise ValueError(
+            f"codebook needs vec_ids 0..{n_codes - 1} present; "
+            f"found {len(cb)}"
+        )
     return [vec for _, vec in cb]
 
 
@@ -769,6 +777,8 @@ def pq_train(
     ``pq_trained_topk``."""
     seeds = _pq_seed_codebook(emb, n_codes, vec_col)
     dim = len(seeds[0])
+    if dim % n_subspaces:  # pragma: no cover
+        raise ValueError("vector dim must divide by n_subspaces")
     d = dim // n_subspaces
     subcents = _pq_subcents(seeds, n_subspaces, d)
     based = _pq_dists_df(emb, subcents, d, vec_col)
@@ -830,8 +840,7 @@ def pq_trained_topk(
     plan as ``pq_topk`` — the production PQ path (fit offline,
     broadcast the codebook, encode + search shuffle-free)."""
     trained = pq_train(emb, n_subspaces, n_codes, vec_col)
-    seeds = _pq_seed_codebook(emb, n_codes, vec_col)
-    d = len(seeds[0]) // n_subspaces
+    d = len(trained[0][0])  # sub-vector length, no second seed collect
     based = _pq_dists_df(emb, trained, d, vec_col)
     return _pq_serve(based, n_queries, k, n_subspaces, n_codes)
 

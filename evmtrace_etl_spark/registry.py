@@ -46,13 +46,23 @@ def _modules():
     return (zk_parity, sink_parity, geth, inventory, llm_data)
 
 
-def _last_verified() -> dict[str, int]:
-    """Last round each query name got a green driver row.
+#: ``_last_verified`` cache, keyed by the repo root it was computed
+#: from (the round files are immutable within a process; tests swap
+#: ``_REPO_ROOT`` to a temp dir and must not see a stale cache).
+_VERIFIED_CACHE: dict[str, dict[str, int]] = {}
 
-    A row counts as verified only when the driver matched row counts
-    with no error — failed or errored rows keep the query at the front
-    of the rotation so the next round re-checks it.
+
+def _last_verified() -> dict[str, int]:
+    """Last round each query name got a FULLY green driver row.
+
+    A row counts as verified only when every recorded check passed —
+    row count, schema, and (when an oracle exists) the value hash —
+    with no error.  A failed, hash-mismatched, or errored row keeps the
+    query at the front of the rotation so the next round re-checks it.
     """
+    cached = _VERIFIED_CACHE.get(_REPO_ROOT)
+    if cached is not None:
+        return cached
     out: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
@@ -67,8 +77,18 @@ def _last_verified() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            # absent keys (weaker rows-only checks) don't fail the row;
+            # an explicit False on ANY check does
+            if any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                continue
+            if row.get("rows_match"):
                 out[name] = max(out.get(name, 0), rnd)
+    _VERIFIED_CACHE[_REPO_ROOT] = out
     return out
 
 

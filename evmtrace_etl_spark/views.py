@@ -6,10 +6,14 @@ The reference has no SQL layer (its one "query" is a hard-wired
 dataflow, SURVEY §3); on Spark a SQL surface is idiomatic and free —
 views are LAZY plan aliases (``createOrReplaceTempView`` stores the
 logical plan, nothing runs until a SQL query references it).  The
-exception is parameter-fitting at plan-BUILD time: the ANN queries
-collect their (codebook-sized) centroids while constructing the plan,
-so registering the full surface costs a handful of tiny collects —
-table scans and all heavy work stay lazy.  Catalyst folds
+exception is parameter FITTING at plan-BUILD time: the ANN/Bloom
+queries run their fitting jobs while constructing the plan (codebook
+collects and, for the trained/Bloom variants, the corpus-scan
+assignment/bitmap aggregates those need), so registering the full
+surface costs real Spark jobs — seconds at bench scale, proportional
+to the corpus for the fitted queries.  Table scans and everything
+downstream of registration stay lazy; pass ``skip`` to leave the
+expensive fitted surfaces out when registration latency matters.  Catalyst folds
 view references into the enclosing query plan, meaning filters a user
 writes over a view push down into the underlying parquet scans exactly
 as they would through the DataFrame API.
@@ -43,25 +47,30 @@ TABLES = (
 #: streams, sink replay cycles, executor-side DB writers) instead of
 #: returning a lazy plan — registering them eagerly would execute all
 #: of that at view-registration time.
-EFFECTFUL = frozenset(
-    name
-    for name, _ in __import__(
-        "evmtrace_etl_spark.plans.sink_parity", fromlist=["QUERIES"]
-    ).QUERIES.items()
-)
+def _effectful() -> frozenset[str]:
+    from .plans import sink_parity
+
+    return frozenset(sink_parity.QUERIES)
+
+
+EFFECTFUL = _effectful()
 
 
 def register_views(
     spark: SparkSession,
     sf_dir: str,
     include_effectful: bool = False,
+    skip: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
     """Register source-table and query views; returns the view names.
 
     Table views read the parquet lazily; query views are the lazy
     DataFrames the registry builds (each a pure function of the table
-    scans, so the SQL user composes on top of the same Catalyst
-    plans the driver verifies)."""
+    scans, so the SQL user composes on top of the same Catalyst plans
+    the driver verifies).  A query whose builder fails raises — a
+    silently missing view would surface later as a confusing
+    TABLE_OR_VIEW_NOT_FOUND with the real defect hidden; use ``skip``
+    to exclude queries deliberately."""
     registered: list[str] = []
     import os
 
@@ -71,13 +80,8 @@ def register_views(
             spark.read.parquet(path).createOrReplaceTempView(t)
             registered.append(t)
     for name, fn in registry.queries().items():
-        if name in EFFECTFUL and not include_effectful:
+        if name in skip or (name in EFFECTFUL and not include_effectful):
             continue
-        try:
-            fn(spark, sf_dir).createOrReplaceTempView(name)
-            registered.append(name)
-        except Exception:
-            # a query that cannot build against this sf_dir (missing
-            # optional table) should not poison the rest of the surface
-            continue
+        fn(spark, sf_dir).createOrReplaceTempView(name)
+        registered.append(name)
     return registered

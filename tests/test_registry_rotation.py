@@ -33,3 +33,27 @@ def test_rotation_survives_missing_correctness_files(monkeypatch, tmp_path):
     monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
     names = list(registry.queries())
     assert len(names) == len(set(names)) >= 65
+
+
+def test_hash_mismatch_keeps_query_in_rotation(monkeypatch, tmp_path):
+    # A rows-green but HASH-red row must NOT count as verified — the
+    # rotation would otherwise park a value-incorrect query outside the
+    # driver's window for many rounds.
+    import json
+
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps({
+        "good": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None},
+        "hash_bad": {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None},
+        "rows_only": {"rows_match": True, "err": None},
+    }))
+    monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
+    registry._VERIFIED_CACHE.clear()
+    try:
+        seen = registry._last_verified()
+        assert seen.get("good") == 9
+        assert "hash_bad" not in seen
+        assert seen.get("rows_only") == 9  # weaker check still counts
+    finally:
+        registry._VERIFIED_CACHE.clear()

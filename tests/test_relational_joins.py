@@ -79,3 +79,22 @@ def test_interval_join_inclusive_bounds_and_bucket_crossing(spark):
     assert {r.lbl for r in out.collect()} == {"at-start", "at-end", "inside"}
     # each matching point appears exactly once (no bucket-fanout dupes)
     assert out.count() == 3
+
+
+def test_asof_tiebreak_keeps_native_string_type(spark):
+    """A string tiebreak column must order lexicographically, not be
+    cast-nulled into nondeterminism."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "L")], "k long, t timestamp, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "0xaa"),
+         (1, _ts("2024-01-01T09:00:00"), "0xff"),
+         (1, _ts("2024-01-01T09:00:00"), "0x0b")],
+        "k long, t timestamp, h string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        right_payload=["h"], right_tiebreak="h",
+    )
+    assert out.collect()[0].asof_h == "0xff"  # greatest, lexicographic
