@@ -43,6 +43,7 @@ import time as _time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schemas import TRANSACTION_SCHEMA
 from ..sinks import ParquetUpsertSink
 from ..sources import fixtures
 from ..streaming import runner, sources
@@ -183,19 +184,22 @@ def spark_upsert_replay(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     return zk_parity.project_tx(sink.read(spark, "transactions"))
 
 
-#: project_tx's output schema after the DB-API round-trip (arrays are
-#: comma-joined and decimals stringified by the sink's _flatten_for_sql,
-#: so the table read back from SQL is already in hash-safe form).
-_TX_FLAT_SCHEMA = (
-    "chain_id long, transaction_hash string, from_address string, "
-    "to_address string, closest_address string, function_signature string, "
-    "transaction_index int, block_number long, block_timestamp long, "
-    "block_hash string, value string, input string, gas_used_total long, "
-    "gas_used_first_degree long, gas_used_second_degree long, "
-    "ec_recover_count long, ec_add_count long, ec_mul_count long, "
-    "ec_pairing_count long, ec_pairing_input_sizes string, "
-    "ec_recover_addresses string, error string"
-)
+def _flat_ddl(schema) -> str:
+    """DDL string for a declared output schema AFTER the DB-API
+    round-trip: arrays are comma-joined and decimals stringified by the
+    sink's ``_flatten_for_sql``, everything else keeps its type.
+    Derived from the schema rather than hand-written, so a field
+    added/renamed in ``schemas.py`` flows through automatically."""
+    parts = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        sql_t = "string" if t in ("array", "decimal") else f.dataType.simpleString()
+        parts.append(f"{f.name} {sql_t}")
+    return ", ".join(parts)
+
+
+#: project_tx's output schema after the DB-API round-trip.
+_TX_FLAT_SCHEMA = _flat_ddl(TRANSACTION_SCHEMA)
 
 
 def spark_upsert_partition(
@@ -219,7 +223,7 @@ def spark_upsert_partition(
     """
     import sqlite3
 
-    from ..schemas import CONTRACT_SCHEMA, TRANSACTION_SCHEMA
+    from ..schemas import CONTRACT_SCHEMA
     from ..sinks import DbApiPartitionUpsertSink
 
     base = _workdir("upsert_partition")
