@@ -25,6 +25,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - weekly cohort retention (distinct-collapse + broadcast rate) → cohort_retention
 - INTERSECT / EXCEPT cohort set algebra                       → buyer_overlap
 - CUBE grouping sets (all margins, one aggregate)             → order_cube
+- strict-parse dead-letter table (S3 quarantine, row level)   → props_quarantine
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1014,6 +1015,41 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+
+def props_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter TABLE for the strict typed parse — every event
+    whose ``props`` payload fails S3-style decode, with the reason
+    split the way a quarantine consumer needs it: ``malformed`` (not
+    valid JSON at all — ``from_json`` nulls the whole struct) vs
+    ``bad_k`` (valid JSON whose ``k`` is absent or not an integral
+    number).  Complements ``props_json_stats``' aggregate accounting
+    with the row-level surface an operator replays or fixes.
+
+    Scale shape: one JVM-side per-row projection + a pushed-down
+    filter; no shuffle at all (the quarantine is written as-is)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        "props",
+        F.from_json(F.col("props"), "k BIGINT").alias("_s"),
+    )
+    reason = F.when(F.col("_s").isNull(), "malformed").otherwise("bad_k")
+    return parsed.filter(
+        F.col("_s").isNull() | F.col("_s")["k"].isNull()
+    ).select("event_id", "event_type", "props", reason.alias("reason"))
+
+
+PROPS_QUARANTINE_SQL = f"""
+SELECT event_id, event_type, props,
+  CASE WHEN TRY_CAST(props AS JSON) IS NULL THEN 'malformed'
+       ELSE 'bad_k' END AS reason
+FROM events
+WHERE TRY_CAST(props AS JSON) IS NULL
+   OR ({PROPS_K_SQL_EXPR}) IS NULL
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1037,6 +1073,7 @@ QUERIES = {
     "inv_cohort_retention": cohort_retention,
     "inv_buyer_overlap": buyer_overlap,
     "inv_order_cube": order_cube,
+    "inv_props_quarantine": props_quarantine,
 }
 
 ORACLES = {
@@ -1062,4 +1099,5 @@ ORACLES = {
     "inv_cohort_retention": COHORT_RETENTION_SQL,
     "inv_buyer_overlap": BUYER_OVERLAP_SQL,
     "inv_order_cube": ORDER_CUBE_SQL,
+    "inv_props_quarantine": PROPS_QUARANTINE_SQL,
 }
