@@ -683,6 +683,124 @@ FROM p JOIN c ON c.user_id = p.user_id
 """
 
 
+
+def spark_stream_attribution_outer(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
+    """LEFT OUTER leg of the stream-stream interval join: purchases
+    with no qualifying click must still come out, null-extended — but
+    only once the watermark proves no match can still arrive.  Matched
+    pairs emit eagerly (same as the inner leg); an unmatched purchase
+    is held in state until BOTH streams' watermarks (Spark's
+    ``min`` multiple-watermark policy) pass its timestamp, then emits
+    with a null click in the next micro-batch.  With the zero-delay
+    watermark and one staged file, that is exactly: unmatched purchases
+    with ``purchase_ts < least(max(click_ts), max(purchase_ts))`` —
+    the single latest purchase correctly stays open in state, and the
+    oracle applies the same closure predicate (probed and pinned: 33
+    matched + 1947 of 1948 unmatched at sf0.01).
+
+    ``click_id`` is coalesced to -1 in the output so the insert-once
+    sink keys on non-null columns (a NULL in an upsert key never
+    equals itself, which would void replay idempotency).
+    """
+    from .inventory import _t
+
+    base = _workdir("stream_attr_outer")
+    src_dir = os.path.join(base, "src")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    ev.coalesce(1).write.parquet(src_dir)
+
+    def _leg(etype: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, event_type string"
+            )
+            .parquet(src_dir)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "0 seconds")
+        )
+
+    joined = (
+        _leg("purchase", "purchase")
+        .join(
+            _leg("click", "click"),
+            F.expr(
+                "purchase_user = click_user AND "
+                "click_ts >= purchase_ts - INTERVAL 1 HOUR AND "
+                "click_ts <= purchase_ts"
+            ),
+            "leftOuter",
+        )
+        .select(
+            "purchase_id",
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            .alias("gap_us"),
+        )
+    )
+    sink = ParquetUpsertSink(os.path.join(base, "sink"), partition_cols=())
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink.upsert(
+            batch, "attribution", ["purchase_id", "click_id"], mode="ignore"
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            joined.writeStream.foreachBatch(_process)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "inv_stream_attribution_outer: stream not finished after 120 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read(spark, "attribution")
+
+
+STREAM_ATTRIBUTION_OUTER_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+matched AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS w
+)
+SELECT purchase_id, click_id, gap_us FROM matched
+UNION ALL
+SELECT p.event_id AS purchase_id, CAST(-1 AS BIGINT) AS click_id,
+       CAST(NULL AS BIGINT) AS gap_us
+FROM p, wm
+WHERE p.ts < wm.w
+  AND p.event_id NOT IN (SELECT purchase_id FROM matched)
+"""
+
+
 QUERIES = {
     "zk_stream_transactions": spark_stream_transactions,
     "zk_upsert_replay": spark_upsert_replay,
@@ -691,6 +809,7 @@ QUERIES = {
     "inv_event_windows": spark_event_windows,
     "inv_stream_sessions": spark_stream_sessions,
     "inv_stream_attribution": spark_stream_attribution,
+    "inv_stream_attribution_outer": spark_stream_attribution_outer,
     "llm_stream_dedup_docs": spark_stream_dedup_docs,
 }
 
@@ -702,5 +821,6 @@ ORACLES = {
     "inv_event_windows": EVENT_WINDOWS_SQL,
     "inv_stream_sessions": STREAM_SESSIONS_SQL,
     "inv_stream_attribution": STREAM_ATTRIBUTION_SQL,
+    "inv_stream_attribution_outer": STREAM_ATTRIBUTION_OUTER_SQL,
     "llm_stream_dedup_docs": STREAM_DEDUP_DOCS_SQL,
 }
