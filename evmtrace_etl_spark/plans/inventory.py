@@ -26,6 +26,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - INTERSECT / EXCEPT cohort set algebra                       → buyer_overlap
 - CUBE grouping sets (all margins, one aggregate)             → order_cube
 - strict-parse dead-letter table (S3 quarantine, row level)   → props_quarantine
+- exact-percentile outlier flagging (broadcast threshold)     → value_outliers
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1050,6 +1051,44 @@ WHERE TRY_CAST(props AS JSON) IS NULL
 """
 
 
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value exceeds their type's exact p99 — percentile-
+    threshold outlier flagging.  The per-type threshold is a tiny
+    aggregate broadcast back against the stream; the percentile is
+    EXACT (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both linear
+    interpolation), so the flag set is deterministic.
+
+    Output: event_id, event_type, value (round 6), p99 (round 6).
+    Scale: one map-side-combined aggregate over (type) + a broadcast
+    hash join — the event stream shuffles never."""
+    ev = _t(spark, sf_dir, "events")
+    thresh = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(thresh), "event_type")
+        .filter(F.round(F.col("value"), 6) > F.col("p99"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "p99",
+        )
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH t AS (
+  SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value, t.p99
+FROM events e JOIN t ON e.event_type = t.event_type
+WHERE round(e.value, 6) > t.p99
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1074,6 +1113,7 @@ QUERIES = {
     "inv_buyer_overlap": buyer_overlap,
     "inv_order_cube": order_cube,
     "inv_props_quarantine": props_quarantine,
+    "inv_value_outliers": value_outliers,
 }
 
 ORACLES = {
@@ -1100,4 +1140,5 @@ ORACLES = {
     "inv_buyer_overlap": BUYER_OVERLAP_SQL,
     "inv_order_cube": ORDER_CUBE_SQL,
     "inv_props_quarantine": PROPS_QUARANTINE_SQL,
+    "inv_value_outliers": VALUE_OUTLIERS_SQL,
 }
