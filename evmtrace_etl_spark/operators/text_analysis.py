@@ -745,3 +745,55 @@ def hashed_tf_dense(
     return packed.select(
         F.col("doc_id").alias("vec_id"), vec.alias("embedding")
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc mean bigram log-probability under a corpus-trained
+    add-one-smoothed model — one modeling step past
+    ``unigram_logprob_scores``: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+    Word-salad that passes a unigram filter (common words, nonsense
+    order) scores low here.  Docs with < 2 tokens drop.
+
+    Output: doc_id, n_bigrams, avg_logprob (round 6).
+
+    Scale shape: the model tables are aggregates far smaller than the
+    corpus — bigram counts, unigram counts, and the vocabulary size as
+    a broadcast one-row scalar; scoring joins each doc's bigram rows
+    against them by key (equi-joins, model side hash-partitioned
+    once).  Log values decimal-cast before summing, so the mean is
+    accumulation-order independent (the package-wide determinism
+    rule)."""
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("_pos", "_w2")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    bi = toks.withColumn("_w1", F.lag("_w2", 1).over(w)).filter(
+        F.col("_w1").isNotNull()
+    )
+    bcnt = bi.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    ucnt = toks.groupBy("_w2").agg(
+        F.count(F.lit(1)).alias("_cu")
+    ).select(F.col("_w2").alias("_w1"), "_cu")
+    vocab = toks.agg(F.countDistinct("_w2").alias("_v"))
+    scored = (
+        bi.select("doc_id", "_w1", "_w2")
+        .join(bcnt, ["_w1", "_w2"])
+        .join(ucnt, "_w1")
+        .join(F.broadcast(vocab))
+    )
+    lp = F.log(
+        (F.col("_cb") + 1).cast("double")
+        / (F.col("_cu") + F.col("_v")).cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(lp.cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )

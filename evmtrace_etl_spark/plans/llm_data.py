@@ -1569,6 +1569,40 @@ FROM g JOIN s ON g.doc_id = s.doc_id
 """
 
 
+
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-probability (add-one smoothing) — the
+    word-ORDER-sensitive step past the unigram perplexity proxy."""
+    return text_analysis.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+toks AS (
+  SELECT doc_id, w[i] AS w2, CASE WHEN i >= 2 THEN w[i-1] END AS w1, i
+  FROM base, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+u AS (SELECT w2 AS w1, count(*) AS cu FROM toks GROUP BY 1),
+b AS (
+  SELECT w1, w2, count(*) AS cb FROM toks WHERE i >= 2 GROUP BY w1, w2
+),
+v AS (SELECT count(DISTINCT w2) AS vv FROM toks),
+scored AS (
+  SELECT tk.doc_id,
+    CAST(ln(CAST(b.cb + 1 AS DOUBLE) / CAST(u.cu + v.vv AS DOUBLE))
+         AS DECIMAL(38,12)) AS lp
+  FROM toks tk
+  JOIN b ON b.w1 = tk.w1 AND b.w2 = tk.w2
+  JOIN u ON u.w1 = tk.w1
+  CROSS JOIN v
+  WHERE tk.i >= 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1611,6 +1645,7 @@ QUERIES = {
     "llm_pq_trained_topk": llm_pq_trained_topk,
     "llm_quality_classifier": llm_quality_classifier,
     "llm_hashed_tf_vectors": llm_hashed_tf_vectors,
+    "llm_bigram_logprob": llm_bigram_logprob,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1659,6 +1694,7 @@ ORACLES = {
     "llm_pq_trained_topk": PQ_TRAINED_TOPK_SQL,
     "llm_quality_classifier": QUALITY_CLASSIFIER_SQL,
     "llm_hashed_tf_vectors": HASHED_TF_SQL,
+    "llm_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
