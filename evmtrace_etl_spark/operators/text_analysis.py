@@ -758,22 +758,29 @@ def bigram_logprob_scores(
 
     Output: doc_id, n_bigrams, avg_logprob (round 6).
 
-    Scale shape: the model tables are aggregates far smaller than the
-    corpus — bigram counts, unigram counts, and the vocabulary size as
-    a broadcast one-row scalar; scoring joins each doc's bigram rows
-    against them by key (equi-joins, model side hash-partitioned
-    once).  Log values decimal-cast before summing, so the mean is
-    accumulation-order independent (the package-wide determinism
-    rule)."""
+    Scale shape: bigram pairs derive NARROW — ``zip_with`` of the
+    token array against its own 1-shifted slice, then explode — no
+    posexplode+window shuffle of the token stream.  The model tables
+    are aggregates far smaller than the corpus — bigram counts,
+    unigram counts, and the vocabulary size as a broadcast one-row
+    scalar; scoring joins each doc's bigram rows against them by key
+    (equi-joins, model side hash-partitioned once).  Log values
+    decimal-cast before summing, so the mean is accumulation-order
+    independent (the package-wide determinism rule)."""
     from ..functions.text import tokens
 
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens(text_col)).alias("_pos", "_w2")
-    )
-    w = Window.partitionBy("doc_id").orderBy("_pos")
-    bi = toks.withColumn("_w1", F.lag("_w2", 1).over(w)).filter(
-        F.col("_w1").isNotNull()
-    )
+    arr = docs.select("doc_id", tokens(text_col).alias("_w"))
+    toks = arr.select("doc_id", F.explode("_w").alias("_w2"))
+    bi = arr.filter(F.size("_w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(_w, 1, size(_w) - 1), "
+                "slice(_w, 2, size(_w) - 1), "
+                "(a, b) -> struct(a AS _w1, b AS _w2))"
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg._w1").alias("_w1"), F.col("_bg._w2").alias("_w2"))
     bcnt = bi.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
     ucnt = toks.groupBy("_w2").agg(
         F.count(F.lit(1)).alias("_cu")

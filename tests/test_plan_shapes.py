@@ -337,3 +337,15 @@ def test_snapshot_diff_is_single_full_outer_join(docs):
     assert plan.count("Join") == 1
     assert "FullOuter" in plan
     assert "EvalPython" not in plan
+
+
+def test_bigram_logprob_derives_pairs_narrow(docs):
+    """Bigram pairs come from zip_with over the token array — no
+    posexplode+window shuffle of the raw token stream."""
+    from evmtrace_etl_spark.operators.text_analysis import (
+        bigram_logprob_scores,
+    )
+
+    plan = plan_of(bigram_logprob_scores(docs), "simple")
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
