@@ -1603,6 +1603,88 @@ FROM scored GROUP BY doc_id
 """
 
 
+
+def llm_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QA dashboard composing three per-doc signals —
+    repetition flags (Gopher thresholds), PII presence, and the
+    classifier label — into doc counts, mean quality, and the
+    acceptance rate of docs passing ALL gates.  Pure operator
+    COMPOSITION: the three inputs are the registered operators reused
+    unchanged, left-joined on doc_id and rolled up by source."""
+    docs = _docs(spark, sf_dir)
+    rep = text_analysis.repetition_profile(docs).select(
+        "doc_id", "repetition_flag"
+    )
+    pii = text_analysis.pii_profile(docs).select(
+        "doc_id", F.lit(1).alias("_has_pii")
+    )
+    qc = text_analysis.quality_classifier_scores(docs).select(
+        "doc_id", "quality_score", "label"
+    )
+    j = (
+        docs.select("doc_id", "source")
+        .join(rep, "doc_id", "left")
+        .join(pii, "doc_id", "left")
+        .join(qc, "doc_id", "left")
+    )
+    flag = F.coalesce(F.col("repetition_flag"), F.lit(0))
+    accepted = F.when(
+        (flag == 0)
+        & F.col("_has_pii").isNull()
+        & (F.col("label") == "keep"),
+        1,
+    ).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(flag).cast("long").alias("n_repetitive"),
+        F.sum(F.coalesce(F.col("_has_pii"), F.lit(0)))
+        .cast("long")
+        .alias("n_with_pii"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(38,12)"))
+            .cast("double")
+            / F.count("quality_score"),
+            6,
+        ).alias("mean_quality"),
+        F.sum(accepted).cast("long").alias("n_accepted"),
+        F.round(
+            F.sum(accepted).cast("double") / F.count(F.lit(1)), 6
+        ).alias("acceptance_rate"),
+    )
+
+
+SOURCE_QUALITY_GATE_SQL = f"""
+WITH rep AS (
+  SELECT doc_id, repetition_flag FROM ({REPETITION_PROFILE_SQL})
+),
+pii AS (SELECT doc_id, 1 AS has_pii FROM ({PII_PROFILE_SQL})),
+qc AS (
+  SELECT doc_id, quality_score, label FROM ({QUALITY_CLASSIFIER_SQL})
+),
+j AS (
+  SELECT d.source, d.doc_id, r.repetition_flag, p.has_pii,
+         q.quality_score, q.label
+  FROM documents d
+  LEFT JOIN rep r ON r.doc_id = d.doc_id
+  LEFT JOIN pii p ON p.doc_id = d.doc_id
+  LEFT JOIN qc q ON q.doc_id = d.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(coalesce(repetition_flag, 0)) AS BIGINT) AS n_repetitive,
+  CAST(sum(coalesce(has_pii, 0)) AS BIGINT) AS n_with_pii,
+  round(CAST(sum(CAST(quality_score AS DECIMAL(38,12))) AS DOUBLE)
+        / count(quality_score), 6) AS mean_quality,
+  CAST(sum(CASE WHEN coalesce(repetition_flag, 0) = 0
+                 AND has_pii IS NULL AND label = 'keep'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+  round(CAST(sum(CASE WHEN coalesce(repetition_flag, 0) = 0
+                       AND has_pii IS NULL AND label = 'keep'
+                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    AS acceptance_rate
+FROM j GROUP BY source
+"""
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1646,6 +1728,7 @@ QUERIES = {
     "llm_quality_classifier": llm_quality_classifier,
     "llm_hashed_tf_vectors": llm_hashed_tf_vectors,
     "llm_bigram_logprob": llm_bigram_logprob,
+    "llm_source_quality_gate": llm_source_quality_gate,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1695,6 +1778,7 @@ ORACLES = {
     "llm_quality_classifier": QUALITY_CLASSIFIER_SQL,
     "llm_hashed_tf_vectors": HASHED_TF_SQL,
     "llm_bigram_logprob": BIGRAM_LOGPROB_SQL,
+    "llm_source_quality_gate": SOURCE_QUALITY_GATE_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
