@@ -27,6 +27,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - CUBE grouping sets (all margins, one aggregate)             → order_cube
 - strict-parse dead-letter table (S3 quarantine, row level)   → props_quarantine
 - exact-percentile outlier flagging (broadcast threshold)     → value_outliers
+- bounded-frame window moving average (ROWS BETWEEN)          → user_value_ma
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1089,6 +1090,40 @@ WHERE round(e.value, 6) > t.p99
 """
 
 
+
+def user_value_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 4-event moving average of value (ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW) — the bounded-frame window surface.
+    Values decimal-cast inside the frame so the mean is exact and
+    engine-independent; (ts, event_id) ordering makes frames
+    deterministic.  Output: event_id, user_id, ma4 (round 6)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(_dec("value")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("ma4"),
+    )
+
+
+USER_VALUE_MA_SQL = """
+SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+        / count(*) OVER w, 6) AS ma4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC,
+             event_id ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1114,6 +1149,7 @@ QUERIES = {
     "inv_order_cube": order_cube,
     "inv_props_quarantine": props_quarantine,
     "inv_value_outliers": value_outliers,
+    "inv_user_value_ma": user_value_ma,
 }
 
 ORACLES = {
@@ -1141,4 +1177,5 @@ ORACLES = {
     "inv_order_cube": ORDER_CUBE_SQL,
     "inv_props_quarantine": PROPS_QUARANTINE_SQL,
     "inv_value_outliers": VALUE_OUTLIERS_SQL,
+    "inv_user_value_ma": USER_VALUE_MA_SQL,
 }
