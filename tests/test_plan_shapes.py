@@ -349,3 +349,23 @@ def test_bigram_logprob_derives_pairs_narrow(docs):
     plan = plan_of(bigram_logprob_scores(docs), "simple")
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_funnel_stage_joins_never_nested_loop(spark):
+    """Each funnel stage chains by user-keyed equi-join — no
+    BroadcastNestedLoop from the running-constraint filter."""
+    from evmtrace_etl_spark.plans.inventory import funnel_stages
+
+    plan = plan_of(funnel_stages(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_value_outliers_threshold_broadcasts(spark):
+    """The per-type p99 table joins back as a broadcast — the event
+    stream itself never shuffles."""
+    from evmtrace_etl_spark.plans.inventory import value_outliers
+
+    plan = plan_of(value_outliers(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
