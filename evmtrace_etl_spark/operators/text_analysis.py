@@ -804,3 +804,45 @@ def bigram_logprob_scores(
             6,
         ).alias("avg_logprob"),
     )
+
+
+def sketch_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source approximate-sketch profile — the sketch tier a 100 TB
+    profiler runs where exact answers don't fit: HyperLogLog++ distinct
+    token estimate (``approx_count_distinct``, rsd 2%) and t-digest
+    token-length quantiles (``approx_percentile``, accuracy 1000).
+
+    Both sketches are MERGEABLE — partials combine map-side and across
+    partitions/executors in any order, which is what makes them the
+    scale path where exact distinct (full shuffle of the key space) and
+    exact percentile (value→count map state) stop fitting.  Spark's
+    implementations hash with fixed seeds, so results are deterministic
+    for a given input, but NOT reproducible by another engine —
+    this operator is therefore registered WITHOUT a DuckDB oracle (the
+    driver records the weaker rows-only check) and its accuracy is
+    gated by a local test against the exact operators instead.
+
+    Output: source, n_docs, approx_distinct_tokens, p50_len, p95_len.
+    """
+    from ..functions.text import tokens
+
+    t = docs.select(
+        "source",
+        F.explode(tokens(text_col)).alias("_tok"),
+    )
+    per_tok = t.groupBy("source").agg(
+        F.approx_count_distinct("_tok", rsd=0.02).alias(
+            "approx_distinct_tokens"
+        )
+    )
+    lens = docs.select(
+        "source", F.size(tokens(text_col)).alias("_n")
+    )
+    per_len = lens.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("approx_percentile(_n, 0.5D, 1000)").alias("p50_len"),
+        F.expr("approx_percentile(_n, 0.95D, 1000)").alias("p95_len"),
+    )
+    return per_len.join(per_tok, "source").select(
+        "source", "n_docs", "approx_distinct_tokens", "p50_len", "p95_len"
+    )

@@ -1685,6 +1685,13 @@ FROM j GROUP BY source
 """
 
 
+
+def llm_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HLL++/t-digest sketch profile (no oracle by design —
+    sketches are engine-specific; accuracy gated in local tests)."""
+    return text_analysis.sketch_profile(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1729,6 +1736,7 @@ QUERIES = {
     "llm_hashed_tf_vectors": llm_hashed_tf_vectors,
     "llm_bigram_logprob": llm_bigram_logprob,
     "llm_source_quality_gate": llm_source_quality_gate,
+    "llm_sketch_profile": llm_sketch_profile,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,

@@ -118,3 +118,40 @@ def test_hashed_tf_dense_composes_with_ann(spark):
     top = brute_force_topk(emb, n_queries=1, k=2)
     best = {r.rank: r for r in top.collect()}
     assert best[1].neighbor_id == 1 and best[1].sim == 1.0  # the clone
+
+
+def test_sketch_profile_accuracy_vs_exact(spark):
+    """The sketch profile has no oracle (engine-specific sketches);
+    gate it against the exact operators instead: HLL++ distinct within
+    3x its 2% rsd, t-digest median within the exact p25-p75 band."""
+    from pyspark.sql import functions as F
+    from evmtrace_etl_spark.functions.text import tokens
+    from evmtrace_etl_spark.operators.text_analysis import sketch_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {r.source: r for r in sketch_profile(docs).collect()}
+    exact_distinct = {
+        r.source: r.nd
+        for r in docs.select(
+            "source", F.explode(tokens("text")).alias("t")
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("nd"))
+        .collect()
+    }
+    exact_q = {
+        r.source: (r.p25, r.p75)
+        for r in docs.select("source", F.size(tokens("text")).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.expr("percentile(n, 0.25D)").alias("p25"),
+            F.expr("percentile(n, 0.75D)").alias("p75"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact_distinct)
+    for s, row in got.items():
+        rel = abs(row.approx_distinct_tokens - exact_distinct[s]) / exact_distinct[s]
+        assert rel < 0.06, f"{s}: HLL rel err {rel}"
+        assert exact_q[s][0] <= row.p50_len <= exact_q[s][1]
+        assert row.n_docs > 0 and row.p95_len >= row.p50_len
