@@ -1,0 +1,115 @@
+"""Iterative graph analytics: fixed-point PageRank on DataFrame machinery.
+
+The reference engine derives a caller→callee contract graph and
+first/second-degree neighborhoods (``/root/reference/src/transformer/zk/
+mod.rs`` — the J2/J3 operators); ranking nodes of that graph by
+link-structure importance is the natural next analytics step a user asks
+of an engine that already materializes the edges.  PageRank is the
+canonical such ranking and the canonical *iterative* distributed
+computation — each round is one equi-join (edges ⋈ ranks) plus one
+keyed aggregation, which is exactly the workload shape Spark's shuffle
+machinery is built for.
+
+Determinism strategy — fixed-point integer arithmetic
+-----------------------------------------------------
+Floating-point PageRank is doubly nondeterministic here: Spark's
+partition-order-dependent double summation varies run to run, and
+double→decimal quantization differs between engines (Spark casts via
+the shortest string representation, DuckDB via binary scaling).  Both
+problems vanish if the iteration never leaves BIGINT:
+
+- ranks are scaled integers (``SCALE = 10**12`` ≈ picorank units);
+- the damping factor 0.85 is the exact rational 17/20, applied as
+  ``(17 * sum) div 20``;
+- per-edge contributions are ``rank div outdeg`` (integer floor
+  division — identical in Spark ``div`` and DuckDB ``//`` for
+  non-negative operands);
+- the teleport term is ``(3 * SCALE) div (20 * N)``.
+
+Every operation is exact 64-bit integer arithmetic: sums are
+order-independent, so the result is bit-identical across partitionings,
+retries, AQE re-plans, and engines.  Max intermediate is
+``17 * SCALE < 2**63`` — no overflow at any graph size (total system
+mass is ≤ SCALE).  The floor divisions leak ≤ 1 unit of mass per node
+per round (picoranks, far below any ranking-relevant difference) —
+the standard price of fixed-point iteration, and the reason SCALE is
+large.
+
+Scale design
+------------
+- Each round shuffles edges by ``src`` (join) and contributions by
+  ``dst`` (aggregate) — the unavoidable minimum for distributed
+  PageRank.  The rank table is node-sized, never edge-sized.
+- The driver never sees data: no collects anywhere; the loop is a
+  fixed, small number of rounds (power iteration converges
+  geometrically at rate ≈ damping, and ranking stabilizes long before
+  values do — 3–10 rounds is the production norm).
+- Lineage grows linearly in rounds; callers running >~8 rounds should
+  ``localCheckpoint`` the rank table every few rounds, the same
+  containment strategy ``dedup.connected_components`` pins for its
+  pointer-jumping loop.
+- Dangling nodes (out-degree 0) are not part of the rank universe:
+  the node set is defined as the distinct edge sources, so callers
+  must either orient the graph so every node has an out-edge (an
+  undirected graph emitted as two directed edges, as the registered
+  query does) or pre-trim sinks.  This keeps the per-round plan free
+  of the global dangling-mass scalar; the loss is documented rather
+  than silently wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Rank scale: 1.0 of probability mass == 10**12 integer units.
+SCALE = 10**12
+
+#: Damping factor 0.85 as an exact rational.
+DAMP_NUM, DAMP_DEN = 17, 20
+
+
+def pagerank_fixed_point(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Power-iteration PageRank in exact BIGINT fixed-point arithmetic.
+
+    ``edges`` must have string/integral columns ``src`` and ``dst``;
+    parallel edges are meaningful (they weight the contribution, so
+    callers wanting an unweighted graph should ``distinct()`` first).
+    Returns ``(node, rank)`` where ``rank`` is in units of
+    ``SCALE`` (i.e. ``rank/SCALE`` ≈ the PageRank probability).
+
+    The node universe is the distinct ``src`` set (see module
+    docstring on dangling nodes).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # N is a broadcast scalar via a cross-joined 1-row aggregate: the
+    # plan stays fully lazy/distributed — no driver-side collect.
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        "outdeg",
+        "n",
+        F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("rank"),
+    )
+    for _ in range(rounds):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            ranks.select("node", "outdeg", "n")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                "n",
+                F.expr(
+                    f"CAST({3 * SCALE} AS BIGINT) div (CAST({DAMP_DEN} AS BIGINT) * n)"
+                    f" + (CAST({DAMP_NUM} AS BIGINT) * coalesce(m, CAST(0 AS BIGINT)))"
+                    f" div CAST({DAMP_DEN} AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

@@ -28,6 +28,8 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - strict-parse dead-letter table (S3 quarantine, row level)   → props_quarantine
 - exact-percentile outlier flagging (broadcast threshold)     → value_outliers
 - bounded-frame window moving average (ROWS BETWEEN)          → user_value_ma
+- iterative PageRank, BIGINT fixed point (graph analytics)    → trade_pagerank
+- SCD Type-2 interval build (gaps-and-islands + lead)         → scd2_user_state
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1124,6 +1126,152 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC,
 """
 
 
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph — the iterative
+    distributed graph computation (see ``operators/graph.py`` for the
+    exact-arithmetic design; the reference's J2/J3 operators build this
+    kind of edge list, ``/root/reference/src/transformer/zk/mod.rs``).
+
+    Edges: distinct (customer, supplier) trading relationships from
+    orders ⋈ lineitem, emitted in BOTH directions so the graph is
+    undirected and sink-free (every node has out-degree ≥ 1 — the
+    documented no-dangling precondition).  3 power-iteration rounds in
+    BIGINT fixed point: bit-exact across engines and partitionings.
+
+    Output: node ('c:<custkey>' | 's:<suppkey>'), rank (BIGINT,
+    units of 1e-12 probability mass).
+    Scale: per round one edge-shuffle join + one keyed sum; rank state
+    is node-sized; no collects, no floats, no global sorts."""
+    from ..operators.graph import pagerank_fixed_point
+
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        ords.join(li, ords["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, rounds=3)
+
+
+def _pagerank_iter_sql(prev: str, this: str) -> str:
+    """One unrolled PageRank round as a DuckDB CTE (BIGINT fixed point,
+    mirroring ``pagerank_fixed_point`` op for op; sums cast back to
+    BIGINT because DuckDB widens SUM(BIGINT) to HUGEINT)."""
+    return f"""
+{this} AS (
+  SELECT d.node, d.outdeg, d.n,
+         CAST(3000000000000 AS BIGINT) // (CAST(20 AS BIGINT) * d.n)
+         + (CAST(17 AS BIGINT) * COALESCE(c.m, CAST(0 AS BIGINT)))
+           // CAST(20 AS BIGINT) AS rank
+  FROM {prev} d LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS m
+    FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+  ) c ON c.node = d.node
+)"""
+
+
+TRADE_PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (
+  SELECT d.src AS node, d.outdeg, nn.n,
+         CAST(1000000000000 AS BIGINT) // nn.n AS rank
+  FROM deg d CROSS JOIN nn
+),{_pagerank_iter_sql("r0", "r1")},{_pagerank_iter_sql("r1", "r2")},{_pagerank_iter_sql("r2", "r3")}
+SELECT node, rank FROM r3
+"""
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    validity intervals of their current event_type (gaps-and-islands).
+    The standard warehouse dimension-history materialization — change
+    detection via lag(), island id via a running sum of change flags,
+    interval close via lead() over the collapsed rows.
+
+    Output: user_id, version (1-based change number), state
+    (the event_type held), valid_from, valid_to (NULL = current),
+    n_events (rows collapsed into the interval).
+    Scale: two windows over the SAME (user_id) partitioning + one
+    keyed aggregate — a single hash-partition by user reused across
+    every step; no joins, no broadcast, nothing driver-side."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    ).withColumn("version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands = flagged.groupBy("user_id", "version").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("event_type").alias("state"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("version").asc())
+    return islands.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+SCD2_USER_STATE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC,
+               event_id ASC)
+),
+numbered AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM flagged
+),
+islands AS (
+  SELECT user_id, version, MIN(ts) AS valid_from,
+         MIN(event_type) AS state, count(*) AS n_events
+  FROM numbered GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC)
+         AS valid_to,
+       n_events
+FROM islands
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1150,6 +1298,8 @@ QUERIES = {
     "inv_props_quarantine": props_quarantine,
     "inv_value_outliers": value_outliers,
     "inv_user_value_ma": user_value_ma,
+    "inv_trade_pagerank": trade_pagerank,
+    "inv_scd2_user_state": scd2_user_state,
 }
 
 ORACLES = {
@@ -1178,4 +1328,6 @@ ORACLES = {
     "inv_props_quarantine": PROPS_QUARANTINE_SQL,
     "inv_value_outliers": VALUE_OUTLIERS_SQL,
     "inv_user_value_ma": USER_VALUE_MA_SQL,
+    "inv_trade_pagerank": TRADE_PAGERANK_SQL,
+    "inv_scd2_user_state": SCD2_USER_STATE_SQL,
 }
