@@ -113,3 +113,55 @@ def pagerank_fixed_point(edges: DataFrame, rounds: int = 3) -> DataFrame:
             )
         )
     return ranks.select("node", "rank")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle membership counts via degree-ordered edge
+    orientation (Schank's algorithm, the MapReduce formulation of
+    Suri & Vassilvitskii 2011).
+
+    ``edges`` must be the canonical undirected edge list: distinct
+    rows ``(a, b)`` with ``a < b``.  Returns ``(node, n_triangles)``
+    for every node that closes at least one triangle.
+
+    Scale design: the naive wedge join explodes around high-degree
+    hubs (a degree-d node contributes d²/2 wedges).  Orienting every
+    edge toward its higher-``(degree, id)`` endpoint caps effective
+    out-degree at O(√m), so total wedge volume is O(m^1.5) — the
+    best-known bound — and skew collapses: a celebrity hub receives
+    edges but generates no wedges.  Each triangle is then discovered
+    exactly once (at its lowest-ordered corner) by one equi-join of
+    the wedge list against the edge list; per-corner counts come from
+    exploding the three corners into one keyed aggregate.  No
+    broadcasts of node-sized tables, no cartesian products.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # a < b already, so on a degree tie the canonical direction is a→b.
+    a_first = (F.col("da") < F.col("db")) | (F.col("da") == F.col("db"))
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("corner"),
+        F.least("o1.dst", "o2.dst").alias("a"),
+        F.greatest("o1.dst", "o2.dst").alias("b"),
+    )
+    triangles = wedges.join(edges, ["a", "b"])
+    corners = triangles.select(
+        F.explode(F.array("corner", "a", "b")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
