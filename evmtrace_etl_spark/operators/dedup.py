@@ -228,6 +228,44 @@ def ngram_jaccard_pairs(
     return near_dup_pairs(docs, text_col, threshold=0.0)
 
 
+def edit_distance_pairs(
+    docs: DataFrame, text_col: str = "text", prefix_len: int = 256
+) -> DataFrame:
+    """Character-level verify stage: exact Levenshtein distance between
+    the ``prefix_len``-char prefixes of every LSH candidate pair, plus
+    the normalized similarity ``1 - dist/max(len)``.
+
+    Jaccard on shingle sets (``ngram_jaccard_pairs``) is order-blind
+    and misses small in-place edits (a changed date, a swapped name);
+    edit distance is the complementary signal near-dup triage wants.
+    It is O(n·m) per pair, so it is only ever computed on the LSH
+    candidate list (bucket-capped, never all-pairs) and on bounded
+    prefixes — the standard scale discipline for quadratic verifiers.
+    ``F.levenshtein`` runs JVM-side inside codegen; no Python.
+
+    Output: doc_a, doc_b, edit_dist (long), edit_sim (double, round 6).
+    """
+    pa = F.substring(F.col("_ta"), 1, prefix_len)
+    pb = F.substring(F.col("_tb"), 1, prefix_len)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("_ta"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("_tb"))
+    dist = F.levenshtein(pa, pb)
+    denom = F.greatest(F.length(pa), F.length(pb))
+    return (
+        lsh_candidate_pairs(docs, text_col)
+        .join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            F.round(
+                F.lit(1.0) - dist.cast("double") / denom.cast("double"), 6
+            ).alias("edit_sim"),
+        )
+    )
+
+
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + 32-bit simhash over the token-hash multiset (docs with no
     tokens drop out — explode emits nothing for them, matching the

@@ -31,6 +31,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - iterative PageRank, BIGINT fixed point (graph analytics)    → trade_pagerank
 - SCD Type-2 interval build (gaps-and-islands + lead)         → scd2_user_state
 - oriented-wedge triangle counting (market-basket graph)      → copurchase_triangles
+- time-based RANGE-frame rolling 7-day window                 → user_value_7d
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1273,6 +1274,43 @@ FROM islands
 """
 
 
+def user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-day value total — the RANGE-frame window
+    surface (time-based frames, vs ``user_value_ma``'s row-based
+    ROWS frame).  The frame is defined on event-time MICROSECONDS
+    (``unix_micros`` ≡ DuckDB ``epoch_us``) so both engines resolve
+    frame membership at full timestamp precision; same-instant events
+    are RANGE peers and appear in each other's frames, which makes the
+    result independent of tie order.  Sums decimal-cast (exact,
+    order-free).
+
+    Output: event_id, user_id, v7d (round 6), n7d.
+    Scale: one hash partition by user + one per-partition sort — the
+    same shape every time-series rollup in this module reuses."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(_dec("value")).over(w).cast("double"), 6).alias("v7d"),
+        F.count(F.lit(1)).over(w).alias("n7d"),
+    )
+
+
+USER_VALUE_7D_SQL = """
+SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE), 6) AS v7d,
+  count(*) OVER w AS n7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts on the part co-purchase graph — market-basket
     graph analytics with the skew-safe oriented-wedge algorithm
@@ -1360,6 +1398,7 @@ QUERIES = {
     "inv_trade_pagerank": trade_pagerank,
     "inv_scd2_user_state": scd2_user_state,
     "inv_copurchase_triangles": copurchase_triangles,
+    "inv_user_value_7d": user_value_7d,
 }
 
 ORACLES = {
@@ -1391,4 +1430,5 @@ ORACLES = {
     "inv_trade_pagerank": TRADE_PAGERANK_SQL,
     "inv_scd2_user_state": SCD2_USER_STATE_SQL,
     "inv_copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
+    "inv_user_value_7d": USER_VALUE_7D_SQL,
 }

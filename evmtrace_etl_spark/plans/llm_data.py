@@ -99,6 +99,14 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verify stage: exact Levenshtein over 256-char
+    prefixes of the LSH candidate pairs — the order-sensitive
+    complement of the Jaccard verify (see
+    ``operators/dedup.py:edit_distance_pairs``)."""
+    return dedup.edit_distance_pairs(_docs(spark, sf_dir))
+
+
 def llm_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.simhash_buckets(_docs(spark, sf_dir))
     return out.select("simhash", "n_docs", _join_longs("doc_ids"))
@@ -389,7 +397,10 @@ sh AS (
 )"""
 
 
-def _near_dup_sql(threshold: float) -> str:
+def _candidate_pair_ctes() -> str:
+    """CTE chain ``doc_base`` → … → ``pairs`` (the bucket-capped LSH
+    candidate list) — shared by the Jaccard and edit-distance verify
+    oracles so both check the IDENTICAL candidate generation."""
     mh = ", ".join(
         f"list_min(list_transform(sset, x -> ({a}*x + {b}) % {MERSENNE31}))"
         for a, b in PERMS
@@ -400,8 +411,7 @@ def _near_dup_sql(threshold: float) -> str:
         "x -> CAST(x AS VARCHAR)), '-') AS band_key FROM sig"
         for b in range(LSH_BANDS)
     )
-    return f"""
-WITH {_shingle_ctes()},
+    return f"""{_shingle_ctes()},
 sig AS (SELECT doc_id, sset, [{mh}] AS signature FROM sh),
 bands AS ({bands}),
 sized AS (SELECT doc_id, band_id, band_key,
@@ -411,7 +421,12 @@ capped AS (SELECT * FROM sized WHERE _n <= {BUCKET_CAP}),
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM capped a JOIN capped b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
-          WHERE a.doc_id < b.doc_id),
+          WHERE a.doc_id < b.doc_id)"""
+
+
+def _near_dup_sql(threshold: float) -> str:
+    return f"""
+WITH {_candidate_pair_ctes()},
 jac AS (SELECT doc_a, doc_b,
   CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
   CAST(len(sa.sset) + len(sb.sset)
@@ -431,6 +446,22 @@ FROM f GROUP BY fingerprint HAVING count(*) > 1
 """
 
 NEAR_DUP_PAIRS_SQL = _near_dup_sql(0.5)
+
+EDIT_DISTANCE_PAIRS_SQL = f"""
+WITH {_candidate_pair_ctes()},
+ed AS (
+  SELECT doc_a, doc_b,
+         levenshtein(left(da.text, 256), left(db.text, 256)) AS edit_dist,
+         greatest(len(left(da.text, 256)), len(left(db.text, 256))) AS mx
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.doc_a
+  JOIN documents db ON db.doc_id = pairs.doc_b
+)
+SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+       round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+         AS edit_sim
+FROM ed
+"""
 
 _SIMHASH_BITS_SQL = " + ".join(
     f"(CASE WHEN coalesce(list_sum(list_transform(th, "
@@ -1696,6 +1727,7 @@ QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
     "llm_ngram_jaccard": llm_ngram_jaccard,
+    "llm_edit_distance_pairs": llm_edit_distance_pairs,
     "llm_simhash_buckets": llm_simhash_buckets,
     "llm_text_profile": llm_text_profile,
     "llm_corpus_stats": llm_corpus_stats,
@@ -1747,6 +1779,7 @@ ORACLES = {
     "llm_exact_dup_groups": EXACT_DUP_GROUPS_SQL,
     "llm_near_dup_pairs": NEAR_DUP_PAIRS_SQL,
     "llm_ngram_jaccard": _near_dup_sql(0.0),
+    "llm_edit_distance_pairs": EDIT_DISTANCE_PAIRS_SQL,
     "llm_simhash_buckets": SIMHASH_BUCKETS_SQL,
     "llm_text_profile": TEXT_PROFILE_SQL,
     "llm_corpus_stats": CORPUS_STATS_SQL,
