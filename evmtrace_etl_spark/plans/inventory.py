@@ -1301,6 +1301,60 @@ def user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α = 0.25) of
+    event values — the RECURSIVE per-key fold no window frame can
+    express (each output depends on the previous output, not on a
+    frame of inputs).  Expressed as a JVM-side ``aggregate`` HOF over
+    the time-ordered value array: collect → array_sort on
+    (ts, event_id, value) structs → sequential fold.  No Python.
+
+    Determinism: α = 1/4 and 1−α = 3/4 are exact binary doubles and the
+    fold order is total (ts, event_id), so every step performs the same
+    two IEEE multiplies + add in the same sequence in both engines —
+    the result is bit-identical, no decimal crutch needed.
+
+    Output: user_id, n_events, ewma (round 6).
+    Scale: one hash aggregate; per-group state is the user's event
+    array (bounded: events-per-user, the same envelope every
+    sessionization step in this module already assumes).  For unbounded
+    keys this becomes the T1 stateful fold — same recurrence, streamed."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("_seq")
+        )
+        .select(
+            "user_id",
+            F.size("_seq").alias("n_events"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(transform(_seq, s -> s.value), 2,"
+                    " size(_seq) - 1), transform(_seq, s -> s.value)[0],"
+                    " (acc, x) -> 0.25D * x + 0.75D * acc)"
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )
+
+
+USER_VALUE_EWMA_SQL = """
+SELECT user_id, CAST(len(vals) AS INTEGER) AS n_events,
+       round(list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+         AS ewma
+FROM (
+  SELECT user_id,
+         list(value ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+           AS vals
+  FROM events GROUP BY user_id
+)
+"""
+
+
 USER_VALUE_7D_SQL = """
 SELECT event_id, user_id,
   round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE), 6) AS v7d,
@@ -1399,6 +1453,7 @@ QUERIES = {
     "inv_scd2_user_state": scd2_user_state,
     "inv_copurchase_triangles": copurchase_triangles,
     "inv_user_value_7d": user_value_7d,
+    "inv_user_value_ewma": user_value_ewma,
 }
 
 ORACLES = {
@@ -1431,4 +1486,5 @@ ORACLES = {
     "inv_scd2_user_state": SCD2_USER_STATE_SQL,
     "inv_copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
     "inv_user_value_7d": USER_VALUE_7D_SQL,
+    "inv_user_value_ewma": USER_VALUE_EWMA_SQL,
 }
