@@ -369,3 +369,43 @@ def test_value_outliers_threshold_broadcasts(spark):
     plan = plan_of(value_outliers(spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_reuses_one_user_partitioning(spark):
+    """Both windows and the island aggregate run on the SAME user_id
+    hash partitioning: exactly one exchange in the whole plan."""
+    from evmtrace_etl_spark.plans.inventory import scd2_user_state
+
+    plan = plan_of(scd2_user_state(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_window_single_exchange(spark):
+    """The 7-day RANGE rollup is one user-keyed window: one exchange,
+    no joins."""
+    from evmtrace_etl_spark.plans.inventory import user_value_7d
+
+    plan = plan_of(user_value_7d(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_ewma_is_one_hash_aggregate_jvm_side(spark):
+    """The recursive fold runs inside the aggregate HOF — one keyed
+    aggregate, no window, no Python evaluation in the plan."""
+    from evmtrace_etl_spark.plans.inventory import user_value_ewma
+
+    plan = plan_of(user_value_ewma(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_pagerank_query_never_goes_cartesian(spark):
+    """Every per-round join is an equi-join (hash or sort-merge); the
+    only nested-loop is the sanctioned 1-row scalar-N broadcast."""
+    from evmtrace_etl_spark.plans.inventory import trade_pagerank
+
+    plan = plan_of(trade_pagerank(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
