@@ -32,6 +32,8 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - SCD Type-2 interval build (gaps-and-islands + lead)         → scd2_user_state
 - oriented-wedge triangle counting (market-basket graph)      → copurchase_triangles
 - time-based RANGE-frame rolling 7-day window                 → user_value_7d
+- association rules: support/confidence/lift (basket mining)  → basket_rules
+- first-order Markov transition matrix (path analytics)       → event_transitions
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1423,6 +1425,160 @@ SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
 """
 
 
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased part pairs — the
+    support/confidence/lift stage of market-basket mining (the Apriori
+    2-itemset level, which at 100 TB is the level you actually run:
+    higher levels prune through this one's output).
+
+    For each ordered pair (antecedent → consequent) with pair support
+    ≥ 2 orders: support counts, confidence = P(b|a), and lift =
+    confidence / P(b).  Integer counts all the way; the two ratios are
+    single double divisions rounded at the end (the module's standard
+    division discipline).
+
+    Output: ante, cons, pair_orders, ante_orders, confidence (round 6),
+    lift (round 6).
+    Scale: one bounded per-order pair explosion (order size ≤ 7), two
+    keyed aggregates, and one broadcast-sized singles join (the
+    per-part order counts — part-dimension-sized, broadcast by the
+    planner); the n_orders normalizer is a broadcast scalar."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    x, y = li.alias("x"), li.alias("y")
+    # Both directions: a rule is ordered (antecedent → consequent).
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("ante"), F.col("y.l_partkey").alias("cons")
+    )
+    pair_n = (
+        pairs.groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 2)
+    )
+    singles = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    return (
+        pair_n.join(
+            F.broadcast(singles.select(F.col("l_partkey").alias("ante"),
+                                       F.col("part_orders").alias("ante_orders"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("l_partkey").alias("cons"),
+                                       F.col("part_orders").alias("cons_orders"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "pair_orders",
+            "ante_orders",
+            F.round(
+                F.col("pair_orders").cast("double")
+                / F.col("ante_orders").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_orders").cast("double")
+                 / F.col("ante_orders").cast("double"))
+                / (F.col("cons_orders").cast("double")
+                   / F.col("n_orders").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+BASKET_RULES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT x.l_partkey AS ante, y.l_partkey AS cons
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+),
+pair_n AS (
+  SELECT ante, cons, count(*) AS pair_orders
+  FROM pairs GROUP BY ante, cons HAVING count(*) >= 2
+),
+singles AS (
+  SELECT l_partkey, count(*) AS part_orders FROM li GROUP BY l_partkey
+),
+nn AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT p.ante, p.cons, p.pair_orders, sa.part_orders AS ante_orders,
+  round(CAST(p.pair_orders AS DOUBLE) / CAST(sa.part_orders AS DOUBLE), 6)
+    AS confidence,
+  round((CAST(p.pair_orders AS DOUBLE) / CAST(sa.part_orders AS DOUBLE))
+        / (CAST(sc.part_orders AS DOUBLE) / CAST(nn.n_orders AS DOUBLE)), 6)
+    AS lift
+FROM pair_n p
+JOIN singles sa ON sa.l_partkey = p.ante
+JOIN singles sc ON sc.l_partkey = p.cons
+CROSS JOIN nn
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and probabilities of event_type → next event_type
+    — the sequence-analytics primitive under path analysis, next-step
+    prediction features, and funnel-leak diagnosis.
+
+    Output: from_type, to_type, n_transitions, p (round 6 — transition
+    probability conditioned on from_type).
+    Scale: one per-user window (lead) on the module's shared user
+    partitioning, one keyed rollup, and a per-from_type total via a
+    second tiny aggregate joined back broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) ASC,
+                                         event_id ASC) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+totals AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS _tot
+  FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       round(CAST(c.n_transitions AS DOUBLE) / CAST(t._tot AS DOUBLE), 6) AS p
+FROM counts c JOIN totals t ON t.from_type = c.from_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1454,6 +1610,8 @@ QUERIES = {
     "inv_copurchase_triangles": copurchase_triangles,
     "inv_user_value_7d": user_value_7d,
     "inv_user_value_ewma": user_value_ewma,
+    "inv_basket_rules": basket_rules,
+    "inv_event_transitions": event_transitions,
 }
 
 ORACLES = {
@@ -1487,4 +1645,6 @@ ORACLES = {
     "inv_copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
     "inv_user_value_7d": USER_VALUE_7D_SQL,
     "inv_user_value_ewma": USER_VALUE_EWMA_SQL,
+    "inv_basket_rules": BASKET_RULES_SQL,
+    "inv_event_transitions": EVENT_TRANSITIONS_SQL,
 }
