@@ -243,6 +243,12 @@ def edit_distance_pairs(
     prefixes — the standard scale discipline for quadratic verifiers.
     ``F.levenshtein`` runs JVM-side inside codegen; no Python.
 
+    Unicode caveat (pinned in ``tests/test_dedup_graph.py``): Spark
+    counts CODEPOINT edits, DuckDB counts BYTE edits — e.g.
+    'café'→'cafe' is 1 in Spark, 2 in DuckDB.  The engine semantics
+    (codepoints) are the correct ones; the DuckDB oracle is exact only
+    for ASCII corpora (which the driver fixtures are).
+
     Output: doc_a, doc_b, edit_dist (long), edit_sim (double, round 6).
     """
     pa = F.substring(F.col("_ta"), 1, prefix_len)

@@ -311,3 +311,41 @@ def test_pq_train_centroids_are_member_means(spark):
     # subspace 1: code 0 members {v0, v2} -> (10.5, 10.5); code 1 -> (20.5, 20.5)
     assert trained[1][0] == [10.5, 10.5]
     assert trained[1][1] == [20.5, 20.5]
+
+
+def test_levenshtein_engine_semantics_ascii_vs_unicode(spark):
+    """Pin the cross-engine edit-distance contract the oracle relies
+    on: Spark counts CODEPOINT edits, DuckDB counts BYTE edits.  They
+    agree on ASCII (the driver fixtures) and deliberately diverge on
+    multi-byte text — if either engine changes behavior, this tells us
+    the oracle-validity boundary moved."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [("kitten", "sitting"), ("abc", "abc"), ("a", "")]
+    df = spark.createDataFrame(cases, "a: string, b: string")
+    got = [r[0] for r in df.select(F.levenshtein("a", "b")).collect()]
+    want = [
+        duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+        for a, b in cases
+    ]
+    assert got == want  # ASCII: byte edits == codepoint edits
+
+    uni = spark.createDataFrame([("café", "cafe")], "a: string, b: string")
+    assert uni.select(F.levenshtein("a", "b")).collect()[0][0] == 1
+    assert duckdb.sql("SELECT levenshtein('café', 'cafe')").fetchone()[0] == 2
+
+
+def test_edit_distance_pairs_identical_docs_sim_one(spark):
+    """Two byte-identical docs sharing an LSH bucket verify at distance
+    0 / similarity 1.0."""
+    from evmtrace_etl_spark.operators.dedup import edit_distance_pairs
+
+    text = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = edit_distance_pairs(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["edit_dist"] == 0
+    assert rows[0]["edit_sim"] == 1.0
