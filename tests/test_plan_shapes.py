@@ -409,3 +409,23 @@ def test_pagerank_query_never_goes_cartesian(spark):
 
     plan = plan_of(trade_pagerank(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_basket_rules_singles_join_broadcasts(spark):
+    """Both per-part singles joins broadcast (part-dimension-sized);
+    the pair table itself never joins by shuffle."""
+    from evmtrace_etl_spark.plans.inventory import basket_rules
+
+    plan = plan_of(basket_rules(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_event_transitions_totals_broadcast(spark):
+    """The per-from_type totals join back broadcast; only the lead
+    window shuffles the events."""
+    from evmtrace_etl_spark.plans.inventory import event_transitions
+
+    plan = plan_of(event_transitions(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
