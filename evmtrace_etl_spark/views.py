@@ -9,7 +9,8 @@ logical plan, nothing runs until a SQL query references it).  The
 exception is parameter FITTING at plan-BUILD time: the ANN/Bloom
 queries run their fitting jobs while constructing the plan (codebook
 collects and, for the trained/Bloom variants, the corpus-scan
-assignment/bitmap aggregates those need), so registering the full
+assignment/bitmap aggregates those need; PageRank likewise
+materializes its src-partitioned edge table), so registering the full
 surface costs real Spark jobs — seconds at bench scale, proportional
 to the corpus for the fitted queries.  Table scans and everything
 downstream of registration stay lazy; pass ``skip`` to leave the
