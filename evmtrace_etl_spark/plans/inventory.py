@@ -1450,27 +1450,46 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ante, cons, pair_orders, ante_orders, confidence (round 6),
     lift (round 6).
-    Scale: one bounded per-order pair explosion (order size ≤ 7), two
-    keyed aggregates, and one broadcast-sized singles join (the
-    per-part order counts — part-dimension-sized, broadcast by the
-    planner); the n_orders normalizer is a broadcast scalar."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    x, y = li.alias("x"), li.alias("y")
-    # Both directions: a rule is ordered (antecedent → consequent).
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") != F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("ante"), F.col("y.l_partkey").alias("cons")
+    Scale: pair generation is NARROW (one per-order part-set rollup,
+    order size ≤ 7, then an in-row nested transform — no self-join);
+    support aggregates UNORDERED pairs and mirrors the ≥2 survivors
+    afterwards, halving the support-shuffle volume vs aggregating both
+    rule directions; singles and n_orders derive from the same
+    per-order rollup; the singles join back broadcast and n_orders is
+    a broadcast scalar."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    pair_n = (
-        pairs.groupBy("ante", "cons")
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (p, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "q -> struct(p AS a, q AS b))))"
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    half = (
+        pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .filter(F.col("pair_orders") >= 2)
     )
-    singles = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
-    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    # A rule is ordered (antecedent → consequent): mirror the small
+    # aggregated survivor list, not the raw pair stream.
+    pair_n = half.select(
+        F.col("a").alias("ante"), F.col("b").alias("cons"), "pair_orders"
+    ).unionByName(
+        half.select(
+            F.col("b").alias("ante"), F.col("a").alias("cons"), "pair_orders"
+        )
+    )
+    singles = (
+        per_order.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("part_orders"))
+    )
+    n_orders = per_order.agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         pair_n.join(
             F.broadcast(singles.select(F.col("l_partkey").alias("ante"),
