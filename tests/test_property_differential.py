@@ -1,0 +1,171 @@
+"""Property-based differential tests (hypothesis) against INDEPENDENT
+references — pure-Python reimplementations and DuckDB's native ASOF
+JOIN, not the hand-mirrored oracle SQL the driver gate uses.  A bug
+copied into both the Spark plan and its oracle SQL passes the driver
+compare; it cannot also pass an independently-derived answer.
+
+Examples are small (≤ ~8 nodes / ≤ ~20 rows) so each Spark action is
+sub-second; ``derandomize=True`` keeps CI deterministic."""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from collections import defaultdict
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.operators.graph import (
+    SCALE,
+    pagerank_fixed_point,
+    triangle_counts,
+)
+from evmtrace_etl_spark.operators.relational import asof_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_pagerank(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Independent exact-integer PageRank mirror of the CONTRACT (not
+    the code): node universe = distinct sources; same fixed-point ops."""
+    out: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        out[s] += 1
+    nodes = sorted(out)
+    n = len(nodes)
+    rank = {u: SCALE // n for u in nodes}
+    for _ in range(rounds):
+        m: dict[int, int] = defaultdict(int)
+        for s, d in edges:
+            m[d] += rank[s] // out[s]
+        rank = {u: (3 * SCALE) // (20 * n) + (17 * m[u]) // 20 for u in nodes}
+    return rank
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_reference(spark, edges):
+    df = spark.createDataFrame(
+        [(str(s), str(d)) for s, d in edges], "src: string, dst: string"
+    )
+    got = {
+        int(r["node"]): r["rank"]
+        for r in pagerank_fixed_point(df, rounds=3).collect()
+    }
+    assert got == _ref_pagerank(edges, 3)
+
+
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(**_SETTINGS)
+def test_triangles_match_bruteforce(spark, pairs):
+    df = spark.createDataFrame(sorted(pairs), "a: long, b: long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: dict[int, int] = defaultdict(int)
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for node in (x, y, z):
+                want[node] += 1
+    assert got == dict(want)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.dictionaries(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        st.integers(-100, 100),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_duckdb_native_asof(spark, left, right):
+    """DuckDB implements ASOF JOIN natively — an implementation this
+    repo had no hand in.  Unique (key, t) on the right makes the
+    backward-join answer unambiguous (no tiebreak needed)."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k: long, t: long, id: long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right.items()], "k: long, t: long, v: long"
+    )
+    got = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t",
+            right_payload=["v"],
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, t BIGINT, id BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, t BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)",
+                    [(k, t, i) for i, (k, t) in enumerate(left)])
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)",
+                    [(k, t, v) for (k, t), v in right.items()])
+    want = dict(
+        con.execute(
+            "SELECT l.id, r.v FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_fold_matches_python_bit_exact(spark, vals):
+    """The aggregate-HOF fold performs the same IEEE multiply-add
+    sequence as a Python loop (both are binary64) — results must be
+    BIT-identical, which is the determinism claim the EWMA query makes."""
+    df = spark.createDataFrame([(vals,)], "vals: array<double>")
+    got = df.select(
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+            " (acc, x) -> 0.25D * x + 0.75D * acc)"
+        ).alias("e")
+    ).collect()[0]["e"]
+    want = functools.reduce(lambda acc, x: 0.25 * x + 0.75 * acc, vals[1:], vals[0])
+    assert got == want
