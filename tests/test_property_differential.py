@@ -169,3 +169,96 @@ def test_ewma_fold_matches_python_bit_exact(spark, vals):
     ).collect()[0]["e"]
     want = functools.reduce(lambda acc, x: 0.25 * x + 0.75 * acc, vals[1:], vals[0])
     assert got == want
+
+
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, pairs):
+    """Min-label pointer jumping vs a classic union-find: every vertex
+    must land in the component labeled by its smallest reachable id."""
+    from evmtrace_etl_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(sorted(pairs), "doc_a: long, doc_b: long")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = defaultdict(list)
+    for v in parent:
+        comp[find(v)].append(v)
+    want = {
+        v: min(members) for members in comp.values() for v in members
+    }
+    assert got == want
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 400), st.integers(0, 400)),
+        min_size=1,
+        max_size=10,
+    ),
+    points=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 400)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce_containment(spark, intervals, points):
+    """The bucket-decomposed range join must return exactly the pairs a
+    brute-force containment scan returns — including the boundary rows
+    (inclusive both ends) and intervals spanning many buckets (the
+    bucket width is set far below the value range on purpose)."""
+    from evmtrace_etl_spark.operators.relational import interval_join_bucketed
+
+    iv_rows = [
+        (k, i, min(s, e), max(s, e))
+        for i, (k, s, e) in enumerate(intervals)
+    ]
+    pt_rows = [(k, i, t) for i, (k, t) in enumerate(points)]
+    iv = spark.createDataFrame(
+        iv_rows, "k: long, iid: long, s_us: long, e_us: long"
+    ).select(
+        "k", "iid",
+        F.timestamp_micros(F.col("s_us") * 1_000_000).alias("s"),
+        F.timestamp_micros(F.col("e_us") * 1_000_000).alias("e"),
+    )
+    pt = spark.createDataFrame(pt_rows, "k: long, pid: long, t_us: long").select(
+        "k", "pid", F.timestamp_micros(F.col("t_us") * 1_000_000).alias("t")
+    )
+    got = {
+        (r["iid"], r["pid"])
+        for r in interval_join_bucketed(
+            iv, pt, on=["k"], start="s", end="e", point_time="t",
+            bucket_micros=64_000_000,  # 64 s buckets << 400 s range
+        ).collect()
+    }
+    want = {
+        (iid, pid)
+        for (ik, iid, s, e) in iv_rows
+        for (pk, pid, t) in pt_rows
+        if ik == pk and s <= t <= e
+    }
+    assert got == want
