@@ -21,6 +21,12 @@ Semantics notes:
   tiny, safe for the state store at any scale; groups are per chain, so
   parallelism follows the chain count exactly like the reference's
   task-per-topic model.
+- API currency: Spark 4 adds ``transformWithStateInPandas`` (handle-
+  based state over the RocksDB provider) as this operator's successor
+  API; probed here and NOT adopted because its Python worker side
+  requires ``google.protobuf``, which this environment does not ship
+  (pip is unavailable).  ``applyInPandasWithState`` remains fully
+  supported in Spark 4 and is the portable choice.
 """
 
 from __future__ import annotations
