@@ -34,6 +34,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - time-based RANGE-frame rolling 7-day window                 → user_value_7d
 - association rules: support/confidence/lift (basket mining)  → basket_rules
 - first-order Markov transition matrix (path analytics)       → event_transitions
+- gap-filled daily date spine / resampling (time series)      → user_daily_spine
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1436,6 +1437,69 @@ SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
 """
 
 
+def user_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user daily activity — the date-spine/resampling
+    op every time-series report needs (a day with no events must appear
+    as an explicit zero row, or downstream moving averages and
+    charts silently skip it).
+
+    Per user: a generated day spine from their first to their last
+    active day (``sequence`` of dates, exploded — no calendar table,
+    no join against a driver-side range), left-joined to the actual
+    daily rollup, zeros filled.  Output: user_id, day (date), n_events,
+    day_value (round 6).
+    Scale: one keyed daily rollup, one per-user min/max aggregate, and
+    a narrow in-row spine explosion (fan-out = user's active span in
+    days); the spine-to-daily join is keyed on (user_id, day) — plain
+    hash join, no inequality."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_dec("value")).cast("double"), 6).alias("day_value"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("day"),
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        # ISO string, the module's convention for date outputs (pandas
+        # round-trips DATE inconsistently between the two engines)
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+    )
+
+
+USER_DAILY_SPINE_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6)
+           AS day_value
+  FROM events GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine_ts AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dts
+  FROM span
+),
+spine AS (SELECT user_id, CAST(dts AS DATE) AS day FROM spine_ts)
+SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.day_value, 0.0) AS day_value
+FROM spine s LEFT JOIN daily d
+  ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over co-purchased part pairs — the
     support/confidence/lift stage of market-basket mining (the Apriori
@@ -1642,6 +1706,7 @@ QUERIES = {
     "inv_user_value_ewma": user_value_ewma,
     "inv_basket_rules": basket_rules,
     "inv_event_transitions": event_transitions,
+    "inv_user_daily_spine": user_daily_spine,
 }
 
 ORACLES = {
@@ -1677,4 +1742,5 @@ ORACLES = {
     "inv_user_value_ewma": USER_VALUE_EWMA_SQL,
     "inv_basket_rules": BASKET_RULES_SQL,
     "inv_event_transitions": EVENT_TRANSITIONS_SQL,
+    "inv_user_daily_spine": USER_DAILY_SPINE_SQL,
 }
