@@ -262,3 +262,149 @@ def test_interval_join_matches_bruteforce_containment(spark, intervals, points):
         if ik == pk and s <= t <= e
     }
     assert got == want
+
+
+def _write_events(spark, tmpdir: str, rows: list[tuple[int, int, int, str, float]]):
+    """rows: (event_id, ts_seconds, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        rows, "event_id: long, tsec: long, user_id: long, event_type: string, value: double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("tsec") * 1_000_000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+
+_EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # ts second (small → forces ties)
+        st.integers(0, 2),            # user
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0, max_value=9, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=14,
+).map(
+    lambda rows: [
+        (i, t, u, e, round(v, 2)) for i, (t, u, e, v) in enumerate(rows)
+    ]
+)
+
+
+@given(rows=_EVENT_ROWS)
+@settings(**_SETTINGS)
+def test_scd2_matches_python_islands(spark, rows, tmp_path_factory):
+    """Gaps-and-islands SCD2 vs a direct Python pass over each user's
+    (ts, event_id)-ordered stream — exercises ties (equal ts) and
+    single-event islands the fixture data may never hit."""
+    from evmtrace_etl_spark.plans.inventory import scd2_user_state
+
+    d = str(tmp_path_factory.mktemp("scd2"))
+    _write_events(spark, d, rows)
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["n_events"]
+        )
+        for r in scd2_user_state(spark, d).collect()
+    }
+    import datetime
+
+    by_user: dict[int, list] = defaultdict(list)
+    for eid, t, u, e, _ in rows:
+        by_user[u].append((t, eid, e))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        islands: list[list] = []
+        for t, eid, e in evs:
+            if not islands or islands[-1][0] != e:
+                islands.append([e, [], None])
+            islands[-1][1].append(t)
+        for i, (state, ts_list, _) in enumerate(islands):
+            vf = datetime.datetime.utcfromtimestamp(min(ts_list))
+            nxt = (
+                datetime.datetime.utcfromtimestamp(min(islands[i + 1][1]))
+                if i + 1 < len(islands)
+                else None
+            )
+            want[(u, i + 1)] = (state, vf, nxt, len(ts_list))
+    assert got == want
+
+
+@given(rows=_EVENT_ROWS)
+@settings(**_SETTINGS)
+def test_transitions_match_python_counts(spark, rows, tmp_path_factory):
+    from evmtrace_etl_spark.plans.inventory import event_transitions
+
+    d = str(tmp_path_factory.mktemp("trans"))
+    _write_events(spark, d, rows)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+        for r in event_transitions(spark, d).collect()
+    }
+    by_user: dict[int, list] = defaultdict(list)
+    for eid, t, u, e, _ in rows:
+        by_user[u].append((t, eid, e))
+    counts: dict[tuple, int] = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    totals: dict[str, int] = defaultdict(int)
+    for (a, _), n in counts.items():
+        totals[a] += n
+    assert set(got) == set(counts)
+    for k, (n, p) in got.items():
+        assert n == counts[k]
+        assert abs(p - counts[k] / totals[k[0]]) < 1.1e-6
+
+
+@given(
+    orders=st.lists(
+        st.tuples(st.integers(0, 5), st.sets(st.integers(0, 5), min_size=1, max_size=4)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda o: o[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_basket_rules_match_python_bruteforce(spark, orders, tmp_path_factory):
+    """Support/confidence/lift vs direct counting over order→part-set
+    baskets (duplicate line items injected to confirm per-order
+    de-duplication)."""
+    from evmtrace_etl_spark.plans.inventory import basket_rules
+
+    d = str(tmp_path_factory.mktemp("basket"))
+    li_rows = [
+        (ok, pk) for ok, parts in orders for pk in parts
+    ] + [(orders[0][0], next(iter(orders[0][1])))]  # a duplicate line
+    spark.createDataFrame(
+        li_rows, "l_orderkey: long, l_partkey: long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = {
+        (r["ante"], r["cons"]): (
+            r["pair_orders"], r["ante_orders"], r["confidence"], r["lift"]
+        )
+        for r in basket_rules(spark, d).collect()
+    }
+    baskets = {ok: set(parts) for ok, parts in orders}
+    n_orders = len(baskets)
+    single: dict[int, int] = defaultdict(int)
+    pair: dict[tuple, int] = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            single[p] += 1
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair[(a, b)] += 1
+            pair[(b, a)] += 1
+    want_keys = {k for k, n in pair.items() if n >= 2}
+    assert set(got) == want_keys
+    for (a, b), (po, ao, conf, lift) in got.items():
+        assert po == pair[(a, b)] and ao == single[a]
+        assert abs(conf - pair[(a, b)] / single[a]) < 1.1e-6
+        exp_lift = (pair[(a, b)] / single[a]) / (single[b] / n_orders)
+        assert abs(lift - exp_lift) < max(1.1e-6 * exp_lift, 1.1e-6)
