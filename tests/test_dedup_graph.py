@@ -349,3 +349,23 @@ def test_edit_distance_pairs_identical_docs_sim_one(spark):
     assert len(rows) == 1
     assert rows[0]["edit_dist"] == 0
     assert rows[0]["edit_sim"] == 1.0
+
+
+def test_bucket_cap_bounds_adversarial_skew(spark):
+    """The scale claim behind every LSH surface: a degenerate corpus
+    (here 3 * BUCKET_CAP identical docs — one giant bucket in every
+    band) must NOT produce the quadratic candidate blow-up; the
+    oversized buckets are dropped entirely, and a small distinct
+    cluster alongside them still pairs up normally."""
+    from evmtrace_etl_spark.functions.text import BUCKET_CAP
+    from evmtrace_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    boiler = "all work and no play makes jack a dull boy " * 4
+    small = "a genuinely different document about spark shuffles " * 4
+    rows = [(i, boiler) for i in range(3 * BUCKET_CAP)]
+    rows += [(10_000, small), (10_001, small)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs).collect()
+    # quadratic would be C(192,2) = 18 336 pairs; the cap leaves only
+    # the small cluster's single pair
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(10_000, 10_001)]
