@@ -369,3 +369,24 @@ def test_bucket_cap_bounds_adversarial_skew(spark):
     # quadratic would be C(192,2) = 18 336 pairs; the cap leaves only
     # the small cluster's single pair
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(10_000, 10_001)]
+
+
+def test_simhash_band_cap_and_stats_report_the_drop(spark):
+    """Same adversarial corpus through the 64-bit SimHash banded
+    search: oversized band buckets are dropped from the pair search,
+    and simhash_band_stats ACCOUNTS for what was dropped — the
+    operator pair that turns a silent coverage trade-off into a
+    number."""
+    from evmtrace_etl_spark.functions.text import BUCKET_CAP
+    from evmtrace_etl_spark.operators.dedup import (
+        simhash_band_stats,
+        simhash_near_dups,
+    )
+
+    boiler = "all work and no play makes jack a dull boy " * 4
+    rows = [(i, boiler) for i in range(2 * BUCKET_CAP)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_near_dups(docs).count() == 0  # capped, not quadratic
+    stats = simhash_band_stats(docs).collect()
+    assert sum(r["n_dropped_buckets"] for r in stats) >= 1
+    assert sum(r["n_docs_dropped"] for r in stats) >= 2 * BUCKET_CAP
