@@ -501,6 +501,75 @@ def checksum_oracle_sql() -> str:
     )
 
 
+def spark_zk_callgraph_rank(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """PageRank over the fixture's contract call graph — ranking the
+    edge list the reference's J2/J3 operators derive
+    (``/root/reference/src/transformer/zk/mod.rs``: caller→callee per
+    trace) by link-structure importance, the natural analytics step on
+    top of an engine that already materializes those edges.
+
+    Nodes are ``chain_id:address`` (call graphs are per-chain address
+    spaces); edges are the DISTINCT symmetrized caller↔callee pairs, so
+    the graph is sink-free (the documented no-dangling precondition).
+    3 exact BIGINT fixed-point rounds (``operators/graph.py``);
+    ``materialize=False`` keeps this tiny fixture query a fully lazy
+    plan (views register it without running a job).
+
+    Output: node, rank (BIGINT picorank units)."""
+    from ..operators.graph import pagerank_fixed_point
+
+    tr = fixtures.traces_df(spark)
+    base = (
+        tr.filter(
+            F.col("from_address").isNotNull() & F.col("to_address").isNotNull()
+        )
+        .select(
+            F.concat(
+                F.col("chain_id").cast("string"), F.lit(":"), F.col("from_address")
+            ).alias("u"),
+            F.concat(
+                F.col("chain_id").cast("string"), F.lit(":"), F.col("to_address")
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    edges = (
+        base.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(base.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, rounds=3, materialize=False)
+
+
+def zk_callgraph_rank_oracle_sql() -> str:
+    from .inventory import _pagerank_iter_sql
+
+    return f"""
+WITH traces AS (SELECT * FROM {fixtures.traces_values_sql()}),
+base AS (
+  SELECT DISTINCT CAST(chain_id AS VARCHAR) || ':' || from_address AS u,
+                  CAST(chain_id AS VARCHAR) || ':' || to_address AS v
+  FROM traces
+  WHERE from_address IS NOT NULL AND to_address IS NOT NULL
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT u AS src, v AS dst FROM base
+    UNION ALL
+    SELECT v AS src, u AS dst FROM base
+  )
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (
+  SELECT d.src AS node, d.outdeg, nn.n,
+         CAST(1000000000000 AS BIGINT) // nn.n AS rank
+  FROM deg d CROSS JOIN nn
+),{_pagerank_iter_sql("r0", "r1")},{_pagerank_iter_sql("r1", "r2")},{_pagerank_iter_sql("r2", "r3")}
+SELECT node, rank FROM r3
+"""
+
+
 # Driver-contract registration (aggregated by evmtrace_etl_spark.registry).
 QUERIES = {
     "zk_transactions": spark_zk_transactions,
@@ -509,6 +578,7 @@ QUERIES = {
     "zk_block_enrichment": spark_block_enrichment,
     "zk_session_edges": spark_session_edges,
     "zk_checksum_addresses": spark_checksummed_addresses,
+    "zk_callgraph_rank": spark_zk_callgraph_rank,
 }
 
 ORACLES = {
@@ -518,4 +588,5 @@ ORACLES = {
     "zk_block_enrichment": block_enrichment_oracle_sql(),
     "zk_session_edges": session_edges_oracle_sql(),
     "zk_checksum_addresses": checksum_oracle_sql(),
+    "zk_callgraph_rank": zk_callgraph_rank_oracle_sql(),
 }
