@@ -179,3 +179,43 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.explode(F.array("corner", "a", "b")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: ``2·T(v) / (d(v)·(d(v)−1))``
+    — the fraction of a node's neighbor pairs that are themselves
+    connected (Watts–Strogatz 1998), the standard per-node cohesion
+    measure on top of triangle counts.
+
+    ``edges`` is the canonical undirected list (``a < b``, distinct).
+    Returns ``(node, degree, n_triangles, clustering)`` for every node;
+    degree-1 nodes have no neighbor pair and get clustering 0.0 by
+    convention.  ``clustering`` is exact-integer ratio → one double
+    division, rounded to 6.
+
+    Scale: composes the two keyed aggregates this module already has
+    (degree rollup + oriented-wedge triangle counts) with ONE node-keyed
+    left join — triangle output is sparse (only triangle members), so
+    the join's right side is at most node-sized.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.lit(2) * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            )
+        )
+        .alias("clustering"),
+    )

@@ -31,6 +31,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - iterative PageRank, BIGINT fixed point (graph analytics)    → trade_pagerank
 - SCD Type-2 interval build (gaps-and-islands + lead)         → scd2_user_state
 - oriented-wedge triangle counting (market-basket graph)      → copurchase_triangles
+- local clustering coefficient (graph cohesion profile)       → copurchase_clustering
 - time-based RANGE-frame rolling 7-day window                 → user_value_7d
 - association rules: support/confidence/lift (basket mining)  → basket_rules
 - first-order Markov transition matrix (path analytics)       → event_transitions
@@ -1277,6 +1278,61 @@ FROM islands
 """
 
 
+_COPURCHASE_EDGE_CTES = """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+e AS (
+  SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2
+)"""
+
+
+def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the co-purchase graph — the
+    per-node cohesion measure composing the degree rollup and the
+    oriented-wedge triangle counts over the SAME shared edge list
+    (``operators/graph.py:clustering_coefficients``).
+
+    Output: node, degree, n_triangles, clustering (round 6; 0.0 for
+    degree-1 nodes by convention).
+    Scale: two keyed aggregates + one node-keyed left join whose right
+    side (triangle members) is at most node-sized."""
+    from ..operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_copurchase_edges(spark, sf_dir))
+
+
+COPURCHASE_CLUSTERING_SQL = f"""
+WITH {_COPURCHASE_EDGE_CTES},
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcounts AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node)
+SELECT d.node, d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE round(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                       / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+       END AS clustering
+FROM deg d LEFT JOIN tcounts t ON t.node = d.node
+"""
+
+
 def user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling 7-day value total — the RANGE-frame window
     surface (time-based frames, vs ``user_value_ma``'s row-based
@@ -1368,6 +1424,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-≥2 co-purchase edge list (canonical a < b), shared by the
+    triangle and clustering queries: narrow per-order pair generation
+    (see ``copurchase_triangles`` docstring for the design)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (p, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "q -> struct(p AS a, q AS b))))"
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts on the part co-purchase graph — market-basket
     graph analytics with the skew-safe oriented-wedge algorithm
@@ -1388,40 +1469,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order, the basket-mining definition `basket_rules` also uses);
     the wedge join is degree-orientation-capped at O(m^1.5);
     everything else is keyed aggregation."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = per_order.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (p, i) -> "
-                "transform(slice(ps, i + 2, size(ps)), "
-                "q -> struct(p AS a, q AS b))))"
-            )
-        ).alias("pr")
-    ).select("pr.a", "pr.b")
-    edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("a", "b")
-    )
     from ..operators.graph import triangle_counts
 
-    return triangle_counts(edges)
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
 
 
-COPURCHASE_TRIANGLES_SQL = """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
-  SELECT x.l_partkey AS a, y.l_partkey AS b
-  FROM li x JOIN li y
-    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-),
-e AS (
-  SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2
-),
+COPURCHASE_TRIANGLES_SQL = f"""
+WITH {_COPURCHASE_EDGE_CTES},
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM e e1
@@ -1702,6 +1756,7 @@ QUERIES = {
     "inv_trade_pagerank": trade_pagerank,
     "inv_scd2_user_state": scd2_user_state,
     "inv_copurchase_triangles": copurchase_triangles,
+    "inv_copurchase_clustering": copurchase_clustering,
     "inv_user_value_7d": user_value_7d,
     "inv_user_value_ewma": user_value_ewma,
     "inv_basket_rules": basket_rules,
@@ -1738,6 +1793,7 @@ ORACLES = {
     "inv_trade_pagerank": TRADE_PAGERANK_SQL,
     "inv_scd2_user_state": SCD2_USER_STATE_SQL,
     "inv_copurchase_triangles": COPURCHASE_TRIANGLES_SQL,
+    "inv_copurchase_clustering": COPURCHASE_CLUSTERING_SQL,
     "inv_user_value_7d": USER_VALUE_7D_SQL,
     "inv_user_value_ewma": USER_VALUE_EWMA_SQL,
     "inv_basket_rules": BASKET_RULES_SQL,

@@ -124,3 +124,23 @@ def test_triangle_counts_total_via_sum(spark):
         .collect()[0]["s"]
     )
     assert total == 6
+
+
+def test_clustering_coefficients_known_values(spark):
+    """K4 → every node fully clustered (1.0); a path graph → all 0.0
+    (degree-1 endpoints by convention, middle nodes by no closure)."""
+    from evmtrace_etl_spark.operators.graph import clustering_coefficients
+
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    rows = {r["node"]: r for r in clustering_coefficients(k4).collect()}
+    assert all(r["clustering"] == 1.0 and r["degree"] == 3 for r in rows.values())
+
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = {r["node"]: r["clustering"] for r in clustering_coefficients(path).collect()}
+    assert rows == {1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0}
+
+    # square + one diagonal: diagonal nodes see 2 closed of C(3,2)=3
+    # neighbor pairs (2/3), the others 1 of 1
+    sq = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])
+    rows = {r["node"]: r["clustering"] for r in clustering_coefficients(sq).collect()}
+    assert rows == {1: round(2 / 3, 6), 2: 1.0, 3: round(2 / 3, 6), 4: 1.0}
