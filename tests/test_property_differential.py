@@ -408,3 +408,59 @@ def test_basket_rules_match_python_bruteforce(spark, orders, tmp_path_factory):
         assert abs(conf - pair[(a, b)] / single[a]) < 1.1e-6
         exp_lift = (pair[(a, b)] / single[a]) / (single[b] / n_orders)
         assert abs(lift - exp_lift) < max(1.1e-6 * exp_lift, 1.1e-6)
+
+
+@given(rows=_EVENT_ROWS)
+@settings(**_SETTINGS)
+def test_range_frame_7d_matches_python(spark, rows, tmp_path_factory):
+    """Time-based RANGE frame vs brute force: every row's frame is ALL
+    rows of the same user within the trailing window INCLUDING
+    same-instant peers (tie rows generated on purpose — the property
+    ROWS frames get wrong)."""
+    from evmtrace_etl_spark.plans.inventory import user_value_7d
+
+    d = str(tmp_path_factory.mktemp("r7d"))
+    # shrink to a 3-second "week" equivalent by scaling: keep real op
+    # (7 days) but give ts in DAYS via seconds*86400 so windows bind
+    scaled = [(eid, t * 86400 * 3, u, e, v) for eid, t, u, e, v in rows]
+    _write_events(spark, d, scaled)
+    got = {r["event_id"]: (r["v7d"], r["n7d"]) for r in user_value_7d(spark, d).collect()}
+    by_user: dict[int, list] = defaultdict(list)
+    for eid, t, u, _, v in scaled:
+        by_user[u].append((t, eid, v))
+    for u, evs in by_user.items():
+        for t, eid, _ in evs:
+            frame = [vv for (tt, _, vv) in evs if t - 7 * 86400 <= tt <= t]
+            want_sum = round(sum(frame), 6)
+            assert got[eid][1] == len(frame)
+            assert abs(got[eid][0] - want_sum) < 1.1e-6
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 20)), min_size=1, max_size=10),
+    right=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(0, 5)),
+        min_size=1, max_size=12, unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_tiebreak_picks_greatest(spark, left, right):
+    """Equal right timestamps per key (generated on purpose): the
+    documented tiebreak takes the payload of the GREATEST tiebreak
+    value — checked against a direct Python scan (DuckDB ASOF cannot
+    express a tiebreak, so this leg needs its own reference)."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k: long, t: long, id: long"
+    )
+    rdf = spark.createDataFrame(right, "k: long, t: long, tie: long")
+    got = {
+        r["id"]: r["asof_tie"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t",
+            right_payload=["tie"], right_tiebreak="tie",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, tie) for (rk, rt, tie) in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want
