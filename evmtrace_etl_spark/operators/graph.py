@@ -30,10 +30,14 @@ Every operation is exact 64-bit integer arithmetic: sums are
 order-independent, so the result is bit-identical across partitionings,
 retries, AQE re-plans, and engines.  Max intermediate is
 ``17 * SCALE < 2**63`` — no overflow at any graph size (total system
-mass is ≤ SCALE).  The floor divisions leak ≤ 1 unit of mass per node
-per round (picoranks, far below any ranking-relevant difference) —
-the standard price of fixed-point iteration, and the reason SCALE is
-large.
+mass is ≤ SCALE).  The floor divisions leak mass: distributing a rank
+over ``outdeg`` edges loses up to ``outdeg − 1`` units per node per
+round, plus ≤ 2 to the teleport/damping floors — total leak ≤
+``rounds · (E + 2N)`` units (measured 13.5 M over a 9.7 M-edge
+3-round run: ~1e-5 % of total mass, far below any ranking-relevant
+difference; pinned by ``tests/test_graph.py``'s stress test).  That
+bounded leak is the standard price of fixed-point iteration, and the
+reason SCALE is large.
 
 Scale design
 ------------

@@ -23,9 +23,10 @@ def _directed(spark, pairs):
 
 
 def test_pagerank_conserves_mass(spark):
-    """Total rank stays within N units of SCALE: each of the N nodes
-    loses < 1 unit to the teleport floor div and < 1 per in-edge sum —
-    floor-division leakage is bounded, never amplified."""
+    """Total rank stays within the floor-leak bound of SCALE: per
+    round each node loses < outdeg units to the contribution floors
+    plus ≤ 2 to the teleport/damping floors — leakage is bounded,
+    never amplified."""
     # 5-node directed graph, every node has an out-edge (no dangling).
     pairs = [
         ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
