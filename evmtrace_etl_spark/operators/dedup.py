@@ -265,9 +265,17 @@ def edit_distance_pairs(
             "doc_a",
             "doc_b",
             dist.cast("long").alias("edit_dist"),
-            F.round(
-                F.lit(1.0) - dist.cast("double") / denom.cast("double"), 6
-            ).alias("edit_sim"),
+            # Two empty texts are identical (sim 1.0); the guard only
+            # matters for callers feeding pre-built candidate pairs —
+            # shingle-less docs never become LSH candidates here.
+            F.when(
+                denom > 0,
+                F.round(
+                    F.lit(1.0) - dist.cast("double") / denom.cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("edit_sim"),
         )
     )
 

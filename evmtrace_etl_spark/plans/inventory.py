@@ -1573,8 +1573,13 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     support aggregates UNORDERED pairs and mirrors the ≥2 survivors
     afterwards, halving the support-shuffle volume vs aggregating both
     rule directions; singles and n_orders derive from the same
-    per-order rollup; the singles join back broadcast and n_orders is
-    a broadcast scalar."""
+    per-order rollup; n_orders is a broadcast scalar.  The singles
+    joins carry NO broadcast hint: at TPC-H scale AQE broadcasts them
+    anyway, but the part dimension grows with the catalog (billions of
+    rows at 100 TB) while the support-filtered pair_n side shrinks
+    with the threshold — the planner must stay free to pick the small
+    side at runtime rather than be pinned into OOMing on the
+    dimension."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
@@ -1610,13 +1615,13 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = per_order.agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         pair_n.join(
-            F.broadcast(singles.select(F.col("l_partkey").alias("ante"),
-                                       F.col("part_orders").alias("ante_orders"))),
+            singles.select(F.col("l_partkey").alias("ante"),
+                           F.col("part_orders").alias("ante_orders")),
             "ante",
         )
         .join(
-            F.broadcast(singles.select(F.col("l_partkey").alias("cons"),
-                                       F.col("part_orders").alias("cons_orders"))),
+            singles.select(F.col("l_partkey").alias("cons"),
+                           F.col("part_orders").alias("cons_orders")),
             "cons",
         )
         .crossJoin(F.broadcast(n_orders))

@@ -5,6 +5,9 @@ the algorithmic invariants a refactor could silently break."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from evmtrace_etl_spark.operators.graph import (
@@ -145,10 +148,6 @@ def test_clustering_coefficients_known_values(spark):
     sq = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])
     rows = {r["node"]: r["clustering"] for r in clustering_coefficients(sq).collect()}
     assert rows == {1: round(2 / 3, 6), 2: 1.0, 3: round(2 / 3, 6), 4: 1.0}
-
-
-import os
-import pytest
 
 
 @pytest.mark.skipif(

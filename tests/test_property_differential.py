@@ -9,6 +9,7 @@ sub-second; ``derandomize=True`` keeps CI deterministic."""
 
 from __future__ import annotations
 
+import datetime
 import functools
 import itertools
 from collections import defaultdict
@@ -24,6 +25,14 @@ from evmtrace_etl_spark.operators.graph import (
     triangle_counts,
 )
 from evmtrace_etl_spark.operators.relational import asof_join
+
+def _utc_naive(ts: int) -> "datetime.datetime":
+    """Naive UTC datetime from an epoch second (utcfromtimestamp is
+    deprecated since 3.12; this is its documented replacement)."""
+    return datetime.datetime.fromtimestamp(
+        ts, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+
 
 _SETTINGS = dict(
     max_examples=8,
@@ -311,8 +320,6 @@ def test_scd2_matches_python_islands(spark, rows, tmp_path_factory):
         )
         for r in scd2_user_state(spark, d).collect()
     }
-    import datetime
-
     by_user: dict[int, list] = defaultdict(list)
     for eid, t, u, e, _ in rows:
         by_user[u].append((t, eid, e))
@@ -325,9 +332,9 @@ def test_scd2_matches_python_islands(spark, rows, tmp_path_factory):
                 islands.append([e, [], None])
             islands[-1][1].append(t)
         for i, (state, ts_list, _) in enumerate(islands):
-            vf = datetime.datetime.utcfromtimestamp(min(ts_list))
+            vf = _utc_naive(min(ts_list))
             nxt = (
-                datetime.datetime.utcfromtimestamp(min(islands[i + 1][1]))
+                _utc_naive(min(islands[i + 1][1]))
                 if i + 1 < len(islands)
                 else None
             )
