@@ -846,3 +846,69 @@ def sketch_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return per_len.join(per_tok, "source").select(
         "source", "n_docs", "approx_distinct_tokens", "p50_len", "p95_len"
     )
+
+
+def sketch_accuracy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source sketch-accuracy contract as DATA — the driver-checkable
+    companion to :func:`sketch_profile`.
+
+    The sketch VALUES are engine-specific (HLL++/t-digest), so they can
+    never hash-match another engine; the accuracy CONTRACT can.  This
+    query computes both the sketches and the exact answers in one plan
+    and emits per-source pass/fail flags:
+
+    - ``hll_within_3rsd``: |HLL estimate − exact distinct| < 3×rsd
+      (rsd 2% → 6%) of the exact distinct-token count,
+    - ``median_in_iqr``: the t-digest median lies inside the exact
+      [p25, p75] band,
+    - ``p95_ge_p50``: sketch self-consistency (quantile monotonicity).
+
+    The DuckDB oracle computes the same ``n_docs`` and exact distinct
+    counts and asserts the flags as literal 1s — a sketch drifting out
+    of tolerance flips a flag to 0 and fails the value-hash compare, so
+    the accuracy gate runs inside the driver, not just in local tests.
+
+    Scale: the exact sides are one distinct-aggregate and one exact
+    percentile per source — affordable at verification scale (the
+    harness runs at sf0.01); at 100 TB you run :func:`sketch_profile`
+    alone and this contract query on a sampled slice.
+    """
+    from ..functions.text import tokens
+
+    sk = sketch_profile(docs, text_col)
+    t = docs.select("source", F.explode(tokens(text_col)).alias("_tok"))
+    exact_d = t.groupBy("source").agg(
+        F.countDistinct("_tok").cast("long").alias("exact_distinct_tokens")
+    )
+    lens = docs.select("source", F.size(tokens(text_col)).alias("_n"))
+    exact_q = lens.groupBy("source").agg(
+        F.percentile("_n", F.lit(0.25)).alias("_p25"),
+        F.percentile("_n", F.lit(0.75)).alias("_p75"),
+    )
+    return (
+        sk.join(exact_d, "source")
+        .join(exact_q, "source")
+        .select(
+            "source",
+            "n_docs",
+            "exact_distinct_tokens",
+            (
+                F.abs(
+                    F.col("approx_distinct_tokens")
+                    - F.col("exact_distinct_tokens")
+                ).cast("double")
+                < F.lit(0.06) * F.col("exact_distinct_tokens").cast("double")
+            )
+            .cast("int")
+            .alias("hll_within_3rsd"),
+            (
+                (F.col("_p25") <= F.col("p50_len"))
+                & (F.col("p50_len") <= F.col("_p75"))
+            )
+            .cast("int")
+            .alias("median_in_iqr"),
+            (F.col("p95_len") >= F.col("p50_len"))
+            .cast("int")
+            .alias("p95_ge_p50"),
+        )
+    )

@@ -1719,8 +1719,29 @@ FROM j GROUP BY source
 
 def llm_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source HLL++/t-digest sketch profile (no oracle by design —
-    sketches are engine-specific; accuracy gated in local tests)."""
+    sketches are engine-specific; accuracy gated in local tests and by
+    the oracle-paired ``llm_sketch_accuracy`` contract query)."""
     return text_analysis.sketch_profile(_docs(spark, sf_dir))
+
+
+def llm_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy contract flags vs exact aggregates (the oracle
+    asserts every flag as 1 — a drifting sketch fails the hash gate)."""
+    return text_analysis.sketch_accuracy(_docs(spark, sf_dir))
+
+
+SKETCH_ACCURACY_SQL = f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+d AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)
+        AS exact_distinct_tokens FROM toks GROUP BY source),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+SELECT n.source, n.n_docs, d.exact_distinct_tokens,
+  CAST(1 AS INTEGER) AS hll_within_3rsd,
+  CAST(1 AS INTEGER) AS median_in_iqr,
+  CAST(1 AS INTEGER) AS p95_ge_p50
+FROM n JOIN d ON n.source = d.source
+"""
 
 
 QUERIES = {
@@ -1769,6 +1790,7 @@ QUERIES = {
     "llm_bigram_logprob": llm_bigram_logprob,
     "llm_source_quality_gate": llm_source_quality_gate,
     "llm_sketch_profile": llm_sketch_profile,
+    "llm_sketch_accuracy": llm_sketch_accuracy,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_cross_source_dups": llm_cross_source_dups,
@@ -1820,6 +1842,7 @@ ORACLES = {
     "llm_hashed_tf_vectors": HASHED_TF_SQL,
     "llm_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "llm_source_quality_gate": SOURCE_QUALITY_GATE_SQL,
+    "llm_sketch_accuracy": SKETCH_ACCURACY_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
