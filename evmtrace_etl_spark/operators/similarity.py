@@ -362,6 +362,49 @@ def _ivf_topk_with_cents(
     )
 
 
+def clustered_corpus(
+    emb: DataFrame, n_clusters: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic clustered variant of an embedding corpus, for the
+    recall harnesses.
+
+    The driver fixture's vectors are uniform on the unit sphere — no
+    cluster structure — which makes ANN recall numbers degenerate (PQ
+    recall@5 ≈ 0.12 there is EXPECTED at a 3-bit/subspace budget on
+    structureless data, and Lloyd rounds cannot help).  Real embedding
+    corpora are clustered; this operator synthesizes that regime from
+    the same fixture with arithmetic BOTH engines reproduce
+    bit-for-bit: cluster id = ``vec_id % n_clusters``, a ±1 centroid
+    pattern from pure integer arithmetic, and an exact 1/2–1/2 blend
+    (0.5 is a power of two, ±1 products are exact, and the single
+    double addition is correctly rounded identically under IEEE-754 in
+    Spark and DuckDB — no rounding crutch needed).
+
+    The blend keeps within-cluster cosine ≈ 0.97–0.99 with real
+    ordering variation from the uniform component, and cross-cluster
+    cosine well below.  Measured at sf0.01 (pinned in
+    ``tests/test_dedup_graph.py::test_clustered_recall_ordering``):
+    seed IVF ≈ 0.94, trained ≥ seed; PQ ≈ 0.08 — far above the 0.01
+    global-random floor (the codes resolve CLUSTER MEMBERSHIP) but at
+    the within-cluster random floor k/cluster_size, because 3
+    bits/subspace cannot rank inside a tight cluster.  That is the
+    measured argument for the standard scale composition: IVF cells
+    for the coarse cut, PQ codes over residuals for the fine ranking.
+    Zero-shuffle narrow projection; composes with every harness.
+    """
+    centroid = (
+        f"(CASE WHEN ((vec_id % {n_clusters}) * 31 + i) % 7 < 4 "
+        "THEN 1.0D ELSE -1.0D END)"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform({vec_col}, (x, i) -> "
+            f"0.5D * {centroid} + 0.5D * CAST(x AS DOUBLE))"
+        ).alias(vec_col),
+    )
+
+
 def ann_recall(
     emb: DataFrame,
     n_queries: int = 10,

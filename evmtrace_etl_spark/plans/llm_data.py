@@ -293,6 +293,69 @@ def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cluster count for the structured recall corpus (see
+#: ``similarity.clustered_corpus``).
+CLUSTER_K = 8
+
+#: DuckDB mirror of ``similarity.clustered_corpus`` — bit-identical
+#: doubles (integer centroid pattern, power-of-two blend weights).  The
+#: CTE shadows the ``embeddings`` view for the rest of the statement;
+#: ``main.embeddings`` inside the body bypasses the shadowing.
+_CLUSTERED_EMB_CTE = f"""embeddings AS (
+  SELECT vec_id,
+    list_transform(range(1, {EMBED_DIM + 1}), i ->
+      0.5 * (CASE WHEN ((vec_id % {CLUSTER_K}) * 31 + (i - 1)) % 7 < 4
+             THEN 1.0 ELSE -1.0 END)
+      + 0.5 * CAST(embedding[i] AS DOUBLE)) AS embedding
+  FROM main.embeddings)"""
+
+
+def _with_clustered_corpus(sql: str) -> str:
+    """Rewrite an embeddings-reading oracle to run over the clustered
+    corpus: prepend the shadowing CTE to the statement's WITH list."""
+    head, sep, tail = sql.lstrip().partition("WITH ")
+    assert head == "" and sep, "oracle must start with a WITH clause"
+    return f"WITH {_CLUSTERED_EMB_CTE},\n{tail}"
+
+
+def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.clustered_corpus(
+        _emb(spark, sf_dir), n_clusters=CLUSTER_K
+    )
+
+
+def llm_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-IVF recall on the CLUSTERED corpus — the structured-data
+    leg of the sizing harness (the uniform fixture has no clusters, so
+    its recall figures sit at the index's noise floor; this one shows
+    what the index does on data shaped like real embeddings)."""
+    return similarity.ivf_recall(
+        _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+
+
+def llm_ivf_trained_recall_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained-IVF recall on the clustered corpus — paired with
+    ``llm_ivf_recall_clustered`` so a Lloyd's-fit regression shows up
+    on data where training has structure to find."""
+    emb = _clustered_emb(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb, n_queries=RECALL_QUERIES)
+    approx = similarity.ivf_trained_topk(
+        emb, n_queries=RECALL_QUERIES, n_iters=IVF_TRAIN_ITERS
+    )
+    return similarity._recall_rollup(exact, approx)
+
+
+def llm_pq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC recall on the clustered corpus — where the 3-bit/subspace
+    code budget must beat its uniform-corpus noise floor."""
+    return similarity.pq_recall(
+        _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+
+
 def llm_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-SimHash near-dup pairs at Hamming distance ≤ 3."""
     return dedup.simhash_near_dups(_docs(spark, sf_dir, wide=True))
@@ -1793,6 +1856,9 @@ QUERIES = {
     "llm_sketch_accuracy": llm_sketch_accuracy,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
+    "llm_ivf_recall_clustered": llm_ivf_recall_clustered,
+    "llm_ivf_trained_recall_clustered": llm_ivf_trained_recall_clustered,
+    "llm_pq_recall_clustered": llm_pq_recall_clustered,
     "llm_cross_source_dups": llm_cross_source_dups,
     "llm_source_mixture": llm_source_mixture,
 }
@@ -1845,6 +1911,11 @@ ORACLES = {
     "llm_sketch_accuracy": SKETCH_ACCURACY_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
+    "llm_ivf_recall_clustered": _with_clustered_corpus(IVF_RECALL_SQL),
+    "llm_ivf_trained_recall_clustered": _with_clustered_corpus(
+        IVF_TRAINED_RECALL_SQL
+    ),
+    "llm_pq_recall_clustered": _with_clustered_corpus(PQ_RECALL_SQL),
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
     "llm_source_mixture": SOURCE_MIXTURE_SQL,
 }

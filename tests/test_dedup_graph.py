@@ -390,3 +390,31 @@ def test_simhash_band_cap_and_stats_report_the_drop(spark):
     stats = simhash_band_stats(docs).collect()
     assert sum(r["n_dropped_buckets"] for r in stats) >= 1
     assert sum(r["n_docs_dropped"] for r in stats) >= 2 * BUCKET_CAP
+
+
+def test_clustered_recall_ordering(spark):
+    """The structured-corpus recall harnesses must show the orderings
+    a correct index produces on clustered data (measured at sf0.01,
+    pinned with slack): trained IVF >= seed IVF and both high (the
+    clusters align with cells); PQ far above the GLOBAL random floor
+    (~0.01) — it resolves cluster membership — but near the
+    WITHIN-cluster random floor (~k/cluster_size = 0.08), because 3
+    bits/subspace cannot rank inside a tight cluster (the scale fix is
+    IVF+PQ residual composition, documented in similarity.py)."""
+    from pyspark.sql import functions as F
+
+    from evmtrace_etl_spark.plans import llm_data as L
+
+    sf = "/root/testdata/sf0.01"
+
+    def mean_recall(name):
+        return (
+            L.QUERIES[name](spark, sf).agg(F.avg("recall")).first()[0]
+        )
+
+    seed = mean_recall("llm_ivf_recall_clustered")
+    trained = mean_recall("llm_ivf_trained_recall_clustered")
+    pq = mean_recall("llm_pq_recall_clustered")
+    assert seed >= 0.85, seed
+    assert trained >= seed - 0.02, (trained, seed)
+    assert pq >= 0.05, pq  # >> the 0.01 global-random floor
