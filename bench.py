@@ -70,6 +70,18 @@ def main() -> None:
         # query but would pile up across the suite — drop them between runs.
         spark.catalog.clearCache()
 
+    # Streaming throughput probe (rows/sec through the paced file-stream
+    # + foreachBatch zk pipeline) — reported alongside, NOT added to the
+    # query total, so cross-round query-set comparisons stay clean.
+    try:
+        from evmtrace_etl_spark.plans.sink_parity import stream_throughput
+
+        rep = int(os.environ.get("SPARK_GRAFT_STREAM_REP", "3000"))
+        streaming = stream_throughput(spark, replicate=rep)
+    except Exception as exc:  # pragma: no cover
+        streaming = {"error": str(exc)}
+        print(f"bench: stream_throughput failed: {exc}", file=sys.stderr)
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
@@ -78,6 +90,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming": streaming,
     }))
 
 

@@ -181,11 +181,21 @@ def kafka_block_stream(
     return decode_payloads(raw, BLOCK_SCHEMA, chain_id)
 
 
-def file_trace_stream(spark: SparkSession, path: str) -> DataFrame:
+def file_trace_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-based trace stream (full TRACE_SCHEMA JSON lines) — the local
     stand-in for S1 used by the streaming smoke tests; same downstream
-    plan as the Kafka path."""
-    return spark.readStream.schema(TRACE_SCHEMA).json(path)
+    plan as the Kafka path.  ``max_files_per_trigger`` is the file-source
+    analog of Kafka's ``maxOffsetsPerTrigger`` (T2 pacing): it bounds each
+    micro-batch, so ``availableNow`` drains the backlog in several paced
+    batches instead of one."""
+    reader = spark.readStream.schema(TRACE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
 
 
 def file_block_stream(spark: SparkSession, path: str) -> DataFrame:

@@ -668,3 +668,17 @@ def test_workdir_reaper_spares_live_nested_writers(tmp_path, monkeypatch):
     assert not dead.exists()
     assert busy.exists()
     assert not stale.exists()
+
+
+def test_stream_throughput_probe(spark):
+    """The bench's rows/sec probe: paced availableNow drain through the
+    full foreachBatch pipeline; pacing must split the backlog into
+    ceil(files / files_per_trigger) micro-batches."""
+    from evmtrace_etl_spark.plans.sink_parity import stream_throughput
+
+    out = stream_throughput(
+        spark, replicate=50, n_files=4, files_per_trigger=2
+    )
+    assert out["rows"] == 33 * 50
+    assert out["micro_batches"] == 2
+    assert out["rows_per_sec"] > 0
