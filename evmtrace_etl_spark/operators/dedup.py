@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import materialize as _materialize
 from ..functions.text import (
     BUCKET_CAP,
     LSH_BANDS,
@@ -363,14 +364,13 @@ def connected_components(
     # join+aggregate+checkpoint round — the same state round 1 of
     # identity-init would reach before its pointer jump, at the cost of
     # one map-side-combined groupBy over the persisted edges
-    labels = (
+    labels = _materialize(
         edges.groupBy("u")
         .agg(F.min("v").alias("_mn"))
         .select(
             F.col("u").alias("vid"),
             F.least(F.col("u"), F.col("_mn")).alias("label"),
         )
-        .localCheckpoint()
     )
     prev_sum = None
     try:
@@ -390,7 +390,7 @@ def connected_components(
             chase = merged.select(
                 F.col("vid").alias("_cv"), F.col("label").alias("_cl")
             )
-            labels = (
+            labels = _materialize(
                 merged.join(chase, merged["label"] == chase["_cv"], "left")
                 .select(
                     "vid",
@@ -399,7 +399,6 @@ def connected_components(
                         F.col("label"),
                     ).alias("label"),
                 )
-                .localCheckpoint()
             )
             cur = labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
@@ -594,7 +593,7 @@ def _simhash_bands_raw(
     """
     sigs = simhash64_docs(docs, text_col)
     if materialize:
-        sigs = sigs.localCheckpoint()
+        sigs = _materialize(sigs)
     return sigs.select(
         "doc_id",
         "sim_lo",

@@ -66,6 +66,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize as _materialize
+
 #: Rank scale: 1.0 of probability mass == 10**12 integer units.
 SCALE = 10**12
 
@@ -98,7 +100,7 @@ def pagerank_fixed_point(
     PageRank into a larger cached plan can pass ``materialize=False``.
     """
     if materialize:
-        edges = edges.repartition("src").localCheckpoint()
+        edges = _materialize(edges.repartition("src"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # N is a broadcast scalar via a cross-joined 1-row aggregate: the
     # plan stays fully lazy/distributed — no driver-side collect.

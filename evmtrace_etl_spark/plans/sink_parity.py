@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import TRANSACTION_SCHEMA
+from ..session import materialize as _materialize
 from ..sinks import ParquetUpsertSink
 from ..sources import fixtures
 from ..streaming import runner, sources
@@ -207,10 +208,10 @@ def _replay_batches(spark: SparkSession) -> list:
         for batch in (traces.filter("chain_id = 1"), traces):
             parts = ZkParts(batch)
             try:
-                tx = zk_transactions(batch, parts).localCheckpoint()
-                contracts = zk_contracts_deduped(
-                    batch, parts
-                ).localCheckpoint()
+                tx = _materialize(zk_transactions(batch, parts))
+                contracts = _materialize(
+                    zk_contracts_deduped(batch, parts)
+                )
             finally:
                 parts.unpersist()
             touched = runner._touched_chains(batch)

@@ -69,3 +69,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def materialize(df):
+    """Truncate lineage and eagerly materialize ``df`` for iterative
+    reuse (PageRank rounds, pointer-jumping, shared replay batches).
+
+    Local/test mode uses ``localCheckpoint`` — cheap, but it pins the
+    materialized blocks to executor liveness, which is only safe when
+    driver and executors share one JVM.  When the session has a
+    RELIABLE checkpoint directory configured
+    (``sc.setCheckpointDir(...)`` — a cluster deployment points it at
+    shared storage), this switches to ``checkpoint``, which survives
+    executor loss.  One call site, both deployment shapes; the
+    2-executor smoke test drives the reliable branch.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -1,0 +1,135 @@
+"""Multi-executor smoke, run as a SUBPROCESS by test_cluster_smoke.py
+(a second SparkContext cannot coexist with the shared test session).
+
+Spins up ``local-cluster[2,4,2048]`` — two REAL executor JVMs with
+separate heaps, not local-mode threads — and drives exactly the
+operators whose docstrings promise cluster behavior:
+
+- ``materialize()``'s RELIABLE branch: with ``setCheckpointDir`` set,
+  the iterative operators checkpoint to shared storage instead of
+  pinning blocks to executor liveness (``session.materialize``).
+- Fixed-point PageRank across executors == the pure-Python reference
+  (BIGINT arithmetic must be partition-count- and executor-invariant).
+- Pointer-jumped connected components across executors.
+- A broadcast join (the zk pipeline is full of them) and one
+  foreachBatch upsert-sink cycle whose read-back equals the batch plan.
+
+Prints CLUSTER_SMOKE_OK as the last line on success.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from evmtrace_etl_spark.session import get_spark, materialize  # noqa: E402
+
+
+def main() -> None:
+    ckpt = tempfile.mkdtemp(prefix="evmtrace_cluster_ckpt_")
+    spark = get_spark(
+        app_name="evmtrace_cluster_smoke",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.master": "local-cluster[2,4,2048]",
+            "spark.executor.memory": "2g",
+            "spark.executorEnv.PYTHONPATH": REPO,
+            # keep the local-mode driver heap override out of the way
+            "spark.driver.memory": "4g",
+        },
+    )
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+
+    # Two real executors x 4 cores, not local-mode threads.  Executors
+    # register asynchronously — wait for both before asserting.
+    assert sc.master.startswith("local-cluster"), sc.master
+    import time
+
+    for _ in range(120):
+        status = sc._jsc.sc().getExecutorMemoryStatus()
+        if status.size() >= 3:  # driver + 2 executors
+            break
+        time.sleep(0.5)
+    else:
+        raise AssertionError(
+            f"executors never registered: {status.size()} entries"
+        )
+
+    # materialize() must take the reliable-checkpoint branch here.
+    probe = materialize(spark.range(16).repartition(4))
+    assert probe.count() == 16
+    assert any(os.scandir(ckpt)), "reliable checkpoint dir not written"
+
+    # ---- PageRank vs the pure-Python fixed-point reference ----------
+    from pyspark.sql import functions as F
+
+    from evmtrace_etl_spark.operators.graph import pagerank_fixed_point
+    from tests.test_property_differential import _ref_pagerank
+
+    pairs = [
+        (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3),
+        (5, 1), (1, 5), (2, 4), (4, 2),
+    ]
+    edges = spark.createDataFrame(pairs, "src: long, dst: long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, rounds=3).collect()
+    }
+    want = _ref_pagerank(pairs, rounds=3)
+    assert got == want, (got, want)
+
+    # ---- Connected components across executors ----------------------
+    from evmtrace_etl_spark.operators.dedup import connected_components
+
+    cc_pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)]
+    cc = spark.createDataFrame(cc_pairs, "doc_a: long, doc_b: long")
+    labels = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(cc).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == labels[12] == 10
+    assert labels[20] == labels[21] == 20
+
+    # ---- Broadcast join + one foreachBatch sink cycle ----------------
+    from evmtrace_etl_spark.plans.zk_parity import project_tx
+    from evmtrace_etl_spark.sinks import ParquetUpsertSink
+    from evmtrace_etl_spark.sources import fixtures
+    from evmtrace_etl_spark.streaming import runner
+
+    batch = fixtures.traces_df(spark)
+    base = tempfile.mkdtemp(prefix="evmtrace_cluster_sink_")
+    sink = ParquetUpsertSink(os.path.join(base, "sink"))
+    runner.process_trace_batch(batch, sink, checksum=False)
+    got_rows = sorted(
+        map(tuple, project_tx(sink.read(spark, "transactions")).collect())
+    )
+    from evmtrace_etl_spark.plans.pipeline import zk_transactions
+
+    want_rows = sorted(
+        map(tuple, project_tx(zk_transactions(batch)).collect())
+    )
+    assert got_rows == want_rows and len(got_rows) > 0, len(got_rows)
+
+    # a plan with an explicit broadcast exercises the real block
+    # transfer between JVMs (local mode fakes this in-heap)
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "chain_id: long, tag: string")
+    n = (
+        batch.join(F.broadcast(dim), "chain_id")
+        .groupBy("tag")
+        .count()
+        .count()
+    )
+    assert n >= 1
+
+    print("CLUSTER_SMOKE_OK")
+
+
+if __name__ == "__main__":
+    main()
