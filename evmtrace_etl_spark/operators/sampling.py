@@ -346,3 +346,42 @@ def source_mixture(
             .alias("docs_per_epoch"),
         )
     )
+
+
+#: Deterministic corpus split: hash bucket < 90 → train, < 95 → val,
+#: else test.  Hash-derived (not positional) so membership is stable
+#: under corpus growth, reordering, and re-partitioning — a doc never
+#: migrates between splits, which is what keeps val/test leakage-free
+#: across refreshes.
+SPLIT_BOUNDS = (("train", 90), ("val", 95))
+
+
+def split_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train/val/test split assignment + per-(source, split) audit.
+
+    The assignment itself is a pure narrow projection (the export path
+    is ``filter(split = 'train')`` — shuffle-free); this manifest is
+    the audit rollup a split writer emits: per source and split, doc
+    and token counts plus the id range.  Reviewing it per source is
+    how skewed strata get caught (a source whose val slice is near
+    empty needs per-source rates, not the global 90/5/5).
+
+    Output: source, split, n_docs, total_tokens, min_doc_id,
+    max_doc_id.
+    """
+    b = _keep_hash("doc_id", "split")
+    split = F.lit("test")
+    for name, bound in reversed(SPLIT_BOUNDS):
+        split = F.when(b < bound, name).otherwise(split)
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(text_col).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -553,6 +553,79 @@ def banded_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.975,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding corpus
+    (Abbas et al. 2023, public method): cluster the vectors with the
+    IVF coarse quantizer, compute pairwise cosine ONLY within each
+    cell, and drop any vector that has a lower-id neighbor at
+    ``sim >= threshold`` (the greedy keep-one rule — deliberately not
+    a transitive closure; SemDeDup keeps one exemplar per tight
+    semantic ball, and a chain of balls is kept per-ball).
+
+    Plan shape / scale path: assignment is the shuffle-free inlined-
+    codebook projection (``ivf_assignments``); the quadratic cosine
+    work is confined within cells by a cell equi-join — O(Σ|cell|²)
+    instead of O(n²), the same bound SemDeDup runs 100 TB-scale with
+    (k-means keeps cells balanced; a skew cap like the LSH
+    ``BUCKET_CAP`` is the guard if a degenerate corpus collapses into
+    one cell).  Norms are attached per ROW before the join
+    (``_cos_pre``), so each vector's norm folds once, not once per
+    pair.
+
+    Output: vec_id, cell, keep (1/0), dup_of (the chosen exemplar's
+    vec_id, -1 when kept).
+    """
+    cents = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    assigned = ivf_assignments(emb, cents, vec_col).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("_ia"),
+        F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"),
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("_ib"),
+        F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"),
+    )
+    sim = F.round(
+        _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        6,
+    )
+    drops = (
+        a.join(b, on="cell")
+        .filter(F.col("_ia") > F.col("_ib"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .groupBy(F.col("_ia").alias("vec_id"))
+        .agg(F.min("_ib").alias("_dup"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(drops, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_dup").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+            F.coalesce(F.col("_dup"), F.lit(-1))
+            .cast("long")
+            .alias("dup_of"),
+        )
+    )
+
+
 def ivf_train(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -912,3 +912,53 @@ def sketch_accuracy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("p95_ge_p50"),
         )
     )
+
+
+#: Spectrum head cut: frequency-of-frequencies reported for
+#: occurrence counts up to this value (the corpus-health band —
+#: hapax/doubleton mass reacts first to duplication and boilerplate).
+ZIPF_MAX_F = 50
+
+
+def zipf_spectrum(
+    docs: DataFrame, text_col: str = "text", max_f: int = ZIPF_MAX_F
+) -> DataFrame:
+    """Token frequency-of-frequencies (the head of the Zipf spectrum).
+
+    For each occurrence count ``f <= max_f``: how many vocabulary types
+    occur exactly ``f`` times, and what fraction of the vocabulary that
+    is.  A healthy natural corpus keeps roughly half its vocabulary as
+    hapax legomena; duplicated or boilerplate-heavy corpora show the
+    hapax fraction collapsing toward the high-f tail — a one-row-per-f
+    diagnostic that moves BEFORE dedup operators get expensive.
+
+    Scale: two stacked hash aggregates, both map-side combined (token →
+    count, then count → types); the second's key space after the
+    ``max_f`` cut is ≤ ``max_f`` rows, and the vocabulary size joins in
+    as a broadcast one-row scalar.  Nothing is globally sorted.
+
+    Output: f, n_tokens (vocab types at that f), vocab_frac (round 6).
+    """
+    from ..functions.text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(text_col)).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vocab = tf.agg(F.count(F.lit(1)).alias("_v"))
+    return (
+        tf.filter(F.col("f") <= max_f)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("f").cast("long").alias("f"),
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("_v").cast("double"),
+                6,
+            ).alias("vocab_frac"),
+        )
+    )

@@ -356,6 +356,21 @@ def llm_pq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cosine threshold for the registered semantic-dedup query — chosen
+#: on the clustered corpus so the keep/drop split is non-degenerate
+#: (0.988 keeps 209/500 at sf0.01; lower collapses each cell to one
+#: exemplar, higher keeps everything).
+SEMANTIC_DEDUP_T = 0.988
+
+
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style per-cell semantic dedup over the clustered
+    corpus: keep flag + chosen exemplar per vector."""
+    return similarity.semantic_dedup(
+        _clustered_emb(spark, sf_dir), threshold=SEMANTIC_DEDUP_T
+    )
+
+
 def llm_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-SimHash near-dup pairs at Hamming distance ≤ 3."""
     return dedup.simhash_near_dups(_docs(spark, sf_dir, wide=True))
@@ -1807,6 +1822,67 @@ FROM n JOIN d ON n.source = d.source
 """
 
 
+def llm_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit per (source, split)."""
+    return sampling.split_manifest(_docs(spark, sf_dir))
+
+
+_SPLIT_HASH = _sql_h32("'split#' || CAST(doc_id AS VARCHAR)")
+
+_SPLIT_CASE = "CASE " + " ".join(
+    f"WHEN b < {bound} THEN '{name}'"
+    for name, bound in sampling.SPLIT_BOUNDS
+) + " ELSE 'test' END"
+
+SPLIT_MANIFEST_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, {_TOKS} AS toks,
+         {_SPLIT_HASH} % 100 AS b
+  FROM documents
+)
+SELECT source, {_SPLIT_CASE} AS split,
+  count(*) AS n_docs,
+  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM s GROUP BY source, 2
+"""
+
+
+def llm_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head of the token frequency-of-frequencies spectrum."""
+    return text_analysis.zipf_spectrum(_docs(spark, sf_dir))
+
+
+ZIPF_SPECTRUM_SQL = f"""
+WITH tk AS (SELECT unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT t, count(*) AS f FROM tk GROUP BY t),
+v AS (SELECT count(*) AS v FROM tf)
+SELECT CAST(f AS BIGINT) AS f,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(CAST(count(*) AS DOUBLE) / CAST(v AS DOUBLE), 6) AS vocab_frac
+FROM tf CROSS JOIN v
+WHERE f <= {text_analysis.ZIPF_MAX_F}
+GROUP BY f, v
+"""
+
+
+SEMANTIC_DEDUP_SQL = _with_clustered_corpus(f"""
+WITH csd AS (SELECT vec_id AS cen_id, embedding AS cv
+             FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
+{_ivf_assign_ctes('sd', 'csd')},
+pr AS (
+  SELECT x.vec_id AS ia, min(y.vec_id) AS dup_of
+  FROM asd x JOIN asd y
+    ON x.cell = y.cell AND x.vec_id > y.vec_id
+  WHERE {_sql_cos('x.embedding', 'y.embedding')} >= {SEMANTIC_DEDUP_T}
+  GROUP BY x.vec_id)
+SELECT a.vec_id, a.cell,
+  CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+  CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of
+FROM asd a LEFT JOIN pr p ON p.ia = a.vec_id
+""")
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -1859,6 +1935,9 @@ QUERIES = {
     "llm_ivf_recall_clustered": llm_ivf_recall_clustered,
     "llm_ivf_trained_recall_clustered": llm_ivf_trained_recall_clustered,
     "llm_pq_recall_clustered": llm_pq_recall_clustered,
+    "llm_semantic_dedup": llm_semantic_dedup,
+    "llm_split_manifest": llm_split_manifest,
+    "llm_zipf_spectrum": llm_zipf_spectrum,
     "llm_cross_source_dups": llm_cross_source_dups,
     "llm_source_mixture": llm_source_mixture,
 }
@@ -1916,6 +1995,9 @@ ORACLES = {
         IVF_TRAINED_RECALL_SQL
     ),
     "llm_pq_recall_clustered": _with_clustered_corpus(PQ_RECALL_SQL),
+    "llm_semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "llm_split_manifest": SPLIT_MANIFEST_SQL,
+    "llm_zipf_spectrum": ZIPF_SPECTRUM_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
     "llm_source_mixture": SOURCE_MIXTURE_SQL,
 }

@@ -433,3 +433,35 @@ def test_event_transitions_totals_broadcast(spark):
     plan = plan_of(event_transitions(spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_confined_to_cells(spark):
+    """The quadratic cosine work is confined by the cell equi-join:
+    no cartesian, no nested loop, and the codebook assignment stays an
+    inlined projection (no extra shuffle for the argmax)."""
+    from evmtrace_etl_spark.plans.llm_data import llm_semantic_dedup
+
+    plan = plan_of(llm_semantic_dedup(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_spectrum_two_aggregates_one_scalar(spark):
+    """Two stacked hash aggregates; the vocabulary size is the
+    sanctioned one-row scalar broadcast; no sorts, no windows."""
+    from evmtrace_etl_spark.plans.llm_data import llm_zipf_spectrum
+
+    plan = plan_of(llm_zipf_spectrum(spark, SF_DIR), "simple")
+    assert "Window" not in plan
+    assert "Sort " not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_split_manifest_single_rollup(spark):
+    """Split assignment is a pure projection — exactly one hash
+    aggregate pair (partial+final) over (source, split), no joins."""
+    from evmtrace_etl_spark.plans.llm_data import llm_split_manifest
+
+    plan = plan_of(llm_split_manifest(spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" in plan
