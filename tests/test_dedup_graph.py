@@ -415,6 +415,10 @@ def test_clustered_recall_ordering(spark):
     seed = mean_recall("llm_ivf_recall_clustered")
     trained = mean_recall("llm_ivf_trained_recall_clustered")
     pq = mean_recall("llm_pq_recall_clustered")
+    ivfpq = mean_recall("llm_ivfpq_recall_clustered")
     assert seed >= 0.85, seed
     assert trained >= seed - 0.02, (trained, seed)
     assert pq >= 0.05, pq  # >> the 0.01 global-random floor
+    # residual coding must beat plain PQ where plain PQ floors out:
+    # the code budget moves from cluster position to within-cell offset
+    assert ivfpq >= pq * 1.5, (ivfpq, pq)

@@ -465,3 +465,15 @@ def test_split_manifest_single_rollup(spark):
     plan = plan_of(llm_split_manifest(spark, SF_DIR), "simple")
     assert "Join" not in plan
     assert "Exchange hashpartitioning" in plan
+
+
+def test_ivfpq_no_cartesian_probe_broadcast(spark):
+    """IVFADC serve: candidate generation is a cell equi-join against
+    the broadcast probe LUTs — no cartesian, no shuffled join of the
+    corpus against the probe side."""
+    from evmtrace_etl_spark.plans.llm_data import llm_ivfpq_topk
+
+    plan = plan_of(llm_ivfpq_topk(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
