@@ -1148,3 +1148,76 @@ def ivfpq_recall(
         emb, n_queries, k, n_centroids, n_probe, vec_col=vec_col
     )
     return _recall_rollup(exact, approx)
+
+
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    rerank: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving: IVFADC produces a cheap top-``rerank``
+    candidate list per query, then the TRUE vectors of just those
+    candidates are fetched and re-ranked by exact cosine — the standard
+    production pattern (ADC for the scan, exact distances for the final
+    order) that buys back the quantization error at the top of the
+    list for O(n_queries × rerank) exact distance evaluations.
+
+    Scale: the exact stage touches only candidate rows — its vector
+    fetch is an equi-join on neighbor_id against the (candidate-sized)
+    ADC output, and the query vectors broadcast; the expensive corpus
+    scan stays 8-lookup ADC.  At 100 TB this is why stored vectors can
+    live in slow storage: only ~R rows per query are ever read back.
+
+    Output: query_id, neighbor_id, rank, sim (exact, round 6).
+    """
+    cand = ivfpq_topk(
+        emb, n_queries, rerank, n_centroids, n_probe, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        _norm(F.col(vec_col)).alias("_nn"),
+    )
+    sim = F.round(
+        _cos_pre(F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")),
+        6,
+    )
+    scored = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(nv, on="neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivfpq_rerank_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    rerank: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the two-stage (ADC → exact re-rank) path — the
+    number that justifies the rerank budget R.  Output schema matches
+    ``ann_recall``."""
+    exact = brute_force_topk(emb, n_queries, k, vec_col)
+    approx = ivfpq_rerank_topk(
+        emb, n_queries, k, rerank, vec_col=vec_col
+    )
+    return _recall_rollup(exact, approx)

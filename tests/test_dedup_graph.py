@@ -422,3 +422,8 @@ def test_clustered_recall_ordering(spark):
     # residual coding must beat plain PQ where plain PQ floors out:
     # the code budget moves from cluster position to within-cell offset
     assert ivfpq >= pq * 1.5, (ivfpq, pq)
+    # exact re-ranking of the ADC top-R must buy back most of the
+    # quantization error (measured 0.876 vs the 0.94 exact-IVF ceiling)
+    rerank = mean_recall("llm_ivfpq_rerank_recall")
+    assert rerank >= ivfpq * 2, (rerank, ivfpq)
+    assert rerank >= 0.7, rerank
