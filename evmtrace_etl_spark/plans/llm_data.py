@@ -175,10 +175,42 @@ def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Memoized exact brute-force top-k panels, keyed by (sf_dir, corpus
+#: variant).  Every recall harness measures a DIFFERENT approximate
+#: path against the SAME exact panel — nine registered queries were
+#: each re-running an identical 50-query × full-corpus exact scan
+#: (~1.5–2 s apiece per bench run).  The panel is harness fixture, not
+#: the operator under measurement, so it is computed once per process
+#: and materialized (the same sanctioned sharing as the sink-parity
+#: replay batches); every query remains independently runnable.
+_exact_panel_cache: dict = {}
+
+
+def _exact_panel(
+    spark: SparkSession, sf_dir: str, clustered: bool
+) -> DataFrame:
+    key = (sf_dir, clustered)
+    if key not in _exact_panel_cache:
+        from ..session import materialize
+
+        emb = (
+            _clustered_emb(spark, sf_dir)
+            if clustered
+            else _emb(spark, sf_dir)
+        )
+        _exact_panel_cache[key] = materialize(
+            similarity.brute_force_topk(emb, n_queries=RECALL_QUERIES)
+        )
+    return _exact_panel_cache[key]
+
+
 def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH ANN path vs exact brute force."""
-    return similarity.ann_recall(
+    approx = similarity.lsh_topk(
         _emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=False), approx
     )
 
 
@@ -273,12 +305,14 @@ def llm_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the seed at equal n_probe (see ``IVF_TRAIN_ITERS``) — and
     catching a real fit regression before a production index re-fit is
     exactly what this harness is for."""
-    emb = _emb(spark, sf_dir)
-    exact = similarity.brute_force_topk(emb, n_queries=RECALL_QUERIES)
     approx = similarity.ivf_trained_topk(
-        emb, n_queries=RECALL_QUERIES, n_iters=IVF_TRAIN_ITERS
+        _emb(spark, sf_dir),
+        n_queries=RECALL_QUERIES,
+        n_iters=IVF_TRAIN_ITERS,
     )
-    return similarity._recall_rollup(exact, approx)
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=False), approx
+    )
 
 
 def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,8 +322,11 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the seed-codebook IVF path vs exact brute force."""
-    return similarity.ivf_recall(
+    approx = similarity.ivf_topk(
         _emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=False), approx
     )
 
 
@@ -329,8 +366,11 @@ def llm_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg of the sizing harness (the uniform fixture has no clusters, so
     its recall figures sit at the index's noise floor; this one shows
     what the index does on data shaped like real embeddings)."""
-    return similarity.ivf_recall(
+    approx = similarity.ivf_topk(
         _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=True), approx
     )
 
 
@@ -340,19 +380,24 @@ def llm_ivf_trained_recall_clustered(
     """Trained-IVF recall on the clustered corpus — paired with
     ``llm_ivf_recall_clustered`` so a Lloyd's-fit regression shows up
     on data where training has structure to find."""
-    emb = _clustered_emb(spark, sf_dir)
-    exact = similarity.brute_force_topk(emb, n_queries=RECALL_QUERIES)
     approx = similarity.ivf_trained_topk(
-        emb, n_queries=RECALL_QUERIES, n_iters=IVF_TRAIN_ITERS
+        _clustered_emb(spark, sf_dir),
+        n_queries=RECALL_QUERIES,
+        n_iters=IVF_TRAIN_ITERS,
     )
-    return similarity._recall_rollup(exact, approx)
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=True), approx
+    )
 
 
 def llm_pq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC recall on the clustered corpus — where the 3-bit/subspace
     code budget must beat its uniform-corpus noise floor."""
-    return similarity.pq_recall(
+    approx = similarity.pq_topk(
         _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=True), approx
     )
 
 
@@ -1536,8 +1581,11 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     code-budget sizing loop (subspaces x codes vs recall), measured on
     the shipped operators like the LSH/IVF harnesses (same 50-query
     panel, so the noise floor matches theirs)."""
-    return similarity.pq_recall(
+    approx = similarity.pq_topk(
         _emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=False), approx
     )
 
 
@@ -1958,8 +2006,11 @@ def llm_ivfpq_recall_clustered(
     plain PQ's within-cluster ranking floor (0.192 vs 0.084 at
     sf0.01): residual codes spend the bit budget on within-cell
     offsets instead of re-describing the cluster position."""
-    return similarity.ivfpq_recall(
+    approx = similarity.ivfpq_topk(
         _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES
+    )
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=True), approx
     )
 
 
@@ -2000,10 +2051,13 @@ def llm_ivfpq_rerank_recall(
 ) -> DataFrame:
     """Two-stage (ADC scan → exact re-rank of top-R) recall on the
     clustered corpus."""
-    return similarity.ivfpq_rerank_recall(
+    approx = similarity.ivfpq_rerank_topk(
         _clustered_emb(spark, sf_dir),
         n_queries=RECALL_QUERIES,
         rerank=_RERANK,
+    )
+    return similarity._recall_rollup(
+        _exact_panel(spark, sf_dir, clustered=True), approx
     )
 
 
