@@ -471,3 +471,166 @@ def test_asof_tiebreak_picks_greatest(spark, left, right):
         cands = [(rt, tie) for (rk, rt, tie) in right if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: semantic dedup and IVF+PQ vs pure-Python references
+# ---------------------------------------------------------------------------
+
+import decimal as _dec
+import math as _math
+
+
+def _round6(x: float) -> float:
+    """Spark's round(col, 6) on doubles: BigDecimal.valueOf uses the
+    shortest decimal repr (== Python repr), then HALF_UP at scale 6."""
+    return float(
+        _dec.Decimal(repr(float(x))).quantize(
+            _dec.Decimal("0.000001"), rounding=_dec.ROUND_HALF_UP
+        )
+    )
+
+
+def _seq_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _py_assign(vecs, n_cent):
+    """(cell per vector) under the engine's contract: argmax of
+    round(cos, 6), ties to the smallest centroid id."""
+    cents = vecs[:n_cent]
+    norms = [_math.sqrt(_seq_dot(v, v)) for v in vecs]
+    cells = []
+    for i, v in enumerate(vecs):
+        best = max(
+            range(n_cent),
+            key=lambda c: (
+                _round6(_seq_dot(v, cents[c]) / (norms[i] * _math.sqrt(_seq_dot(cents[c], cents[c])))),
+                -c,
+            ),
+        )
+        cells.append(best)
+    return cells
+
+
+_IVEC4 = st.lists(st.integers(-3, 3), min_size=4, max_size=4).filter(
+    lambda v: any(c != 0 for c in v)
+)
+
+
+@given(vecs=st.lists(_IVEC4, min_size=4, max_size=12))
+@settings(**_SETTINGS)
+def test_semantic_dedup_matches_python(spark, vecs):
+    """semantic_dedup vs a direct Python pass: same cell assignment
+    contract, same rounded pair cosine, same greedy keep-lowest rule —
+    an independently-derived answer a copied plan/oracle bug cannot
+    also satisfy."""
+    from evmtrace_etl_spark.operators.similarity import semantic_dedup
+
+    n_cent, tau = 2, 0.9
+    fv = [[float(x) for x in v] for v in vecs]
+    emb = spark.createDataFrame(
+        list(enumerate(fv)), "vec_id: long, embedding: array<double>"
+    )
+    got = {
+        r.vec_id: (r.cell, r.keep, r.dup_of)
+        for r in semantic_dedup(
+            emb, threshold=tau, n_centroids=n_cent
+        ).collect()
+    }
+    cells = _py_assign(fv, n_cent)
+    norms = [_math.sqrt(_seq_dot(v, v)) for v in fv]
+    want = {}
+    for i, v in enumerate(fv):
+        dups = [
+            j
+            for j in range(i)
+            if cells[j] == cells[i]
+            and _round6(_seq_dot(fv[i], fv[j]) / (norms[i] * norms[j]))
+            >= tau
+        ]
+        want[i] = (
+            cells[i],
+            0 if dups else 1,
+            min(dups) if dups else -1,
+        )
+    assert got == want
+
+
+@given(vecs=st.lists(_IVEC4, min_size=6, max_size=12))
+@settings(**_SETTINGS)
+def test_ivfpq_matches_python(spark, vecs):
+    """ivfpq_topk vs a direct Python IVFADC: assignment, residuals,
+    relationally-seeded sub-codebooks, decimal-quantized sub-distances,
+    argmin codes, probed-cell LUT ADC, (adist, id) ranking."""
+    from evmtrace_etl_spark.operators.similarity import ivfpq_topk
+
+    n_cent, n_codes, n_sub, n_probe, nq, k = 2, 2, 2, 1, 2, 2
+    d = 2
+    fv = [[float(x) for x in v] for v in vecs]
+    emb = spark.createDataFrame(
+        list(enumerate(fv)), "vec_id: long, embedding: array<double>"
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adist)
+        for r in ivfpq_topk(
+            emb, nq, k, n_cent, n_probe, n_sub, n_codes
+        ).collect()
+    )
+
+    cents = fv[:n_cent]
+    cells = _py_assign(fv, n_cent)
+    res = [
+        [x - c for x, c in zip(v, cents[cells[i]])]
+        for i, v in enumerate(fv)
+    ]
+    seeds = res[n_cent:n_cent + n_codes]
+    sub = [
+        [s[m * d:(m + 1) * d] for s in seeds] for m in range(n_sub)
+    ]
+
+    def dd(rv, m, c):
+        s = 0.0
+        for j in range(d):
+            t = rv[m * d + j] - sub[m][c][j]
+            s += t * t
+        return _dec.Decimal(repr(_round6(s)))
+
+    codes = [
+        [
+            min(range(n_codes), key=lambda c: (dd(res[i], m, c), c))
+            for m in range(n_sub)
+        ]
+        for i in range(len(fv))
+    ]
+    norms = [_math.sqrt(_seq_dot(v, v)) for v in fv]
+    want = []
+    for q in range(nq):
+        # probed cells: (rounded cos DESC, cen_id ASC), top n_probe
+        order = sorted(
+            range(n_cent),
+            key=lambda c: (
+                -_round6(
+                    _seq_dot(fv[q], cents[c])
+                    / (norms[q] * _math.sqrt(_seq_dot(cents[c], cents[c])))
+                ),
+                c,
+            ),
+        )[:n_probe]
+        scored = []
+        for cell in order:
+            qres = [x - c for x, c in zip(fv[q], cents[cell])]
+            for i in range(len(fv)):
+                if i == q or cells[i] != cell:
+                    continue
+                adist = float(
+                    sum(dd(qres, m, codes[i][m]) for m in range(n_sub))
+                )
+                scored.append((adist, i))
+        scored.sort()
+        for rank, (adist, i) in enumerate(scored[:k], start=1):
+            want.append((q, rank, i, adist))
+    assert got == sorted(want)
