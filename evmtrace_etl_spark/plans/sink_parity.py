@@ -378,7 +378,7 @@ def stream_throughput(
         .drop("_rep")
     )
     wide.repartition(n_files).write.json(src)
-    n_rows = 33 * replicate
+    n_rows = traces.count() * replicate  # untimed: fixture-sized count
     sink = ParquetUpsertSink(os.path.join(base, "sink"))
     batches = [0]
 
