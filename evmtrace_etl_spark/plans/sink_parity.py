@@ -584,6 +584,108 @@ FROM documents
 """
 
 
+def spark_stream_dedup_within_wm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L1's BOUNDED-STATE streaming dedup leg made observable —
+    ``dropDuplicatesWithinWatermark`` with its eviction contract as
+    data, not just documentation.
+
+    Four staged micro-batches (paced 1 file/trigger, mtime-ordered):
+    the corpus at T0; two disjoint "watermark pusher" rows at T0+9h
+    and T0+11h; the corpus REPLAYED at T0+12h.  With a 1-hour delay
+    the replay is NOT deduplicated: the pushers advance the watermark
+    past the original fingerprints' expiry (state eviction is lazy —
+    end-of-batch against the batch-START watermark, which is why TWO
+    pushers are needed: the first advances the watermark, the second's
+    batch-end applies it), so every corpus fingerprint arrives exactly
+    TWICE and each pusher once.  That arrival-count table is the
+    oracle-checkable signature of bounded state: unbounded
+    ``dropDuplicates`` would emit every fingerprint exactly once.
+
+    This is the unbounded-feed trade the plain leg
+    (``llm_stream_dedup_docs``) documents: state size O(keys within
+    the horizon) instead of O(all distinct keys ever), bought by
+    re-admitting duplicates that recur beyond the horizon — downstream
+    idempotent sinks absorb them (here the append sink COUNTS them,
+    to pin the semantics).
+
+    Output: fingerprint, n_arrivals.
+    """
+    from .inventory import _t
+    from ..functions.text import fingerprint as _fp
+
+    base = _workdir("stream_dedup_wm")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    docs = _t(spark, sf_dir, "documents").select(
+        _fp("text").alias("fingerprint")
+    )
+    pusher1 = spark.createDataFrame([("pusher1",)], "fingerprint string")
+    pusher2 = spark.createDataFrame([("pusher2",)], "fingerprint string")
+
+    def _stage(name: str, df: DataFrame, hours: int, mtime: float) -> None:
+        staged = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                f" + INTERVAL {hours} HOURS"
+            ),
+        )
+        d = os.path.join(base, "stage_" + name)
+        staged.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(os.path.join(d, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _stage("b1", docs, 0, now - 400)
+    _stage("b2_push", pusher1, 9, now - 300)
+    _stage("b3_push", pusher2, 11, now - 200)
+    _stage("b4_replay", docs, 12, now - 100)
+
+    out = os.path.join(base, "arrivals")
+    stream = (
+        spark.readStream.schema("fingerprint string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        batch.select("fingerprint").write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "llm_stream_dedup_within_wm: stream not finished after 120 s"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_arrivals"))
+    )
+
+
+STREAM_DEDUP_WITHIN_WM_SQL = """
+WITH fps AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS fingerprint
+  FROM documents)
+SELECT fingerprint, CAST(2 AS BIGINT) AS n_arrivals FROM fps
+UNION ALL SELECT 'pusher1', CAST(1 AS BIGINT)
+UNION ALL SELECT 'pusher2', CAST(1 AS BIGINT)
+"""
+
+
 EVENT_WINDOWS_SQL = """
 WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
             FROM events)
@@ -944,6 +1046,7 @@ QUERIES = {
     "inv_stream_attribution": spark_stream_attribution,
     "inv_stream_attribution_outer": spark_stream_attribution_outer,
     "llm_stream_dedup_docs": spark_stream_dedup_docs,
+    "llm_stream_dedup_within_wm": spark_stream_dedup_within_wm,
 }
 
 ORACLES = {
@@ -956,4 +1059,5 @@ ORACLES = {
     "inv_stream_attribution": STREAM_ATTRIBUTION_SQL,
     "inv_stream_attribution_outer": STREAM_ATTRIBUTION_OUTER_SQL,
     "llm_stream_dedup_docs": STREAM_DEDUP_DOCS_SQL,
+    "llm_stream_dedup_within_wm": STREAM_DEDUP_WITHIN_WM_SQL,
 }
