@@ -618,11 +618,20 @@ def spark_stream_dedup_within_wm(
     base = _workdir("stream_dedup_wm")
     src = os.path.join(base, "src")
     os.makedirs(src)
-    docs = _t(spark, sf_dir, "documents").select(
-        _fp("text").alias("fingerprint")
+    # deterministic 1-in-20 subset: the eviction contract is per-key
+    # and needs corpus-shaped keys, not corpus-sized volume — staging
+    # the full table 2x through 4 micro-batches billed ~13 s at sf0.1
+    # for zero extra signal
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(_fp("text").alias("fingerprint"))
     )
-    pusher1 = spark.createDataFrame([("pusher1",)], "fingerprint string")
-    pusher2 = spark.createDataFrame([("pusher2",)], "fingerprint string")
+    # JVM-side one-row frames: a createDataFrame-sourced local relation
+    # pays a ~4-5 s Python-runner write path PER WRITE in this session
+    # shape; range+lit writes in ~0.1 s
+    pusher1 = spark.range(1).select(F.lit("pusher1").alias("fingerprint"))
+    pusher2 = spark.range(1).select(F.lit("pusher2").alias("fingerprint"))
 
     def _stage(name: str, df: DataFrame, hours: int, mtime: float) -> None:
         staged = df.withColumn(
@@ -679,7 +688,7 @@ STREAM_DEDUP_WITHIN_WM_SQL = """
 WITH fps AS (
   SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          AS fingerprint
-  FROM documents)
+  FROM documents WHERE doc_id % 20 = 0)
 SELECT fingerprint, CAST(2 AS BIGINT) AS n_arrivals FROM fps
 UNION ALL SELECT 'pusher1', CAST(1 AS BIGINT)
 UNION ALL SELECT 'pusher2', CAST(1 AS BIGINT)
