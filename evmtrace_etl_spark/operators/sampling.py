@@ -356,6 +356,17 @@ def source_mixture(
 SPLIT_BOUNDS = (("train", 90), ("val", 95))
 
 
+def split_col() -> F.Column:
+    """The split-assignment expression itself — a pure narrow
+    projection over the salted doc-id hash, shared by the manifest and
+    the leakage audit so both see the identical membership."""
+    split = F.lit("test")
+    b = _keep_hash("doc_id", "split")
+    for name, bound in reversed(SPLIT_BOUNDS):
+        split = F.when(b < bound, name).otherwise(split)
+    return split
+
+
 def split_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Train/val/test split assignment + per-(source, split) audit.
 
@@ -369,12 +380,8 @@ def split_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: source, split, n_docs, total_tokens, min_doc_id,
     max_doc_id.
     """
-    b = _keep_hash("doc_id", "split")
-    split = F.lit("test")
-    for name, bound in reversed(SPLIT_BOUNDS):
-        split = F.when(b < bound, name).otherwise(split)
     return (
-        docs.withColumn("split", split)
+        docs.withColumn("split", split_col())
         .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -383,5 +390,60 @@ def split_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def split_leakage(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Train→eval near-duplicate leakage audit over the split manifest.
+
+    Exact-duplicate leakage is necessary but not sufficient: a test
+    document that is a NEAR-duplicate of a training document
+    (boilerplate reflow, small edits) still contaminates evaluation.
+    This composes the L39 hash-split assignment with the L2 MinHash/LSH
+    pair graph: every verified near-dup pair with exactly one endpoint
+    in ``train`` is a leak into the other endpoint's eval split.
+
+    Scale shape: the pair list comes from the bucket-capped LSH join
+    (never all-pairs); split assignment is a narrow projection; the two
+    endpoint lookups are plain ``doc_id`` hash equi-joins; the rollup
+    key space is the eval splits (≤ 2 rows).  ``count_distinct``
+    expands only the leak pairs, not the corpus.
+
+    Output: split, n_leak_pairs, n_leaked_docs (distinct eval-side
+    docs), max_jaccard.
+    """
+    from .dedup import near_dup_pairs
+
+    sp = docs.select("doc_id", split_col().alias("split"))
+    pairs = near_dup_pairs(docs, text_col, threshold)
+    j = pairs.join(
+        sp.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")
+        ),
+        on="doc_a",
+    ).join(
+        sp.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")
+        ),
+        on="doc_b",
+    )
+    a_train = F.col("_sa") == "train"
+    b_train = F.col("_sb") == "train"
+    eval_split = F.when(a_train & ~b_train, F.col("_sb")).when(
+        b_train & ~a_train, F.col("_sa")
+    )
+    leaked_doc = F.when(a_train, F.col("doc_b")).otherwise(F.col("doc_a"))
+    return (
+        j.withColumn("split", eval_split)
+        .filter(F.col("split").isNotNull())
+        .withColumn("_leak_doc", leaked_doc)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_leak_pairs"),
+            F.count_distinct(F.col("_leak_doc")).alias("n_leaked_docs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )

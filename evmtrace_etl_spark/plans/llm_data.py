@@ -1896,6 +1896,40 @@ FROM s GROUP BY source, 2
 """
 
 
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval near-duplicate leakage audit (L39 splits × L2 pairs)."""
+    return sampling.split_leakage(_docs(spark, sf_dir))
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH {_candidate_pair_ctes()},
+jac AS (SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+  CAST(len(sa.sset) + len(sb.sset)
+       - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jaccard
+  FROM pairs
+  JOIN sh sa ON sa.doc_id = pairs.doc_a
+  JOIN sh sb ON sb.doc_id = pairs.doc_b),
+nd AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5),
+sp AS (SELECT doc_id, {_SPLIT_CASE} AS split
+       FROM (SELECT doc_id, {_SPLIT_HASH} % 100 AS b FROM documents)),
+lk AS (
+  SELECT CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END
+           AS split,
+         CASE WHEN sa.split = 'train' THEN nd.doc_b ELSE nd.doc_a END
+           AS leak_doc,
+         jaccard
+  FROM nd
+  JOIN sp sa ON sa.doc_id = nd.doc_a
+  JOIN sp sb ON sb.doc_id = nd.doc_b
+  WHERE (sa.split = 'train') <> (sb.split = 'train'))
+SELECT split, count(*) AS n_leak_pairs,
+  CAST(count(DISTINCT leak_doc) AS BIGINT) AS n_leaked_docs,
+  round(max(jaccard), 6) AS max_jaccard
+FROM lk GROUP BY split
+"""
+
+
 def llm_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head of the token frequency-of-frequencies spectrum."""
     return text_analysis.zipf_spectrum(_docs(spark, sf_dir))
@@ -2168,6 +2202,7 @@ QUERIES = {
     "llm_pq_recall_clustered": llm_pq_recall_clustered,
     "llm_semantic_dedup": llm_semantic_dedup,
     "llm_split_manifest": llm_split_manifest,
+    "llm_split_leakage": llm_split_leakage,
     "llm_zipf_spectrum": llm_zipf_spectrum,
     "llm_ivfpq_topk": llm_ivfpq_topk,
     "llm_ivfpq_recall_clustered": llm_ivfpq_recall_clustered,
@@ -2231,6 +2266,7 @@ ORACLES = {
     "llm_pq_recall_clustered": _with_clustered_corpus(PQ_RECALL_SQL),
     "llm_semantic_dedup": SEMANTIC_DEDUP_SQL,
     "llm_split_manifest": SPLIT_MANIFEST_SQL,
+    "llm_split_leakage": SPLIT_LEAKAGE_SQL,
     "llm_zipf_spectrum": ZIPF_SPECTRUM_SQL,
     "llm_ivfpq_topk": IVFPQ_TOPK_SQL,
     "llm_ivfpq_recall_clustered": IVFPQ_RECALL_CLUSTERED_SQL,
