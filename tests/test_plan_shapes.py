@@ -467,6 +467,17 @@ def test_split_manifest_single_rollup(spark):
     assert "Exchange hashpartitioning" in plan
 
 
+def test_split_leakage_equi_joins_only(spark):
+    """Leakage audit: LSH pair generation + two doc_id endpoint
+    lookups are all hash equi-joins — no cartesian, no nested loop
+    (the one sanctioned BNLJ is a one-row scalar, as elsewhere)."""
+    from evmtrace_etl_spark.plans.llm_data import llm_split_leakage
+
+    plan = plan_of(llm_split_leakage(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_ivfpq_no_cartesian_probe_broadcast(spark):
     """IVFADC serve: candidate generation is a cell equi-join against
     the broadcast probe LUTs — no cartesian, no shuffled join of the
