@@ -1221,3 +1221,65 @@ def ivfpq_rerank_recall(
         emb, n_queries, k, rerank, vec_col=vec_col
     )
     return _recall_rollup(exact, approx)
+
+
+def cell_label_purity(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-IVF-cell label purity — the embedding-space label audit.
+
+    For each coarse-quantizer cell: how concentrated is ``label_col``?
+    Against ground-truth generative labels this measures whether the
+    quantizer RECOVERS the corpus structure (purity → 1 when every
+    cell falls inside one cluster); against training labels it is the
+    standard label-noise screen (a low-purity cell localizes
+    mislabeled or out-of-distribution samples for review).  On the
+    uniform fixture's stored ``label`` column purity sits at chance by
+    construction — the labels there carry no geometry.
+
+    Scale shape: assignment is the shuffle-free inlined-codebook
+    projection (`ivf_assignments`); then ONE (cell, label) hash rollup
+    with map-side partials, a second rollup and a row_number window
+    over at most ``len(cents)`` × |labels| rows, and one equi-join of
+    two cell-keyed micro-tables.  Nothing beyond the first aggregate
+    touches corpus-sized data.
+
+    Output: cell, n_vecs, majority_label, majority_n, purity.
+    """
+    with_cells = _ivf_with_cells(emb, cents, vec_col)
+    per = with_cells.select(
+        (-F.col("_cells")[0]["neg_cen"]).alias("cell"),
+        F.col(label_col).alias("_lab"),
+    )
+    counts = per.groupBy("cell", "_lab").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    totals = counts.groupBy("cell").agg(
+        F.sum("_n").cast("long").alias("n_vecs")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("_n").desc(), F.col("_lab").asc()
+    )
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cell",
+            F.col("_lab").alias("majority_label"),
+            F.col("_n").alias("majority_n"),
+        )
+    )
+    return top.join(totals, on="cell").select(
+        "cell",
+        "n_vecs",
+        "majority_label",
+        "majority_n",
+        F.round(
+            F.col("majority_n").cast("double")
+            / F.col("n_vecs").cast("double"),
+            6,
+        ).alias("purity"),
+    )

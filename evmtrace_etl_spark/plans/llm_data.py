@@ -1930,6 +1930,56 @@ FROM lk GROUP BY split
 """
 
 
+def llm_cell_purity_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell purity against the clustered corpus's generative labels
+    (vec_id % CLUSTER_K): measures whether the coarse quantizer RECOVERS
+    the corpus structure.  Near 1.0 here (16 seed cells over 8 true
+    clusters ⇒ each cell nests inside one cluster); at chance on the
+    uniform fixture's stored labels, which carry no geometry.
+
+    Cold-run note: the first IVF-family query in a session pays the
+    one-time ~8 s codegen compile of the shared 16-centroid assignment
+    expression (llm_ivf_topk cold costs the same); this query itself
+    is ~2 s warm."""
+    emb = _clustered_emb(spark, sf_dir)
+    cents = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    labeled = emb.withColumn(
+        "label", (F.col("vec_id") % CLUSTER_K).cast("int")
+    )
+    return similarity.cell_label_purity(labeled, cents)
+
+
+_CELL_PURITY_BODY = """
+WITH c0 AS (SELECT vec_id AS cen_id, embedding AS cv
+            FROM embeddings WHERE vec_id < {n_cents}),
+{assign},
+lab AS (SELECT a.cell, CAST(a.vec_id % {k} AS INTEGER) AS _lab,
+               count(*) AS n
+        FROM acp a GROUP BY 1, 2),
+tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs
+        FROM lab GROUP BY cell),
+rk AS (SELECT cell, _lab, n, row_number() OVER (
+         PARTITION BY cell ORDER BY n DESC, _lab ASC) AS rk FROM lab)
+SELECT r.cell, t.n_vecs, r._lab AS majority_label,
+  CAST(r.n AS BIGINT) AS majority_n,
+  round(CAST(r.n AS DOUBLE) / CAST(t.n_vecs AS DOUBLE), 6) AS purity
+FROM rk r JOIN tot t ON t.cell = r.cell WHERE r.rk = 1
+"""
+
+CELL_PURITY_CLUSTERED_SQL = _with_clustered_corpus(
+    _CELL_PURITY_BODY.format(
+        n_cents=_IVF_CENTROIDS,
+        assign=_ivf_assign_ctes("cp", "c0"),
+        k=CLUSTER_K,
+    )
+)
+
+
 def llm_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head of the token frequency-of-frequencies spectrum."""
     return text_analysis.zipf_spectrum(_docs(spark, sf_dir))
@@ -2203,6 +2253,7 @@ QUERIES = {
     "llm_semantic_dedup": llm_semantic_dedup,
     "llm_split_manifest": llm_split_manifest,
     "llm_split_leakage": llm_split_leakage,
+    "llm_cell_purity_clustered": llm_cell_purity_clustered,
     "llm_zipf_spectrum": llm_zipf_spectrum,
     "llm_ivfpq_topk": llm_ivfpq_topk,
     "llm_ivfpq_recall_clustered": llm_ivfpq_recall_clustered,
@@ -2267,6 +2318,7 @@ ORACLES = {
     "llm_semantic_dedup": SEMANTIC_DEDUP_SQL,
     "llm_split_manifest": SPLIT_MANIFEST_SQL,
     "llm_split_leakage": SPLIT_LEAKAGE_SQL,
+    "llm_cell_purity_clustered": CELL_PURITY_CLUSTERED_SQL,
     "llm_zipf_spectrum": ZIPF_SPECTRUM_SQL,
     "llm_ivfpq_topk": IVFPQ_TOPK_SQL,
     "llm_ivfpq_recall_clustered": IVFPQ_RECALL_CLUSTERED_SQL,
