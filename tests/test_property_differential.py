@@ -634,3 +634,91 @@ def test_ivfpq_matches_python(spark, vecs):
         for rank, (adist, i) in enumerate(scored[:k], start=1):
             want.append((q, rank, i, adist))
     assert got == sorted(want)
+
+
+@given(
+    vecs=st.lists(_IVEC4, min_size=4, max_size=10),
+    labels=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_cell_label_purity_matches_python(spark, vecs, labels):
+    """cell_label_purity vs a direct Python rollup: same assignment
+    contract (rounded cosine, ties to smallest centroid), majority tie
+    broken toward the smallest label, purity rounded at the edge."""
+    from evmtrace_etl_spark.operators.similarity import cell_label_purity
+
+    n_cent = 2
+    fv = [[float(x) for x in v] for v in vecs]
+    labs = labels[: len(fv)]
+    emb = spark.createDataFrame(
+        [(i, v, labs[i]) for i, v in enumerate(fv)],
+        "vec_id: long, embedding: array<double>, label: int",
+    )
+    cents = list(enumerate(fv[:n_cent]))
+    got = {
+        r.cell: (r.n_vecs, r.majority_label, r.majority_n, r.purity)
+        for r in cell_label_purity(emb, cents).collect()
+    }
+    cells = _py_assign(fv, n_cent)
+    want = {}
+    for cell in set(cells):
+        members = [labs[i] for i in range(len(fv)) if cells[i] == cell]
+        counts = sorted(
+            ((members.count(l), l) for l in set(members)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        n, lab = counts[0]
+        want[cell] = (len(members), lab, n, _round6(n / len(members)))
+    assert got == want
+
+
+def test_split_leakage_rollup_matches_python(spark):
+    """split_leakage's NEW logic (split hashing, train-vs-eval pair
+    classification, per-split rollup) vs a Python replica of the
+    salted-hash split and a Python rollup over the SAME pair list the
+    LSH stage emits (pair generation itself is covered by the LSH and
+    adversarial-corpus tests)."""
+    import hashlib
+
+    from evmtrace_etl_spark.operators.dedup import near_dup_pairs
+    from evmtrace_etl_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        split_leakage,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the deep green forest before dusk settles over the hills"
+    )
+    docs = [(i, base + (" extra" if i % 3 == 0 else "")) for i in range(24)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    def py_split(doc_id: int) -> str:
+        h = int(hashlib.md5(f"split#{doc_id}".encode()).hexdigest()[:7], 16)
+        b = h % 100
+        for name, bound in SPLIT_BOUNDS:
+            if b < bound:
+                return name
+        return "test"
+
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in near_dup_pairs(df).collect()
+    ]
+    assert pairs, "fixture must produce near-dup pairs"
+    want = {}
+    for a, b, jac in pairs:
+        sa, sb = py_split(a), py_split(b)
+        if (sa == "train") == (sb == "train"):
+            continue
+        split, leak = (sb, b) if sa == "train" else (sa, a)
+        n_pairs, docs_seen, mx = want.get(split, (0, set(), float("-inf")))
+        docs_seen.add(leak)
+        want[split] = (n_pairs + 1, docs_seen, max(mx, jac))
+    got = {
+        r.split: (r.n_leak_pairs, r.n_leaked_docs, r.max_jaccard)
+        for r in split_leakage(df).collect()
+    }
+    assert got == {
+        s: (n, len(ds), _round6(mx)) for s, (n, ds, mx) in want.items()
+    }
