@@ -35,6 +35,16 @@ N_HYPERPLANES = 8
 EMBED_DIM = 64
 SHINGLE_K = 3
 BUCKET_CAP = 64  # LSH skew guard: ignore degenerate buckets larger than this
+#: SemDeDup skew guard: cells larger than this are excluded from the
+#: within-cell pair scoring (members all kept, drop is reported by
+#: ``semantic_cell_stats``).  A cell of size m lands on ONE task of the
+#: cell equi-join and produces m²/2 pair rows there, so the practical
+#: single-task bound — not the LSH BUCKET_CAP of 64, because IVF cells
+#: are coarse (n / n_centroids each) where LSH buckets are numerous.
+#: At 10k the worst task scores 5·10^7 pairs, minutes not days; a
+#: boilerplate mega-cell on a 100 TB corpus (10^9 rows → 10^18 pairs)
+#: is the degenerate case this bounds.
+SEM_CELL_CAP = 10_000
 SIMHASH_BITS = 32
 
 

@@ -33,6 +33,7 @@ from ..functions.text import (
     EMBED_DIM,
     HYPERPLANES,
     HYPERPLANES_WIDE,
+    SEM_CELL_CAP,
 )
 
 
@@ -558,6 +559,7 @@ def semantic_dedup(
     threshold: float = 0.975,
     n_centroids: int = 16,
     vec_col: str = "embedding",
+    cell_cap: int = SEM_CELL_CAP,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding corpus
     (Abbas et al. 2023, public method): cluster the vectors with the
@@ -570,12 +572,18 @@ def semantic_dedup(
     Plan shape / scale path: assignment is the shuffle-free inlined-
     codebook projection (``ivf_assignments``); the quadratic cosine
     work is confined within cells by a cell equi-join — O(Σ|cell|²)
-    instead of O(n²), the same bound SemDeDup runs 100 TB-scale with
-    (k-means keeps cells balanced; a skew cap like the LSH
-    ``BUCKET_CAP`` is the guard if a degenerate corpus collapses into
-    one cell).  Norms are attached per ROW before the join
-    (``_cos_pre``), so each vector's norm folds once, not once per
-    pair.
+    instead of O(n²), the same bound SemDeDup runs 100 TB-scale with.
+    k-means keeps cells balanced on real corpora, but a
+    boilerplate-heavy mode can collapse into one mega-cell, so the
+    O(Σ|cell|²) bound is ENFORCED, not assumed: cells larger than
+    ``cell_cap`` are excluded from pair scoring (their members are all
+    kept — the conservative direction for a dedup: never a wrong drop)
+    and ``semantic_cell_stats`` reports exactly what the cap forfeited,
+    the same cap-plus-accounting contract as the LSH ``BUCKET_CAP``
+    tier.  The per-cell count rides a cell-keyed window, so the count
+    shuffle IS the join shuffle (same key, reused partitioning).
+    Norms are attached per ROW before the join (``_cos_pre``), so each
+    vector's norm folds once, not once per pair.
 
     Output: vec_id, cell, keep (1/0), dup_of (the chosen exemplar's
     vec_id, -1 when kept).
@@ -589,11 +597,14 @@ def semantic_dedup(
     assigned = ivf_assignments(emb, cents, vec_col).withColumn(
         "_nrm", _norm(F.col(vec_col))
     )
-    a = assigned.select(
+    sized = assigned.withColumn(
+        "_cn", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    ).filter(F.col("_cn") <= cell_cap)
+    a = sized.select(
         "cell", F.col("vec_id").alias("_ia"),
         F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"),
     )
-    b = assigned.select(
+    b = sized.select(
         "cell", F.col("vec_id").alias("_ib"),
         F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"),
     )
@@ -623,6 +634,49 @@ def semantic_dedup(
             .cast("long")
             .alias("dup_of"),
         )
+    )
+
+
+def semantic_cell_stats(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    cell_cap: int = SEM_CELL_CAP,
+) -> DataFrame:
+    """Coverage report for ``semantic_dedup``'s cell cap — the
+    SemDeDup analog of ``simhash_band_stats``: how many cells exist,
+    how many exceed ``cell_cap`` (and are therefore excluded from pair
+    scoring, members kept), how many vectors that exclusion forfeits,
+    and how close the hottest cell is to the cap.  Capped coverage
+    loss is a reported number, never a silent collapse.
+
+    One aggregate over the shuffle-free ``ivf_assignments`` projection
+    (cell-keyed partial counts → n_centroids rows → one global row);
+    nothing corpus-sized leaves the executors.
+
+    Output (one row): n_cells, n_dropped_cells, n_docs_dropped,
+    max_cell.
+    """
+    cents = sorted(
+        (r[0], r[1])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    per_cell = (
+        ivf_assignments(emb, cents, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("_n") > cell_cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_cells"),
+        F.sum(F.when(F.col("_n") > cell_cap, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_dropped"),
+        F.max("_n").cast("long").alias("max_cell"),
     )
 
 
@@ -1240,8 +1294,10 @@ def cell_label_purity(
     uniform fixture's stored ``label`` column purity sits at chance by
     construction — the labels there carry no geometry.
 
-    Scale shape: assignment is the shuffle-free inlined-codebook
-    projection (`ivf_assignments`); then ONE (cell, label) hash rollup
+    Scale shape: assignment uses the same shuffle-free inlined-codebook
+    projection as ``ivf_assignments`` (``_ivf_with_cells`` applied
+    directly, so the label column rides along without a join-back);
+    then ONE (cell, label) hash rollup
     with map-side partials, a second rollup and a row_number window
     over at most ``len(cents)`` × |labels| rows, and one equi-join of
     two cell-keyed micro-tables.  Nothing beyond the first aggregate

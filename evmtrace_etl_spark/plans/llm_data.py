@@ -29,6 +29,7 @@ from ..functions.text import (
     LSH_ROWS,
     MERSENNE31,
     PERMS,
+    SEM_CELL_CAP,
     SHINGLE_K,
     STOPWORDS,
 )
@@ -413,6 +414,24 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: keep flag + chosen exemplar per vector."""
     return similarity.semantic_dedup(
         _clustered_emb(spark, sf_dir), threshold=SEMANTIC_DEDUP_T
+    )
+
+
+#: Cell cap for the REGISTERED stats query — deliberately inside the
+#: fixture's cell-size range (clustered sf0.01 cells run 17–46) so the
+#: drop accounting is non-degenerate: 6 of 16 cells exceed it and the
+#: oracle must agree on every dropped-cell count.  The operational
+#: default stays ``SEM_CELL_CAP`` (a single-task pair-scoring bound,
+#: far above any balanced cell).
+SEM_STATS_CAP = 32
+
+
+def llm_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage accounting for semantic_dedup's skew cap on the
+    clustered corpus: cells over the cap are excluded from pair
+    scoring, and this row says how many cells/vectors that forfeits."""
+    return similarity.semantic_cell_stats(
+        _clustered_emb(spark, sf_dir), cell_cap=SEM_STATS_CAP
     )
 
 
@@ -1896,9 +1915,16 @@ FROM s GROUP BY source, 2
 """
 
 
+#: Near-dup threshold for the leakage audit — ONE constant feeding both
+#: the Spark call and the oracle SQL so they cannot drift (ADVICE r6).
+SPLIT_LEAKAGE_T = 0.5
+
+
 def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→eval near-duplicate leakage audit (L39 splits × L2 pairs)."""
-    return sampling.split_leakage(_docs(spark, sf_dir))
+    return sampling.split_leakage(
+        _docs(spark, sf_dir), threshold=SPLIT_LEAKAGE_T
+    )
 
 
 SPLIT_LEAKAGE_SQL = f"""
@@ -1910,7 +1936,8 @@ jac AS (SELECT doc_a, doc_b,
   FROM pairs
   JOIN sh sa ON sa.doc_id = pairs.doc_a
   JOIN sh sb ON sb.doc_id = pairs.doc_b),
-nd AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5),
+nd AS (SELECT doc_a, doc_b, jaccard FROM jac
+       WHERE jaccard >= {SPLIT_LEAKAGE_T}),
 sp AS (SELECT doc_id, {_SPLIT_CASE} AS split
        FROM (SELECT doc_id, {_SPLIT_HASH} % 100 AS b FROM documents)),
 lk AS (
@@ -2185,16 +2212,34 @@ SEMANTIC_DEDUP_SQL = _with_clustered_corpus(f"""
 WITH csd AS (SELECT vec_id AS cen_id, embedding AS cv
              FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
 {_ivf_assign_ctes('sd', 'csd')},
+ccap AS (SELECT cell, count(*) AS cn FROM asd GROUP BY cell),
 pr AS (
   SELECT x.vec_id AS ia, min(y.vec_id) AS dup_of
   FROM asd x JOIN asd y
     ON x.cell = y.cell AND x.vec_id > y.vec_id
-  WHERE {_sql_cos('x.embedding', 'y.embedding')} >= {SEMANTIC_DEDUP_T}
+  JOIN ccap ON ccap.cell = x.cell
+  WHERE ccap.cn <= {SEM_CELL_CAP}
+    AND {_sql_cos('x.embedding', 'y.embedding')} >= {SEMANTIC_DEDUP_T}
   GROUP BY x.vec_id)
 SELECT a.vec_id, a.cell,
   CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
   CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of
 FROM asd a LEFT JOIN pr p ON p.ia = a.vec_id
+""")
+
+
+SEMANTIC_CELL_STATS_SQL = _with_clustered_corpus(f"""
+WITH csd AS (SELECT vec_id AS cen_id, embedding AS cv
+             FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}),
+{_ivf_assign_ctes('sd', 'csd')},
+pc AS (SELECT cell, count(*) AS _n FROM asd GROUP BY cell)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(CASE WHEN _n > {SEM_STATS_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped_cells,
+  CAST(sum(CASE WHEN _n > {SEM_STATS_CAP} THEN _n ELSE 0 END) AS BIGINT)
+    AS n_docs_dropped,
+  CAST(max(_n) AS BIGINT) AS max_cell
+FROM pc
 """)
 
 
@@ -2251,6 +2296,7 @@ QUERIES = {
     "llm_ivf_trained_recall_clustered": llm_ivf_trained_recall_clustered,
     "llm_pq_recall_clustered": llm_pq_recall_clustered,
     "llm_semantic_dedup": llm_semantic_dedup,
+    "llm_semantic_cell_stats": llm_semantic_cell_stats,
     "llm_split_manifest": llm_split_manifest,
     "llm_split_leakage": llm_split_leakage,
     "llm_cell_purity_clustered": llm_cell_purity_clustered,
@@ -2316,6 +2362,7 @@ ORACLES = {
     ),
     "llm_pq_recall_clustered": _with_clustered_corpus(PQ_RECALL_SQL),
     "llm_semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "llm_semantic_cell_stats": SEMANTIC_CELL_STATS_SQL,
     "llm_split_manifest": SPLIT_MANIFEST_SQL,
     "llm_split_leakage": SPLIT_LEAKAGE_SQL,
     "llm_cell_purity_clustered": CELL_PURITY_CLUSTERED_SQL,

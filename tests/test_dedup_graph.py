@@ -427,3 +427,39 @@ def test_clustered_recall_ordering(spark):
     rerank = mean_recall("llm_ivfpq_rerank_recall")
     assert rerank >= ivfpq * 2, (rerank, ivfpq)
     assert rerank >= 0.7, rerank
+
+
+def test_semantic_dedup_cell_cap_bounds_degenerate_corpus(spark):
+    """The SemDeDup analog of the LSH cap test: a boilerplate corpus
+    that collapses into ONE mega-cell must not run the quadratic
+    within-cell pair scoring — over-cap cells are excluded (members
+    all kept, the conservative direction), and semantic_cell_stats
+    ACCOUNTS for the forfeited coverage instead of hiding it."""
+    from evmtrace_etl_spark.operators.similarity import (
+        semantic_cell_stats,
+        semantic_dedup,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows += [(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(2, 52)]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    # uncapped: every near-parallel vector dups against vec 0
+    uncapped = semantic_dedup(emb, threshold=0.99, n_centroids=2).collect()
+    assert sum(1 for r in uncapped if r["keep"] == 0) == 50
+    # capped at 10: the 51-member cell is excluded -> zero drops
+    capped = semantic_dedup(
+        emb, threshold=0.99, n_centroids=2, cell_cap=10
+    ).collect()
+    assert len(capped) == 52
+    assert all(r["keep"] == 1 and r["dup_of"] == -1 for r in capped)
+    # and the accounting row names exactly what the cap forfeited
+    s = semantic_cell_stats(emb, n_centroids=2, cell_cap=10).collect()
+    assert len(s) == 1
+    assert (
+        s[0]["n_cells"],
+        s[0]["n_dropped_cells"],
+        s[0]["n_docs_dropped"],
+        s[0]["max_cell"],
+    ) == (2, 1, 51, 51)
