@@ -580,8 +580,13 @@ def semantic_dedup(
     kept — the conservative direction for a dedup: never a wrong drop)
     and ``semantic_cell_stats`` reports exactly what the cap forfeited,
     the same cap-plus-accounting contract as the LSH ``BUCKET_CAP``
-    tier.  The per-cell count rides a cell-keyed window, so the count
-    shuffle IS the join shuffle (same key, reused partitioning).
+    tier.  The per-cell count is a ``groupBy("cell")`` aggregate
+    (map-side partial counts → ≤ n_centroids rows) broadcast-joined
+    back onto the corpus, so an over-cap mega-cell is filtered
+    map-side without ever co-locating its rows — a cell-keyed
+    ``Window`` count would shuffle-and-sort the whole mega-cell into
+    ONE task before discarding it, re-introducing the very hotspot the
+    cap exists to prevent (plan-pinned: no WindowExec over the corpus).
     Norms are attached per ROW before the join (``_cos_pre``), so each
     vector's norm folds once, not once per pair.
 
@@ -597,9 +602,13 @@ def semantic_dedup(
     assigned = ivf_assignments(emb, cents, vec_col).withColumn(
         "_nrm", _norm(F.col(vec_col))
     )
-    sized = assigned.withColumn(
-        "_cn", F.count(F.lit(1)).over(Window.partitionBy("cell"))
-    ).filter(F.col("_cn") <= cell_cap)
+    under_cap_cells = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .filter(F.col("_cn") <= cell_cap)
+        .select("cell")
+    )
+    sized = assigned.join(F.broadcast(under_cap_cells), on="cell")
     a = sized.select(
         "cell", F.col("vec_id").alias("_ia"),
         F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"),

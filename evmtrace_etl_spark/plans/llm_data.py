@@ -429,7 +429,15 @@ SEM_STATS_CAP = 32
 def llm_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage accounting for semantic_dedup's skew cap on the
     clustered corpus: cells over the cap are excluded from pair
-    scoring, and this row says how many cells/vectors that forfeits."""
+    scoring, and this row says how many cells/vectors that forfeits.
+
+    NOTE: this registered row runs at ``SEM_STATS_CAP=32`` — a
+    deliberately tight TEST cap so the fixture exercises non-zero drop
+    accounting — while the registered ``llm_semantic_dedup`` runs at
+    the operational ``SEM_CELL_CAP=10000``, under which NO fixture
+    cell is dropped.  The 6 'dropped' cells reported here are what the
+    cap WOULD forfeit at 32, not what the paired dedup query actually
+    excluded; read the two rows together only with that in mind."""
     return similarity.semantic_cell_stats(
         _clustered_emb(spark, sf_dir), cell_cap=SEM_STATS_CAP
     )

@@ -438,12 +438,18 @@ def test_event_transitions_totals_broadcast(spark):
 def test_semantic_dedup_confined_to_cells(spark):
     """The quadratic cosine work is confined by the cell equi-join:
     no cartesian, no nested loop, and the codebook assignment stays an
-    inlined projection (no extra shuffle for the argmax)."""
+    inlined projection (no extra shuffle for the argmax).  The cell-cap
+    guard must NOT use a cell-keyed Window count — that would funnel a
+    degenerate mega-cell's rows through one WindowExec task before the
+    filter discards them; the ≤ n_centroids-row groupBy count joins
+    back broadcast instead, so over-cap cells are filtered map-side."""
     from evmtrace_etl_spark.plans.llm_data import llm_semantic_dedup
 
     plan = plan_of(llm_semantic_dedup(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_zipf_spectrum_two_aggregates_one_scalar(spark):
