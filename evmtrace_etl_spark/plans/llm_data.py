@@ -176,6 +176,16 @@ def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_media_codec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib-codec path (L12): synthesize genuine WAV/BMP/PPM
+    blobs per document, struct-decode every one of them, and roll up
+    the decoded features.  The oracle recomputes all totals in closed
+    form from ``synth_media_params``, so any codec bug (header layout,
+    BMP row padding, channel order, PCM16 widths, RIFF chunk walking)
+    breaks the hash match."""
+    return multimodal.real_media_rollup(_docs(spark, sf_dir))
+
+
 #: Memoized exact brute-force top-k panels, keyed by (sf_dir, corpus
 #: variant).  Every recall harness measures a DIFFERENT approximate
 #: path against the SAME exact panel — nine registered queries were
@@ -760,6 +770,48 @@ SELECT media_type, count(*) AS n_media,
   count(DISTINCT content_md5) AS n_unique,
   CAST(CAST(sum(CAST(fake_feature AS DECIMAL(20,6))) AS DECIMAL(38,6))
        AS VARCHAR) AS feature_sum
+FROM f GROUP BY media_type
+"""
+
+# Mirrors multimodal.synth_media_params — every total below is the
+# closed form of what the stdlib codec must decode from real blob
+# bytes: flat-per-channel image sums, telescoped base+(i%97) audio
+# sums, and exact file sizes (BMP 54+h*stride4, WAV 44+2n, PPM
+# 9+digits(w)+digits(h)+3wh).
+MEDIA_CODEC_ROLLUP_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS k,
+    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+    64 + doc_id % 129 AS n,
+    doc_id % 256 AS pr, (doc_id*7) % 256 AS pg, (doc_id*13) % 256 AS pb,
+    doc_id % 97 AS base
+  FROM documents
+),
+f AS (
+  SELECT
+    CASE k WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+           ELSE 'image/ppm' END AS media_type,
+    CASE k WHEN 0 THEN 54 + h*((3*w + 3)//4*4)
+           WHEN 1 THEN 44 + 2*n
+           ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + 3*w*h END AS n_bytes,
+    CASE WHEN k = 1 THEN n ELSE w*h END AS n_units,
+    CASE WHEN k = 1
+         THEN n*base + (n//97)*4656 + (n%97)*((n%97)-1)//2
+         ELSE w*h*(pr+pg+pb) END AS value_sum,
+    CASE WHEN k <> 1 THEN w*h*pr END AS sum_r,
+    CASE WHEN k <> 1 THEN w*h*pg END AS sum_g,
+    CASE WHEN k <> 1 THEN w*h*pb END AS sum_b
+  FROM p
+)
+SELECT media_type,
+  CAST(count(*) AS BIGINT) AS n_media,
+  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+  CAST(sum(n_units) AS BIGINT) AS total_units,
+  CAST(sum(value_sum) AS BIGINT) AS value_total,
+  CAST(sum(sum_r) AS BIGINT) AS r_total,
+  CAST(sum(sum_g) AS BIGINT) AS g_total,
+  CAST(sum(sum_b) AS BIGINT) AS b_total
 FROM f GROUP BY media_type
 """
 
@@ -2268,6 +2320,7 @@ QUERIES = {
     "llm_embedding_near_dups": llm_embedding_near_dups,
     "llm_banded_near_dups": llm_banded_near_dups,
     "llm_media_decode": llm_media_decode,
+    "llm_media_codec_rollup": llm_media_codec_rollup,
     "llm_ann_recall": llm_ann_recall,
     "llm_train_shards": llm_train_shards,
     "llm_quality_sample": llm_quality_sample,
@@ -2333,6 +2386,7 @@ ORACLES = {
     "llm_embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "llm_banded_near_dups": BANDED_NEAR_DUPS_SQL,
     "llm_media_decode": MEDIA_DECODE_SQL,
+    "llm_media_codec_rollup": MEDIA_CODEC_ROLLUP_SQL,
     "llm_ann_recall": ANN_RECALL_SQL,
     "llm_train_shards": TRAIN_SHARDS_SQL,
     "llm_quality_sample": QUALITY_SAMPLE_SQL,

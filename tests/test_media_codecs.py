@@ -1,0 +1,160 @@
+"""Unit tests for the stdlib media codecs (L12 real-decode path).
+
+The registered query's synthetic corpus uses flat-per-channel images
+(so the DuckDB oracle has closed-form sums); these tests carry the
+order-sensitivity that flatness can't: exact pixel/sample round-trips
+with VARIED data pin BMP bottom-up row order, BGR channel order, row
+padding, PPM header tokenization, PCM16 signedness, and RIFF chunk
+walking.
+"""
+
+import random
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from evmtrace_etl_spark.operators import multimodal as mm
+
+rng = random.Random(0xC0DEC)
+
+
+def _rand_pixels(w, h):
+    return [
+        (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+        for _ in range(w * h)
+    ]
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (3, 2), (4, 4), (5, 7), (16, 9)])
+def test_bmp_round_trip_exact(w, h):
+    px = _rand_pixels(w, h)
+    d = mm.decode_bmp(mm.encode_bmp(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == px  # exact: catches row order, BGR, padding
+
+
+def test_bmp_padding_is_excluded():
+    # w=1 -> 3 data bytes + 1 pad byte per row; poison the pad bytes
+    px = _rand_pixels(1, 4)
+    blob = bytearray(mm.encode_bmp(1, 4, px))
+    stride = 4
+    for row in range(4):
+        blob[54 + row * stride + 3] = 0xFF
+    assert mm.decode_bmp(bytes(blob))["pixels"] == px
+
+
+def test_bmp_top_down_negative_height():
+    # height < 0 means top-down row order per the BMP spec
+    px = _rand_pixels(3, 2)
+    blob = bytearray(mm.encode_bmp(3, 2, px))
+    (h,) = struct.unpack_from("<i", blob, 22)
+    struct.pack_into("<i", blob, 22, -h)
+    # rows in the file are bottom-up; reinterpreting as top-down
+    # flips the row order
+    got = mm.decode_bmp(bytes(blob))["pixels"]
+    assert got == px[3:6] + px[0:3]
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 3), (10, 2)])
+def test_ppm_round_trip_exact(w, h):
+    px = _rand_pixels(w, h)
+    d = mm.decode_ppm(mm.encode_ppm(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == px
+
+
+def test_ppm_header_comments_and_whitespace():
+    px = _rand_pixels(4, 3)
+    raster = bytes(v for p in px for v in p)
+    blob = b"P6 # trailing comment\n  4\t3 # dims\n255\n" + raster
+    d = mm.decode_ppm(blob)
+    assert (d["width"], d["height"]) == (4, 3)
+    assert d["pixels"] == px
+
+
+def test_wav_round_trip_exact_signed():
+    s = [rng.randint(-32768, 32767) for _ in range(137)] + [-32768, 32767, 0]
+    d = mm.decode_wav(mm.encode_wav(s, 44100))
+    assert d["samples"] == s
+    assert d["sample_rate"] == 44100
+    assert (d["n_channels"], d["bits"]) == (1, 16)
+
+
+def test_wav_chunk_walking_and_odd_padding():
+    # insert an unknown odd-sized chunk (needs a pad byte) before fmt
+    s = [rng.randint(-100, 100) for _ in range(9)]
+    blob = mm.encode_wav(s)
+    extra = struct.pack("<4sI", b"junk", 3) + b"xyz" + b"\x00"
+    hacked = bytearray(blob[:12] + extra + blob[12:])
+    struct.pack_into("<I", hacked, 4, len(hacked) - 8)
+    assert mm.decode_wav(bytes(hacked))["samples"] == s
+
+
+def test_wav_rejects_non_pcm16():
+    blob = bytearray(mm.encode_wav([1, 2, 3]))
+    struct.pack_into("<H", blob, 20, 3)  # IEEE float format tag
+    with pytest.raises(ValueError):
+        mm.decode_wav(bytes(blob))
+
+
+def test_decode_media_dispatch_and_stub():
+    mt, blob = mm.synth_media_blob(0)
+    assert mm.decode_media(blob, mt)["kind"] == "image"
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG", "image/png")
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+def test_bmp_ppm_round_trip_property(w, h, data):
+    px = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    assert mm.decode_bmp(mm.encode_bmp(w, h, px))["pixels"] == px
+    assert mm.decode_ppm(mm.encode_ppm(w, h, px))["pixels"] == px
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=300))
+def test_wav_round_trip_property(samples):
+    assert mm.decode_wav(mm.encode_wav(samples))["samples"] == samples
+
+
+def test_synth_blobs_match_oracle_closed_forms():
+    """The oracle SQL recomputes sizes and sums in closed form; verify
+    the Python synthesis + REAL decode agree for a doc_id sweep."""
+    for doc_id in range(0, 500, 3):
+        p = mm.synth_media_params(doc_id)
+        mt, blob = mm.synth_media_blob(doc_id)
+        d = mm.decode_media(blob, mt)
+        if p["kind"] == 1:
+            n, base = p["n"], p["base"]
+            assert len(blob) == 44 + 2 * n
+            assert len(d["samples"]) == n
+            assert (
+                sum(d["samples"])
+                == n * base + (n // 97) * 4656 + (n % 97) * ((n % 97) - 1) // 2
+            )
+        else:
+            w, h = p["w"], p["h"]
+            exp = (
+                54 + h * ((3 * w + 3) // 4 * 4)
+                if p["kind"] == 0
+                else 9 + len(str(w)) + len(str(h)) + 3 * w * h
+            )
+            assert len(blob) == exp
+            assert sum(px[0] for px in d["pixels"]) == w * h * p["pr"]
+            assert sum(px[1] for px in d["pixels"]) == w * h * p["pg"]
+            assert sum(px[2] for px in d["pixels"]) == w * h * p["pb"]
