@@ -26,7 +26,11 @@ protocol:
 
 Both DB-API sinks derive the placeholder from the driver's paramstyle
 (sqlite ``qmark`` '?', psycopg2 ``format`` '%s') and run executemany via
-a cursor, which is the portable DB-API surface.
+a cursor, which is the portable DB-API surface.  The generated
+``ON CONFLICT`` SQL is dialect-verified on TWO engines: sqlite and
+DuckDB (whose conflict clause follows Postgres semantics —
+``tests/test_streaming.py::test_dbapi_sink_on_conflict_duckdb_dialect``
+runs the sink against it unmodified).
 
 Cross-batch dedup (S8/D4, the reference's Redis GET/MSET cache) falls
 out of insert-if-absent: a key inserted by batch N is silently skipped

@@ -140,6 +140,73 @@ def test_dbapi_sink_on_conflict(spark):
     assert conn.execute("SELECT gas_used FROM blocks").fetchall() == [(9,)]
 
 
+def test_dbapi_sink_on_conflict_duckdb_dialect(spark, tmp_path):
+    """Second-dialect verification (r6 verdict ask): the exact
+    ``INSERT … ON CONFLICT`` strings `_upsert_sql` generates (mirroring
+    etl_result.rs:159,216,269-281) must execute with identical
+    semantics on a second engine.  DuckDB speaks Postgres-flavored
+    ``ON CONFLICT (…) DO NOTHING / DO UPDATE SET c = excluded.c`` and
+    qmark placeholders, so the sink runs against it UNMODIFIED — the
+    point of deriving the SQL from the DB-API paramstyle only."""
+    import duckdb
+
+    tx, _ = zk_results(fixtures.traces_df(spark))
+    conn = duckdb.connect()
+    col_defs = ", ".join(f"{c} VARCHAR" for c in tx.columns)
+    conn.execute(
+        f"CREATE TABLE transactions ({col_defs}, "
+        "PRIMARY KEY (chain_id, transaction_hash))"
+    )
+    sink = DbApiUpsertSink(lambda: _NoCloseConn(conn))
+    sink.upsert(tx, "transactions", runner.TX_KEYS, mode="ignore")
+    n1 = conn.execute("SELECT count(*) FROM transactions").fetchone()[0]
+    sink.upsert(tx, "transactions", runner.TX_KEYS, mode="ignore")
+    n2 = conn.execute("SELECT count(*) FROM transactions").fetchone()[0]
+    assert n1 == tx.count() and n2 == n1  # DO NOTHING held
+
+    conn.execute(
+        "CREATE TABLE blocks (chain_id BIGINT, number BIGINT, "
+        "gas_used BIGINT, PRIMARY KEY (chain_id, number))"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 100, 5)], "chain_id long, number long, gas_used long"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 100, 9)], "chain_id long, number long, gas_used long"
+    )
+    sink.upsert(b1, "blocks", runner.BLOCK_KEYS, mode="update")
+    sink.upsert(b2, "blocks", runner.BLOCK_KEYS, mode="update")
+    assert conn.execute("SELECT gas_used FROM blocks").fetchall() == [(9,)]
+    conn.close()
+
+
+def test_dbapi_partition_sink_duckdb_file(spark, tmp_path):
+    """The executor-side partition sink against a DuckDB database file.
+    DuckDB is single-writer per file, so write parallelism is capped at
+    1 (the ``max_parallelism`` knob exists exactly for engines with
+    connection/ingest limits); semantics must match the driver-side
+    sink's."""
+    import duckdb
+
+    db = str(tmp_path / "part.duckdb")
+    with duckdb.connect(db) as c:
+        c.execute(
+            "CREATE TABLE kv (k BIGINT, v BIGINT, PRIMARY KEY (k))"
+        )
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, v long"
+    )
+    psink = DbApiPartitionUpsertSink(
+        lambda: duckdb.connect(db), max_parallelism=1
+    )
+    psink.upsert(df, "kv", ["k"], mode="ignore")
+    bump = spark.createDataFrame([(7, 999), (50, 500)], "k long, v long")
+    psink.upsert(bump, "kv", ["k"], mode="update")
+    with duckdb.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM kv").fetchone()[0] == 51
+        assert c.execute("SELECT v FROM kv WHERE k = 7").fetchone()[0] == 999
+
+
 class _NoCloseConn:
     """sqlite shim: the sink closes per batch; keep the test DB open."""
 
