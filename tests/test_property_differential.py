@@ -722,3 +722,141 @@ def test_split_leakage_rollup_matches_python(spark):
     assert got == {
         s: (n, len(ds), _round6(mx)) for s, (n, ds, mx) in want.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (ivfpq_topk) vs an independent pure-Python IVF+PQ reference
+# ---------------------------------------------------------------------------
+
+def _d6(x: float):
+    """Spark round(double, 6): shortest-repr decimal, HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+
+
+def _fold_norm(vec) -> float:
+    import math
+
+    s = 0.0
+    for v in vec:
+        s += float(v) * float(v)
+    return math.sqrt(s)
+
+
+def _ref_cell_order(v, cents) -> list[int]:
+    """Probe order: cosine rounded 6dp DESC, then cen_id ASC — the
+    reference mirror of _ivf_with_cells' reverse(array_sort(...))."""
+    vn = _fold_norm(v)
+    sims = []
+    for cid, c in cents:
+        dot = 0.0
+        for x, y in zip(v, c):
+            dot += float(x) * float(y)
+        sims.append((float(_d6(dot / (vn * _fold_norm(c)))), -cid))
+    sims.sort()
+    sims.reverse()
+    return [-neg for _, neg in sims]
+
+
+def _ref_ivfpq_topk(
+    corpus: list[list[float]],
+    n_queries: int,
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    n_subspaces: int,
+    n_codes: int,
+) -> list[tuple]:
+    """From-scratch IVFADC: coarse assign -> residual -> PQ-encode the
+    residual against residual seeds -> per-(query, probed cell) LUT ->
+    exact-decimal ADC -> (adist ASC, neighbor ASC) rank.  Mirrors the
+    published algorithm (Jegou et al. 2011), not the Spark code."""
+    cents = [(i, corpus[i]) for i in range(n_centroids)]
+    d = len(corpus[0]) // n_subspaces
+
+    def residual(v, cell):
+        return [float(x) - float(y) for x, y in zip(v, cents[cell][1])]
+
+    cell_of = {i: _ref_cell_order(v, cents)[0] for i, v in enumerate(corpus)}
+    seeds = [
+        residual(corpus[i], cell_of[i])
+        for i in range(n_centroids, n_centroids + n_codes)
+    ]
+    subcents = [
+        [seed[m * d : (m + 1) * d] for seed in seeds]
+        for m in range(n_subspaces)
+    ]
+
+    def subdists(res, m):
+        out = []
+        for cent in subcents[m]:
+            s = 0.0
+            for x, y in zip(res[m * d : (m + 1) * d], cent):
+                s += (float(x) - float(y)) * (float(x) - float(y))
+            out.append(_d6(s))
+        return out
+
+    codes = {}
+    for i, v in enumerate(corpus):
+        res = residual(v, cell_of[i])
+        codes[i] = [
+            min(range(n_codes), key=lambda c: (subdists(res, m)[c], c))
+            for m in range(n_subspaces)
+        ]
+
+    rows = []
+    for q in range(n_queries):
+        cand = []
+        for pc in _ref_cell_order(corpus[q], cents)[:n_probe]:
+            res = residual(corpus[q], pc)
+            lut = [subdists(res, m) for m in range(n_subspaces)]
+            for i in range(len(corpus)):
+                if i == q or cell_of[i] != pc:
+                    continue
+                adist = sum(
+                    (lut[m][codes[i][m]] for m in range(n_subspaces)),
+                    _d6(0.0),
+                )
+                cand.append((adist, i))
+        cand.sort()
+        rows += [
+            (q, nb, rank + 1, float(ad))
+            for rank, (ad, nb) in enumerate(cand[:k])
+        ]
+    return rows
+
+
+@given(
+    raw=st.lists(
+        st.lists(st.integers(-8, 8), min_size=4, max_size=4).filter(
+            lambda v: any(v)
+        ),
+        min_size=8,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_ivfpq_topk_matches_python_reference(spark, raw):
+    """End-to-end IVFADC differential: encode (coarse cell + residual
+    PQ codes), LUT build, ADC scoring, and ranking must all agree with
+    the independent reference — a bug copied into both the Spark plan
+    and its mirrored oracle SQL cannot also match this."""
+    from evmtrace_etl_spark.operators.similarity import ivfpq_topk
+
+    corpus = [[i / 4 for i in v] for v in raw]
+    params = dict(
+        n_queries=3, k=3, n_centroids=3, n_probe=2,
+        n_subspaces=2, n_codes=2,
+    )
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "vec_id: long, embedding: array<double>"
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.adist)
+        for r in ivfpq_topk(df, **params).collect()
+    )
+    want = sorted(_ref_ivfpq_topk(corpus, **params))
+    assert got == want
