@@ -361,6 +361,45 @@ def stream_throughput(
     NOT timed; the stream (decode → sessionize → derive → upsert) is.
     """
     base = _workdir("stream_tput")
+    src, n_rows = _tput_fixture(spark, base, replicate, n_files)
+    point = _tput_drain(spark, base, src, n_rows, files_per_trigger)
+    point["rows"] = n_rows
+    point["files"] = n_files
+    return point
+
+
+def stream_throughput_curve(
+    spark: SparkSession,
+    replicate: int = 3000,
+    n_files: int = 16,
+    points: tuple = (4, 8, 16),
+) -> dict:
+    """The SCALING CURVE the single-point probe can't show: the same
+    replicated fixture drained once per ``files_per_trigger`` pacing
+    point, isolating how much of the single-point figure is fixed
+    per-trigger overhead (checkpoint commit, plan setup, sink version
+    swap) vs per-row work.  Fixture replication/writing is untimed and
+    paid ONCE; each point gets a fresh checkpoint + sink so the drains
+    are independent.
+
+    Returns ``{rows, files, points: [{files_per_trigger, seconds,
+    rows_per_sec, micro_batches}, ...]}``."""
+    base = _workdir("stream_tput_curve")
+    src, n_rows = _tput_fixture(spark, base, replicate, n_files)
+    return {
+        "rows": n_rows,
+        "files": n_files,
+        "points": [
+            _tput_drain(spark, base, src, n_rows, fpt) for fpt in points
+        ],
+    }
+
+
+def _tput_fixture(
+    spark: SparkSession, base: str, replicate: int, n_files: int
+) -> tuple:
+    """Write the replicated trace fixture as ``n_files`` JSON files
+    (untimed harness setup shared by every pacing point)."""
     src = os.path.join(base, "src")
     traces = fixtures.traces_df(spark)
     keep_hash = F.col("transaction_hash").isNotNull()
@@ -379,7 +418,20 @@ def stream_throughput(
     )
     wide.repartition(n_files).write.json(src)
     n_rows = traces.count() * replicate  # untimed: fixture-sized count
-    sink = ParquetUpsertSink(os.path.join(base, "sink"))
+    return src, n_rows
+
+
+def _tput_drain(
+    spark: SparkSession,
+    base: str,
+    src: str,
+    n_rows: int,
+    files_per_trigger: int,
+) -> dict:
+    """One timed availableNow drain of ``src`` through the full
+    foreachBatch zk pipeline into a fresh parquet upsert sink."""
+    tag = f"fpt{files_per_trigger}"
+    sink = ParquetUpsertSink(os.path.join(base, f"sink_{tag}"))
     batches = [0]
 
     def _process(batch: DataFrame, _batch_id: int) -> None:
@@ -392,7 +444,7 @@ def stream_throughput(
             spark, src, max_files_per_trigger=files_per_trigger
         )
         .writeStream.foreachBatch(_process)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .option("checkpointLocation", os.path.join(base, f"ckpt_{tag}"))
         .trigger(availableNow=True)
         .start()
     )
@@ -401,11 +453,9 @@ def stream_throughput(
         raise TimeoutError("stream_throughput: not finished after 600 s")
     dt = _time.perf_counter() - t0
     return {
-        "rows": n_rows,
         "seconds": round(dt, 3),
         "rows_per_sec": round(n_rows / dt, 1),
         "micro_batches": batches[0],
-        "files": n_files,
         "files_per_trigger": files_per_trigger,
     }
 
