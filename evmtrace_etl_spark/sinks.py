@@ -210,14 +210,28 @@ class ParquetUpsertSink:
                     touched = batch.select(*pcols).distinct().collect()
                 if not touched:  # empty batch: nothing to merge
                     return
-                pred = F.lit(False)
-                for row in touched:
-                    clause = F.lit(True)
-                    for c in pcols:
-                        clause = clause & (F.col(c) == F.lit(row[c]))
-                    pred = pred | clause
-                # partition pruning: only touched partitions are read
-                existing = existing.filter(pred)
+                # Partition pruning: only touched partitions are read.
+                # Single partition column (the common case) gets a flat
+                # isin — statically prunable and O(1) per analysis step
+                # where the old folded OR-chain of per-partition
+                # conjunctions was superlinear in plan-analysis cost at
+                # thousands of touched partitions.  Composite partition
+                # keys use a broadcast semi-join on the touched tuples
+                # (bounded: one row per touched partition), which AQE/
+                # dynamic partition pruning pushes into the scan.
+                if len(pcols) == 1:
+                    c = pcols[0]
+                    existing = existing.filter(
+                        F.col(c).isin([row[c] for row in touched])
+                    )
+                else:
+                    touched_df = spark.createDataFrame(
+                        [tuple(row[c] for c in pcols) for row in touched],
+                        existing.select(*pcols).schema,
+                    )
+                    existing = existing.join(
+                        F.broadcast(touched_df), on=pcols, how="leftsemi"
+                    )
             if mode == "ignore":
                 fresh = batch.join(existing, on=list(keys), how="left_anti")
                 out = existing.unionByName(fresh)
