@@ -452,6 +452,17 @@ def test_semantic_dedup_confined_to_cells(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_media_codec_rollup_narrow_until_rollup(spark):
+    """Real-codec media pipeline: synthesize → struct-decode are
+    chained narrow mapInPandas stages (no shuffle between them); the
+    only Exchange is the 3-group rollup, and there are no joins."""
+    from evmtrace_etl_spark.plans.llm_data import llm_media_codec_rollup
+
+    plan = plan_of(llm_media_codec_rollup(spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_zipf_spectrum_two_aggregates_one_scalar(spark):
     """Two stacked hash aggregates; the vocabulary size is the
     sanctioned one-row scalar broadcast; no sorts, no windows."""
