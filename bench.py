@@ -66,16 +66,21 @@ def main() -> None:
     except Exception:
         pass
 
-    # Pre-compile the IVF/PQ family's inlined-codebook expressions:
-    # Janino pays a one-time 9-29 s compile per distinct
-    # codebook-literal set per session, landing on whichever family
-    # query runs first and masquerading as a 6x plan regression in
-    # single-run benches.  One untimed noop pass per family query
-    # caches every generated stage, so the timed loop measures warm
-    # plans (plans are deterministic, so the re-built plan hits the
-    # codegen cache).
-    for name in sorted(qs):
-        if "ivf" in name or "pq" in name:
+    # Two-pass methodology: pass 1 runs EVERY query once untimed, pass
+    # 2 is the timed loop.  One-time per-session costs — Janino
+    # compiles of giant inlined-codebook expressions (measured 9-29 s
+    # per distinct literal set), first-stream setup, lazily-built
+    # memoized fixtures — land on whichever query runs first and have
+    # repeatedly masqueraded as 6-10x plan regressions in single-pass
+    # benches (llm_ivf_trained_recall 24.4 s vs 3.4 s warm,
+    # zk_upsert_partition 46.5 s vs 2.8 s warm, llm_dedup_components
+    # 22.0 s vs 5.1 s warm).  Plans are deterministic, so the re-built
+    # pass-2 plan hits the codegen cache and measures the steady state
+    # — the figure that actually predicts sustained-throughput cost.
+    # Set SPARK_GRAFT_BENCH_PASSES=1 for the old single-pass behavior.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    if passes > 1:
+        for name in sorted(qs):
             try:
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -140,6 +145,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": passes,
         "streaming": streaming,
     }))
 
