@@ -221,6 +221,76 @@ def near_dup_pairs(
     )
 
 
+def minhash_calibration(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash estimator calibration — the dedup tier's analog of the
+    ANN recall harnesses (measure, don't guess): for every LSH
+    candidate pair, compare the signature-based Jaccard ESTIMATE
+    (matching components / N_PERMS — the unbiased MinHash estimator)
+    against the TRUE shingle-set Jaccard, rolled up per true-Jaccard
+    decile.  This is the figure that justifies the signature width: a
+    16-perm signature estimates J with sd ≈ sqrt(J(1-J)/16) ≈ 0.12 at
+    J=0.5, and this harness shows whether the deployed corpus actually
+    sees that error — before anyone trusts a threshold on the estimate.
+
+    Exactness: estimates are /16 rationals (exact doubles); per-bin
+    means are DECIMAL(20,6) sums of 6-dp-rounded terms divided at the
+    end — order-independent, so bit-identical to the oracle.  Scale:
+    candidate pairs only (bucket-capped LSH, never all-pairs); one
+    ≤10-row rollup.
+
+    Output: bin (floor(true_j·10) capped at 9), n_pairs, avg_est,
+    avg_true, avg_abs_err.
+    """
+    sets_ = shingle_hashes(docs, text_col)
+    both = _signatures_from_sets(sets_).join(sets_, on="doc_id")
+    pairs = _pairs_from_sigs(_signatures_from_sets(sets_))
+    sa = both.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("signature").alias("_sig_a"),
+        F.col("shingle_set").alias("_set_a"),
+    )
+    sb = both.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("signature").alias("_sig_b"),
+        F.col("shingle_set").alias("_set_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("_set_a"), F.col("_set_b")))
+    union = (
+        F.size(F.col("_set_a")) + F.size(F.col("_set_b")) - inter
+    )
+    matches = F.expr(
+        "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), b -> b))"
+    )
+    scored = (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            (matches.cast("double") / F.lit(float(N_PERMS))).alias("_est"),
+            (inter.cast("double") / union.cast("double")).alias("_true"),
+        )
+    )
+
+    def _dsum(col: Column) -> Column:
+        return F.sum(F.round(col, 6).cast("decimal(20,6)")).cast("double")
+
+    n = F.count(F.lit(1))
+    return (
+        scored.withColumn(
+            "bin",
+            F.least(F.lit(9), F.floor(F.col("_true") * 10)).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            n.alias("n_pairs"),
+            F.round(_dsum(F.col("_est")) / n, 6).alias("avg_est"),
+            F.round(_dsum(F.col("_true")) / n, 6).alias("avg_true"),
+            F.round(
+                _dsum(F.abs(F.col("_est") - F.col("_true"))) / n, 6
+            ).alias("avg_abs_err"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:

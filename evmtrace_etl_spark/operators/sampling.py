@@ -447,3 +447,58 @@ def split_leakage(
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+#: Denominator turning the 28-bit hash into u ∈ (0, 1]: 16^7 + 1.
+_WS_DENOM = 268_435_457.0
+
+#: Sample size for the registered weighted-sample query.
+WEIGHTED_K = 100
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = WEIGHTED_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    exponential-sort, Efraimidis & Spirakis 2006): each doc draws a
+    pseudo-random u ∈ (0, 1] from its salted hash and is ranked by
+    ``-ln(u) / w`` ascending (equivalent to the classic ``u^(1/w)``
+    descending), so P(selection) is proportional to the weight — here
+    token count, the length-proportional draw a token-budgeted training
+    mix wants.  Deterministic: same corpus → same sample, no RNG state.
+
+    Scale shape: weight + key are one narrow projection; the top-k cut
+    is ``orderBy().limit(k)`` — TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a full sort — and the rank
+    window runs over the k surviving rows only (bounded, single task by
+    construction).  Cross-engine exactness: ln is libm-rounded (≤1 ulp
+    apart across engines), so keys are ROUNDED to 6 dp before ranking
+    with doc_id as the tiebreak — the repo's ranks-after-rounding rule.
+
+    Output: rank, doc_id, source, n_toks, sample_key.
+    """
+    u = (
+        hash32(F.concat(F.lit("wsamp#"), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(_WS_DENOM)
+    keyed = (
+        docs.withColumn("n_toks", token_count(text_col).cast("long"))
+        .filter(F.col("n_toks") >= 1)
+        .withColumn(
+            "sample_key",
+            F.round(-F.log(u) / F.col("n_toks").cast("double"), 6),
+        )
+    )
+    top = keyed.orderBy(
+        F.col("sample_key").asc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "source",
+        "n_toks",
+        "sample_key",
+    )

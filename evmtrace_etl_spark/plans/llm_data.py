@@ -28,6 +28,7 @@ from ..functions.text import (
     LSH_BANDS,
     LSH_ROWS,
     MERSENNE31,
+    N_PERMS,
     PERMS,
     SEM_CELL_CAP,
     SHINGLE_K,
@@ -243,6 +244,19 @@ def llm_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Pseudo-benchmark split for the decontamination query: every 13th
 #: doc_id plays the holdout set (same predicate in the oracle).
 DECON_MOD = 13
+
+
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic sample (A-ES exponential
+    sort): 100 docs drawn with P ∝ token count, no RNG state."""
+    return sampling.weighted_sample(_docs(spark, sf_dir))
+
+
+def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate vs true Jaccard per decile — the dedup tier's
+    measured answer to 'can a threshold on the 16-perm estimate be
+    trusted on this corpus'."""
+    return dedup.minhash_calibration(_docs(spark, sf_dir))
 
 
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +609,53 @@ jac AS (SELECT doc_a, doc_b,
   JOIN sh sa ON sa.doc_id = pairs.doc_a
   JOIN sh sb ON sb.doc_id = pairs.doc_b)
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+wt AS (SELECT doc_id, source, len(toks) AS n_toks,
+         CAST({_sql_h32("'wsamp#' || CAST(doc_id AS VARCHAR)")} + 1
+              AS DOUBLE) / 268435457.0 AS u
+       FROM t WHERE len(toks) >= 1),
+kd AS (SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+         round(-ln(u) / CAST(n_toks AS DOUBLE), 6) AS sample_key
+       FROM wt),
+r AS (SELECT *, row_number()
+        OVER (ORDER BY sample_key ASC, doc_id ASC) AS rank
+      FROM kd)
+SELECT CAST(rank AS INT) AS rank, doc_id, source, n_toks, sample_key
+FROM r WHERE rank <= 100
+"""
+
+
+MINHASH_CALIBRATION_SQL = f"""
+WITH {_candidate_pair_ctes()},
+m AS (
+  SELECT pairs.doc_a, pairs.doc_b,
+    len(list_filter(range(1, {N_PERMS} + 1),
+        i -> sa.signature[i] = sb.signature[i])) AS matches,
+    len(list_intersect(sa.sset, sb.sset)) AS inter,
+    len(sa.sset) + len(sb.sset)
+      - len(list_intersect(sa.sset, sb.sset)) AS uni
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = pairs.doc_a
+  JOIN sig sb ON sb.doc_id = pairs.doc_b
+),
+sc AS (
+  SELECT CAST(matches AS DOUBLE) / {float(N_PERMS)!r} AS est,
+         CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS truej
+  FROM m
+)
+SELECT least(9, CAST(floor(truej * 10) AS INT)) AS bin,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(sum(CAST(round(est, 6) AS DECIMAL(20,6))) AS DOUBLE)
+        / count(*), 6) AS avg_est,
+  round(CAST(sum(CAST(round(truej, 6) AS DECIMAL(20,6))) AS DOUBLE)
+        / count(*), 6) AS avg_true,
+  round(CAST(sum(CAST(round(abs(est - truej), 6) AS DECIMAL(20,6)))
+        AS DOUBLE) / count(*), 6) AS avg_abs_err
+FROM sc GROUP BY least(9, CAST(floor(truej * 10) AS INT))
 """
 
 
@@ -2321,6 +2382,8 @@ QUERIES = {
     "llm_banded_near_dups": llm_banded_near_dups,
     "llm_media_decode": llm_media_decode,
     "llm_media_codec_rollup": llm_media_codec_rollup,
+    "llm_minhash_calibration": llm_minhash_calibration,
+    "llm_weighted_sample": llm_weighted_sample,
     "llm_ann_recall": llm_ann_recall,
     "llm_train_shards": llm_train_shards,
     "llm_quality_sample": llm_quality_sample,
@@ -2387,6 +2450,8 @@ ORACLES = {
     "llm_banded_near_dups": BANDED_NEAR_DUPS_SQL,
     "llm_media_decode": MEDIA_DECODE_SQL,
     "llm_media_codec_rollup": MEDIA_CODEC_ROLLUP_SQL,
+    "llm_minhash_calibration": MINHASH_CALIBRATION_SQL,
+    "llm_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "llm_ann_recall": ANN_RECALL_SQL,
     "llm_train_shards": TRAIN_SHARDS_SQL,
     "llm_quality_sample": QUALITY_SAMPLE_SQL,

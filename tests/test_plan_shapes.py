@@ -463,6 +463,27 @@ def test_media_codec_rollup_narrow_until_rollup(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_weighted_sample_topk_not_full_sort(spark):
+    """A-ES weighted sampling: the k-cut must be TakeOrderedAndProject
+    (per-partition heaps), never a full corpus sort; the rank window
+    runs over the k surviving rows only."""
+    from evmtrace_etl_spark.plans.llm_data import llm_weighted_sample
+
+    plan = plan_of(llm_weighted_sample(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_minhash_calibration_equi_joins_only(spark):
+    """Calibration pairs ride the bucket-capped LSH candidate list —
+    hash equi-joins only, no cartesian, no nested loop."""
+    from evmtrace_etl_spark.plans.llm_data import llm_minhash_calibration
+
+    plan = plan_of(llm_minhash_calibration(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_zipf_spectrum_two_aggregates_one_scalar(spark):
     """Two stacked hash aggregates; the vocabulary size is the
     sanctioned one-row scalar broadcast; no sorts, no windows."""
