@@ -860,3 +860,152 @@ def test_ivfpq_topk_matches_python_reference(spark, raw):
     )
     want = sorted(_ref_ivfpq_topk(corpus, **params))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample / minhash_calibration vs pure-Python references
+# ---------------------------------------------------------------------------
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_h32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_python_reference(spark, docs):
+    """A-ES keys, the rounding-before-rank rule, and the top-k cut must
+    agree with a from-scratch implementation of the published
+    algorithm (Efraimidis & Spirakis 2006)."""
+    import math
+
+    from evmtrace_etl_spark.operators.sampling import (
+        _WS_DENOM,
+        weighted_sample,
+    )
+
+    rows = [(i, t, "s") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = [
+        (r.rank, r.doc_id, r.n_toks, r.sample_key)
+        for r in weighted_sample(df, k=5).orderBy("rank").collect()
+    ]
+
+    want = []
+    for i, t in enumerate(docs):
+        n = len(_py_tokens(t))
+        if n < 1:
+            continue
+        u = (_py_h32(f"wsamp#{i}") + 1) / _WS_DENOM
+        want.append((float(_d6(-math.log(u) / n)), i, n))
+    want.sort()
+    want = [
+        (rank + 1, doc_id, n, key)
+        for rank, (key, doc_id, n) in enumerate(want[:5])
+    ]
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fox", "dog", "sky", "sea"]),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=4,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_calibration_matches_python_reference(spark, docs):
+    """The whole calibration chain — shingling, permutations, banding,
+    bucket-capped candidate pairs, estimate/true Jaccard, decile means
+    — re-derived from the published MinHash/LSH construction."""
+    from evmtrace_etl_spark.functions.text import (
+        BUCKET_CAP,
+        LSH_BANDS,
+        LSH_ROWS,
+        MERSENNE31,
+        N_PERMS,
+        PERMS,
+        SHINGLE_K,
+    )
+    from evmtrace_etl_spark.operators.dedup import minhash_calibration
+
+    rows = [(i, t, "s") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = sorted(
+        (r.bin, r.n_pairs, r.avg_est, r.avg_true, r.avg_abs_err)
+        for r in minhash_calibration(df).collect()
+    )
+
+    sets_, sigs = {}, {}
+    for i, t in enumerate(docs):
+        toks = _py_tokens(t)
+        sh = {
+            _py_h32(" ".join(toks[j : j + SHINGLE_K]))
+            for j in range(len(toks) - SHINGLE_K + 1)
+        }
+        if not sh:
+            continue
+        sets_[i] = sh
+        sigs[i] = [
+            min((a * h + b) % MERSENNE31 for h in sh) for a, b in PERMS
+        ]
+    buckets = {}
+    for i, sig in sigs.items():
+        for b in range(LSH_BANDS):
+            key = (
+                b,
+                "-".join(
+                    str(sig[b * LSH_ROWS + r]) for r in range(LSH_ROWS)
+                ),
+            )
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > BUCKET_CAP:
+            continue
+        for x in members:
+            for y in members:
+                if x < y:
+                    pairs.add((x, y))
+    from collections import defaultdict
+    from decimal import Decimal
+
+    agg = defaultdict(lambda: [0, Decimal(0), Decimal(0), Decimal(0)])
+    for a, b in sorted(pairs):
+        matches = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est = matches / N_PERMS
+        inter = len(sets_[a] & sets_[b])
+        truej = inter / (len(sets_[a]) + len(sets_[b]) - inter)
+        slot = agg[min(9, int(truej * 10 // 1))]
+        slot[0] += 1
+        slot[1] += _d6(est)
+        slot[2] += _d6(truej)
+        slot[3] += _d6(abs(est - truej))
+    want = sorted(
+        (
+            bin_,
+            n,
+            float(_d6(float(se) / n)),
+            float(_d6(float(st_) / n)),
+            float(_d6(float(sa) / n)),
+        )
+        for bin_, (n, se, st_, sa) in agg.items()
+    )
+    assert got == want
