@@ -128,6 +128,35 @@ def main() -> None:
     )
     assert n >= 1
 
+    # ---- Real-codec media pipeline across executor Python workers ----
+    # encode → struct-decode are chained Arrow mapInPandas stages; on a
+    # real cluster the codec module must ship to executor-side Python
+    # workers (cloudpickle) and the binary columns must survive the
+    # Arrow round-trip between separate JVMs.
+    from evmtrace_etl_spark.operators.multimodal import (
+        real_media_rollup,
+        synth_media_params,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(30)],
+        "doc_id: long, text: string, source: string",
+    )
+    rollup = {
+        r["media_type"]: (r["n_media"], r["total_units"])
+        for r in real_media_rollup(docs).collect()
+    }
+    want_units = {"image/bmp": 0, "audio/wav": 0, "image/ppm": 0}
+    counts = {k: 0 for k in want_units}
+    for i in range(30):
+        p = synth_media_params(i)
+        mt = ["image/bmp", "audio/wav", "image/ppm"][p["kind"]]
+        counts[mt] += 1
+        want_units[mt] += p["n"] if p["kind"] == 1 else p["w"] * p["h"]
+    assert rollup == {
+        mt: (counts[mt], want_units[mt]) for mt in want_units
+    }, rollup
+
     print("CLUSTER_SMOKE_OK")
 
 
