@@ -363,6 +363,124 @@ def _ivf_topk_with_cents(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> None:
+    """Build and PERSIST an IVF index — the build-once/serve-many split
+    ``ivf_trained_topk`` inlines: the Lloyd-fitted codebook goes to
+    ``<path>/codebook`` (≤ n_centroids rows) and the corpus goes to
+    ``<path>/vectors`` hive-partitioned BY CELL with the per-row norm
+    precomputed.  At 100 TB this is the production layout: the fit and
+    the full-corpus assignment run once; every later query reads only
+    its probed cells (partition pruning, see ``ivf_index_topk``) and
+    never re-runs either.
+    """
+    import os
+
+    spark = emb.sparkSession
+    trained = ivf_train(emb, n_centroids, n_iters, vec_col, dim).collect()
+    spark.createDataFrame(trained).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codebook"))
+    cents = sorted(
+        (int(r["cen_id"]), [float(r[f"d{i}"]) for i in range(dim)])
+        for r in trained
+    )
+    (
+        ivf_assignments(emb, cents, vec_col)
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "vectors"))
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Serve top-k from a PERSISTED ``write_ivf_index`` index.  The
+    scoring math is identical to ``ivf_trained_topk`` (same codebook,
+    same rounded-cosine ranking), so the two answers are bit-equal and
+    share one oracle — what differs is the serve-time cost model:
+
+    - the codebook read is ≤ n_centroids rows (bounded collect, the
+      index dictionary);
+    - the probed cell ids (≤ n_queries × n_probe values, bounded) are
+      collected and applied as a STATIC ``isin`` partition filter, so
+      the scan reads ONLY the probed cells' files — serve cost is
+      O(probed cells), not O(corpus), the inverted-file property made
+      physical by the partition layout (plan-pinned: the vectors scan
+      must show a non-empty ``PartitionFilters``);
+    - assignment and norms come from the index — no full-corpus
+      projection at serve time.
+    """
+    import os
+
+    cb = spark.read.parquet(os.path.join(path, "codebook")).collect()
+    cents = sorted(
+        (int(r["cen_id"]), [float(r[f"d{i}"]) for i in range(dim)])
+        for r in cb
+    )
+    probes = (
+        _ivf_with_cells(
+            queries.filter(F.col("vec_id") < n_queries), cents, vec_col
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+            F.explode(F.slice(F.col("_cells"), 1, n_probe)).alias("_c"),
+        )
+        .select(
+            "query_id", "_qv", "_qn",
+            (-F.col("_c")["neg_cen"]).alias("cell"),
+        )
+    )
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    assigned = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("cell").isin(probed_cells))
+        .withColumn("cell", F.col("cell").cast("long"))
+    )
+    sim = F.round(
+        _cos_pre(
+            F.col("_qv"), F.col(vec_col), F.col("_qn"), F.col("_nrm")
+        ),
+        6,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def clustered_corpus(
     emb: DataFrame, n_clusters: int = 8, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -321,6 +321,21 @@ def llm_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/serve-many IVF: persist the trained codebook + the
+    cell-partitioned corpus (write_ivf_index), then serve top-k reading
+    ONLY the probed cells back (static partition pruning on the index
+    scan).  Bit-equal to llm_ivf_trained_topk — the two share one
+    oracle; what this row measures is the persisted-index serve path,
+    including the build."""
+    from .sink_parity import _workdir
+
+    emb = _emb(spark, sf_dir)
+    path = _workdir("ivf_index")
+    similarity.write_ivf_index(emb, path, n_iters=IVF_TRAIN_ITERS)
+    return similarity.ivf_index_topk(spark, path, emb)
+
+
 def llm_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the TRAINED IVF path vs exact brute force — closes
     the measure-don't-guess loop on the Lloyd's fit (compare against
@@ -2415,6 +2430,7 @@ QUERIES = {
     "llm_sketch_profile": llm_sketch_profile,
     "llm_sketch_accuracy": llm_sketch_accuracy,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
+    "llm_ivf_index_topk": llm_ivf_index_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
     "llm_ivf_recall_clustered": llm_ivf_recall_clustered,
     "llm_ivf_trained_recall_clustered": llm_ivf_trained_recall_clustered,
@@ -2482,6 +2498,7 @@ ORACLES = {
     "llm_source_quality_gate": SOURCE_QUALITY_GATE_SQL,
     "llm_sketch_accuracy": SKETCH_ACCURACY_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
+    "llm_ivf_index_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
     "llm_ivf_recall_clustered": _with_clustered_corpus(IVF_RECALL_SQL),
     "llm_ivf_trained_recall_clustered": _with_clustered_corpus(

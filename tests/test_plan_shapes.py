@@ -463,6 +463,29 @@ def test_media_codec_rollup_narrow_until_rollup(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_ivf_index_serve_prunes_to_probed_cells(spark):
+    """Persisted-index serve: the vectors scan must carry a non-empty
+    PartitionFilters on cell — only the probed cells' files are read
+    (serve cost O(probed cells), not O(corpus)) — and the serve answer
+    must be bit-equal to the inline trained path it shares an oracle
+    with."""
+    from evmtrace_etl_spark.operators import similarity
+    from evmtrace_etl_spark.plans.llm_data import (
+        IVF_TRAIN_ITERS,
+        llm_ivf_index_topk,
+        llm_ivf_trained_topk,
+    )
+
+    served = llm_ivf_index_topk(spark, SF_DIR)
+    plan = plan_of(served, "simple")
+    # (the query-side embeddings scan is unpartitioned and shows an
+    # empty PartitionFilters — the pin is on the INDEX scan)
+    assert "PartitionFilters: [cell" in plan
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, llm_ivf_trained_topk(spark, SF_DIR).collect()))
+    assert got == want
+
+
 def test_weighted_sample_topk_not_full_sort(spark):
     """A-ES weighted sampling: the k-cut must be TakeOrderedAndProject
     (per-partition heaps), never a full corpus sort; the rank window
