@@ -1,14 +1,15 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-Three formats are decoded for REAL with stdlib-only codecs
-(``struct``-level parsers, no external libraries): WAV (RIFF/PCM16,
-chunk-walking parser), BMP (24-bit BI_RGB, bottom-up rows, 4-byte row
-padding) and PPM (P6, comment-tolerant header tokenizer).
-``decode_media`` dispatches to them; only formats whose codecs
-genuinely require external libraries (PNG, MP4) still raise
-``NotImplementedError``, and the pipeline's fake-feature path covers
-those.  Everything Spark-side is real and tested either way: the
+Four formats are decoded for REAL with stdlib-only codecs: WAV
+(RIFF/PCM16, chunk-walking parser), BMP (24-bit BI_RGB, bottom-up
+rows, 4-byte row padding), PPM (P6, comment-tolerant header
+tokenizer) and PNG (8-bit RGB non-interlaced: CRC-checked chunk walk,
+multi-IDAT ``zlib`` inflate, full None/Sub/Up/Average/Paeth scanline
+reconstruction).  ``decode_media`` dispatches to them; only video
+(MP4), whose codecs genuinely require external libraries, still
+raises ``NotImplementedError``, and the pipeline's fake-feature path
+covers it.  Everything Spark-side is real and tested either way: the
 schema, the binary column, the Arrow batch shape, the ``mapInPandas``
 signature, and the partition behavior.
 
@@ -201,9 +202,108 @@ def decode_ppm(blob: bytes) -> dict:
     return {"kind": "image", "width": w, "height": h, "pixels": pixels}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels) -> bytes:
+    """Real PNG (8-bit RGB, no interlace): zlib-deflated scanlines with
+    filter type 0, CRC32-checked chunks.  ``pixels`` as in
+    ``encode_bmp``."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        for x in range(width):
+            raw += bytes(pixels[y * width + x])
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> dict:
+    """Spec-correct PNG reader for the 8-bit RGB non-interlaced
+    profile: chunk walk with CRC verification, multi-IDAT inflate, and
+    full scanline-filter reconstruction (None/Sub/Up/Average/Paeth) —
+    so PNGs from ANY conforming encoder decode, not just
+    ``encode_png``'s filter-0 output.  Returns exact pixels,
+    top-down."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG blob")
+    off, idat, meta = 8, bytearray(), None
+    while off + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, off)
+        tag = blob[off + 4 : off + 8]
+        payload = blob[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, off + 8 + length)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        off += 12 + length
+    if meta is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, _, _, interlace = meta
+    if (depth, color, interlace) != (8, 2, 0):
+        raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = 3 * w, 3
+    pixels: list = [None] * (w * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0  # left (reconstructed)
+            b = prev[i]  # up
+            c = prev[i - bpp] if i >= bpp else 0  # up-left
+            if ftype == 0:
+                pass
+            elif ftype == 1:  # Sub
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:  # Up
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:  # Average
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+            else:
+                raise ValueError(f"unknown filter type {ftype}")
+        for x in range(w):
+            pixels[y * w + x] = (
+                line[3 * x], line[3 * x + 1], line[3 * x + 2]
+            )
+        prev = line
+    return {"kind": "image", "width": w, "height": h, "pixels": pixels}
+
+
 def decode_media(blob: bytes, media_type: str) -> dict:
-    """Real decode for the stdlib-codec formats (WAV/BMP/PPM); formats
-    that require external codec libraries (PNG/MP4) raise and ride the
+    """Real decode for the stdlib-codec formats (WAV/BMP/PPM/PNG — PNG
+    needs only stdlib ``zlib``); formats that genuinely require
+    external codec libraries (MP4/video) raise and ride the
     deterministic fake-feature path instead."""
     if media_type == "audio/wav":
         return decode_wav(blob)
@@ -211,8 +311,10 @@ def decode_media(blob: bytes, media_type: str) -> dict:
         return decode_bmp(blob)
     if media_type == "image/ppm":
         return decode_ppm(blob)
+    if media_type == "image/png":
+        return decode_png(blob)
     raise NotImplementedError(
-        f"decoding {media_type} requires an image/video library not "
+        f"decoding {media_type} requires a video codec library not "
         "present in this environment; use the deterministic fake path"
     )
 
@@ -454,6 +556,51 @@ def real_media_rollup(docs: DataFrame) -> DataFrame:
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_units").alias("total_units"),
+        F.sum("value_sum").alias("value_total"),
+        F.sum("sum_r").alias("r_total"),
+        F.sum("sum_g").alias("g_total"),
+        F.sum("sum_b").alias("b_total"),
+    )
+
+
+def as_png_media_table(docs: DataFrame) -> DataFrame:
+    """Real-PNG corpus: one genuine deflate-compressed PNG per document
+    (same deterministic pixel parameters as the BMP/PPM legs, so
+    decoded sums stay closed-form even though the COMPRESSED byte size
+    is not)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                p = synth_media_params(int(d))
+                blobs.append(
+                    encode_png(
+                        p["w"], p["h"],
+                        [(p["pr"], p["pg"], p["pb"])] * (p["w"] * p["h"]),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": ["image/png"] * len(blobs),
+                    "media": blobs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=REAL_MEDIA_SCHEMA)
+
+
+def png_media_rollup(docs: DataFrame) -> DataFrame:
+    """Whole-corpus PNG round-trip: encode (filter-0 + deflate) →
+    spec-level decode (CRC walk, inflate, filter reconstruction) →
+    rollup of decoded sums.  The oracle recomputes every total in
+    closed form from ``synth_media_params``; byte size is excluded
+    (deflate output length has no closed form)."""
+    feats = extract_real_media_features(as_png_media_table(docs))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
         F.sum("n_units").alias("total_units"),
         F.sum("value_sum").alias("value_total"),
         F.sum("sum_r").alias("r_total"),

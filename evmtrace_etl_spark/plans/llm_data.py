@@ -177,6 +177,14 @@ def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_media_png_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus PNG round-trip (stdlib zlib codec): deflate-encode
+    one real PNG per doc, spec-decode it back (CRC, inflate, filter
+    reconstruction), roll up the decoded sums the oracle recomputes in
+    closed form."""
+    return multimodal.png_media_rollup(_docs(spark, sf_dir))
+
+
 def llm_media_codec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib-codec path (L12): synthesize genuine WAV/BMP/PPM
     blobs per document, struct-decode every one of them, and roll up
@@ -889,6 +897,22 @@ SELECT media_type,
   CAST(sum(sum_g) AS BIGINT) AS g_total,
   CAST(sum(sum_b) AS BIGINT) AS b_total
 FROM f GROUP BY media_type
+"""
+
+MEDIA_PNG_ROLLUP_SQL = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+    doc_id % 256 AS pr, (doc_id*7) % 256 AS pg, (doc_id*13) % 256 AS pb
+  FROM documents
+)
+SELECT 'image/png' AS media_type,
+  CAST(count(*) AS BIGINT) AS n_media,
+  CAST(sum(w*h) AS BIGINT) AS total_units,
+  CAST(sum(w*h*(pr+pg+pb)) AS BIGINT) AS value_total,
+  CAST(sum(w*h*pr) AS BIGINT) AS r_total,
+  CAST(sum(w*h*pg) AS BIGINT) AS g_total,
+  CAST(sum(w*h*pb) AS BIGINT) AS b_total
+FROM p
 """
 
 COSINE_TOPK_SQL = f"""
@@ -2397,6 +2421,7 @@ QUERIES = {
     "llm_banded_near_dups": llm_banded_near_dups,
     "llm_media_decode": llm_media_decode,
     "llm_media_codec_rollup": llm_media_codec_rollup,
+    "llm_media_png_rollup": llm_media_png_rollup,
     "llm_minhash_calibration": llm_minhash_calibration,
     "llm_weighted_sample": llm_weighted_sample,
     "llm_ann_recall": llm_ann_recall,
@@ -2466,6 +2491,7 @@ ORACLES = {
     "llm_banded_near_dups": BANDED_NEAR_DUPS_SQL,
     "llm_media_decode": MEDIA_DECODE_SQL,
     "llm_media_codec_rollup": MEDIA_CODEC_ROLLUP_SQL,
+    "llm_media_png_rollup": MEDIA_PNG_ROLLUP_SQL,
     "llm_minhash_calibration": MINHASH_CALIBRATION_SQL,
     "llm_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "llm_ann_recall": ANN_RECALL_SQL,

@@ -102,8 +102,13 @@ def test_wav_rejects_non_pcm16():
 def test_decode_media_dispatch_and_stub():
     mt, blob = mm.synth_media_blob(0)
     assert mm.decode_media(blob, mt)["kind"] == "image"
+    px = _rand_pixels(2, 2)
+    assert (
+        mm.decode_media(mm.encode_png(2, 2, px), "image/png")["pixels"]
+        == px
+    )
     with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\x89PNG", "image/png")
+        mm.decode_media(b"\x00\x00\x00 ftypmp42", "video/mp4")
 
 
 @settings(max_examples=40, deadline=None, derandomize=True)
@@ -158,3 +163,123 @@ def test_synth_blobs_match_oracle_closed_forms():
             assert sum(px[0] for px in d["pixels"]) == w * h * p["pr"]
             assert sum(px[1] for px in d["pixels"]) == w * h * p["pg"]
             assert sum(px[2] for px in d["pixels"]) == w * h * p["pb"]
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib codec)
+# ---------------------------------------------------------------------------
+
+def _png_with_filters(w, h, pixels, ftypes):
+    """Build a PNG whose scanlines use the given per-row filter types —
+    exercises decode paths encode_png (filter 0 only) never emits."""
+    import zlib
+
+    bpp, stride = 3, 3 * w
+    flat = bytearray()
+    for y in range(h):
+        for x in range(w):
+            flat += bytes(pixels[y * w + x])
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(flat[y * stride : (y + 1) * stride])
+        ft = ftypes[y % len(ftypes)]
+        out = bytearray(stride)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                out[i] = line[i]
+            elif ft == 1:
+                out[i] = (line[i] - a) & 0xFF
+            elif ft == 2:
+                out[i] = (line[i] - b) & 0xFF
+            elif ft == 3:
+                out[i] = (line[i] - (a + b) // 2) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] - pr) & 0xFF
+        raw.append(ft)
+        raw += out
+        prev = line
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    # split IDAT in two to exercise multi-IDAT concatenation
+    mid = len(comp) // 2
+    return (
+        mm._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:mid])
+        + chunk(b"IDAT", comp[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 4), (7, 5), (16, 9)])
+def test_png_round_trip_exact(w, h):
+    px = _rand_pixels(w, h)
+    d = mm.decode_png(mm.encode_png(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == px
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filter_types_reconstruct(ftypes):
+    px = _rand_pixels(5, 6)
+    blob = _png_with_filters(5, 6, px, ftypes)
+    assert mm.decode_png(blob)["pixels"] == px
+
+
+def test_png_rejects_bad_crc():
+    blob = bytearray(mm.encode_png(2, 2, _rand_pixels(2, 2)))
+    blob[20] ^= 0xFF  # corrupt IHDR payload without fixing its CRC
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(blob))
+
+
+def test_png_rejects_unsupported_profile():
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+    blob = mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        mm.decode_png(blob)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=8),
+    data=st.data(),
+)
+def test_png_round_trip_property(w, h, data):
+    px = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    assert mm.decode_png(mm.encode_png(w, h, px))["pixels"] == px
