@@ -391,9 +391,13 @@ def write_ivf_index(
         (int(r["cen_id"]), [float(r[f"d{i}"]) for i in range(dim)])
         for r in trained
     )
+    # repartition by cell before the write: one file per cell instead
+    # of a per-task small-file spray — at scale, cell IS the layout key
+    # (serve-side partition pruning reads whole cells)
     (
         ivf_assignments(emb, cents, vec_col)
         .withColumn("_nrm", _norm(F.col(vec_col)))
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "vectors"))
