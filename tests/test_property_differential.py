@@ -1009,3 +1009,82 @@ def test_minhash_calibration_matches_python_reference(spark, docs):
         for bin_, (n, se, st_, sa) in agg.items()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# simhash_docs / winnow_fingerprints vs pure-Python references
+# ---------------------------------------------------------------------------
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc d\ne", min_size=0, max_size=40),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_matches_python_reference(spark, docs):
+    """Bit-twiddling is copy-bug prone: the 32 conditional-sum bit
+    aggregates must agree with a from-scratch simhash (Charikar 2002)
+    over the token-hash multiset, including the >= 0 sign rule and
+    multiset (not set) semantics."""
+    from evmtrace_etl_spark.operators.dedup import simhash_docs
+
+    rows = [(i, t, "s") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+
+    want = {}
+    for i, t in enumerate(docs):
+        toks = _py_tokens(t)
+        if not toks:
+            continue
+        bits = [0] * 32
+        for tok in toks:
+            h = _py_h32(tok)
+            for b in range(32):
+                bits[b] += 1 if (h >> b) & 1 else -1
+        want[i] = sum(2 ** b for b in range(32) if bits[b] >= 0)
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c\nd", min_size=0, max_size=50),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_winnowing_matches_python_reference(spark, docs):
+    """The zero-shuffle sliding-window pipeline must agree with the
+    paper's construction (Schleimer et al. 2003): hash char k-grams of
+    the whitespace-normalized text, keep each w-window's minimum,
+    distinct + sorted."""
+    import re
+
+    from evmtrace_etl_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    k, w = 5, 4
+    rows = [(i, t, "s") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = {
+        r.doc_id: (r.n_fingerprints, r.fingerprints)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+
+    want = {}
+    for i, t in enumerate(docs):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        if len(norm) < k + w - 1:
+            continue
+        hashes = [
+            _py_h32(norm[j : j + k]) for j in range(len(norm) - k + 1)
+        ]
+        mins = sorted(
+            {min(hashes[j : j + w]) for j in range(len(hashes) - w + 1)}
+        )
+        want[i] = (len(mins), ",".join(str(m) for m in mins))
+    assert got == want
