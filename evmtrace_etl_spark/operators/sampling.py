@@ -502,3 +502,62 @@ def weighted_sample(
         "n_toks",
         "sample_key",
     )
+
+
+def _rdv_hashes_expr(n_shards: int) -> str:
+    """SQL expr: per-shard rendezvous hashes for doc_id (same
+    md5-prefix hash as functions.text.hash32, computed per shard id)."""
+    return (
+        f"transform(sequence(0, {n_shards - 1}), s -> "
+        "CAST(conv(substring(md5(concat('rdv#', CAST(doc_id AS STRING), "
+        "'#', CAST(s AS STRING))), 1, 7), 16, 10) AS BIGINT))"
+    )
+
+
+def rendezvous_shard_col(n_shards: int) -> F.Column:
+    """Rendezvous / highest-random-weight shard for ``doc_id``: each
+    (doc, shard) pair draws a deterministic hash and the doc goes to
+    the highest-scoring shard (first index on ties).  Unlike mod-hash
+    sharding, scaling n → n+1 moves only ~1/(n+1) of the corpus — the
+    property that makes resharding a 100 TB corpus an incremental copy
+    instead of a full rewrite."""
+    hs = _rdv_hashes_expr(n_shards)
+    return F.expr(
+        f"CAST(array_position({hs}, array_max({hs})) - 1 AS INT)"
+    )
+
+
+def rendezvous_stability(
+    docs: DataFrame, n_a: int = N_SHARDS, n_b: int = N_SHARDS + 1
+) -> DataFrame:
+    """Measured resharding cost of rendezvous sharding: assign every
+    doc under ``n_a`` and ``n_b`` shards and report how much moved.
+    Expected moved fraction ≈ 1/n_b for HRW (vs (n_b-1)/n_b for
+    mod-hashing) — this row is the measured justification for using
+    rendezvous assignment when shard counts evolve.
+
+    One narrow projection + one global aggregate; zero joins/shuffles
+    beyond the final 1-row rollup.
+
+    Output (one row): n_docs, n_moved, moved_frac (round 6),
+    max_shard_a (occupancy skew check under n_a).
+    """
+    assigned = docs.select(
+        "doc_id",
+        rendezvous_shard_col(n_a).alias("_sa"),
+        rendezvous_shard_col(n_b).alias("_sb"),
+    )
+    per_shard = assigned.groupBy("_sa").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0)
+        ).alias("_m"),
+    )
+    return per_shard.agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_m").cast("long").alias("n_moved"),
+        F.round(
+            F.sum("_m").cast("double") / F.sum("_n").cast("double"), 6
+        ).alias("moved_frac"),
+        F.max("_n").cast("long").alias("max_shard_a"),
+    )

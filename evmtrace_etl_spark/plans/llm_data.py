@@ -254,6 +254,13 @@ def llm_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_MOD = 13
 
 
+def llm_shard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured resharding cost of rendezvous (HRW) sharding scaling
+    32 → 33 shards: moved fraction ≈ 1/33 vs ≈ 32/33 for mod-hash —
+    the consistent-sharding property, measured not asserted."""
+    return sampling.rendezvous_stability(_docs(spark, sf_dir))
+
+
 def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-proportional deterministic sample (A-ES exponential
     sort): 100 docs drawn with P ∝ token count, no RNG state."""
@@ -643,6 +650,36 @@ jac AS (SELECT doc_a, doc_b,
   JOIN sh sa ON sa.doc_id = pairs.doc_a
   JOIN sh sb ON sb.doc_id = pairs.doc_b)
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+_RDV_H = _sql_h32(
+    "'rdv#' || CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)"
+)
+
+SHARD_STABILITY_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(range(0, 32), s -> {_RDV_H}) AS ha,
+    list_transform(range(0, 33), s -> {_RDV_H}) AS hb
+  FROM documents
+),
+a AS (
+  SELECT doc_id,
+    list_position(ha, list_max(ha)) - 1 AS sa,
+    list_position(hb, list_max(hb)) - 1 AS sb
+  FROM h
+),
+g AS (
+  SELECT sa, count(*) AS n,
+    sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS m
+  FROM a GROUP BY sa
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+  CAST(sum(m) AS BIGINT) AS n_moved,
+  round(CAST(sum(m) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS moved_frac,
+  CAST(max(n) AS BIGINT) AS max_shard_a
+FROM g
 """
 
 
@@ -2435,6 +2472,7 @@ QUERIES = {
     "llm_media_png_rollup": llm_media_png_rollup,
     "llm_minhash_calibration": llm_minhash_calibration,
     "llm_weighted_sample": llm_weighted_sample,
+    "llm_shard_stability": llm_shard_stability,
     "llm_ann_recall": llm_ann_recall,
     "llm_train_shards": llm_train_shards,
     "llm_quality_sample": llm_quality_sample,
@@ -2505,6 +2543,7 @@ ORACLES = {
     "llm_media_png_rollup": MEDIA_PNG_ROLLUP_SQL,
     "llm_minhash_calibration": MINHASH_CALIBRATION_SQL,
     "llm_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "llm_shard_stability": SHARD_STABILITY_SQL,
     "llm_ann_recall": ANN_RECALL_SQL,
     "llm_train_shards": TRAIN_SHARDS_SQL,
     "llm_quality_sample": QUALITY_SAMPLE_SQL,

@@ -486,6 +486,16 @@ def test_ivf_index_serve_prunes_to_probed_cells(spark):
     assert got == want
 
 
+def test_shard_stability_no_joins(spark):
+    """Rendezvous stability: one narrow projection (both assignments
+    computed per row) + a grouped rollup — zero joins, no Window."""
+    from evmtrace_etl_spark.plans.llm_data import llm_shard_stability
+
+    plan = plan_of(llm_shard_stability(spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
 def test_weighted_sample_topk_not_full_sort(spark):
     """A-ES weighted sampling: the k-cut must be TakeOrderedAndProject
     (per-partition heaps), never a full corpus sort; the rank window

@@ -1088,3 +1088,33 @@ def test_winnowing_matches_python_reference(spark, docs):
         )
         want[i] = (len(mins), ",".join(str(m) for m in mins))
     assert got == want
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True))
+@settings(**_SETTINGS)
+def test_rendezvous_shards_match_python_reference(spark, ids):
+    """HRW assignment (argmax of per-shard hashes, first index on
+    ties) and the moved-set under n -> n+1 must agree with a
+    from-scratch reference."""
+    from evmtrace_etl_spark.operators.sampling import rendezvous_shard_col
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    got = {
+        r.doc_id: (r.sa, r.sb)
+        for r in df.select(
+            "doc_id",
+            rendezvous_shard_col(5).alias("sa"),
+            rendezvous_shard_col(6).alias("sb"),
+        ).collect()
+    }
+
+    def hrw(doc_id, n):
+        hs = [_py_h32(f"rdv#{doc_id}#{s}") for s in range(n)]
+        return hs.index(max(hs))
+
+    want = {i: (hrw(i, 5), hrw(i, 6)) for i in ids}
+    assert got == want
+    # the consistent-hashing property itself: a doc either keeps its
+    # shard or moves to the NEW shard (n), never reshuffles among old
+    for sa, sb in want.values():
+        assert sb == sa or sb == 5
