@@ -1,16 +1,20 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-Four formats are decoded for REAL with stdlib-only codecs: WAV
+Five formats are decoded for REAL with stdlib-only codecs: WAV
 (RIFF/PCM16, chunk-walking parser), BMP (24-bit BI_RGB, bottom-up
 rows, 4-byte row padding), PPM (P6, comment-tolerant header
-tokenizer) and PNG (8-bit RGB non-interlaced: CRC-checked chunk walk,
+tokenizer), PNG (8-bit RGB non-interlaced: CRC-checked chunk walk,
 multi-IDAT ``zlib`` inflate, full None/Sub/Up/Average/Paeth scanline
-reconstruction).  ``decode_media`` dispatches to them; only video
-(MP4), whose codecs genuinely require external libraries, still
-raises ``NotImplementedError``, and the pipeline's fake-feature path
-covers it.  Everything Spark-side is real and tested either way: the
-schema, the binary column, the Arrow batch shape, the ``mapInPandas``
+reconstruction) and MP4 (ISO BMFF container demux: recursive box
+walk with 64-bit ``largesize`` support, ``mvhd``/``mdhd`` timing,
+``stts`` deltas, ``stsz`` sample sizes cross-checked against the
+``mdat`` payload, per-sample slicing).  Decoding the video *frames*
+inside MP4 samples would need an external codec (H.264 etc.), but the
+container layer — the part a data pipeline actually touches for
+metadata, sampling and slicing — is plain ``struct`` parsing, done
+for real here.  Everything Spark-side is real and tested: the schema,
+the binary column, the Arrow batch shape, the ``mapInPandas``
 signature, and the partition behavior.
 
 Scale notes: media blobs ride in parquet binary columns; feature
@@ -48,9 +52,9 @@ MEDIA_FEATURE_SCHEMA = StructType(
 )
 
 
-#: Formats with REAL stdlib codecs (``doc_id % 3`` order in the
-#: synthetic corpus).  PNG/MP4 stay on the fake-feature path — their
-#: codecs genuinely need external libraries.
+#: Formats in the real-codec rollup corpus (``doc_id % 3`` order).
+#: PNG and MP4 have their own corpora (``as_png_media_table`` /
+#: ``as_mp4_media_table``) — all five formats decode for real.
 REAL_MEDIA_TYPES = ["image/bmp", "audio/wav", "image/ppm"]
 
 
@@ -300,11 +304,189 @@ def decode_png(blob: bytes) -> dict:
     return {"kind": "image", "width": w, "height": h, "pixels": pixels}
 
 
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _mp4_full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+#: Identity transform matrix used by mvhd/tkhd (16.16 / 2.30 fixed).
+_MP4_MATRIX = (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4(
+    duration: int,
+    sample_sizes: list,
+    fill: int,
+    timescale: int = 600,
+    sample_delta: int = 100,
+) -> bytes:
+    """Minimal but conforming ISO BMFF (MP4) file: ``ftyp`` + a full
+    ``moov`` tree (``mvhd``, ``trak/tkhd``, ``mdia/mdhd/hdlr``,
+    ``minf/vmhd/dinf/stbl`` with ``stsd/stts/stsc/stsz/stco``) + one
+    ``mdat`` chunk whose payload is ``fill``-byte samples laid out per
+    ``sample_sizes``.  Any conforming BMFF demuxer can read it."""
+    import struct
+
+    n = len(sample_sizes)
+    payload = b"".join(bytes([fill % 256]) * s for s in sample_sizes)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp42")
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", *_MP4_MATRIX)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", *_MP4_MATRIX)
+        + struct.pack(">II", 16 << 16, 16 << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, n * sample_delta)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
+    )
+    dinf = _mp4_box(b"dinf", dref)
+    # VisualSampleEntry ('mp4v'), 16x16, no codec config — container
+    # conformance only; the raster inside samples is synthetic fill.
+    sample_entry = _mp4_box(
+        b"mp4v",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", 16, 16)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + struct.pack(">%dI" % n, *sample_sizes),
+    )
+    stbl_wo_stco = stsd + stts + stsc + stsz
+    # stco holds the absolute file offset of the mdat payload: everything
+    # before it is ftyp + moov (whose size includes the 20-byte stco) + 8.
+    stbl_len = 8 + len(stbl_wo_stco) + 20
+    minf_len = 8 + len(vmhd) + len(dinf) + stbl_len
+    mdia_len = 8 + len(mdhd) + len(hdlr) + minf_len
+    trak_len = 8 + len(tkhd) + mdia_len
+    moov_len = 8 + len(mvhd) + trak_len
+    mdat_payload_off = len(ftyp) + moov_len + 8
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, mdat_payload_off))
+    stbl = _mp4_box(b"stbl", stbl_wo_stco + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    mdat = _mp4_box(b"mdat", payload)
+    assert len(moov) == moov_len  # stco offset stays self-consistent
+    return ftyp + moov + mdat
+
+
+def decode_mp4(blob: bytes) -> dict:
+    """ISO BMFF container demux, stdlib-only: recursive box walk
+    (``size == 1`` 64-bit largesize and ``size == 0`` to-EOF forms
+    handled, unknown boxes skipped), ``mvhd``/``mdhd`` v0+v1 timing,
+    ``stts`` total ticks, ``stsz`` sample sizes (uniform and per-sample
+    forms) cross-checked against the ``mdat`` payload length, and
+    per-sample payload slices.  Frame pixel decode would need an
+    external video codec; the container layer is decoded for real."""
+    import struct
+
+    out: dict = {"kind": "video", "mdat": b""}
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        off = start
+        while off + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, off)
+            tag = buf[off + 4 : off + 8]
+            body = off + 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", buf, off + 8)
+                body = off + 16
+            elif size == 0:
+                size = end - off
+            if size < 8 or off + size > end:
+                raise ValueError(f"bad box size {size} for {tag!r}")
+            if tag in _MP4_CONTAINERS:
+                walk(buf, body, off + size)
+            elif tag in (b"mvhd", b"mdhd"):
+                version = buf[body]
+                if version == 1:
+                    ts, dur = struct.unpack_from(">IQ", buf, body + 4 + 16)
+                else:
+                    _, _, ts, dur = struct.unpack_from(">IIII", buf, body + 4)
+                key = "timescale" if tag == b"mvhd" else "media_timescale"
+                dkey = "duration" if tag == b"mvhd" else "media_duration"
+                out[key], out[dkey] = ts, dur
+            elif tag == b"stts":
+                (count,) = struct.unpack_from(">I", buf, body + 4)
+                ticks = 0
+                for i in range(count):
+                    c, d = struct.unpack_from(">II", buf, body + 8 + 8 * i)
+                    ticks += c * d
+                out["total_ticks"] = ticks
+            elif tag == b"stsz":
+                uniform, count = struct.unpack_from(">II", buf, body + 4)
+                if uniform:
+                    out["sample_sizes"] = [uniform] * count
+                else:
+                    out["sample_sizes"] = list(
+                        struct.unpack_from(">%dI" % count, buf, body + 12)
+                    )
+            elif tag == b"mdat":
+                out["mdat"] = buf[body : off + size]
+            off += size
+
+    walk(blob, 0, len(blob))
+    if "timescale" not in out or "sample_sizes" not in out:
+        raise ValueError("missing mvhd/stsz box")
+    if sum(out["sample_sizes"]) != len(out["mdat"]):
+        raise ValueError("stsz total does not match mdat payload")
+    slices, pos = [], 0
+    for s in out["sample_sizes"]:
+        slices.append(out["mdat"][pos : pos + s])
+        pos += s
+    out["samples"] = slices
+    return out
+
+
 def decode_media(blob: bytes, media_type: str) -> dict:
-    """Real decode for the stdlib-codec formats (WAV/BMP/PPM/PNG — PNG
-    needs only stdlib ``zlib``); formats that genuinely require
-    external codec libraries (MP4/video) raise and ride the
-    deterministic fake-feature path instead."""
+    """Real decode for the stdlib-codec formats: WAV/BMP/PPM/PNG (PNG
+    needs only stdlib ``zlib``) and MP4 at the ISO-BMFF container
+    level (timing, sample table, per-sample payload slices — frame
+    pixel decode would need an external video codec)."""
     if media_type == "audio/wav":
         return decode_wav(blob)
     if media_type == "image/bmp":
@@ -313,10 +495,9 @@ def decode_media(blob: bytes, media_type: str) -> dict:
         return decode_ppm(blob)
     if media_type == "image/png":
         return decode_png(blob)
-    raise NotImplementedError(
-        f"decoding {media_type} requires a video codec library not "
-        "present in this environment; use the deterministic fake path"
-    )
+    if media_type == "video/mp4":
+        return decode_mp4(blob)
+    raise NotImplementedError(f"no stdlib codec for {media_type}")
 
 
 def as_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -606,6 +787,116 @@ def png_media_rollup(docs: DataFrame) -> DataFrame:
         F.sum("sum_r").alias("r_total"),
         F.sum("sum_g").alias("g_total"),
         F.sum("sum_b").alias("b_total"),
+    )
+
+
+def synth_mp4_params(doc_id: int) -> dict:
+    """Deterministic MP4 synthesis parameters — single source of truth
+    for the encoder, the unit tests, and (as closed-form SQL) the
+    DuckDB oracle.  Sample sizes ``sbase + (i % 13)`` telescope; the
+    mdat payload is a constant ``fill`` byte per doc so its value sum
+    is ``sizes_sum * fill`` (payload VARIETY is pinned by round-trip
+    unit tests instead)."""
+    n = 5 + doc_id % 11
+    sbase = 10 + doc_id % 29
+    return {
+        "duration": 600 * (1 + doc_id % 7),  # mvhd ticks, timescale 600
+        "n": n,
+        "sizes": [sbase + (i % 13) for i in range(n)],
+        "fill": doc_id % 251,
+    }
+
+
+def synth_mp4_blob(doc_id: int) -> bytes:
+    p = synth_mp4_params(doc_id)
+    return encode_mp4(p["duration"], p["sizes"], p["fill"])
+
+
+#: Encoder byte overhead: everything except the 4-bytes-per-sample stsz
+#: table and the mdat payload is fixed-size, so
+#: ``len(blob) == MP4_OVERHEAD + 4*n + sum(sizes)``.  Computed from the
+#: encoder itself and interpolated into the oracle SQL, so the oracle
+#: pins the exact on-disk layout.
+MP4_OVERHEAD = len(synth_mp4_blob(0)) - 4 * synth_mp4_params(0)["n"] - sum(
+    synth_mp4_params(0)["sizes"]
+)
+
+MP4_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_bytes", LongType()),
+        StructField("duration", LongType()),
+        StructField("total_ticks", LongType()),
+        StructField("mdat_sum", LongType()),
+    ]
+)
+
+
+def as_mp4_media_table(docs: DataFrame) -> DataFrame:
+    """Real-MP4 corpus: one genuine ISO-BMFF file per document.  Narrow
+    ``mapInPandas`` (no shuffle); at 100 TB the blobs would arrive in
+    parquet binary columns and this stage disappears."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": ["video/mp4"] * len(pdf),
+                    "media": [synth_mp4_blob(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=REAL_MEDIA_SCHEMA)
+
+
+def extract_mp4_features(media: DataFrame) -> DataFrame:
+    """REAL container demux over the binary column: every blob goes
+    through ``decode_mp4`` (box walk, stsz-vs-mdat cross-check, sample
+    slicing); nothing here reads the synthesis parameters."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MP4_FEATURE_SCHEMA}
+            for doc_id, mt, blob in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media"]
+            ):
+                b = bytes(blob)
+                d = decode_media(b, mt)
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["n_bytes"].append(len(b))
+                out["n_samples"].append(len(d["sample_sizes"]))
+                out["sample_bytes"].append(sum(d["sample_sizes"]))
+                out["duration"].append(d["duration"])
+                out["total_ticks"].append(d["total_ticks"])
+                out["mdat_sum"].append(sum(d["mdat"]))
+            yield pd.DataFrame(out).astype(
+                {f.name: "int64" for f in MP4_FEATURE_SCHEMA if f.name != "media_type"}
+            )
+
+    return media.mapInPandas(_extract, schema=MP4_FEATURE_SCHEMA)
+
+
+def mp4_media_rollup(docs: DataFrame) -> DataFrame:
+    """Whole-corpus MP4 round-trip: encode (real box tree) → container
+    demux (box walk, timing, sample table, mdat cross-check) → rollup.
+    The oracle recomputes every total — including the exact file byte
+    size via ``MP4_OVERHEAD`` — in closed form, so a container bug
+    anywhere (box sizing, stco offset math, stsz table, mdat slicing)
+    breaks the hash match."""
+    feats = extract_mp4_features(as_mp4_media_table(docs))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("sample_bytes").alias("total_sample_bytes"),
+        F.sum("duration").alias("total_duration"),
+        F.sum("total_ticks").alias("ticks_total"),
+        F.sum("mdat_sum").alias("mdat_value_total"),
     )
 
 

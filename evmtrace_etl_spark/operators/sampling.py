@@ -561,3 +561,132 @@ def rendezvous_stability(
         ).alias("moved_frac"),
         F.max("_n").cast("long").alias("max_shard_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+#: Hashed n-gram feature dimension for the importance model.  Small by
+#: design: the two count vectors must broadcast (DSIR's published
+#: setting is 10^4 buckets for web-scale corpora — still broadcastable).
+DSIR_DIM = 128
+
+#: Registered-query selection size.
+DSIR_K = 200
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    dim: int = DSIR_DIM,
+    k: int = DSIR_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    rank raw-pool documents by how target-like they are under hashed
+    unigram bag-of-words models of the target vs the raw distribution.
+
+    Per doc: avg log importance ratio
+    ``mean_t[ ln P_target(bucket(t)) - ln P_raw(bucket(t)) ]`` with
+    add-one smoothing over ``dim`` hash buckets; the top-k by that
+    score are the docs DSIR would resample into training.
+
+    Scale shape (100 TB): ONE corpus pass.  The per-doc bucket
+    histogram's shuffle is shared (ReuseExchange) with the model
+    build, which re-aggregates it to ≤ ``dim`` rows; the corpus totals
+    come from a global window over THAT ``dim``-row table (bounded
+    single task by construction), never from a corpus re-scan; the
+    finished model joins back BROADCAST, then one doc-keyed rollup and
+    a ``TakeOrderedAndProject`` k-cut.  No all-pairs work, nothing
+    corpus-sized on the driver.  (Buckets no token hashes to never
+    appear in any histogram, so no zero-count spine is needed.)
+
+    Determinism: per-bucket log ratios are computed from exact integer
+    counts (double division of exact ints is correctly rounded in both
+    engines), truncated to ``decimal(38,12)`` to absorb ln's ≤ 1-ulp
+    cross-engine wobble, multiplied back in double (exact-int × fixed
+    double, correctly rounded), and summed as decimals — the package's
+    standard accumulation-order-free recipe; ranks are taken on the
+    6-dp-rounded score with a doc_id tie-break.
+
+    Output: doc_id, n_tokens, avg_logratio (round 6), top-k.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(tokens(text_col)).alias("_t"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(hash32(F.col("_t")), F.lit(dim)).alias("bucket"),
+    )
+    # lang is functionally dependent on doc_id, so carrying it through
+    # the histogram key changes nothing about cardinality — and lets
+    # the model's two count vectors derive from the histogram instead
+    # of re-tokenizing the corpus.  The histogram is materialized
+    # because BOTH the model build and the scoring pass consume it:
+    # it is the reduced table here (≤ dim rows per doc vs raw text),
+    # and persisting it replaces a second full tokenize of the corpus
+    # with a columnar re-read.
+    from ..session import materialize
+
+    hist = materialize(
+        toks.groupBy("doc_id", "lang", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    counts = hist.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("rc"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("c")).otherwise(0)
+        ).cast("long").alias("tc"),
+    )
+    # Corpus totals as a global window over the ≤ dim-row count table:
+    # a deliberately bounded single task (cf. the codebook collects
+    # elsewhere), NOT a window over anything corpus-sized — and
+    # crucially not a separate aggregate branch, which column pruning
+    # would specialize into a second corpus scan that ReuseExchange
+    # can't dedupe.
+    w = Window.partitionBy()
+    model = counts.select(
+        "bucket",
+        # ln( ((tc+1)/(T+dim)) / ((rc+1)/(S+dim)) ) over exact ints;
+        # the decimal(38,12) truncation absorbs ln's ulp wobble, the
+        # cast back to double is then engine-identical.
+        F.log(
+            (
+                (F.col("tc") + 1)
+                * (F.sum("rc").over(w).cast("long") + dim)
+            ).cast("double")
+            / (
+                (F.col("rc") + 1)
+                * (F.sum("tc").over(w).cast("long") + dim)
+            ).cast("double")
+        )
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("lr"),
+    )
+    scored = (
+        hist.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(
+                (F.col("c").cast("double") * F.col("lr")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_sum").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("avg_logratio").desc(), F.col("doc_id").asc()
+    ).limit(k)

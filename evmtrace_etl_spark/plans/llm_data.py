@@ -185,6 +185,15 @@ def llm_media_png_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_media_rollup(_docs(spark, sf_dir))
 
 
+def llm_media_mp4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus MP4 round-trip (stdlib ISO-BMFF demux): build one
+    genuine MP4 container per doc, box-walk it back (mvhd/mdhd timing,
+    stts ticks, stsz-vs-mdat cross-check, sample slicing), roll up.
+    The oracle recomputes every total — including the exact file byte
+    size via the encoder's ``MP4_OVERHEAD`` — in closed form."""
+    return multimodal.mp4_media_rollup(_docs(spark, sf_dir))
+
+
 def llm_media_codec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib-codec path (L12): synthesize genuine WAV/BMP/PPM
     blobs per document, struct-decode every one of them, and roll up
@@ -265,6 +274,14 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-proportional deterministic sample (A-ES exponential
     sort): 100 docs drawn with P ∝ token count, no RNG state."""
     return sampling.weighted_sample(_docs(spark, sf_dir))
+
+
+def llm_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (hashed unigram importance ratios,
+    target = English): the top-200 most-target-like raw-pool docs with
+    their avg log importance ratio — the selection step of a
+    domain-targeted training-data pipeline."""
+    return sampling.dsir_weights(_docs(spark, sf_dir))
 
 
 def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,6 +717,45 @@ FROM r WHERE rank <= 100
 """
 
 
+# Mirrors sampling.dsir_weights: hashed unigram importance model with
+# add-one smoothing; per-bucket log ratios decimal(38,12)-truncated to
+# absorb ln's ulp wobble, per-doc sums decimal-exact, ranks taken on
+# the 6-dp-rounded score with a doc_id tie-break.
+DSIR_SELECTION_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_sql_h32('t')} % {sampling.DSIR_DIM} AS bucket
+  FROM (SELECT doc_id, lang, unnest({_TOKS}) AS t FROM documents)
+),
+hist AS (SELECT doc_id, bucket, count(*) AS c FROM tk GROUP BY 1, 2),
+rc AS (SELECT bucket, count(*) AS rc FROM tk GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS tc FROM tk WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT count(*) AS s,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+        FROM tk),
+model AS (
+  SELECT r.range AS bucket,
+    CAST(CAST(ln(
+      CAST((coalesce(tc.tc, 0) + 1) * (tot.s + {sampling.DSIR_DIM})
+           AS DOUBLE)
+      / CAST((coalesce(rc.rc, 0) + 1) * (tot.t + {sampling.DSIR_DIM})
+             AS DOUBLE)
+    ) AS DECIMAL(38,12)) AS DOUBLE) AS lr
+  FROM range({sampling.DSIR_DIM}) r
+  LEFT JOIN rc ON r.range = rc.bucket
+  LEFT JOIN tc ON r.range = tc.bucket, tot
+),
+scored AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+    round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(38,12)))
+               AS DOUBLE)
+          / CAST(sum(c) AS BIGINT), 6) AS avg_logratio
+  FROM hist JOIN model USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_logratio FROM scored
+ORDER BY avg_logratio DESC, doc_id ASC LIMIT {sampling.DSIR_K}
+"""
+
+
 MINHASH_CALIBRATION_SQL = f"""
 WITH {_candidate_pair_ctes()},
 m AS (
@@ -961,6 +1017,35 @@ SELECT 'image/png' AS media_type,
   CAST(sum(w*h*pg) AS BIGINT) AS g_total,
   CAST(sum(w*h*pb) AS BIGINT) AS b_total
 FROM p
+"""
+
+# Mirrors multimodal.synth_mp4_params — telescoped sample-size sums,
+# constant-fill mdat value sums, and the exact file size via the
+# encoder-derived MP4_OVERHEAD constant (pins the on-disk box layout).
+MEDIA_MP4_ROLLUP_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+    600*(1 + doc_id % 7) AS duration,
+    5 + doc_id % 11 AS n,
+    10 + doc_id % 29 AS sbase,
+    doc_id % 251 AS fill
+  FROM documents
+),
+f AS (
+  SELECT duration, n, 100*n AS ticks, fill,
+    n*sbase + (n//13)*78 + (n%13)*((n%13)-1)//2 AS sample_bytes
+  FROM p
+)
+SELECT 'video/mp4' AS media_type,
+  CAST(count(*) AS BIGINT) AS n_media,
+  CAST(sum({multimodal.MP4_OVERHEAD} + 4*n + sample_bytes) AS BIGINT)
+    AS total_bytes,
+  CAST(sum(n) AS BIGINT) AS total_samples,
+  CAST(sum(sample_bytes) AS BIGINT) AS total_sample_bytes,
+  CAST(sum(duration) AS BIGINT) AS total_duration,
+  CAST(sum(ticks) AS BIGINT) AS ticks_total,
+  CAST(sum(sample_bytes * fill) AS BIGINT) AS mdat_value_total
+FROM f
 """
 
 COSINE_TOPK_SQL = f"""
@@ -2470,9 +2555,11 @@ QUERIES = {
     "llm_media_decode": llm_media_decode,
     "llm_media_codec_rollup": llm_media_codec_rollup,
     "llm_media_png_rollup": llm_media_png_rollup,
+    "llm_media_mp4_rollup": llm_media_mp4_rollup,
     "llm_minhash_calibration": llm_minhash_calibration,
     "llm_weighted_sample": llm_weighted_sample,
     "llm_shard_stability": llm_shard_stability,
+    "llm_dsir_selection": llm_dsir_selection,
     "llm_ann_recall": llm_ann_recall,
     "llm_train_shards": llm_train_shards,
     "llm_quality_sample": llm_quality_sample,
@@ -2541,9 +2628,11 @@ ORACLES = {
     "llm_media_decode": MEDIA_DECODE_SQL,
     "llm_media_codec_rollup": MEDIA_CODEC_ROLLUP_SQL,
     "llm_media_png_rollup": MEDIA_PNG_ROLLUP_SQL,
+    "llm_media_mp4_rollup": MEDIA_MP4_ROLLUP_SQL,
     "llm_minhash_calibration": MINHASH_CALIBRATION_SQL,
     "llm_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "llm_shard_stability": SHARD_STABILITY_SQL,
+    "llm_dsir_selection": DSIR_SELECTION_SQL,
     "llm_ann_recall": ANN_RECALL_SQL,
     "llm_train_shards": TRAIN_SHARDS_SQL,
     "llm_quality_sample": QUALITY_SAMPLE_SQL,

@@ -107,8 +107,12 @@ def test_decode_media_dispatch_and_stub():
         mm.decode_media(mm.encode_png(2, 2, px), "image/png")["pixels"]
         == px
     )
+    assert (
+        mm.decode_media(mm.synth_mp4_blob(3), "video/mp4")["kind"]
+        == "video"
+    )
     with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\x00\x00\x00 ftypmp42", "video/mp4")
+        mm.decode_media(b"GIF89a", "image/gif")
 
 
 @settings(max_examples=40, deadline=None, derandomize=True)
@@ -283,3 +287,100 @@ def test_png_round_trip_property(w, h, data):
         )
     )
     assert mm.decode_png(mm.encode_png(w, h, px))["pixels"] == px
+
+
+# ---------------------------------------------------------------------------
+# MP4 (stdlib ISO-BMFF container demux)
+# ---------------------------------------------------------------------------
+
+def test_mp4_round_trip_exact():
+    sizes = [11, 3, 7, 19, 1]
+    blob = mm.encode_mp4(1800, sizes, fill=42, sample_delta=125)
+    d = mm.decode_mp4(blob)
+    assert d["kind"] == "video"
+    assert d["timescale"] == 600 and d["duration"] == 1800
+    assert d["media_timescale"] == 600
+    assert d["media_duration"] == 5 * 125
+    assert d["total_ticks"] == 5 * 125
+    assert d["sample_sizes"] == sizes
+    assert d["samples"] == [bytes([42]) * s for s in sizes]
+
+
+def test_mp4_skips_unknown_boxes_and_largesize():
+    """A conforming demuxer must skip boxes it doesn't know and accept
+    the 64-bit largesize form — paths encode_mp4 never emits."""
+    base = mm.encode_mp4(600, [4, 6], fill=7)
+    i = base.find(b"mdat") - 4
+    (sz,) = struct.unpack_from(">I", base, i)
+    payload = base[i + 8 : i + sz]
+    with_free = base[:i] + mm._mp4_box(b"free", b"x" * 9) + base[i:]
+    big_mdat = (
+        base[:i]
+        + struct.pack(">I", 1)
+        + b"mdat"
+        + struct.pack(">Q", 16 + len(payload))
+        + payload
+    )
+    for blob in (with_free, big_mdat):
+        d = mm.decode_mp4(blob)
+        assert d["sample_sizes"] == [4, 6]
+        assert d["mdat"] == payload
+
+
+def test_mp4_uniform_stsz_form():
+    """stsz's sample_size != 0 form carries no per-sample table."""
+    blob = mm.encode_mp4(600, [5, 5, 5], fill=9)
+    i = blob.find(b"stsz") - 4
+    (sz,) = struct.unpack_from(">I", blob, i)
+    uniform = mm._mp4_full(b"stsz", 0, 0, struct.pack(">II", 5, 3))
+    # splice: shrink stsz, fix every ancestor box size (moov/trak/mdia/
+    # minf/stbl) and drop the now-stale stco offset check via re-walk
+    delta = sz - len(uniform)
+    out = bytearray(blob[:i] + uniform + blob[i + sz :])
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = out.find(tag) - 4
+        (old,) = struct.unpack_from(">I", out, j)
+        struct.pack_into(">I", out, j, old - delta)
+    d = mm.decode_mp4(bytes(out))
+    assert d["sample_sizes"] == [5, 5, 5]
+
+
+def test_mp4_mdat_mismatch_rejected():
+    blob = bytearray(mm.encode_mp4(600, [4, 4], fill=1))
+    i = bytes(blob).find(b"mdat") - 4
+    (sz,) = struct.unpack_from(">I", blob, i)
+    struct.pack_into(">I", blob, i, sz - 1)  # truncate one payload byte
+    with pytest.raises(ValueError):
+        mm.decode_mp4(bytes(blob[: len(blob) - 1]))
+
+
+def test_mp4_synth_matches_oracle_closed_forms():
+    """The oracle recomputes n_bytes/sums in closed form; verify the
+    encoder + demux agree for a doc_id sweep (the MP4_OVERHEAD layout
+    constant is part of the contract)."""
+    for doc_id in range(0, 400, 7):
+        p = mm.synth_mp4_params(doc_id)
+        n, sbase = p["n"], 10 + doc_id % 29
+        blob = mm.synth_mp4_blob(doc_id)
+        d = mm.decode_mp4(blob)
+        sizes_sum = n * sbase + (n // 13) * 78 + (n % 13) * ((n % 13) - 1) // 2
+        assert sum(d["sample_sizes"]) == sizes_sum
+        assert len(blob) == mm.MP4_OVERHEAD + 4 * n + sizes_sum
+        assert d["duration"] == 600 * (1 + doc_id % 7)
+        assert d["total_ticks"] == 100 * n
+        assert sum(d["mdat"]) == sizes_sum * p["fill"]
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    duration=st.integers(1, 10**6),
+    sizes=st.lists(st.integers(0, 200), min_size=1, max_size=60),
+    fill=st.integers(0, 255),
+    delta=st.integers(1, 3000),
+)
+def test_mp4_round_trip_property(duration, sizes, fill, delta):
+    d = mm.decode_mp4(mm.encode_mp4(duration, sizes, fill, sample_delta=delta))
+    assert d["duration"] == duration
+    assert d["sample_sizes"] == sizes
+    assert d["total_ticks"] == len(sizes) * delta
+    assert d["samples"] == [bytes([fill]) * s for s in sizes]

@@ -463,6 +463,34 @@ def test_media_codec_rollup_narrow_until_rollup(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_media_mp4_rollup_narrow_until_rollup(spark):
+    """MP4 demux pipeline: synthesize → box-walk are chained narrow
+    mapInPandas stages (no shuffle between them); the only Exchange is
+    the single-group rollup, and there are no joins."""
+    from evmtrace_etl_spark.plans.llm_data import llm_media_mp4_rollup
+
+    plan = plan_of(llm_media_mp4_rollup(spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_dsir_one_corpus_pass_broadcast_model(spark):
+    """DSIR selection: the corpus is tokenized ONCE (the doc×bucket
+    histogram is materialized and both the model build and the scoring
+    pass read it back — no parquet scan may remain in the query plan);
+    the ≤ dim-row model joins back broadcast; the k-cut is a
+    TakeOrderedAndProject; the only Window is over the dim-row count
+    table, never anything corpus-sized."""
+    from evmtrace_etl_spark.plans.llm_data import llm_dsir_selection
+
+    plan = plan_of(llm_dsir_selection(spark, SF_DIR), "simple")
+    assert "Scan parquet" not in plan  # materialized hist, re-read only
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_index_serve_prunes_to_probed_cells(spark):
     """Persisted-index serve: the vectors scan must carry a non-empty
     PartitionFilters on cell — only the probed cells' files are read

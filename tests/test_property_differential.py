@@ -1118,3 +1118,86 @@ def test_rendezvous_shards_match_python_reference(spark, ids):
     # shard or moves to the NEW shard (n), never reshuffles among old
     for sa, sb in want.values():
         assert sb == sa or sb == 5
+
+
+def _dec12(x: float) -> _dec.Decimal:
+    """Spark's cast(double as decimal(38,12)): shortest-repr BigDecimal,
+    HALF_UP at scale 12."""
+    return _dec.Decimal(repr(float(x))).quantize(
+        _dec.Decimal("1e-12"), rounding=_dec.ROUND_HALF_UP
+    )
+
+
+def _py_dsir(rows, dim, k, target_lang="en"):
+    """Independent DSIR mirror of the CONTRACT: md5-bucketed unigram
+    counts, add-one smoothing, decimal(38,12)-truncated per-bucket log
+    ratios, decimal-exact per-doc sums, rank on the 6-dp score with a
+    doc_id tie-break."""
+    import hashlib
+    import re as _re
+
+    hist: dict[tuple[int, int], int] = defaultdict(int)
+    rc: dict[int, int] = defaultdict(int)
+    tc: dict[int, int] = defaultdict(int)
+    S = T = 0
+    for doc_id, text, lang in rows:
+        for t in (x for x in _re.split(r"[^a-z0-9]+", text.lower()) if x):
+            b = int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % dim
+            hist[(doc_id, b)] += 1
+            rc[b] += 1
+            S += 1
+            if lang == target_lang:
+                tc[b] += 1
+                T += 1
+    lr = {
+        b: float(
+            _dec12(
+                _math.log(
+                    float((tc.get(b, 0) + 1) * (S + dim))
+                    / float((rc[b] + 1) * (T + dim))
+                )
+            )
+        )
+        for b in rc
+    }
+    per_doc: dict[int, list] = defaultdict(lambda: [0, _dec.Decimal(0)])
+    for (doc_id, b), c in hist.items():
+        per_doc[doc_id][0] += c
+        per_doc[doc_id][1] += _dec12(float(c) * lr[b])
+    scored = [
+        (doc_id, n, _round6(float(s) / n)) for doc_id, (n, s) in per_doc.items()
+    ]
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:k]
+
+
+_WORDS = ["the", "cat", "und", "der", "data", "ml", "x1", "zz"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_dsir_matches_python_reference(spark, rows):
+    """dsir_weights vs a direct Python pass over the same contract —
+    an independently-derived answer a copied plan/oracle bug cannot
+    also satisfy.  Small dim forces bucket collisions."""
+    from evmtrace_etl_spark.operators.sampling import dsir_weights
+
+    data = [
+        (i, " ".join(words), lang)
+        for i, (lang, words) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id: long, text: string, lang: string")
+    got = [
+        (r["doc_id"], r["n_tokens"], r["avg_logratio"])
+        for r in dsir_weights(df, dim=8, k=5).collect()
+    ]
+    assert got == _py_dsir(data, dim=8, k=5)
