@@ -962,3 +962,102 @@ def zipf_spectrum(
             ).alias("vocab_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch frequency estimation (measured error contract)
+# ---------------------------------------------------------------------------
+
+#: CMS shape: depth independent hash rows × width counters.  State is
+#: depth*width longs TOTAL regardless of corpus size — the
+#: bounded-memory path for token frequencies at 100 TB, where the
+#: exact per-token table is itself billions of rows.  Width is sized
+#: to the FIXTURE vocabulary (~31 distinct tokens) so hash collisions
+#: actually occur and the measured overestimate is non-trivial; a real
+#: deployment sizes width to its memory budget (e.g. 2^20).
+CMS_DEPTH = 4
+CMS_WIDTH = 16
+
+#: Heavy-hitter report size for the registered query.
+CMS_TOPK = 50
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min Sketch token-frequency estimation with its measured
+    error, per heavy hitter: build the depth×width counter table, then
+    report — for the exact top-k tokens — the true count, the CMS
+    estimate (min over rows), and the overestimate.  ``est >= true``
+    always (one-sided guarantee); the overestimate column is the
+    MEASURED collision error the depth/width choice buys on this
+    corpus, the same estimate-vs-truth contract the ANN recall and
+    MinHash calibration harnesses use.
+
+    Unlike randomized sketches, the hash rows are salted md5 — fully
+    deterministic — so the whole report is hash-exact reproducible by
+    the DuckDB oracle (no weaker rows-only check needed).
+
+    Scale shape (100 TB): the counter build is one explode →
+    ``depth``-way Generate → groupBy(d, bucket) with map-side partials
+    collapsing to ≤ depth*width rows; the exact side is the
+    measurement harness (a token groupBy + TakeOrderedAndProject
+    k-cut); estimates come from joining the k candidates against the
+    BROADCAST counter table.  Nothing corpus-sized moves past the
+    aggregates.
+
+    Output: token, true_cnt, est_cnt, overestimate (k rows).
+    """
+    from ..functions.text import hash32, tokens
+
+    tk = docs.select(F.explode(tokens(text_col)).alias("_t"))
+
+    def _bucket(tok_col) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("long").alias("d"),
+                    F.pmod(
+                        hash32(F.concat(F.lit(f"cms{d}#"), tok_col)),
+                        F.lit(width),
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+
+    counters = (
+        tk.select(F.explode(_bucket(F.col("_t"))).alias("_db"))
+        .groupBy("_db.d", "_db.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    candidates = (
+        tk.groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("_t").asc())
+        .limit(k)
+    )
+    probes = candidates.select(
+        "_t", "true_cnt", F.explode(_bucket(F.col("_t"))).alias("_db")
+    )
+    return (
+        probes.join(
+            F.broadcast(counters),
+            (probes["_db.d"] == counters["d"])
+            & (probes["_db.bucket"] == counters["bucket"]),
+        )
+        .groupBy("_t", "true_cnt")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+        .select(
+            F.col("_t").alias("token"),
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

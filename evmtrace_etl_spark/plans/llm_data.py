@@ -2182,6 +2182,52 @@ FROM n JOIN d ON n.source = d.source
 """
 
 
+def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation with its MEASURED error:
+    true count, CMS estimate, and overestimate per exact-top-50 token.
+    The md5-salted hash rows make the sketch deterministic, so the
+    whole report is hash-exact against the oracle (no rows-only
+    fallback needed)."""
+    return text_analysis.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+# Mirrors text_analysis.cms_heavy_hitters: same salted-md5 row hashes,
+# same depth×width counter table, min-over-rows estimate.
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH tk AS (SELECT unnest({_TOKS}) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS true_cnt FROM tk GROUP BY t),
+cand AS (
+  SELECT t, true_cnt FROM (
+    SELECT t, true_cnt,
+      row_number() OVER (ORDER BY true_cnt DESC, t ASC) AS rk
+    FROM cnt
+  ) WHERE rk <= {text_analysis.CMS_TOPK}
+),
+buck AS (
+  SELECT d.range AS d,
+    {_sql_h32("'cms' || CAST(d.range AS VARCHAR) || '#' || t")}
+      % {text_analysis.CMS_WIDTH} AS bucket,
+    count(*) AS c
+  FROM tk CROSS JOIN range({text_analysis.CMS_DEPTH}) d
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT cand.t, cand.true_cnt, min(buck.c) AS est_cnt
+  FROM cand
+  CROSS JOIN range({text_analysis.CMS_DEPTH}) d
+  JOIN buck ON buck.d = d.range
+   AND buck.bucket =
+     {_sql_h32("'cms' || CAST(d.range AS VARCHAR) || '#' || cand.t")}
+       % {text_analysis.CMS_WIDTH}
+  GROUP BY 1, 2
+)
+SELECT t AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+  CAST(est_cnt AS BIGINT) AS est_cnt,
+  CAST(est_cnt - true_cnt AS BIGINT) AS overestimate
+FROM est
+"""
+
+
 def llm_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split audit per (source, split)."""
     return sampling.split_manifest(_docs(spark, sf_dir))
@@ -2590,6 +2636,7 @@ QUERIES = {
     "llm_source_quality_gate": llm_source_quality_gate,
     "llm_sketch_profile": llm_sketch_profile,
     "llm_sketch_accuracy": llm_sketch_accuracy,
+    "llm_cms_heavy_hitters": llm_cms_heavy_hitters,
     "llm_ivf_trained_topk": llm_ivf_trained_topk,
     "llm_ivf_index_topk": llm_ivf_index_topk,
     "llm_ivf_trained_recall": llm_ivf_trained_recall,
@@ -2662,6 +2709,7 @@ ORACLES = {
     "llm_bigram_logprob": BIGRAM_LOGPROB_SQL,
     "llm_source_quality_gate": SOURCE_QUALITY_GATE_SQL,
     "llm_sketch_accuracy": SKETCH_ACCURACY_SQL,
+    "llm_cms_heavy_hitters": CMS_HEAVY_HITTERS_SQL,
     "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_index_topk": IVF_TRAINED_TOPK_SQL,
     "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,

@@ -491,6 +491,20 @@ def test_dsir_one_corpus_pass_broadcast_model(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cms_counters_broadcast_and_topk_cut(spark):
+    """CMS heavy hitters: the ≤ depth×width counter table joins back
+    BROADCAST (never shuffling the candidates against it), the exact
+    candidate cut is a TakeOrderedAndProject, and there is no
+    cartesian/nested-loop anywhere."""
+    from evmtrace_etl_spark.plans.llm_data import llm_cms_heavy_hitters
+
+    plan = plan_of(llm_cms_heavy_hitters(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_index_serve_prunes_to_probed_cells(spark):
     """Persisted-index serve: the vectors scan must carry a non-empty
     PartitionFilters on cell — only the probed cells' files are read

@@ -1201,3 +1201,60 @@ def test_dsir_matches_python_reference(spark, rows):
         for r in dsir_weights(df, dim=8, k=5).collect()
     ]
     assert got == _py_dsir(data, dim=8, k=5)
+
+
+def _py_cms(texts, depth, width, k):
+    """Independent Count-Min mirror of the CONTRACT: salted-md5 row
+    hashes, min-over-rows estimate, exact top-k candidates with
+    (count DESC, token ASC) ordering."""
+    import hashlib
+    import re as _re
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    true_cnt: dict[str, int] = defaultdict(int)
+    counters: dict[tuple[int, int], int] = defaultdict(int)
+    for text in texts:
+        for t in (x for x in _re.split(r"[^a-z0-9]+", text.lower()) if x):
+            true_cnt[t] += 1
+            for d in range(depth):
+                counters[(d, h(f"cms{d}#{t}") % width)] += 1
+    cand = sorted(true_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return sorted(
+        (
+            t,
+            c,
+            min(counters[(d, h(f"cms{d}#{t}") % width)] for d in range(depth)),
+            min(counters[(d, h(f"cms{d}#{t}") % width)] for d in range(depth))
+            - c,
+        )
+        for t, c in cand
+    )
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_cms_matches_python_reference(spark, texts):
+    """cms_heavy_hitters vs a direct Python sketch: width 4 forces
+    collisions, so the one-sided error path (est > true) is exercised,
+    not just the collision-free identity."""
+    from evmtrace_etl_spark.operators.text_analysis import cms_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = sorted(
+        (r["token"], r["true_cnt"], r["est_cnt"], r["overestimate"])
+        for r in cms_heavy_hitters(df, depth=2, width=4, k=5).collect()
+    )
+    assert got == _py_cms(texts, depth=2, width=4, k=5)
+    assert all(est >= true for _, true, est, _ in got)
