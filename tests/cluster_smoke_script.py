@@ -157,6 +157,19 @@ def main() -> None:
         mt: (counts[mt], want_units[mt]) for mt in want_units
     }, rollup
 
+    # the MP4 container demux rides the same executor-worker path
+    from evmtrace_etl_spark.operators.multimodal import (
+        mp4_media_rollup,
+        synth_mp4_params,
+    )
+
+    mp4 = {
+        r["media_type"]: (r["n_media"], r["total_samples"])
+        for r in mp4_media_rollup(docs).collect()
+    }
+    want_samples = sum(synth_mp4_params(i)["n"] for i in range(30))
+    assert mp4 == {"video/mp4": (30, want_samples)}, mp4
+
     print("CLUSTER_SMOKE_OK")
 
 
