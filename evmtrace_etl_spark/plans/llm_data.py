@@ -194,6 +194,22 @@ def llm_media_mp4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mp4_media_rollup(_docs(spark, sf_dir))
 
 
+def llm_media_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize over the real-codec corpus: stdlib-decode every
+    blob, box-downsample images (floor-mean over 2×2 blocks; audio
+    clips to its first 32 samples).  Flat fixture pixels give the
+    oracle closed forms; box-filter arithmetic on varied pixels is
+    pinned by unit tests."""
+    return multimodal.media_thumbnails(_docs(spark, sf_dir))
+
+
+def llm_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over the MP4 corpus: demux every container,
+    slice 3 evenly spaced samples out of mdat, emit each actual
+    slice's length and byte sum (1→N mapInPandas UDTF)."""
+    return multimodal.media_frame_samples(_docs(spark, sf_dir))
+
+
 def llm_media_codec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib-codec path (L12): synthesize genuine WAV/BMP/PPM
     blobs per document, struct-decode every one of them, and roll up
@@ -1017,6 +1033,45 @@ SELECT 'image/png' AS media_type,
   CAST(sum(w*h*pg) AS BIGINT) AS g_total,
   CAST(sum(w*h*pb) AS BIGINT) AS b_total
 FROM p
+"""
+
+# Mirrors media_thumbnails over synth_media_params: flat pixels make
+# the floor-mean box filter exact-closed-form (every thumb pixel = the
+# flat value); audio clips are the first 32 of base+(i%97), i < 97, so
+# the clip sum telescopes to 32*base + 496.
+MEDIA_THUMBS_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS k,
+    4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+    doc_id % 256 AS pr, (doc_id*7) % 256 AS pg, (doc_id*13) % 256 AS pb,
+    doc_id % 97 AS base
+  FROM documents
+)
+SELECT doc_id,
+  CASE k WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+         ELSE 'image/ppm' END AS media_type,
+  CAST(CASE WHEN k = 1 THEN 32 ELSE w//2 END AS BIGINT) AS out_w,
+  CAST(CASE WHEN k = 1 THEN 1 ELSE h//2 END AS BIGINT) AS out_h,
+  CAST(CASE WHEN k = 1 THEN 32 ELSE (w//2)*(h//2) END AS BIGINT)
+    AS n_units,
+  CAST(CASE WHEN k = 1 THEN 32*base + 496
+       ELSE (w//2)*(h//2)*(pr+pg+pb) END AS BIGINT) AS value_sum
+FROM p
+"""
+
+# Mirrors media_frame_samples over synth_mp4_params: sampled index
+# j*n//3, size sbase + (idx % 13), constant-fill byte sums.
+MEDIA_FRAMES_SQL = """
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 11 AS n, 10 + doc_id % 29 AS sbase,
+    doc_id % 251 AS fill
+  FROM documents
+)
+SELECT doc_id, CAST(j.range AS BIGINT) AS frame_no,
+  CAST(j.range*n//3 AS BIGINT) AS sample_idx,
+  CAST(sbase + (j.range*n//3) % 13 AS BIGINT) AS frame_bytes,
+  CAST((sbase + (j.range*n//3) % 13) * fill AS BIGINT) AS frame_sum
+FROM p CROSS JOIN range(3) j
 """
 
 # Mirrors multimodal.synth_mp4_params — telescoped sample-size sums,
@@ -2602,6 +2657,8 @@ QUERIES = {
     "llm_media_codec_rollup": llm_media_codec_rollup,
     "llm_media_png_rollup": llm_media_png_rollup,
     "llm_media_mp4_rollup": llm_media_mp4_rollup,
+    "llm_media_thumbs": llm_media_thumbs,
+    "llm_media_frames": llm_media_frames,
     "llm_minhash_calibration": llm_minhash_calibration,
     "llm_weighted_sample": llm_weighted_sample,
     "llm_shard_stability": llm_shard_stability,
@@ -2676,6 +2733,8 @@ ORACLES = {
     "llm_media_codec_rollup": MEDIA_CODEC_ROLLUP_SQL,
     "llm_media_png_rollup": MEDIA_PNG_ROLLUP_SQL,
     "llm_media_mp4_rollup": MEDIA_MP4_ROLLUP_SQL,
+    "llm_media_thumbs": MEDIA_THUMBS_SQL,
+    "llm_media_frames": MEDIA_FRAMES_SQL,
     "llm_minhash_calibration": MINHASH_CALIBRATION_SQL,
     "llm_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "llm_shard_stability": SHARD_STABILITY_SQL,

@@ -384,3 +384,76 @@ def test_mp4_round_trip_property(duration, sizes, fill, delta):
     assert d["sample_sizes"] == sizes
     assert d["total_ticks"] == len(sizes) * delta
     assert d["samples"] == [bytes([fill]) * s for s in sizes]
+
+
+# ---------------------------------------------------------------------------
+# Real transforms: box-filter resize + MP4 frame sampling
+# ---------------------------------------------------------------------------
+
+def test_downsample_box_filter_exact():
+    """Floor-mean over 2x2 blocks on varied pixels, checked against a
+    direct per-block computation (crop-to-multiple convention)."""
+    w, h = 5, 4  # odd width: last column cropped
+    px = _rand_pixels(w, h)
+    tw, th, out = mm.downsample_image(px, w, h, 2)
+    assert (tw, th) == (2, 2)
+    for ty in range(th):
+        for tx in range(tw):
+            block = [
+                px[(ty * 2 + dy) * w + (tx * 2 + dx)]
+                for dy in range(2)
+                for dx in range(2)
+            ]
+            want = tuple(sum(c[i] for c in block) // 4 for i in range(3))
+            assert out[ty * tw + tx] == want
+
+
+def test_downsample_flat_is_identity_value():
+    px = [(7, 9, 11)] * (6 * 4)
+    tw, th, out = mm.downsample_image(px, 6, 4, 2)
+    assert (tw, th) == (3, 2)
+    assert all(p == (7, 9, 11) for p in out)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    w=st.integers(2, 12),
+    h=st.integers(2, 10),
+    f=st.integers(2, 3),
+    data=st.data(),
+)
+def test_downsample_property_matches_naive(w, h, f, data):
+    px = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    tw, th, out = mm.downsample_image(px, w, h, f)
+    assert (tw, th) == (w // f, h // f)
+    for ty in range(th):
+        for tx in range(tw):
+            acc = [0, 0, 0]
+            for dy in range(f):
+                for dx in range(f):
+                    p = px[(ty * f + dy) * w + (tx * f + dx)]
+                    acc = [a + v for a, v in zip(acc, p)]
+            assert out[ty * tw + tx] == tuple(a // (f * f) for a in acc)
+
+
+def test_mp4_frame_indices_slice_real_payload():
+    """The evenly-spaced frame indices must address the DEMUXED sample
+    slices, not recomputed offsets."""
+    for doc_id in (0, 5, 13, 100):
+        blob = mm.synth_mp4_blob(doc_id)
+        d = mm.decode_mp4(blob)
+        n = len(d["samples"])
+        p = mm.synth_mp4_params(doc_id)
+        for j in range(3):
+            idx = j * n // 3
+            frame = d["samples"][idx]
+            assert len(frame) == p["sizes"][idx]
+            assert sum(frame) == p["sizes"][idx] * p["fill"]

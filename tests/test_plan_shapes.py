@@ -491,6 +491,21 @@ def test_dsir_one_corpus_pass_broadcast_model(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_media_transforms_fully_narrow(spark):
+    """Real resize and frame sampling are synth → decode → transform
+    chains of mapInPandas stages with per-item output: ZERO shuffles,
+    zero joins — the shape that scales to any corpus size."""
+    from evmtrace_etl_spark.plans.llm_data import (
+        llm_media_frames,
+        llm_media_thumbs,
+    )
+
+    for q in (llm_media_thumbs, llm_media_frames):
+        plan = plan_of(q(spark, SF_DIR), "simple")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+
 def test_cms_counters_broadcast_and_topk_cut(spark):
     """CMS heavy hitters: the ≤ depth×width counter table joins back
     BROADCAST (never shuffling the candidates against it), the exact
