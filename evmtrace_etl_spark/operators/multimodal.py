@@ -564,11 +564,14 @@ def decode_media_parts(media: DataFrame, n_frames: int = 3) -> DataFrame:
     """1→N media decode (frame-sample / resize / clip), Arrow-batched.
 
     Per media row: video → ``n_frames`` sampled frame rows, image → one
-    resized-thumbnail row, audio → one clip row.  The actual decoders
-    (PIL/av/librosa) are not in this container, so each part's payload is
-    a deterministic stand-in — md5 of the blob plus a part tag — while
+    resized-thumbnail row, audio → one clip row.  This exemplar runs on
+    the FAKE corpus (text bytes as blobs), so each part's payload is a
+    deterministic stand-in — md5 of the blob plus a part tag — while
     the Spark-side shape is the real one: a ``mapInPandas`` UDTF that
-    fans one binary row out to N typed part rows, no shuffle.
+    fans one binary row out to N typed part rows, no shuffle.  The
+    REAL versions of these transforms over genuinely decoded media are
+    ``media_thumbnails`` (box-filter resize + audio clip) and
+    ``media_frame_samples`` (MP4 mdat sample slicing).
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
