@@ -420,8 +420,13 @@ def decode_mp4(blob: bytes) -> dict:
     handled, unknown boxes skipped), ``mvhd``/``mdhd`` v0+v1 timing,
     ``stts`` total ticks, ``stsz`` sample sizes (uniform and per-sample
     forms) cross-checked against the ``mdat`` payload length, and
-    per-sample payload slices.  Frame pixel decode would need an
-    external video codec; the container layer is decoded for real."""
+    per-sample payload slices.  Supported profile: samples laid out
+    contiguously across the mdat boxes in file order — stco/stsc
+    chunk scatter is not reconstructed, and the stsz-vs-mdat length
+    cross-check catches payloads that don't add up (a same-length
+    reordering is outside the profile).  Frame pixel decode would
+    need an external video codec; the container layer is decoded for
+    real."""
     import struct
 
     out: dict = {"kind": "video", "mdat": b""}
@@ -466,12 +471,21 @@ def decode_mp4(blob: bytes) -> dict:
                         struct.unpack_from(">%dI" % count, buf, body + 12)
                     )
             elif tag == b"mdat":
-                out["mdat"] = buf[body : off + size]
+                # accumulate in file order: progressive files may carry
+                # several mdat boxes; sample slicing below assumes the
+                # samples are laid out contiguously across them (the
+                # profile this demuxer supports — stco/stsc chunk
+                # scatter is not reconstructed)
+                out["mdat"] += buf[body : off + size]
             off += size
 
     walk(blob, 0, len(blob))
-    if "timescale" not in out or "sample_sizes" not in out:
-        raise ValueError("missing mvhd/stsz box")
+    if (
+        "timescale" not in out
+        or "sample_sizes" not in out
+        or "total_ticks" not in out
+    ):
+        raise ValueError("missing mvhd/stsz/stts box")
     if sum(out["sample_sizes"]) != len(out["mdat"]):
         raise ValueError("stsz total does not match mdat payload")
     slices, pos = [], 0

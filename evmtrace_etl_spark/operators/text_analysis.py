@@ -1002,17 +1002,20 @@ def cms_heavy_hitters(
     deterministic — so the whole report is hash-exact reproducible by
     the DuckDB oracle (no weaker rows-only check needed).
 
-    Scale shape (100 TB): the counter build is one explode →
-    ``depth``-way Generate → groupBy(d, bucket) with map-side partials
-    collapsing to ≤ depth*width rows; the exact side is the
-    measurement harness (a token groupBy + TakeOrderedAndProject
-    k-cut); estimates come from joining the k candidates against the
-    BROADCAST counter table.  Nothing corpus-sized moves past the
-    aggregates.
+    Scale shape (100 TB): ONE corpus pass.  The per-token count table
+    — needed anyway for the exact side — is materialized (it is the
+    reduced table: bounded by the corpus vocabulary, not the token
+    stream) and BOTH branches derive from it: counters as a
+    distinct-vocab × ``depth`` Generate weighted by the counts
+    (map-side partials collapse to ≤ depth*width rows), candidates as
+    a TakeOrderedAndProject k-cut; estimates come from joining the k
+    candidates against the BROADCAST counter table.  Nothing
+    corpus-sized moves past the aggregates.
 
     Output: token, true_cnt, est_cnt, overestimate (k rows).
     """
     from ..functions.text import hash32, tokens
+    from ..session import materialize
 
     tk = docs.select(F.explode(tokens(text_col)).alias("_t"))
 
@@ -1030,17 +1033,17 @@ def cms_heavy_hitters(
             ]
         )
 
+    cnt = materialize(
+        tk.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
     counters = (
-        tk.select(F.explode(_bucket(F.col("_t"))).alias("_db"))
+        cnt.select(F.explode(_bucket(F.col("_t"))).alias("_db"), "true_cnt")
         .groupBy("_db.d", "_db.bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum("true_cnt").cast("long").alias("c"))
     )
-    candidates = (
-        tk.groupBy("_t")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), F.col("_t").asc())
-        .limit(k)
-    )
+    candidates = cnt.orderBy(
+        F.col("true_cnt").desc(), F.col("_t").asc()
+    ).limit(k)
     probes = candidates.select(
         "_t", "true_cnt", F.explode(_bucket(F.col("_t"))).alias("_db")
     )

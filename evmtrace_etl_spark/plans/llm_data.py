@@ -1037,9 +1037,13 @@ FROM p
 
 # Mirrors media_thumbnails over synth_media_params: flat pixels make
 # the floor-mean box filter exact-closed-form (every thumb pixel = the
-# flat value); audio clips are the first 32 of base+(i%97), i < 97, so
-# the clip sum telescopes to 32*base + 496.
-MEDIA_THUMBS_SQL = """
+# flat value); audio clips are the first CLIP of base+(i%97), which
+# telescopes to CLIP*base + CLIP*(CLIP-1)/2 while CLIP <= 97 <= n
+# (fixture n >= 64; transform constants interpolated from the
+# operator module so the two sides cannot drift).
+_THUMB_F = multimodal.THUMB_FACTOR
+_CLIP = multimodal.AUDIO_CLIP_LEN
+MEDIA_THUMBS_SQL = f"""
 WITH p AS (
   SELECT doc_id, doc_id % 3 AS k,
     4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
@@ -1050,28 +1054,32 @@ WITH p AS (
 SELECT doc_id,
   CASE k WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
          ELSE 'image/ppm' END AS media_type,
-  CAST(CASE WHEN k = 1 THEN 32 ELSE w//2 END AS BIGINT) AS out_w,
-  CAST(CASE WHEN k = 1 THEN 1 ELSE h//2 END AS BIGINT) AS out_h,
-  CAST(CASE WHEN k = 1 THEN 32 ELSE (w//2)*(h//2) END AS BIGINT)
-    AS n_units,
-  CAST(CASE WHEN k = 1 THEN 32*base + 496
-       ELSE (w//2)*(h//2)*(pr+pg+pb) END AS BIGINT) AS value_sum
+  CAST(CASE WHEN k = 1 THEN {_CLIP} ELSE w//{_THUMB_F} END AS BIGINT)
+    AS out_w,
+  CAST(CASE WHEN k = 1 THEN 1 ELSE h//{_THUMB_F} END AS BIGINT) AS out_h,
+  CAST(CASE WHEN k = 1 THEN {_CLIP}
+       ELSE (w//{_THUMB_F})*(h//{_THUMB_F}) END AS BIGINT) AS n_units,
+  CAST(CASE WHEN k = 1 THEN {_CLIP}*base + {_CLIP * (_CLIP - 1) // 2}
+       ELSE (w//{_THUMB_F})*(h//{_THUMB_F})*(pr+pg+pb) END AS BIGINT)
+    AS value_sum
 FROM p
 """
 
 # Mirrors media_frame_samples over synth_mp4_params: sampled index
-# j*n//3, size sbase + (idx % 13), constant-fill byte sums.
-MEDIA_FRAMES_SQL = """
+# j*n//FRAMES, size sbase + (idx % 13), constant-fill byte sums.
+_NFRAMES = multimodal.FRAME_SAMPLES
+MEDIA_FRAMES_SQL = f"""
 WITH p AS (
   SELECT doc_id, 5 + doc_id % 11 AS n, 10 + doc_id % 29 AS sbase,
     doc_id % 251 AS fill
   FROM documents
 )
 SELECT doc_id, CAST(j.range AS BIGINT) AS frame_no,
-  CAST(j.range*n//3 AS BIGINT) AS sample_idx,
-  CAST(sbase + (j.range*n//3) % 13 AS BIGINT) AS frame_bytes,
-  CAST((sbase + (j.range*n//3) % 13) * fill AS BIGINT) AS frame_sum
-FROM p CROSS JOIN range(3) j
+  CAST(j.range*n//{_NFRAMES} AS BIGINT) AS sample_idx,
+  CAST(sbase + (j.range*n//{_NFRAMES}) % 13 AS BIGINT) AS frame_bytes,
+  CAST((sbase + (j.range*n//{_NFRAMES}) % 13) * fill AS BIGINT)
+    AS frame_sum
+FROM p CROSS JOIN range({_NFRAMES}) j
 """
 
 # Mirrors multimodal.synth_mp4_params — telescoped sample-size sums,

@@ -457,3 +457,29 @@ def test_mp4_frame_indices_slice_real_payload():
             frame = d["samples"][idx]
             assert len(frame) == p["sizes"][idx]
             assert sum(frame) == p["sizes"][idx] * p["fill"]
+
+
+def test_mp4_multiple_mdat_boxes_concatenate():
+    """Progressive files may split samples across several mdat boxes;
+    payloads accumulate in file order."""
+    base = mm.encode_mp4(600, [4, 6], fill=7)
+    i = base.find(b"mdat") - 4
+    (sz,) = struct.unpack_from(">I", base, i)
+    payload = base[i + 8 : i + sz]
+    split = (
+        base[:i]
+        + mm._mp4_box(b"mdat", payload[:4])
+        + mm._mp4_box(b"mdat", payload[4:])
+    )
+    d = mm.decode_mp4(split)
+    assert d["mdat"] == payload
+    assert d["samples"] == [payload[:4], payload[4:]]
+
+
+def test_mp4_missing_stts_rejected_cleanly():
+    blob = mm.encode_mp4(600, [3], fill=1)
+    i = blob.find(b"stts") - 4
+    (sz,) = struct.unpack_from(">I", blob, i)
+    out = bytearray(blob[:i] + mm._mp4_box(b"free", b"\x00" * (sz - 8)) + blob[i + sz :])
+    with pytest.raises(ValueError, match="stts"):
+        mm.decode_mp4(bytes(out))

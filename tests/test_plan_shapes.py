@@ -507,13 +507,16 @@ def test_media_transforms_fully_narrow(spark):
 
 
 def test_cms_counters_broadcast_and_topk_cut(spark):
-    """CMS heavy hitters: the ≤ depth×width counter table joins back
-    BROADCAST (never shuffling the candidates against it), the exact
-    candidate cut is a TakeOrderedAndProject, and there is no
-    cartesian/nested-loop anywhere."""
+    """CMS heavy hitters: ONE corpus pass (the materialized per-token
+    count table feeds both the counter build and the candidate cut —
+    no parquet scan may remain in the query plan), the ≤ depth×width
+    counter table joins back BROADCAST, the exact candidate cut is a
+    TakeOrderedAndProject, and there is no cartesian/nested-loop
+    anywhere."""
     from evmtrace_etl_spark.plans.llm_data import llm_cms_heavy_hitters
 
     plan = plan_of(llm_cms_heavy_hitters(spark, SF_DIR), "simple")
+    assert "Scan parquet" not in plan  # materialized counts, re-read only
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
