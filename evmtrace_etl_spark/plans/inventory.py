@@ -36,6 +36,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - association rules: support/confidence/lift (basket mining)  → basket_rules
 - first-order Markov transition matrix (path analytics)       → event_transitions
 - gap-filled daily date spine / resampling (time series)      → user_daily_spine
+- disk-bucketed co-located join (zero-Exchange SMJ)           → bucketed_revenue
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -44,6 +45,8 @@ column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1732,6 +1735,81 @@ FROM counts c JOIN totals t ON t.from_type = c.from_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Disk-bucketed co-located join (write-time shuffle, zero-Exchange join)
+# ---------------------------------------------------------------------------
+
+def bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority revenue off DISK-BUCKETED copies of orders and
+    lineitem: both sides are written once with
+    ``relational.write_bucketed`` (bucketed + bucket-sorted by order
+    key, 8 buckets), then joined bucket-to-bucket — the join itself
+    plans with ZERO Exchange because each bucket scan already satisfies
+    the join's required hash distribution; the only shuffle in the
+    whole query is the final tiny groupBy.  Pinned in
+    tests/test_plan_shapes.py (bucketed join: 0 Exchange, SMJ; same
+    join off plain parquet: 2).
+
+    This is the storage-layout answer to the reference's re-joined
+    fact tables (contracts/transactions keyed by address and re-joined
+    per degree, src/types/trace_tree.rs + plans/pipeline.py J2/J3): at
+    100 TB you bucket the fact table on its join key at ingest and
+    every downstream keyed join rides the layout instead of
+    re-shuffling 100 TB per query.  Values are identical to the plain
+    join, which is exactly what the oracle checks.
+    """
+    import tempfile
+
+    from ..operators import relational
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_bucketed",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    orders = relational.write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "inv_bucketed_orders",
+        os.path.join(base, "orders"),
+        "o_orderkey",
+    )
+    li = relational.write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        ),
+        "inv_bucketed_lineitem",
+        os.path.join(base, "lineitem"),
+        "l_orderkey",
+    )
+    one = F.lit(1).cast("decimal(20,6)")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_quantity"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_qty"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("revenue"),
+        )
+    )
+
+
+BUCKETED_REVENUE_SQL = """
+SELECT o_orderpriority,
+  count(*) AS n_lines,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))
+           * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1767,6 +1845,7 @@ QUERIES = {
     "inv_basket_rules": basket_rules,
     "inv_event_transitions": event_transitions,
     "inv_user_daily_spine": user_daily_spine,
+    "inv_bucketed_revenue": bucketed_revenue,
 }
 
 ORACLES = {
@@ -1804,4 +1883,5 @@ ORACLES = {
     "inv_basket_rules": BASKET_RULES_SQL,
     "inv_event_transitions": EVENT_TRANSITIONS_SQL,
     "inv_user_daily_spine": USER_DAILY_SPINE_SQL,
+    "inv_bucketed_revenue": BUCKETED_REVENUE_SQL,
 }

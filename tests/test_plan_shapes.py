@@ -619,3 +619,46 @@ def test_ivfpq_no_cartesian_probe_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Disk-bucketed co-located join (inv_bucketed_revenue): both sides
+    written via relational.write_bucketed (8 buckets on the order key),
+    so the SortMergeJoin's required distribution is satisfied by the
+    bucket scans — ZERO Exchange in the join subtree.  Control: the
+    identical join off plain parquet scans shuffles both sides.  The
+    full aggregate query has exactly one Exchange (the final groupBy)."""
+    import tempfile
+
+    from evmtrace_etl_spark.operators import relational
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity"
+    )
+    base = os.path.join(tempfile.gettempdir(), "evmtrace_bucketed", "pin")
+    bo = relational.write_bucketed(
+        orders, "t_pin_bucketed_orders", os.path.join(base, "orders"), "o_orderkey"
+    )
+    bl = relational.write_bucketed(
+        li, "t_pin_bucketed_li", os.path.join(base, "li"), "l_orderkey"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = plan_of(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # control: same join off the raw parquet scans shuffles both sides
+        ctrl = plan_of(
+            orders.join(li, orders.o_orderkey == li.l_orderkey), "simple"
+        )
+        assert ctrl.count("Exchange") == 2
+        # end-to-end aggregate: the ONLY shuffle left is the tiny groupBy
+        agg = j.groupBy("o_orderpriority").count()
+        assert plan_of(agg, "simple").count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
