@@ -129,45 +129,6 @@ def asof_join(
     return out
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    path: str,
-    key: str,
-    buckets: int = 8,
-) -> DataFrame:
-    """Persist ``df`` as a disk-bucketed, bucket-sorted datasource table
-    and return the catalog-backed read of it.
-
-    Scale shape: bucketing pays the shuffle on ``key`` ONCE at write
-    time and records the layout in the catalog; every later join or
-    aggregate keyed on ``key`` against a co-bucketed peer (same bucket
-    count) reads each bucket as one partition whose HashPartitioning
-    already satisfies the required distribution — the join plans with
-    ZERO Exchange (pinned in tests/test_plan_shapes.py).  That is the
-    standard layout for a 100 TB fact table that is re-joined on the
-    same key by every downstream query: one write-time shuffle
-    amortized over the whole query population, instead of re-shuffling
-    both sides per query.  ``sortBy`` additionally lets Spark elide the
-    merge-join sort when a bucket is a single file.
-
-    The table is registered with an explicit ``path`` (external
-    datasource table), so no Hive metastore and no warehouse-dir write
-    is needed — the in-memory session catalog carries the bucket spec.
-    """
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    (
-        df.write.mode("overwrite")
-        .format("parquet")
-        .option("path", path)
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .saveAsTable(table)
-    )
-    return spark.table(table)
-
-
 def interval_join_bucketed(
     intervals: DataFrame,
     points: DataFrame,

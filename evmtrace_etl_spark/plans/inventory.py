@@ -1742,7 +1742,7 @@ FROM counts c JOIN totals t ON t.from_type = c.from_type
 def bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-priority revenue off DISK-BUCKETED copies of orders and
     lineitem: both sides are written once with
-    ``relational.write_bucketed`` (bucketed + bucket-sorted by order
+    ``sinks.write_bucketed`` (bucketed + bucket-sorted by order
     key, 8 buckets), then joined bucket-to-bucket — the join itself
     plans with ZERO Exchange because each bucket scan already satisfies
     the join's required hash distribution; the only shuffle in the
@@ -1760,26 +1760,28 @@ def bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from ..operators import relational
+    from ..sinks import write_bucketed
 
     base = os.path.join(
         tempfile.gettempdir(),
         "evmtrace_bucketed",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    orders = relational.write_bucketed(
+    orders = write_bucketed(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
         "inv_bucketed_orders",
-        os.path.join(base, "orders"),
-        "o_orderkey",
+        key="o_orderkey",
+        n_buckets=8,
+        path=os.path.join(base, "orders"),
     )
-    li = relational.write_bucketed(
+    li = write_bucketed(
         _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
         ),
         "inv_bucketed_lineitem",
-        os.path.join(base, "lineitem"),
-        "l_orderkey",
+        key="l_orderkey",
+        n_buckets=8,
+        path=os.path.join(base, "lineitem"),
     )
     one = F.lit(1).cast("decimal(20,6)")
     return (

@@ -488,22 +488,31 @@ def write_bucketed(
     table: str,
     key: str = "doc_id",
     n_buckets: int = 16,
-) -> None:
-    """Export as a hash-bucketed, per-bucket-sorted managed table — the
+    path: str | None = None,
+) -> DataFrame:
+    """Export as a hash-bucketed, per-bucket-sorted table — the
     co-located-join layout: any later join or aggregate keyed on
     ``key`` reads matching buckets directly and skips its Exchange
-    entirely (pinned by ``tests/test_plan_shapes.py``).
+    entirely (pinned by ``tests/test_plan_shapes.py`` both as a
+    self-join here and as the two-table ``inv_bucketed_revenue``
+    fact-to-fact join).
 
     At 100 TB this is the answer to "we join on this key every day":
     pay the shuffle once at write time, never again at read time.
     ``n_buckets`` is sized like shuffle partitions (each bucket ≈ one
     task's worth); both sides of a recurring join must use the same
     bucket count and key.
+
+    ``path=None`` writes a managed table under the session warehouse;
+    an explicit ``path`` registers an external datasource table there
+    instead (no warehouse write — the in-memory catalog still carries
+    the bucket spec).  Returns the catalog-backed read so callers can
+    join it immediately.
     """
-    (
-        df.write.format("parquet")
-        .mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .saveAsTable(table)
-    )
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    writer = df.write.format("parquet").mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)
+    return spark.table(table)

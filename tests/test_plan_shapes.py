@@ -623,14 +623,15 @@ def test_ivfpq_no_cartesian_probe_broadcast(spark):
 
 def test_bucketed_join_is_shuffle_free(spark):
     """Disk-bucketed co-located join (inv_bucketed_revenue): both sides
-    written via relational.write_bucketed (8 buckets on the order key),
-    so the SortMergeJoin's required distribution is satisfied by the
-    bucket scans — ZERO Exchange in the join subtree.  Control: the
-    identical join off plain parquet scans shuffles both sides.  The
-    full aggregate query has exactly one Exchange (the final groupBy)."""
+    written via sinks.write_bucketed (8 buckets on the order key, two
+    DIFFERENT tables — the two-table complement of the self-join pin
+    above), so the SortMergeJoin's required distribution is satisfied
+    by the bucket scans — ZERO Exchange in the join subtree.  Control:
+    the identical join off plain parquet scans shuffles both sides.
+    The full aggregate query has exactly one Exchange (the groupBy)."""
     import tempfile
 
-    from evmtrace_etl_spark.operators import relational
+    from evmtrace_etl_spark.sinks import write_bucketed
 
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
         "o_orderkey", "o_orderpriority"
@@ -639,11 +640,19 @@ def test_bucketed_join_is_shuffle_free(spark):
         "l_orderkey", "l_quantity"
     )
     base = os.path.join(tempfile.gettempdir(), "evmtrace_bucketed", "pin")
-    bo = relational.write_bucketed(
-        orders, "t_pin_bucketed_orders", os.path.join(base, "orders"), "o_orderkey"
+    bo = write_bucketed(
+        orders,
+        "t_pin_bucketed_orders",
+        key="o_orderkey",
+        n_buckets=8,
+        path=os.path.join(base, "orders"),
     )
-    bl = relational.write_bucketed(
-        li, "t_pin_bucketed_li", os.path.join(base, "li"), "l_orderkey"
+    bl = write_bucketed(
+        li,
+        "t_pin_bucketed_li",
+        key="l_orderkey",
+        n_buckets=8,
+        path=os.path.join(base, "li"),
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
