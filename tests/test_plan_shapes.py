@@ -671,3 +671,17 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert plan_of(agg, "simple").count("Exchange") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_incremental_rollup_scans_facts_once(spark):
+    """Incremental view maintenance (inv_incremental_rollup): the serve
+    plan reads the materialized base VIEW plus exactly ONE scan of the
+    orders facts (the delta), with the cutoff predicate pushed into
+    that scan — the base period's facts are never re-read."""
+    from evmtrace_etl_spark.plans.inventory import incremental_rollup
+
+    plan = plan_of(incremental_rollup(spark, SF_DIR))
+    assert plan.count("orders.parquet") == 1
+    assert "evmtrace_incr_rollup" in plan  # the materialized base view
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed)
