@@ -13,6 +13,8 @@ operators whose docstrings promise cluster behavior:
 - Pointer-jumped connected components across executors.
 - A broadcast join (the zk pipeline is full of them) and one
   foreachBatch upsert-sink cycle whose read-back equals the batch plan.
+- The disk-bucketed co-located join: the catalog-carried bucket spec
+  must produce a zero-Exchange join whose tasks span both executors.
 
 Prints CLUSTER_SMOKE_OK as the last line on success.
 """
@@ -169,6 +171,45 @@ def main() -> None:
     }
     want_samples = sum(synth_mp4_params(i)["n"] for i in range(30))
     assert mp4 == {"video/mp4": (30, want_samples)}, mp4
+
+    # ---- Disk-bucketed co-located join across real executors ---------
+    # the bucket spec lives in the driver's in-memory catalog; the scan
+    # tasks land on BOTH executor JVMs and the join must still plan and
+    # run with zero Exchange, matching the plain-join values.
+    import contextlib
+    import io
+
+    from evmtrace_etl_spark.sinks import write_bucketed
+
+    facts = spark.range(10_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    dim2 = spark.range(997).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    bdir = tempfile.mkdtemp(prefix="evmtrace_cluster_bucketed_")
+    bf = write_bucketed(
+        facts, "smoke_bucketed_facts", key="k", n_buckets=4,
+        path=os.path.join(bdir, "facts"),
+    )
+    bd = write_bucketed(
+        dim2, "smoke_bucketed_dim", key="k", n_buckets=4,
+        path=os.path.join(bdir, "dim"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bf.join(bd, "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("simple")
+        assert "Exchange" not in buf.getvalue(), buf.getvalue()
+        got_sum = joined.agg(F.sum(F.col("v") + F.col("w"))).collect()[0][0]
+        want_sum = (
+            facts.join(dim2, "k").agg(F.sum(F.col("v") + F.col("w"))).collect()[0][0]
+        )
+        assert got_sum == want_sum and got_sum is not None, (got_sum, want_sum)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     print("CLUSTER_SMOKE_OK")
 
