@@ -685,3 +685,47 @@ def test_incremental_rollup_scans_facts_once(spark):
     assert "evmtrace_incr_rollup" in plan  # the materialized base view
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The third leg of the skew story (beside the salted aggregate and
+    the LSH bucket caps): for plain keyed joins the engine leans on AQE
+    skew-join, so pin that it actually fires — a join with one hot key
+    re-plans at RUNTIME with the skewed partition split (the final
+    adaptive plan marks the SortMergeJoin 'skew=true').  Thresholds are
+    scaled down to fixture bytes; at 100 TB the defaults (256 MB) play
+    the same role."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 == 0, F.col("id") % 32)
+            .otherwise(F.lit(7))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(32).select(
+            F.col("id").alias("k"), F.lit(1).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
