@@ -551,36 +551,122 @@ def compact_parquet(
     the accounting a compaction ledger needs: files/bytes in, files
     out, and the row count preserved (asserted equal by the tests).
     """
+    files = _leaf_files(spark, src)
+    bytes_in = sum(ln for _rel, ln in files)
+    n_out = max(1, -(-bytes_in // int(target_bytes)))
+    df = spark.read.parquet(src)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    return {
+        "files_in": len(files),
+        "bytes_in": int(bytes_in),
+        "files_out": len(_leaf_files(spark, dst)),
+        "n_target_files": int(n_out),
+        "target_bytes": int(target_bytes),
+    }
+
+
+def _leaf_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(relative path, bytes) of every leaf DATA file under ``path``,
+    via the Hadoop ``FileSystem`` API (HDFS/S3A-portable, no driver
+    data collection); ``_SUCCESS``/checksum/hidden files excluded."""
     jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    conf = jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(src)
-    fs = path.getFileSystem(conf)
-    it = fs.listFiles(path, True)
-    files_in = 0
-    bytes_in = 0
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    root = fs.getFileStatus(p).getPath().toUri().getPath()
+    it = fs.listFiles(p, True)
+    out: list[tuple[str, int]] = []
     while it.hasNext():
         st = it.next()
         name = st.getPath().getName()
         if name.startswith("_") or name.startswith("."):
             continue
-        files_in += 1
-        bytes_in += st.getLen()
-    n_out = max(1, -(-bytes_in // int(target_bytes)))
+        full = st.getPath().toUri().getPath()
+        out.append((full[len(root):].lstrip("/"), int(st.getLen())))
+    return out
+
+
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    partition_cols: Sequence[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    seed: int = 42,
+) -> dict:
+    """Small-file compaction for a HIVE-PARTITIONED dataset, preserving
+    the directory layout (and with it every later query's partition
+    pruning) while giving each partition its own file budget.
+
+    A global ``repartition`` would destroy the layout, and the naive
+    fix — a driver loop compacting one partition per job — schedules
+    thousands of tiny jobs at lake scale.  This does it in ONE job:
+
+    1. per-partition byte sizes come from the FS listing (no data
+       read), giving each partition a budget
+       ``n_i = ceil(bytes_i / target_bytes)``;
+    2. the budgets (one row per partition — tiny) broadcast-join onto
+       the rows, and a ``floor(rand * n_i)`` salt splits each
+       partition into its budget;
+    3. one hash repartition on (partition cols, salt) followed by a
+       ``partitionBy`` write lands ≈ ``n_i`` files in each directory —
+       a 10 GB partition gets ~80 files while a 10 MB one gets 1,
+       which no single global file count can express.
+
+    The salt is layout-only (row placement, never values), so the
+    ``rand`` is safe; ``seed`` just makes reruns reproducible.  NULL
+    partition values (hive default-partition dirs) are not supported.
+    Returns the same ledger as ``compact_parquet`` plus the partition
+    count.
+    """
+    from urllib.parse import unquote
+
+    cols = list(partition_cols)
+    files = _leaf_files(spark, src)
+    bytes_in = sum(ln for _rel, ln in files)
+    sizes: dict[tuple, int] = {}
+    for rel, ln in files:
+        vals: dict[str, str] = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                vals[k] = unquote(v)
+        key = tuple(vals[c] for c in cols)
+        sizes[key] = sizes.get(key, 0) + ln
+    budgets = [
+        tuple(k) + (max(1, -(-b // int(target_bytes))),)
+        for k, b in sizes.items()
+    ]
+    total = sum(r[-1] for r in budgets) or 1
+
     df = spark.read.parquet(src)
-    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
-    out.write.mode("overwrite").parquet(dst)
-    dpath = jvm.org.apache.hadoop.fs.Path(dst)
-    dit = fs.listFiles(dpath, True)
-    files_out = 0
-    while dit.hasNext():
-        name = dit.next().getPath().getName()
-        if not (name.startswith("_") or name.startswith(".")):
-            files_out += 1
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in cols]
+        + [T.StructField("_nf", T.LongType())]
+    )
+    bud = spark.createDataFrame(budgets, schema)
+    for c in cols:
+        # partition values were parsed from dir names as strings; cast
+        # to the types partition discovery inferred so the join keys hit
+        bud = bud.withColumn(c, F.col(c).cast(df.schema[c].dataType))
+    salted = (
+        df.join(F.broadcast(bud), cols, "left")
+        .withColumn(
+            "_salt",
+            F.floor(
+                F.rand(seed) * F.coalesce(F.col("_nf"), F.lit(1))
+            ).cast("int"),
+        )
+        .repartition(int(total), *cols, F.col("_salt"))
+        .drop("_nf", "_salt")
+    )
+    salted.write.mode("overwrite").partitionBy(*cols).parquet(dst)
     return {
-        "files_in": files_in,
+        "files_in": len(files),
         "bytes_in": int(bytes_in),
-        "files_out": files_out,
-        "n_target_files": int(n_out),
+        "files_out": len(_leaf_files(spark, dst)),
+        "n_target_files": int(total),
+        "n_partitions": len(sizes),
         "target_bytes": int(target_bytes),
     }

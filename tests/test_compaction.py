@@ -50,3 +50,54 @@ def test_compact_coalesce_no_shuffle(spark, tmp_path):
     assert stats["n_target_files"] == 1
     assert stats["files_out"] == 1
     assert spark.read.parquet(dst).count() == 5_000
+
+
+def test_compact_partitioned_preserves_layout_and_budgets(spark, tmp_path):
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    df = spark.range(8_000).select(
+        (F.col("id") % 4).alias("chain_id"),
+        F.col("id").alias("v"),
+        (F.col("id") * 3).alias("w"),
+    )
+    # 16 small files in each of the 4 partition dirs
+    df.repartition(16).write.partitionBy("chain_id").parquet(src)
+    from evmtrace_etl_spark.sinks import compact_partitioned_parquet
+
+    # target = half a partition's bytes → per-partition budget n_i == 2
+    per_part = max(
+        _dir_bytes(os.path.join(src, f"chain_id={c}")) for c in range(4)
+    )
+    stats = compact_partitioned_parquet(
+        spark, src, dst, ["chain_id"], target_bytes=-(-per_part // 2)
+    )
+    assert stats["files_in"] == 64
+    assert stats["n_partitions"] == 4
+    assert stats["n_target_files"] <= 8
+    # hive layout preserved, each dir within its budget (salt may leave
+    # a value empty, never over-full), and far fewer files than before
+    for c in range(4):
+        d = os.path.join(dst, f"chain_id={c}")
+        assert os.path.isdir(d)
+        n = sum(
+            1
+            for f in os.listdir(d)
+            if not (f.startswith("_") or f.startswith("."))
+        )
+        assert 1 <= n <= 2, (c, n)
+    assert stats["files_out"] < stats["files_in"]
+
+    # content (including the partition column) preserved exactly
+    got = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    assert got == want
+
+    # and a filter on the partition column still prunes directories
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(dst).filter(F.col("chain_id") == 2).explain(
+            mode="formatted"
+        )
+    assert "PartitionFilters" in buf.getvalue()
