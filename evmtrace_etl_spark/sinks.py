@@ -508,10 +508,21 @@ def write_bucketed(
     instead (no warehouse write — the in-memory catalog still carries
     the bucket spec).  Returns the catalog-backed read so callers can
     join it immediately.
+
+    The input is repartitioned onto the bucket key (the same Murmur3
+    ``hash(key) % n_buckets`` the bucket spec uses) BEFORE the write,
+    so each bucket is written by exactly one task → exactly ONE file
+    per bucket (asserted by the plan-shape test).  Without it, each of
+    T input tasks emits a file into every bucket it touches —
+    T × n_buckets small files at cluster scale, the classic
+    bucketed-write trap — and multi-file buckets void the ``sortBy``
+    metadata.  This IS the "pay the shuffle once at write time" in the
+    contract above.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    writer = df.write.format("parquet").mode("overwrite")
+    pre = df.repartition(n_buckets, F.col(key))
+    writer = pre.write.format("parquet").mode("overwrite")
     if path is not None:
         writer = writer.option("path", path)
     writer.bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)

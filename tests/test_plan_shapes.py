@@ -654,6 +654,16 @@ def test_bucketed_join_is_shuffle_free(spark):
         n_buckets=8,
         path=os.path.join(base, "li"),
     )
+    # the pre-write repartition onto the bucket key leaves exactly ONE
+    # file per bucket — without it each write task emits a file into
+    # every bucket it touches (T x n_buckets small files at scale)
+    for side in ("orders", "li"):
+        data_files = [
+            f
+            for f in os.listdir(os.path.join(base, side))
+            if not (f.startswith("_") or f.startswith("."))
+        ]
+        assert len(data_files) == 8, (side, data_files)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
