@@ -515,9 +515,11 @@ def write_bucketed(
     per bucket (asserted by the plan-shape test).  Without it, each of
     T input tasks emits a file into every bucket it touches —
     T × n_buckets small files at cluster scale, the classic
-    bucketed-write trap — and multi-file buckets void the ``sortBy``
-    metadata.  This IS the "pay the shuffle once at write time" in the
-    contract above.
+    bucketed-write trap.  It also keeps each bucket one fully-sorted
+    run on disk: Spark's parquet bucketed scan still PLANS a Sort
+    before the merge join (observed on 4.1), but sorting pre-sorted
+    runs is near-linear and never spills mid-run.  This IS the "pay
+    the shuffle once at write time" in the contract above.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
