@@ -38,6 +38,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - gap-filled daily date spine / resampling (time series)      → user_daily_spine
 - disk-bucketed co-located join (zero-Exchange SMJ)           → bucketed_revenue
 - incremental view maintenance (algebraic partial merge)      → incremental_rollup
+- layout-preserving compaction round-trip (lake maintenance)  → compacted_events_stats
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1896,6 +1897,67 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Compaction round-trip under the driver gate
+# ---------------------------------------------------------------------------
+
+def compacted_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats computed over a COMPACTED copy of events —
+    this registers the lake-maintenance path under the driver's
+    continuous correctness gate: the build leg fragments events into 16
+    small files per ``event_type`` directory and
+    ``sinks.compact_partitioned_parquet`` rewrites each directory
+    within its file budget (hive layout preserved); the serve leg
+    aggregates over the COMPACTED dataset while the oracle recomputes
+    over the ORIGINAL table, so any row the rewrite loses, duplicates,
+    or mutates fails the value hash.  Build memoized per sf_dir (the
+    registered row bills the serve scan, same convention as the
+    bucketed/rollup fixtures above).
+    """
+    import tempfile
+
+    from ..sinks import compact_partitioned_parquet
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_compacted",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    frag, compacted = os.path.join(base, "frag"), os.path.join(base, "compact")
+    if _BUILD_DONE.get("compacted_events") != base:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.repartition(16).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(frag)
+        compact_partitioned_parquet(
+            spark, frag, compacted, ["event_type"], target_bytes=1 << 20
+        )
+        _BUILD_DONE["compacted_events"] = base
+    ev = spark.read.parquet(compacted)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("total_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+COMPACTED_EVENTS_STATS_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1933,6 +1995,7 @@ QUERIES = {
     "inv_user_daily_spine": user_daily_spine,
     "inv_bucketed_revenue": bucketed_revenue,
     "inv_incremental_rollup": incremental_rollup,
+    "inv_compacted_events_stats": compacted_events_stats,
 }
 
 ORACLES = {
@@ -1972,4 +2035,5 @@ ORACLES = {
     "inv_user_daily_spine": USER_DAILY_SPINE_SQL,
     "inv_bucketed_revenue": BUCKETED_REVENUE_SQL,
     "inv_incremental_rollup": INCREMENTAL_ROLLUP_SQL,
+    "inv_compacted_events_stats": COMPACTED_EVENTS_STATS_SQL,
 }
