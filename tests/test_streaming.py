@@ -749,3 +749,62 @@ def test_stream_throughput_probe(spark):
     assert out["rows"] == 33 * 50
     assert out["micro_batches"] == 2
     assert out["rows_per_sec"] > 0
+
+
+def test_stream_resumes_from_checkpoint_without_reprocessing(spark, tmp_path):
+    """T3 — offset-commit recovery over a SHARED checkpoint (the leg
+    the fresh-checkpoint replay test above deliberately does NOT
+    cover): run 1 drains file A (chain 1), the query stops, file B
+    (chain 10) lands, and the restarted query must read ONLY the new
+    file — source offsets recovered from the checkpoint, zero
+    reprocessing — while the idempotent sink converges to full batch
+    parity across the restart.  This is the reference's Kafka
+    offset-commit semantics (T3) expressed as checkpoint recovery."""
+    d = tmp_path / "traces_json"
+    d.mkdir()
+    full = fixtures.traces_df(spark)
+    a = full.filter("chain_id = 1")
+    b = full.filter("chain_id != 1")
+    (d / "a.json").write_text("\n".join(a.toJSON().collect()) + "\n")
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drained_batches():
+        q = runner.start_zk_stream(
+            sources.file_trace_stream(spark, str(d)),
+            sink,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        out = []
+        for p in q.recentProgress:
+            pd = p if isinstance(p, dict) else json.loads(p.json())
+            if int(pd["numInputRows"]):
+                out.append((int(pd["batchId"]), int(pd["numInputRows"])))
+        return out
+
+    run1 = drained_batches()
+    (d / "b.json").write_text("\n".join(b.toJSON().collect()) + "\n")
+    run2 = drained_batches()
+    # run 1 drained file A as batch 0; the restarted query recovered the
+    # committed offset and continued at batch 1 — it did NOT restart at 0
+    assert [bid for bid, _ in run1] == [0]
+    assert [bid for bid, _ in run2] == [1]
+    # numInputRows counts source scans (the fan-out foreachBatch drives
+    # several actions over the batch), so compare PROPORTIONS: run 2's
+    # input corresponds to file B's rows only, whatever the multiplier
+    n1, n2 = run1[0][1], run2[0][1]
+    assert n2 * a.count() == n1 * b.count(), (n1, n2)
+
+    from evmtrace_etl_spark.functions.evm import (
+        CONTRACT_ADDRESS_COLS,
+        TRANSACTION_ADDRESS_COLS,
+        with_checksummed_addresses,
+    )
+
+    tx_batch, c_batch = zk_results(full)
+    tx_batch = with_checksummed_addresses(tx_batch, *TRANSACTION_ADDRESS_COLS)
+    c_batch = with_checksummed_addresses(c_batch, *CONTRACT_ADDRESS_COLS)
+    assert _rows(sink.read(spark, "transactions")) == _rows(tx_batch)
+    assert _rows(sink.read(spark, "contracts")) == _rows(c_batch)
