@@ -39,6 +39,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - disk-bucketed co-located join (zero-Exchange SMJ)           → bucketed_revenue
 - incremental view maintenance (algebraic partial merge)      → incremental_rollup
 - layout-preserving compaction round-trip (lake maintenance)  → compacted_events_stats
+- z-order clustering round-trip + ranged scan (data skipping) → clustered_events_value
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -1958,6 +1959,93 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustering round-trip under the driver gate
+# ---------------------------------------------------------------------------
+
+def clustered_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged event stats computed over a Z-ORDER-CLUSTERED copy of
+    events — the data-skipping layout under the driver's continuous
+    correctness gate: the build leg rewrites events with
+    ``sinks.cluster_parquet(zorder=True)`` on ``(ts, value)`` (quantile
+    buckets Morton-interleaved, range-partitioned + sorted on the
+    z-value), and the serve leg runs a two-sided range predicate on
+    exactly those keys — the pushed filter prunes row groups off the
+    footer stats the rewrite created (skip fractions measured in
+    tests/test_clustering.py).  The oracle recomputes over the ORIGINAL
+    table, so any row the layout rewrite loses, duplicates, or mutates
+    fails the value hash.  Build memoized per sf_dir (the registered
+    row bills the clustered serve scan, same convention as the
+    compaction gate above).
+
+    At 100 TB this is why a range-heavy workload clusters its fact
+    table: pushdown alone reads every row group of a random layout;
+    after z-ordering, a predicate on EITHER clustered key reads a
+    fraction (tests measure ≤55% at even this toy granularity, and the
+    benefit grows with file count — selectivity-bound at lake scale).
+    """
+    import tempfile
+
+    from ..sinks import cluster_parquet
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_clustered",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    plain, clustered = os.path.join(base, "plain"), os.path.join(base, "zo")
+    if _BUILD_DONE.get("clustered_events") != base:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        ev.repartition(8).write.mode("overwrite").parquet(plain)
+        cluster_parquet(
+            spark,
+            plain,
+            clustered,
+            ["ts", "value"],
+            target_bytes=1 << 16,
+            zorder=True,
+            n_buckets=8,
+        )
+        _BUILD_DONE["clustered_events"] = base
+    ev = spark.read.parquet(clustered)
+    lo_ts = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    hi_ts = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        ev.filter(
+            (F.col("ts") >= lo_ts)
+            & (F.col("ts") < hi_ts)
+            & (F.col("value") >= 20.0)
+            & (F.col("value") < 60.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+CLUSTERED_EVENTS_VALUE_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+  AND value >= 20.0 AND value < 60.0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -1996,6 +2084,7 @@ QUERIES = {
     "inv_bucketed_revenue": bucketed_revenue,
     "inv_incremental_rollup": incremental_rollup,
     "inv_compacted_events_stats": compacted_events_stats,
+    "inv_clustered_events_value": clustered_events_value,
 }
 
 ORACLES = {
@@ -2036,4 +2125,5 @@ ORACLES = {
     "inv_bucketed_revenue": BUCKETED_REVENUE_SQL,
     "inv_incremental_rollup": INCREMENTAL_ROLLUP_SQL,
     "inv_compacted_events_stats": COMPACTED_EVENTS_STATS_SQL,
+    "inv_clustered_events_value": CLUSTERED_EVENTS_VALUE_SQL,
 }

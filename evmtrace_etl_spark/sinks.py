@@ -683,3 +683,122 @@ def compact_partitioned_parquet(
         "n_partitions": len(sizes),
         "target_bytes": int(target_bytes),
     }
+
+
+def _quantile_bucket(
+    df: DataFrame, key: str, n_buckets: int, rel_err: float
+) -> F.Column:
+    """Rank-normalized bucket id (0..n_buckets-1) for ``key``:
+    approx-quantile cutpoints computed in one pass (driver holds only
+    the ≤ n_buckets-1 cutpoints — a bounded collect, same budget class
+    as the IVF codebooks), then a sum-of-comparisons bucket assignment
+    that stays inside whole-stage codegen.  Quantile (not min/max)
+    normalization is what makes the z-value skew-proof: a heavy-tailed
+    key still spreads uniformly over its bucket range.  NULLs land in
+    bucket 0 (they sort first, matching parquet stats semantics)."""
+    d = F.col(key).cast("double")
+    cuts = df.select(d.alias("_q")).stat.approxQuantile(
+        "_q", [i / n_buckets for i in range(1, n_buckets)], rel_err
+    )
+    inc: list[float] = []
+    for c in cuts:  # skewed keys repeat cutpoints; keep strictly rising
+        if not inc or c > inc[-1]:
+            inc.append(c)
+    b = F.lit(0)
+    for c in inc:
+        b = b + F.when(d >= F.lit(float(c)), 1).otherwise(0)
+    return b.cast("int")
+
+
+def _morton(bucket_cols: Sequence[F.Column], bits: int) -> F.Column:
+    """Morton (z-order) interleave of per-key bucket ids: bit ``i`` of
+    key ``j`` lands at position ``i*k + j``, so a range on ANY key maps
+    to a bounded set of z-ranges — the property multi-column data
+    skipping rides on."""
+    k = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, bc in enumerate(bucket_cols):
+            # earlier keys take the higher bit of each interleave group:
+            # ties in locality break toward keys[0], the most-queried key
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bc.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * k + (k - 1 - j),
+                )
+            )
+    return z
+
+
+def cluster_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    keys: Sequence[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    zorder: bool = False,
+    n_buckets: int = 16,
+    rel_err: float = 0.001,
+) -> dict:
+    """Rewrite the parquet dataset at ``src`` CLUSTERED on ``keys`` so
+    later range predicates skip whole row groups off footer min/max
+    stats — the data-layout half of predicate pushdown.  Pushdown alone
+    only helps if matching rows are physically co-located: on a
+    randomly-laid-out 100 TB table every row group spans the full key
+    range and a 0.1%-selective scan still reads 100 TB; after
+    clustering it reads ~0.1%.
+
+    Two layouts:
+
+    - ``zorder=False`` (default) — lexicographic: ``repartitionByRange``
+      on the keys + an intra-partition sort.  Total order on the
+      LEADING key: best possible skipping there, none on the others
+      (demonstrated by the tests).
+    - ``zorder=True`` — each key is rank-normalized into
+      ``n_buckets`` quantile buckets (skew-proof by construction) and
+      the bucket ids are Morton-interleaved; range-partition + sort on
+      the z-value gives every key partial locality, so predicates on
+      ANY clustered key skip a large fraction of row groups — the
+      right layout when no single column dominates the workload.
+
+    Both paths are one shuffle (the range partitioner samples, then
+    each output file is one task's sorted run) — the same
+    pay-once-at-write economics as ``write_bucketed``, tuned for range
+    scans instead of equi-joins.  File count follows measured input
+    bytes / ``target_bytes`` (Hadoop FS API, HDFS/S3A-portable).
+    Values are untouched — layout only — which is what the registered
+    round-trip query's oracle checks (`inv_clustered_events_value`).
+    Returns the compaction-style ledger plus the clustering spec.
+    """
+    keys = list(keys)
+    files = _leaf_files(spark, src)
+    bytes_in = sum(ln for _rel, ln in files)
+    n_out = max(1, -(-bytes_in // int(target_bytes)))
+    df = spark.read.parquet(src)
+    if zorder:
+        bits = max(1, (int(n_buckets) - 1).bit_length())
+        z = _morton(
+            [_quantile_bucket(df, k, int(n_buckets), rel_err) for k in keys],
+            bits,
+        )
+        out = (
+            df.withColumn("_z", z)
+            .repartitionByRange(int(n_out), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        out = df.repartitionByRange(int(n_out), *keys).sortWithinPartitions(
+            *keys
+        )
+    out.write.mode("overwrite").parquet(dst)
+    return {
+        "files_in": len(files),
+        "bytes_in": int(bytes_in),
+        "files_out": len(_leaf_files(spark, dst)),
+        "n_target_files": int(n_out),
+        "target_bytes": int(target_bytes),
+        "keys": keys,
+        "zorder": bool(zorder),
+        "n_buckets": int(n_buckets) if zorder else None,
+    }
