@@ -175,3 +175,140 @@ def test_zorder_skew_proof_quantile_buckets(spark, tmp_path):
     # dense-region slab (heavy == 0 holds ~half the rows): still skips
     hit, tot = _touched_row_groups(dst, "heavy", 0, 0)
     assert hit / tot <= 0.8, (hit, tot)
+
+
+# ---------------------------------------------------------------------------
+# Differential / property tests (hypothesis, derandomized — the same
+# independent-reference convention as tests/test_property_differential.py)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_morton(bucket_ids: list[int], bits: int) -> int:
+    """Independent pure-Python Morton interleave (earlier keys on the
+    higher bit of each group, mirroring the documented tie-break)."""
+    k = len(bucket_ids)
+    z = 0
+    for bit in range(bits):
+        for j, b in enumerate(bucket_ids):
+            z |= ((b >> bit) & 1) << (bit * k + (k - 1 - j))
+    return z
+
+
+@given(
+    k=st.integers(2, 3),
+    bits=st.integers(1, 5),
+    rows=st.lists(
+        st.lists(st.integers(0, 31), min_size=3, max_size=3),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_morton_matches_python_reference(spark, k, bits, rows):
+    from pyspark.sql import functions as F
+
+    from evmtrace_etl_spark.sinks import _morton
+
+    mask = (1 << bits) - 1
+    vals = [tuple(v & mask for v in r[:k]) for r in rows]
+    df = spark.createDataFrame(
+        [(i,) + v for i, v in enumerate(vals)],
+        "i: int, " + ", ".join(f"b{j}: int" for j in range(k)),
+    )
+    z = _morton([F.col(f"b{j}") for j in range(k)], bits)
+    got = {r["i"]: r["z"] for r in df.select("i", z.alias("z")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == _py_morton(list(v), bits), (v, bits)
+
+
+@given(
+    vals=st.lists(
+        st.integers(-1000, 1000) | st.none(), min_size=4, max_size=30
+    ),
+    n_buckets=st.sampled_from([2, 4, 8]),
+)
+@settings(**_SETTINGS)
+def test_quantile_bucket_monotone_and_bounded(spark, vals, n_buckets):
+    """The properties the layout actually rides on: bucket ids are
+    monotone in the key (so each bucket is a contiguous key range —
+    what makes footer min/max selective) and within [0, n_buckets-1];
+    NULLs land in bucket 0.  Exact cutpoint placement is
+    approxQuantile's business, deliberately NOT pinned."""
+    from evmtrace_etl_spark.sinks import _quantile_bucket
+
+    df = spark.createDataFrame([(v,) for v in vals], "x: int")
+    b = _quantile_bucket(df, "x", n_buckets, 0.001)
+    got = df.select("x", b.alias("b")).collect()
+    assert all(0 <= r["b"] <= n_buckets - 1 for r in got)
+    non_null = sorted(
+        ((r["x"], r["b"]) for r in got if r["x"] is not None),
+    )
+    for (x1, b1), (x2, b2) in zip(non_null, non_null[1:]):
+        assert b1 <= b2, (x1, b1, x2, b2)
+        if x1 == x2:
+            assert b1 == b2  # equal keys never split across buckets
+    assert all(r["b"] == 0 for r in got if r["x"] is None)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-50, 50) | st.none(), st.integers(0, 9), st.booleans()
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    zorder=st.booleans(),
+    n_files=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_cluster_roundtrip_property(
+    spark, tmp_path_factory, rows, zorder, n_files
+):
+    """Layout-only for ANY input (dupes, NULLs, any file budget): the
+    rewrite preserves the exact multiset of rows, and in linear mode
+    the output files are pairwise DISJOINT key ranges (the invariant
+    skipping arithmetic depends on)."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("clprop"))
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    df = spark.createDataFrame(rows, "a: int, b: int, c: boolean")
+    df.repartition(3).write.parquet(src)
+    sz = _dir_bytes(src)
+    stats = cluster_parquet(
+        spark,
+        src,
+        dst,
+        ["a", "b"],
+        target_bytes=max(1, -(-sz // n_files)),
+        zorder=zorder,
+        n_buckets=4,
+    )
+    assert stats["files_out"] <= max(stats["n_target_files"], 1)
+    got = sorted(
+        (tuple(r) for r in spark.read.parquet(dst).collect()),
+        key=repr,
+    )
+    want = sorted((tuple(r) for r in df.collect()), key=repr)
+    assert got == want
+    if not zorder:
+        spans = []
+        for f in glob.glob(dst + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            st_a = md.row_group(0).column(0).statistics
+            if st_a is not None and st_a.min is not None:
+                spans.append((st_a.min, st_a.max))
+        spans.sort()
+        for (_lo1, hi), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi <= lo2  # files tile the leading key, no overlap
