@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop-format write (full
 materialization, no driver collect overhead). Timings are per-query wall
-clock after a shared SparkSession warm-up.
+clock after a shared SparkSession warm-up — min over
+$SPARK_GRAFT_BENCH_PASSES (default 2) full passes, which absorbs both
+one-time codegen/fixture cost (lands in pass 1) and hypervisor-steal
+windows (rarely hit the same query in both passes).
 """
 
 from __future__ import annotations
@@ -66,43 +69,44 @@ def main() -> None:
     except Exception:
         pass
 
-    # Two-pass methodology: pass 1 runs EVERY query once untimed, pass
-    # 2 is the timed loop.  One-time per-session costs — Janino
-    # compiles of giant inlined-codebook expressions (measured 9-29 s
-    # per distinct literal set), first-stream setup, lazily-built
-    # memoized fixtures — land on whichever query runs first and have
-    # repeatedly masqueraded as 6-10x plan regressions in single-pass
-    # benches (llm_ivf_trained_recall 24.4 s vs 3.4 s warm,
-    # zk_upsert_partition 46.5 s vs 2.8 s warm, llm_dedup_components
-    # 22.0 s vs 5.1 s warm).  Plans are deterministic, so the re-built
-    # pass-2 plan hits the codegen cache and measures the steady state
-    # — the figure that actually predicts sustained-throughput cost.
-    # Set SPARK_GRAFT_BENCH_PASSES=1 for the old single-pass behavior.
+    # Two-pass methodology, per-query MIN over both passes.  Pass 1
+    # absorbs one-time per-session costs — Janino compiles of giant
+    # inlined-codebook expressions (measured 9-29 s per distinct
+    # literal set), first-stream setup, lazily-built memoized fixtures
+    # — which land on whichever query runs first and have repeatedly
+    # masqueraded as 6-10x plan regressions in single-pass benches
+    # (llm_ivf_trained_recall 24.4 s vs 3.4 s warm, zk_upsert_partition
+    # 46.5 s vs 2.8 s warm, llm_dedup_components 22.0 s vs 5.1 s warm).
+    # Pass 1 is ALSO timed and the reported figure is min(p1, p2): a
+    # query whose pass 1 carried one-time cost reports its clean pass-2
+    # time, and a query whose pass 2 landed in a hypervisor-steal
+    # window (measured: a contiguous alphabetical run 2.6 s -> 52 s
+    # under sustained steal) reports its clean pass-1 time — same total
+    # wall as discarding pass 1, strictly less noise.  Plans are
+    # deterministic, so the re-built pass-2 plan hits the codegen cache
+    # and measures the steady state.  Set SPARK_GRAFT_BENCH_PASSES=1
+    # for the old single-pass behavior.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    if passes > 1:
-        for name in sorted(qs):
-            try:
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
-            spark.catalog.clearCache()
-
     timings: dict[str, float] = {}
-    for name in sorted(qs):
-        fn = qs[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # pragma: no cover
-            timings[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-        # Intra-plan persists (ZkParts, LSH signatures) are useful within a
-        # query but would pile up across the suite — drop them between runs.
-        spark.catalog.clearCache()
+    for p in range(passes):
+        for name in sorted(qs):
+            fn = qs[name]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t = round(time.perf_counter() - t0, 4)
+                prev = timings.get(name)
+                timings[name] = (
+                    t if prev is None or prev < 0 else min(prev, t)
+                )
+            except Exception as exc:  # pragma: no cover
+                timings.setdefault(name, -1.0)
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            # Intra-plan persists (ZkParts, LSH signatures) are useful
+            # within a query but would pile up across the suite — drop
+            # them between runs.
+            spark.catalog.clearCache()
 
     # Streaming throughput SCALING CURVE (rows/sec through the paced
     # file-stream + foreachBatch zk pipeline at files_per_trigger in
