@@ -685,21 +685,12 @@ def compact_partitioned_parquet(
     }
 
 
-def _quantile_bucket(
-    df: DataFrame, key: str, n_buckets: int, rel_err: float
-) -> F.Column:
-    """Rank-normalized bucket id (0..n_buckets-1) for ``key``:
-    approx-quantile cutpoints computed in one pass (driver holds only
-    the ≤ n_buckets-1 cutpoints — a bounded collect, same budget class
-    as the IVF codebooks), then a sum-of-comparisons bucket assignment
-    that stays inside whole-stage codegen.  Quantile (not min/max)
-    normalization is what makes the z-value skew-proof: a heavy-tailed
-    key still spreads uniformly over its bucket range.  NULLs land in
-    bucket 0 (they sort first, matching parquet stats semantics)."""
+def _bucket_from_cuts(key: str, cuts: Sequence[float]) -> F.Column:
+    """Bucket-id column for ``key`` from precomputed quantile
+    cutpoints: a sum-of-comparisons assignment that stays inside
+    whole-stage codegen.  NULLs land in bucket 0 (they sort first,
+    matching parquet stats semantics)."""
     d = F.col(key).cast("double")
-    cuts = df.select(d.alias("_q")).stat.approxQuantile(
-        "_q", [i / n_buckets for i in range(1, n_buckets)], rel_err
-    )
     inc: list[float] = []
     for c in cuts:  # skewed keys repeat cutpoints; keep strictly rising
         if not inc or c > inc[-1]:
@@ -708,6 +699,36 @@ def _quantile_bucket(
     for c in inc:
         b = b + F.when(d >= F.lit(float(c)), 1).otherwise(0)
     return b.cast("int")
+
+
+def _quantile_cuts(
+    df: DataFrame, keys: Sequence[str], n_buckets: int, rel_err: float
+) -> list[list[float]]:
+    """Approx-quantile cutpoints for ALL ``keys`` in ONE pass over the
+    data (multi-column ``approxQuantile`` — at 100 TB a per-key job
+    would re-scan the input k times).  The driver holds only
+    k * (n_buckets-1) cutpoints — a bounded collect, same budget class
+    as the IVF codebooks.  Quantile (not min/max) normalization is what
+    makes the z-value skew-proof: a heavy-tailed key still spreads
+    uniformly over its bucket range."""
+    cols = [f"_q{i}" for i in range(len(keys))]
+    probe = df.select(
+        *(F.col(k).cast("double").alias(c) for k, c in zip(keys, cols))
+    )
+    return probe.stat.approxQuantile(
+        cols, [i / n_buckets for i in range(1, n_buckets)], rel_err
+    )
+
+
+def _quantile_bucket(
+    df: DataFrame, key: str, n_buckets: int, rel_err: float
+) -> F.Column:
+    """Rank-normalized bucket id (0..n_buckets-1) for a single ``key``
+    (one-pass cutpoints + codegen bucket assignment; see
+    ``_quantile_cuts`` / ``_bucket_from_cuts``)."""
+    return _bucket_from_cuts(
+        key, _quantile_cuts(df, [key], n_buckets, rel_err)[0]
+    )
 
 
 def _morton(bucket_cols: Sequence[F.Column], bits: int) -> F.Column:
@@ -764,7 +785,16 @@ def cluster_parquet(
     Both paths are one shuffle (the range partitioner samples, then
     each output file is one task's sorted run) — the same
     pay-once-at-write economics as ``write_bucketed``, tuned for range
-    scans instead of equi-joins.  File count follows measured input
+    scans instead of equi-joins.  Known input-pass budget, same trade
+    Delta's OPTIMIZE ZORDER makes: the z-order path reads the input
+    2+1 times — ONE key-column-pruned quantile probe for ALL keys
+    (``_quantile_cuts``; pinned single-job by
+    ``tests/test_clustering.py``), the range partitioner's sample scan
+    (not eliminable in the DataFrame API without giving up balanced
+    contiguous output ranges — a hash ``repartition`` on a computed
+    slab id leaves ~1/e of partitions empty and stacks disjoint
+    z-slabs per file, widening every footer span), and the shuffle
+    write itself.  File count follows measured input
     bytes / ``target_bytes`` (Hadoop FS API, HDFS/S3A-portable).
     Values are untouched — layout only — which is what the registered
     round-trip query's oracle checks (`inv_clustered_events_value`).
@@ -777,8 +807,9 @@ def cluster_parquet(
     df = spark.read.parquet(src)
     if zorder:
         bits = max(1, (int(n_buckets) - 1).bit_length())
+        all_cuts = _quantile_cuts(df, keys, int(n_buckets), rel_err)
         z = _morton(
-            [_quantile_bucket(df, k, int(n_buckets), rel_err) for k in keys],
+            [_bucket_from_cuts(k, c) for k, c in zip(keys, all_cuts)],
             bits,
         )
         out = (

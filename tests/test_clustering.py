@@ -177,6 +177,36 @@ def test_zorder_skew_proof_quantile_buckets(spark, tmp_path):
     assert hit / tot <= 0.8, (hit, tot)
 
 
+def test_quantile_probe_jobs_do_not_scale_with_key_count(spark):
+    """The z-order cutpoint probe reads the input ONCE regardless of
+    how many keys are clustered (multi-column approxQuantile) — at
+    100 TB a per-key probe would re-scan the table k times.  Pinned by
+    counting Spark jobs in scoped job groups: the 3-key probe costs
+    exactly as many jobs as the 1-key probe (the absolute count is
+    approxQuantile's business — Spark 4 spends 2 — so the pin is the
+    RATIO, which is what a per-key loop would break)."""
+    from evmtrace_etl_spark.sinks import _quantile_cuts
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id as a", "id % 97 as b", "id % 13 as c"
+    )
+    sc = spark.sparkContext
+    tracker = spark._jsc.sc().statusTracker()
+
+    def probe_jobs(group: str, keys: list[str]) -> int:
+        sc.setJobGroup(group, "quantile cutpoint probe", False)
+        try:
+            cuts = _quantile_cuts(df, keys, 8, 0.001)
+        finally:
+            sc.setJobGroup("", "", False)
+        assert len(cuts) == len(keys) and all(len(c) == 7 for c in cuts)
+        return len(tracker.getJobIdsForGroup(group))
+
+    one = probe_jobs("qprobe1", ["a"])
+    three = probe_jobs("qprobe3", ["a", "b", "c"])
+    assert three == one, f"3-key probe spent {three} jobs vs {one} for 1 key"
+
+
 # ---------------------------------------------------------------------------
 # Differential / property tests (hypothesis, derandomized — the same
 # independent-reference convention as tests/test_property_differential.py)
