@@ -2046,6 +2046,95 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# File-skipping manifest under the driver gate
+# ---------------------------------------------------------------------------
+
+def fileskip_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged event stats served through a persisted FILE-SKIPPING
+    manifest — the lakehouse-manifest complement of the row-group gate
+    above: the build leg linearly clusters events on ``ts`` into many
+    small files (files tile disjoint ts-ranges) and persists
+    ``sinks.parquet_stats_index`` (footer-only per-file min/max — the
+    table the planner filters INSTEAD of touching every footer per
+    query) next to the data; the serve leg reads the tiny manifest,
+    keeps only files whose span can overlap the week-long predicate
+    (``prune_files`` — NULL stats conservatively kept), scans just
+    those, and applies the exact half-open row filter on top.  The
+    oracle recomputes over the ORIGINAL table, so a manifest that
+    prunes a matching file (wrong skip) or the rewrite losing/mutating
+    rows fails the value hash every round.  Build + manifest memoized
+    per sf_dir; the registered row bills the pruned serve scan.
+
+    At 100 TB this is why table formats carry stats manifests: partition
+    pruning is directory-granular and row-group pruning still opens
+    every file's footer; the manifest makes "which files can match" a
+    metadata-table filter of O(files) rows.  Skipping measured in
+    tests/test_fileskip.py; correctness (pruned == unpruned) both there
+    and here under the driver gate.
+    """
+    import datetime
+    import tempfile
+
+    from ..sinks import cluster_parquet, parquet_stats_index, prune_files
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_fileskip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    plain = os.path.join(base, "plain")
+    lin = os.path.join(base, "lin")
+    manifest = os.path.join(base, "manifest")
+    if _BUILD_DONE.get("fileskip_events") != base:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        ev.repartition(8).write.mode("overwrite").parquet(plain)
+        cluster_parquet(spark, plain, lin, ["ts"], target_bytes=1 << 16)
+        parquet_stats_index(spark, lin, ["ts"]).write.mode(
+            "overwrite"
+        ).parquet(manifest)
+        _BUILD_DONE["fileskip_events"] = base
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 15)
+    files = prune_files(
+        spark.read.parquet(manifest), {"ts": (lo, hi)}
+    )
+    schema = spark.read.parquet(lin).schema
+    ev = (
+        spark.read.schema(schema).parquet(*files)
+        if files
+        else spark.createDataFrame([], schema)
+    )
+    return (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.min("user_id").alias("min_user_id"),
+            F.max("user_id").alias("max_user_id"),
+        )
+    )
+
+
+FILESKIP_EVENTS_VALUE_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(min(user_id) AS BIGINT) AS min_user_id,
+  CAST(max(user_id) AS BIGINT) AS max_user_id
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -2085,6 +2174,7 @@ QUERIES = {
     "inv_incremental_rollup": incremental_rollup,
     "inv_compacted_events_stats": compacted_events_stats,
     "inv_clustered_events_value": clustered_events_value,
+    "inv_fileskip_events_value": fileskip_events_value,
 }
 
 ORACLES = {
@@ -2126,4 +2216,5 @@ ORACLES = {
     "inv_incremental_rollup": INCREMENTAL_ROLLUP_SQL,
     "inv_compacted_events_stats": COMPACTED_EVENTS_STATS_SQL,
     "inv_clustered_events_value": CLUSTERED_EVENTS_VALUE_SQL,
+    "inv_fileskip_events_value": FILESKIP_EVENTS_VALUE_SQL,
 }

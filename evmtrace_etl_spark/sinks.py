@@ -833,3 +833,154 @@ def cluster_parquet(
         "zorder": bool(zorder),
         "n_buckets": int(n_buckets) if zorder else None,
     }
+
+
+# ---------------------------------------------------------------------------
+# File-skipping stats index (the manifest half of a lakehouse format)
+# ---------------------------------------------------------------------------
+
+def parquet_stats_index(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-FILE min/max/row-count index for ``cols``, read from parquet
+    FOOTERS only — the manifest a Delta/Iceberg-style table format
+    maintains, rebuilt here from the files themselves.  Row-group
+    pruning (``cluster_parquet``) saves decode work *inside* files the
+    scan already opened; file-level pruning removes files from the scan
+    plan entirely — at 100 TB / millions of files that is the
+    difference between a planner that touches every footer per query
+    and one that filters a manifest table.
+
+    Cost model: O(files) footer reads, zero data reads — the file list
+    comes from the Hadoop FS API (driver, metadata-only) and the footer
+    parsing is DISTRIBUTED (``mapInPandas`` over the path list with
+    pyarrow on the executors), so indexing a million-file table is an
+    embarrassingly parallel metadata job, not a scan.  Missing stats
+    (a writer that skipped them) surface as NULL min/max, which the
+    pruner treats as "may match" — conservative, never wrong.
+
+    Output: ``file`` (absolute), ``n_rows``, and ``<c>_min``/``<c>_max``
+    typed as the source column for each requested col.  Persist it next
+    to the data and serve pruned reads via ``read_file_pruned``.
+    """
+    import pandas as pd
+
+    src_schema = spark.read.parquet(path).schema
+    by_name = {f.name: f for f in src_schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"columns not in {path}: {missing}")
+    fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in cols:
+        fields.append(T.StructField(f"{c}_min", by_name[c].dataType))
+        fields.append(T.StructField(f"{c}_max", by_name[c].dataType))
+    out_schema = T.StructType(fields)
+
+    # Full Hadoop URIs so executors resolve the same file the driver
+    # listed (hdfs://nn/...; s3a://...); local file: URIs normalize to
+    # posix paths for pyarrow.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    paths: list[str] = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        uri = st.getPath().toString()
+        if uri.startswith("file:"):
+            uri = st.getPath().toUri().getPath()
+        paths.append(uri)
+    cols_list = list(cols)
+
+    def _read_footers(batches):
+        import pyarrow.parquet as pq
+
+        def _meta(fpath):
+            if "://" in fpath:  # HDFS/S3A URI — open via pyarrow fs
+                from pyarrow import fs as pafs
+
+                filesystem, rel = pafs.FileSystem.from_uri(fpath)
+                with filesystem.open_input_file(rel) as f:
+                    return pq.ParquetFile(f).metadata
+            return pq.ParquetFile(fpath).metadata
+
+        for pdf in batches:
+            rows = []
+            for fpath in pdf["path"]:
+                md = _meta(fpath)
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                rec: dict = {"file": fpath, "n_rows": md.num_rows}
+                for c in cols_list:
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break  # one stats-less group poisons the file
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    rec[f"{c}_min"] = lo
+                    rec[f"{c}_max"] = hi
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_part = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    return files_df.repartition(n_part).mapInPandas(
+        _read_footers, schema=out_schema
+    )
+
+
+def prune_files(
+    index: DataFrame, predicates: dict[str, tuple]
+) -> list[str]:
+    """File paths whose [min, max] spans overlap EVERY ``col: (lo, hi)``
+    closed-range predicate (NULL stats keep the file — conservative).
+    The collect is O(matching files) driver memory — the same object a
+    scan planner must hold to enumerate its splits; row data never
+    moves."""
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = (
+            cond
+            & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
+            & (F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= F.lit(hi)))
+        )
+    return [r["file"] for r in index.filter(cond).select("file").collect()]
+
+
+def read_file_pruned(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    predicates: dict[str, tuple],
+) -> DataFrame:
+    """Read ``path`` with files pruned through the stats ``index``: only
+    files whose footer spans can match the predicates enter the scan
+    plan.  The row-level filter is applied ON TOP (file granularity is
+    coarser than the predicate), so the result equals the unpruned
+    filtered read — tested file-count-down, result-identical.  Zero
+    matching files short-circuits to an empty DataFrame with the source
+    schema."""
+    schema = spark.read.parquet(path).schema
+    files = prune_files(index, predicates)
+    if not files:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = spark.read.schema(schema).parquet(*files)
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & F.col(c).between(F.lit(lo), F.lit(hi))
+    return out.filter(cond)

@@ -1,0 +1,123 @@
+"""File-skipping stats index (``sinks.parquet_stats_index`` /
+``prune_files`` / ``read_file_pruned``): the manifest half of a
+lakehouse table format — footer-only per-file min/max, file-level
+pruning BEFORE the scan plan, result-identical to the unpruned read.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.sinks import (
+    cluster_parquet,
+    parquet_stats_index,
+    prune_files,
+    read_file_pruned,
+)
+
+
+def _build(spark, tmp_path, n_files: int = 8):
+    """Events-like table linearly clustered on ``k`` into ~n_files files
+    so the files tile disjoint k-ranges — the layout file skipping is
+    exact on."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clustered")
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+    df.repartition(5).write.parquet(src)
+    sz = sum(
+        os.path.getsize(p) for p in glob.glob(src + "/part-*.parquet")
+    )
+    cluster_parquet(
+        spark, src, dst, ["k"], target_bytes=max(1, sz // n_files)
+    )
+    return dst
+
+
+def test_index_one_row_per_file_and_exact_counts(spark, tmp_path):
+    dst = _build(spark, tmp_path)
+    idx = parquet_stats_index(spark, dst, ["k", "v"]).cache()
+    files = glob.glob(dst + "/part-*.parquet")
+    rows = idx.collect()
+    assert len(rows) == len(files)
+    assert sum(r["n_rows"] for r in rows) == 20_000
+    # spans cover the data exactly
+    assert min(r["k_min"] for r in rows) == 0
+    assert max(r["k_max"] for r in rows) == 19_999
+    # typed as the source columns
+    assert dict(idx.dtypes)["k_min"] == "bigint"
+    assert dict(idx.dtypes)["v_max"] == "double"
+
+
+def test_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    dst = _build(spark, tmp_path)
+    idx = parquet_stats_index(spark, dst, ["k"]).cache()
+    total = idx.count()
+    assert total >= 4  # the skipping claim needs >1 file
+    pred = {"k": (3_000, 4_000)}
+    kept = prune_files(idx, pred)
+    assert 0 < len(kept) < total, (len(kept), total)
+    got = sorted(
+        tuple(r) for r in read_file_pruned(spark, dst, idx, pred).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dst)
+        .filter(F.col("k").between(3_000, 4_000))
+        .collect()
+    )
+    assert got == want and len(got) == 1_001
+
+
+def test_zero_matching_files_yields_empty_with_schema(spark, tmp_path):
+    dst = _build(spark, tmp_path)
+    idx = parquet_stats_index(spark, dst, ["k"])
+    out = read_file_pruned(spark, dst, idx, {"k": (10**9, 10**9 + 5)})
+    assert out.count() == 0
+    assert out.columns == ["k", "grp", "v"]
+
+
+def test_multi_column_predicates_intersect(spark, tmp_path):
+    dst = _build(spark, tmp_path)
+    idx = parquet_stats_index(spark, dst, ["k", "v"]).cache()
+    # v = 2k, so k in [3000, 4000] & v in [0, 6500] -> k in [3000, 3250]
+    pred = {"k": (3_000, 4_000), "v": (0.0, 6_500.0)}
+    got = read_file_pruned(spark, dst, idx, pred)
+    assert got.count() == 251
+    assert len(prune_files(idx, pred)) <= len(
+        prune_files(idx, {"k": (3_000, 4_000)})
+    )
+
+
+def test_timestamp_columns_get_real_parquet_stats(spark, tmp_path):
+    """Engine sessions write TIMESTAMP_MICROS: Spark's INT96 default is
+    a deprecated parquet type that gets NO min/max statistics, which
+    silently disables BOTH row-group pruning and file skipping on every
+    time column — measured as all-NULL manifest spans before the
+    session conf pinned the encoding."""
+    dst = str(tmp_path / "ts")
+    spark.sql(
+        "SELECT timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts"
+        " FROM range(1000)"
+    ).repartition(2).write.parquet(dst)
+    rows = parquet_stats_index(spark, dst, ["ts"]).collect()
+    assert rows and all(r["ts_min"] is not None for r in rows)
+    assert min(r["ts_min"] for r in rows).year == 2024
+
+
+def test_index_is_footer_only_no_data_scan(spark, tmp_path):
+    """The index job's scan reads the PATH LIST, not the table: pin by
+    job-group scan metrics — the parquet files' rows never appear as
+    any stage's input because only footers are opened (pyarrow,
+    executor-side)."""
+    dst = _build(spark, tmp_path)
+    idx = parquet_stats_index(spark, dst, ["k"])
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # the only scan in the plan is the in-memory path list
+    assert "FileScan parquet" not in plan
