@@ -177,6 +177,42 @@ def test_zorder_skew_proof_quantile_buckets(spark, tmp_path):
     assert hit / tot <= 0.8, (hit, tot)
 
 
+def test_timestamp_clustering_skips_row_groups(spark, tmp_path):
+    """Time is THE clustering key of a 100 TB event lake — and until
+    the session pinned TIMESTAMP_MICROS, Spark's INT96 default wrote
+    timestamps with NO parquet statistics, so this exact test was
+    impossible to pass (every footer span NULL, zero skipping).  Pins
+    end-to-end: a ts-clustered rewrite yields real footer spans and a
+    one-day predicate touches a small fraction of row groups, measured
+    at runtime off the scan node too."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    lin = str(tmp_path / "lin")
+    df = spark.range(100_000).select(
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(secs=F.col("id") * 26)  # ~31 days, shuffled
+        ).alias("ts"),
+        F.hash("id").alias("v"),
+    )
+    df.orderBy("v").repartition(8).write.parquet(src)
+    cluster_parquet(
+        spark, src, lin, ["ts"], target_bytes=-(-_dir_bytes(src) // 16)
+    )
+    utc = datetime.timezone.utc  # pyarrow stats are tz-aware for MICROS
+    lo = datetime.datetime(2024, 1, 10, tzinfo=utc)
+    hi = datetime.datetime(2024, 1, 11, tzinfo=utc)
+    hit, tot = _touched_row_groups(lin, "ts", lo, hi)
+    assert tot >= 8 and hit / tot <= 0.3, (hit, tot)
+    # runtime confirmation: the clustered scan decodes a fraction
+    pred = (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    scattered = _scan_output_rows(spark.read.parquet(src).filter(pred))
+    clustered = _scan_output_rows(spark.read.parquet(lin).filter(pred))
+    assert scattered == 100_000  # no stats help on the random layout
+    assert clustered <= 0.3 * scattered, (clustered, scattered)
+
+
 def test_quantile_probe_jobs_do_not_scale_with_key_count(spark):
     """The z-order cutpoint probe reads the input ONCE regardless of
     how many keys are clustered (multi-column approxQuantile) — at
