@@ -114,6 +114,12 @@ class ParquetUpsertSink:
     every untouched partition across — so a batch touching 1 of N
     partitions rewrites exactly 1 partition.  Tables without the
     partition column fall back to a whole-table merge.
+
+    Schema evolution is ADD-ONLY (the Delta-style safe subset): batches
+    may add columns (appended to the stored schema; prior rows and
+    hardlink-carried partitions whose files lack the column read back
+    NULL through the explicit stored schema) or omit columns
+    (NULL-filled); a type change on a shared column raises.
     """
 
     def __init__(
@@ -183,6 +189,31 @@ class ParquetUpsertSink:
         cur = self._current(table)
         pcols = [c for c in self.partition_cols if c in df.columns]
 
+        # ADD-ONLY schema evolution (the safe subset a Delta-style table
+        # defaults to): a batch may carry columns the table lacks (they
+        # append; prior rows — including hardlink-carried untouched
+        # partitions — read back NULL via the stored explicit schema) or
+        # omit columns the table has (NULL-filled for its rows).  A
+        # TYPE change on a shared column is rejected loudly: silently
+        # widening would leave old files unreadable under the new
+        # stored schema.
+        stored = self._schema(table) if cur is not None else None
+        if stored is not None:
+            table_types = {f.name: f.dataType for f in stored.fields}
+            clash = [
+                f"{f.name} (table {table_types[f.name].simpleString()}"
+                f" vs batch {f.dataType.simpleString()})"
+                for f in df.schema.fields
+                if f.name in table_types
+                and f.dataType != table_types[f.name]
+            ]
+            if clash:
+                raise ValueError(
+                    f"upsert into {table!r}: column type changed for "
+                    + ", ".join(clash)
+                    + " — schema evolution is add-only"
+                )
+
         if cur is None:
             # first write: no merge, no probe — write the batch directly
             self._commit(df, tdir, "v0", pcols)
@@ -234,10 +265,10 @@ class ParquetUpsertSink:
                     )
             if mode == "ignore":
                 fresh = batch.join(existing, on=list(keys), how="left_anti")
-                out = existing.unionByName(fresh)
+                out = existing.unionByName(fresh, allowMissingColumns=True)
             else:
                 kept = existing.join(batch, on=list(keys), how="left_anti")
-                out = kept.unionByName(batch)
+                out = kept.unionByName(batch, allowMissingColumns=True)
 
             nxt = f"v{int(cur[1:]) + 1}"
             self._commit(out, tdir, nxt, pcols, link_from=cur)

@@ -293,6 +293,61 @@ def test_parquet_upsert_ignore_mode_partitioned(spark, tmp_path):
     assert got == {(1, "a"): 1, (2, "b"): 2, (1, "c"): 3}
 
 
+def test_parquet_upsert_schema_evolution_add_only(spark, tmp_path):
+    """ADD-ONLY schema evolution: a batch carrying a NEW column evolves
+    the table (old rows — including hardlink-carried untouched
+    partitions whose parquet files never contain the column — read back
+    NULL through the stored explicit schema); a batch OMITTING a column
+    null-fills its rows; a TYPE change on a shared column is rejected
+    loudly."""
+    import pytest as _pytest
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    keys = ["chain_id", "number"]
+    sink.upsert(
+        spark.createDataFrame(
+            [(c, i, c * 100 + i) for c in (1, 2) for i in range(3)],
+            "chain_id long, number long, gas_used long",
+        ),
+        "blocks", keys, mode="update",
+    )
+    # batch with an added column, touching ONLY chain 1 (chain 2 is
+    # hardlink-carried: its files lack the column on disk)
+    sink.upsert(
+        spark.createDataFrame(
+            [(1, 0, 111, "0xaa"), (1, 9, 119, "0xbb")],
+            "chain_id long, number long, gas_used long, miner string",
+        ),
+        "blocks", keys, mode="update",
+    )
+    df = sink.read(spark, "blocks")
+    assert df.columns == ["chain_id", "number", "gas_used", "miner"]
+    got = {(r.chain_id, r.number): (r.gas_used, r.miner) for r in df.collect()}
+    assert got[(1, 0)] == (111, "0xaa") and got[(1, 9)] == (119, "0xbb")
+    assert got[(2, 1)] == (201, None)  # carried partition null-fills
+    assert got[(1, 1)] == (101, None)  # merged-partition old row too
+    # batch omitting the evolved column still lands (null-filled)
+    sink.upsert(
+        spark.createDataFrame(
+            [(2, 7, 777)], "chain_id long, number long, gas_used long"
+        ),
+        "blocks", keys, mode="ignore",
+    )
+    got = {(r.chain_id, r.number): (r.gas_used, r.miner)
+           for r in sink.read(spark, "blocks").collect()}
+    assert got[(2, 7)] == (777, None)
+    # type change on a shared column: rejected, table intact
+    with _pytest.raises(ValueError, match="add-only"):
+        sink.upsert(
+            spark.createDataFrame(
+                [(1, 2, "oops")],
+                "chain_id long, number long, gas_used string",
+            ),
+            "blocks", keys, mode="update",
+        )
+    assert sink.read(spark, "blocks").count() == 8
+
+
 def test_parquet_upsert_hinted_matches_probed(spark, tmp_path):
     """A caller-supplied touched-partitions hint (even a superset) must
     produce the identical table to the sink's own probe, in both modes —
