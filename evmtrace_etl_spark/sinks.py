@@ -97,6 +97,26 @@ def _link_missing_partitions(old_dir: str, new_dir: str) -> list[str]:
     return carried
 
 
+def _denulled(dt: T.DataType) -> T.DataType:
+    """``dt`` with nullability recursively normalized — micro-batches of
+    the same logical schema legitimately disagree on containsNull/
+    nullable (a batch whose arrays happened to be fully populated infers
+    non-null elements), and union handles the widening; only the VALUE
+    type is an evolution conflict."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_denulled(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_denulled(dt.keyType), _denulled(dt.valueType), True)
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _denulled(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 class ParquetUpsertSink:
     """Versioned, hive-partitioned parquet tables with partition-pruned
     upsert merge semantics.
@@ -199,13 +219,15 @@ class ParquetUpsertSink:
         # stored schema.
         stored = self._schema(table) if cur is not None else None
         if stored is not None:
-            table_types = {f.name: f.dataType for f in stored.fields}
+            table_types = {
+                f.name: _denulled(f.dataType) for f in stored.fields
+            }
             clash = [
                 f"{f.name} (table {table_types[f.name].simpleString()}"
                 f" vs batch {f.dataType.simpleString()})"
                 for f in df.schema.fields
                 if f.name in table_types
-                and f.dataType != table_types[f.name]
+                and _denulled(f.dataType) != table_types[f.name]
             ]
             if clash:
                 raise ValueError(

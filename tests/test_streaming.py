@@ -336,6 +336,32 @@ def test_parquet_upsert_schema_evolution_add_only(spark, tmp_path):
     got = {(r.chain_id, r.number): (r.gas_used, r.miner)
            for r in sink.read(spark, "blocks").collect()}
     assert got[(2, 7)] == (777, None)
+    # nullability-only differences are NOT type changes: micro-batches
+    # of one logical schema legitimately disagree on containsNull (a
+    # fully-populated batch infers non-null array elements) — this
+    # exact case killed a real stream before the check denulled types
+    from pyspark.sql import types as T
+
+    arr_nn = T.StructType([
+        T.StructField("chain_id", T.LongType()),
+        T.StructField("number", T.LongType()),
+        T.StructField("gas_used", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType(), False)),
+    ])
+    sink.upsert(
+        spark.createDataFrame([(2, 8, 888, ["a"])], arr_nn),
+        "blocks", keys, mode="ignore",
+    )
+    arr_n = T.StructType(arr_nn.fields[:3] + [
+        T.StructField("tags", T.ArrayType(T.StringType(), True)),
+    ])
+    sink.upsert(
+        spark.createDataFrame([(2, 9, 899, ["b", None])], arr_n),
+        "blocks", keys, mode="ignore",
+    )
+    got = {(r.chain_id, r.number): r.tags
+           for r in sink.read(spark, "blocks").collect()}
+    assert got[(2, 8)] == ["a"] and got[(2, 9)] == ["b", None]
     # type change on a shared column: rejected, table intact
     with _pytest.raises(ValueError, match="add-only"):
         sink.upsert(
@@ -345,7 +371,7 @@ def test_parquet_upsert_schema_evolution_add_only(spark, tmp_path):
             ),
             "blocks", keys, mode="update",
         )
-    assert sink.read(spark, "blocks").count() == 8
+    assert sink.read(spark, "blocks").count() == 10
 
 
 def test_parquet_upsert_hinted_matches_probed(spark, tmp_path):
