@@ -892,8 +892,34 @@ def cluster_parquet(
 # File-skipping stats index (the manifest half of a lakehouse format)
 # ---------------------------------------------------------------------------
 
+def _leaf_file_uris(spark: SparkSession, path: str) -> list[str]:
+    """Full Hadoop URIs of every leaf data file under ``path`` so
+    executors resolve the same file the driver listed (hdfs://nn/...;
+    s3a://...); local file: URIs normalize to posix paths for
+    pyarrow."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    paths: list[str] = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        uri = st.getPath().toString()
+        if uri.startswith("file:"):
+            uri = st.getPath().toUri().getPath()
+        paths.append(uri)
+    return paths
+
+
 def parquet_stats_index(
-    spark: SparkSession, path: str, cols: Sequence[str]
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    paths: Sequence[str] | None = None,
 ) -> DataFrame:
     """Per-FILE min/max/row-count index for ``cols``, read from parquet
     FOOTERS only — the manifest a Delta/Iceberg-style table format
@@ -914,7 +940,10 @@ def parquet_stats_index(
 
     Output: ``file`` (absolute), ``n_rows``, and ``<c>_min``/``<c>_max``
     typed as the source column for each requested col.  Persist it next
-    to the data and serve pruned reads via ``read_file_pruned``.
+    to the data and serve pruned reads via ``read_file_pruned``;
+    maintain it incrementally with ``update_stats_index``.  ``paths``
+    restricts the build to an explicit file list (the incremental
+    path's delta).
     """
     import pandas as pd
 
@@ -932,24 +961,9 @@ def parquet_stats_index(
         fields.append(T.StructField(f"{c}_max", by_name[c].dataType))
     out_schema = T.StructType(fields)
 
-    # Full Hadoop URIs so executors resolve the same file the driver
-    # listed (hdfs://nn/...; s3a://...); local file: URIs normalize to
-    # posix paths for pyarrow.
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    it = fs.listFiles(p, True)
-    paths: list[str] = []
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        uri = st.getPath().toString()
-        if uri.startswith("file:"):
-            uri = st.getPath().toUri().getPath()
-        paths.append(uri)
+    if paths is None:
+        paths = _leaf_file_uris(spark, path)
+    paths = list(paths)
     cols_list = list(cols)
 
     def _read_footers(batches):
@@ -1037,3 +1051,72 @@ def read_file_pruned(
     for c, (lo, hi) in predicates.items():
         cond = cond & F.col(c).between(F.lit(lo), F.lit(hi))
     return out.filter(cond)
+
+
+def update_stats_index(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    cols: Sequence[str],
+) -> dict:
+    """Incrementally maintain the persisted stats manifest at
+    ``manifest_path`` for the dataset at ``path``: footer-read ONLY
+    files not yet in the manifest, drop manifest rows whose files are
+    gone (compaction/vacuum), and keep every already-indexed row as-is.
+    Per run the cost is O(new files) footer reads + an O(files)
+    metadata listing — a continuously-ingesting lake appends a few
+    files per trigger, and re-footer-reading a million-file table each
+    batch would defeat the manifest's purpose.  This is the incremental
+    commit a table format performs transactionally; here the rewrite is
+    a temp-dir + rename swap, the same crash contract as the versioned
+    sink.
+
+    First call (no manifest yet) degrades to a full build.  Returns a
+    ledger: files_total, files_new, files_removed, files_carried.
+    """
+    current = _leaf_file_uris(spark, path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    mpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
+    fs = mpath.getFileSystem(conf)
+    have_manifest = fs.exists(mpath)
+
+    if not have_manifest:
+        parquet_stats_index(spark, path, cols, paths=current).write.mode(
+            "overwrite"
+        ).parquet(manifest_path)
+        return {
+            "files_total": len(current),
+            "files_new": len(current),
+            "files_removed": 0,
+            "files_carried": 0,
+        }
+
+    old = spark.read.parquet(manifest_path)
+    # O(files) driver set — the same bound as prune_files' planner list
+    old_files = {r["file"] for r in old.select("file").collect()}
+    cur_set = set(current)
+    new = sorted(cur_set - old_files)
+    removed = len(old_files - cur_set)
+
+    survivors_df = spark.createDataFrame(
+        [(p,) for p in sorted(cur_set & old_files)], "file string"
+    )
+    carried = old.join(F.broadcast(survivors_df), on="file", how="leftsemi")
+    merged = carried.unionByName(
+        parquet_stats_index(spark, path, cols, paths=new)
+    )
+
+    # temp-dir + rename swap: the merged plan lazily READS the old
+    # manifest, so overwriting it in place would consume the input
+    # mid-scan
+    tmp = manifest_path.rstrip("/") + "._tmp_swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(mpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), mpath)
+    return {
+        "files_total": len(current),
+        "files_new": len(new),
+        "files_removed": removed,
+        "files_carried": len(cur_set & old_files),
+    }

@@ -111,6 +111,47 @@ def test_timestamp_columns_get_real_parquet_stats(spark, tmp_path):
     assert min(r["ts_min"] for r in rows).year == 2024
 
 
+def test_update_stats_index_incremental(spark, tmp_path):
+    """Incremental manifest maintenance: new files get footer-read,
+    already-indexed rows carry byte-identical, deleted files drop, and
+    the updated manifest equals a from-scratch rebuild."""
+    dst = _build(spark, tmp_path)
+    manifest = str(tmp_path / "manifest")
+    from evmtrace_etl_spark.sinks import update_stats_index
+
+    led = update_stats_index(spark, dst, manifest, ["k"])
+    assert led["files_new"] == led["files_total"] >= 4
+    assert led["files_removed"] == led["files_carried"] == 0
+
+    original = set(glob.glob(dst + "/part-*.parquet"))
+    # append two files outside the existing key range
+    spark.range(100_000, 101_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    ).repartition(2).write.mode("append").parquet(dst)
+    # and remove one ORIGINAL file (a compaction would do this)
+    os.remove(sorted(original)[0])
+
+    led = update_stats_index(spark, dst, manifest, ["k"])
+    assert led["files_new"] == 2
+    assert led["files_removed"] == 1
+    assert led["files_carried"] == led["files_total"] - 2
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(manifest).collect()
+    )
+    want = sorted(
+        tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
+    )
+    assert got == want
+    # and the maintained manifest prunes correctly for the new range
+    kept = prune_files(
+        spark.read.parquet(manifest), {"k": (100_000, 200_000)}
+    )
+    assert 0 < len(kept) <= 2
+
+
 def test_index_is_footer_only_no_data_scan(spark, tmp_path):
     """The index job's scan reads the PATH LIST, not the table: pin by
     job-group scan metrics — the parquet files' rows never appear as
