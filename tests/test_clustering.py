@@ -213,6 +213,47 @@ def test_timestamp_clustering_skips_row_groups(spark, tmp_path):
     assert clustered <= 0.3 * scattered, (clustered, scattered)
 
 
+def test_bloom_cols_skip_point_lookups_on_unclustered_column(
+    spark, tmp_path
+):
+    """Blooms are the skipping mechanism min/max CANNOT provide: the
+    table is clustered on ``a``, so an equality lookup on the unrelated
+    high-cardinality ``h`` spans every file's [min,max] — without
+    blooms the scan decodes ~everything; with ``bloom_cols=['h']`` the
+    reader drops non-matching row groups off the parquet bloom filters
+    (measured off the scan node's numOutputRows)."""
+    src = str(tmp_path / "src")
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    df = spark.range(200_000).select(
+        (F.col("id") % 500).alias("a"), F.hash("id").alias("h")
+    )
+    df.repartition(4).write.option(
+        "parquet.block.size", 256 * 1024
+    ).parquet(src)
+    tb = -(-_dir_bytes(src) // 8)
+    cluster_parquet(spark, src, plain, ["a"], target_bytes=tb)
+    cluster_parquet(
+        spark, src, bloomed, ["a"], target_bytes=tb,
+        bloom_cols=["h"], bloom_ndv=200_000,
+    )
+    target = df.filter(F.col("id") == 123_456).collect()[0]["h"]
+    rows_plain = _scan_output_rows(
+        spark.read.parquet(plain).filter(F.col("h") == target)
+    )
+    rows_bloom = _scan_output_rows(
+        spark.read.parquet(bloomed).filter(F.col("h") == target)
+    )
+    assert rows_plain == 200_000  # min/max can't skip: full decode
+    assert rows_bloom <= 0.3 * rows_plain, (rows_bloom, rows_plain)
+    # identical answers either way
+    assert (
+        spark.read.parquet(bloomed).filter(F.col("h") == target).count()
+        == spark.read.parquet(plain).filter(F.col("h") == target).count()
+        == 1
+    )
+
+
 def test_quantile_probe_jobs_do_not_scale_with_key_count(spark):
     """The z-order cutpoint probe reads the input ONCE regardless of
     how many keys are clustered (multi-column approxQuantile) — at
