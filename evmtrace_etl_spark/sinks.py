@@ -1088,6 +1088,93 @@ def read_file_pruned(
     return out.filter(cond)
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    predicates: dict[str, tuple],
+    cols: Sequence[str] | None = None,
+) -> dict:
+    """Row-level delete over a bare-parquet dataset, manifest-pruned:
+    remove every row matching ALL ``col: (lo, hi)`` closed-range
+    predicates by rewriting ONLY the files whose footer spans can
+    contain such rows (``prune_files``) and leaving every other file
+    byte-untouched.  This is the retention/right-to-erasure primitive —
+    on a ts-clustered 100 TB table a one-week purge rewrites the
+    handful of files tiling that week, not the table.  Afterwards the
+    manifest is refreshed incrementally (the rewritten files are the
+    only delta).
+
+    ``cols`` are the stats columns for the manifest refresh (default:
+    inferred from the manifest's own ``*_min`` columns, so the refresh
+    always matches the stored schema).
+
+    Crash contract (documented, weaker than the versioned sink):
+    survivors are first written COMPLETELY to a sibling temp dir, then
+    moved in, then the candidate files are deleted — a crash in the
+    move/delete window can leave duplicate rows (survivors in + old
+    files not yet removed), never lost ones.  This is exactly the
+    non-transactionality that table-format logs exist to close; for
+    transactional upserts use ``ParquetUpsertSink``.
+
+    Returns: files_total, files_rewritten, rows_deleted, rows_before,
+    rows_after.
+    """
+    import uuid
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+
+    manifest = spark.read.parquet(manifest_path)
+    files_total = manifest.count()
+    cand = prune_files(manifest, predicates)
+    if not cand:
+        return {
+            "files_total": int(files_total),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "rows_before": None,
+            "rows_after": None,
+        }
+
+    schema = spark.read.parquet(path).schema
+    hit = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        hit = hit & F.col(c).between(F.lit(lo), F.lit(hi))
+    touched = spark.read.schema(schema).parquet(*cand)
+    rows_before = touched.count()
+    survivors = touched.filter(~hit)
+
+    tmp = path.rstrip("/") + f"._delete_{uuid.uuid4().hex[:8]}"
+    survivors.write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+
+    # move survivors in, then drop the rewritten candidates
+    it = fs.listFiles(hpath(tmp), False)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        fs.rename(st.getPath(), hpath(os.path.join(path, name)))
+    fs.delete(hpath(tmp), True)
+    for f in cand:
+        fs.delete(hpath(f), False)
+
+    if cols is None:
+        cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
+    update_stats_index(spark, path, manifest_path, list(cols))
+    return {
+        "files_total": int(files_total),
+        "files_rewritten": len(cand),
+        "rows_deleted": int(rows_before - rows_after),
+        "rows_before": int(rows_before),
+        "rows_after": int(rows_after),
+    }
+
+
 def update_stats_index(
     spark: SparkSession,
     path: str,

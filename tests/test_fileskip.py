@@ -152,6 +152,50 @@ def test_update_stats_index_incremental(spark, tmp_path):
     assert 0 < len(kept) <= 2
 
 
+def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
+    """Manifest-pruned row-level delete: files outside the predicate
+    range stay byte-untouched (same inode), only overlapping files are
+    rewritten minus the matching rows, and the manifest refresh equals
+    a from-scratch rebuild."""
+    dst = _build(spark, tmp_path)  # k linearly clustered, 0..19999
+    manifest = str(tmp_path / "manifest")
+    from evmtrace_etl_spark.sinks import delete_where, update_stats_index
+
+    update_stats_index(spark, dst, manifest, ["k"])
+    inodes_before = {
+        f: os.stat(f).st_ino for f in glob.glob(dst + "/part-*.parquet")
+    }
+    total_files = len(inodes_before)
+
+    led = delete_where(spark, dst, manifest, {"k": (5_000, 7_000)})
+    assert led["rows_deleted"] == 2_001
+    assert 0 < led["files_rewritten"] < total_files
+
+    # survivors of the dataset: exact complement
+    got = sorted(
+        r["k"] for r in spark.read.parquet(dst).select("k").collect()
+    )
+    assert len(got) == 20_000 - 2_001
+    assert all(not (5_000 <= k <= 7_000) for k in got)
+    # untouched files kept their inodes (never rewritten)
+    untouched = [
+        f for f, ino in inodes_before.items()
+        if os.path.exists(f) and os.stat(f).st_ino == ino
+    ]
+    assert len(untouched) == total_files - led["files_rewritten"]
+    # manifest refreshed == rebuild, and the deleted range prunes to 0
+    got_m = sorted(
+        tuple(r) for r in spark.read.parquet(manifest).collect()
+    )
+    want_m = sorted(
+        tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
+    )
+    assert got_m == want_m
+    # no-op delete: zero candidates, nothing changes
+    led2 = delete_where(spark, dst, manifest, {"k": (10**8, 10**9)})
+    assert led2["files_rewritten"] == 0 and led2["rows_deleted"] == 0
+
+
 def test_index_is_footer_only_no_data_scan(spark, tmp_path):
     """The index job's scan reads the PATH LIST, not the table: pin by
     job-group scan metrics — the parquet files' rows never appear as
