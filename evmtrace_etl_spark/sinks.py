@@ -1081,7 +1081,14 @@ def read_file_pruned(
     if not files:
         out = spark.createDataFrame([], schema)
     else:
-        out = spark.read.schema(schema).parquet(*files)
+        # basePath keeps directory-encoded (hive) partition values when
+        # reading an explicit file list — without it a partitioned
+        # dataset's partition columns would silently read back NULL
+        out = (
+            spark.read.option("basePath", path)
+            .schema(schema)
+            .parquet(*files)
+        )
     cond = F.lit(True)
     for c, (lo, hi) in predicates.items():
         cond = cond & F.col(c).between(F.lit(lo), F.lit(hi))
@@ -1126,6 +1133,16 @@ def delete_where(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(conf)
+
+    # FLAT datasets only: rewriting a hive-partitioned file in place
+    # would inline its directory-encoded partition values (or lose
+    # them), corrupting the layout — partitioned tables delete by
+    # partition rewrite (compact_partitioned_parquet's layout) instead
+    if any("=" in rel.rsplit("/", 1)[0] for rel, _ in _leaf_files(spark, path) if "/" in rel):
+        raise ValueError(
+            "delete_where supports flat parquet datasets; "
+            f"{path} is hive-partitioned — rewrite by partition instead"
+        )
 
     manifest = spark.read.parquet(manifest_path)
     files_total = manifest.count()

@@ -196,6 +196,40 @@ def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
     assert led2["files_rewritten"] == 0 and led2["rows_deleted"] == 0
 
 
+def test_delete_where_refuses_partitioned_layout(spark, tmp_path):
+    """In-place file surgery on a hive layout would inline or lose the
+    directory-encoded partition values — refused loudly."""
+    import pytest
+
+    from evmtrace_etl_spark.sinks import delete_where, update_stats_index
+
+    part = str(tmp_path / "part")
+    spark.range(100).selectExpr("id % 3 as p", "id as k").write.partitionBy(
+        "p"
+    ).parquet(part)
+    manifest = str(tmp_path / "m")
+    update_stats_index(spark, part, manifest, ["k"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        delete_where(spark, part, manifest, {"k": (0, 10)})
+
+
+def test_read_file_pruned_keeps_partition_values(spark, tmp_path):
+    """Pruned reads of a hive-partitioned dataset keep the
+    directory-encoded partition column (basePath) — without it the
+    values silently read back NULL."""
+    from evmtrace_etl_spark.sinks import parquet_stats_index
+
+    part = str(tmp_path / "part")
+    spark.range(1000).selectExpr("id % 4 as p", "id as k").write.partitionBy(
+        "p"
+    ).parquet(part)
+    idx = parquet_stats_index(spark, part, ["k"])
+    got = read_file_pruned(spark, part, idx, {"k": (100, 200)})
+    rows = got.collect()
+    assert len(rows) == 101
+    assert all(r["p"] is not None and r["p"] == r["k"] % 4 for r in rows)
+
+
 def test_index_is_footer_only_no_data_scan(spark, tmp_path):
     """The index job's scan reads the PATH LIST, not the table: pin by
     job-group scan metrics — the parquet files' rows never appear as
