@@ -35,6 +35,7 @@ from ..functions.text import (
     HYPERPLANES_WIDE,
     SEM_CELL_CAP,
 )
+from ..session import materialize as _materialize
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -712,6 +713,13 @@ def semantic_dedup(
     Norms are attached per ROW before the join (``_cos_pre``), so each
     vector's norm folds once, not once per pair.
 
+    The assignment projection (n_centroids × dim dot products per row)
+    is the expensive per-row expression, and FOUR downstream branches
+    consume it (cell counts, both pair-join sides, the final output
+    join) — so it is materialized ONCE via ``session.materialize``
+    rather than re-evaluated per branch.  At 100 TB that is one corpus
+    scan of the codebook math instead of four.
+
     Output: vec_id, cell, keep (1/0), dup_of (the chosen exemplar's
     vec_id, -1 when kept).
     """
@@ -721,8 +729,10 @@ def semantic_dedup(
         .select("vec_id", vec_col)
         .collect()
     )
-    assigned = ivf_assignments(emb, cents, vec_col).withColumn(
-        "_nrm", _norm(F.col(vec_col))
+    assigned = _materialize(
+        ivf_assignments(emb, cents, vec_col).withColumn(
+            "_nrm", _norm(F.col(vec_col))
+        )
     )
     under_cap_cells = (
         assigned.groupBy("cell")
