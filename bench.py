@@ -23,6 +23,38 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+#: Absolute floor (rows/sec) for the curve's LAST point — set well under
+#: every observed healthy run (12.3k driver / 13.5k clean at fpt=16) but
+#: above any real pacing collapse; the primary gate is the SHAPE.
+STREAM_LAST_POINT_FLOOR = 4000.0
+
+#: The last point must beat the first by at least this factor: a healthy
+#: paced stream amortizes fixed trigger cost, so throughput RISES with
+#: files_per_trigger (observed 4.5-9.8x; a flat curve means pacing broke).
+STREAM_SCALING_FLOOR = 2.0
+
+
+def curve_shape_gate(points: list[dict]) -> dict:
+    """Regression gate on the streaming curve's SHAPE, not its absolute
+    level (the fpt=4 point swings 1.25k-3.0k rows/s with host noise;
+    the monotone rise and the fpt=16 level are stable across runs):
+    (1) rows/sec monotonically non-decreasing in files_per_trigger,
+    (2) last point ≥ STREAM_SCALING_FLOOR x first point,
+    (3) last point ≥ STREAM_LAST_POINT_FLOOR rows/s."""
+    rates = [p["rows_per_sec"] for p in points]
+    monotonic = all(b >= a for a, b in zip(rates, rates[1:]))
+    scaling = rates[-1] >= STREAM_SCALING_FLOOR * rates[0] if len(rates) > 1 else True
+    floor = rates[-1] >= STREAM_LAST_POINT_FLOOR
+    return {
+        "monotonic": monotonic,
+        "scaling_ok": scaling,
+        "scaling_floor": STREAM_SCALING_FLOOR,
+        "last_point_ok": floor,
+        "last_point_floor_rows_per_sec": STREAM_LAST_POINT_FLOOR,
+        "pass": monotonic and scaling and floor,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -135,8 +167,15 @@ def main() -> None:
                 "rows_per_sec": head["rows_per_sec"],
                 "micro_batches": head["micro_batches"],
                 "files_per_trigger": head["files_per_trigger"],
+                "shape_gate": curve_shape_gate(streaming["points"]),
             }
         )
+        if not streaming["shape_gate"]["pass"]:
+            print(
+                f"bench: STREAMING SHAPE GATE FAILED: "
+                f"{streaming['shape_gate']}",
+                file=sys.stderr,
+            )
     except Exception as exc:  # pragma: no cover
         streaming = {"error": str(exc)}
         print(f"bench: stream_throughput failed: {exc}", file=sys.stderr)

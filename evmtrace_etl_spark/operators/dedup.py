@@ -242,8 +242,12 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text") -> DataFrame:
     avg_true, avg_abs_err.
     """
     sets_ = shingle_hashes(docs, text_col)
-    both = _signatures_from_sets(sets_).join(sets_, on="doc_id")
-    pairs = _pairs_from_sigs(_signatures_from_sets(sets_))
+    # one signature pass feeds BOTH the pair generation and the scoring
+    # join (evaluating _signatures_from_sets twice would run the
+    # per-document minhash fold over the corpus twice)
+    sigs = _materialize(_signatures_from_sets(sets_))
+    both = sigs.join(sets_, on="doc_id")
+    pairs = _pairs_from_sigs(sigs)
     sa = both.select(
         F.col("doc_id").alias("doc_a"),
         F.col("signature").alias("_sig_a"),

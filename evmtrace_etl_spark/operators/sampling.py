@@ -449,7 +449,9 @@ def split_leakage(
     )
 
 
-#: Denominator turning the 28-bit hash into u ∈ (0, 1]: 16^7 + 1.
+#: Denominator turning the 28-bit hash into u ∈ (0, 1): 16^7 + 1
+#: (hash+1 ≤ 16^7 < denom, so u never reaches 1; never 0 either — both
+#: endpoints would break ln(u) or collapse a key).
 _WS_DENOM = 268_435_457.0
 
 #: Sample size for the registered weighted-sample query.
@@ -463,7 +465,7 @@ def weighted_sample(
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement (A-ES /
     exponential-sort, Efraimidis & Spirakis 2006): each doc draws a
-    pseudo-random u ∈ (0, 1] from its salted hash and is ranked by
+    pseudo-random u ∈ (0, 1) from its salted hash and is ranked by
     ``-ln(u) / w`` ascending (equivalent to the classic ``u^(1/w)``
     descending), so P(selection) is proportional to the weight — here
     token count, the length-proportional draw a token-budgeted training

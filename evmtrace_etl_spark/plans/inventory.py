@@ -40,6 +40,9 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - incremental view maintenance (algebraic partial merge)      → incremental_rollup
 - layout-preserving compaction round-trip (lake maintenance)  → compacted_events_stats
 - z-order clustering round-trip + ranged scan (data skipping) → clustered_events_value
+- manifest file-skipping serve over a stats snapshot          → fileskip_events_value
+- snapshot-committed partitioned row-level delete (purge)     → snapshot_delete_purge
+- composed read_table (file-skip + row-group + bloom tiers)   → read_table_week
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -2135,6 +2138,166 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot-committed delete + composed read path under the driver gate
+# ---------------------------------------------------------------------------
+
+def snapshot_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention purge on a HIVE-PARTITIONED bare-parquet table through
+    the snapshot-committed ``sinks.delete_where``: the build leg writes
+    an events copy partitioned by ``event_type`` with an in-table stats
+    manifest (``ts`` footer stats + directory-derived partition-column
+    stats), then deletes one week of one partition's rows — the
+    manifest prunes the rewrite to the files of THAT partition
+    overlapping THAT week, survivors are rewritten back into their
+    original partition directory, and the refreshed manifest commits
+    atomically before the old files are swept (crash anywhere leaves a
+    snapshot reader on exactly one committed version — the
+    crash-injection tests in tests/test_fileskip.py pin both windows).
+    The serve leg reads the remainder THROUGH the snapshot
+    (``read_table``) and rolls it up; the oracle recomputes the
+    complement over the ORIGINAL events table, so a lost survivor, a
+    resurrected deleted row, or a corrupted partition value fails the
+    value hash every round.
+
+    At 100 TB this is the right-to-erasure primitive on partitioned
+    data: the rewrite touches one partition's week-tile, untouched
+    partitions keep their inodes, and readers never see a half-applied
+    delete.  Build memoized per sf_dir; re-running the delete is a
+    zero-candidate no-op, so the serve leg is idempotent.
+    """
+    import datetime
+    import tempfile
+
+    from ..sinks import delete_where, read_table, update_stats_index
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_snapdelete",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 15)
+    if _BUILD_DONE.get("snapshot_delete") != base:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        ev.repartition(8).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(tbl)
+        update_stats_index(spark, tbl, None, ["ts", "event_type"])
+        delete_where(
+            spark, tbl, None, {"event_type": "click", "ts": (lo, hi)}
+        )
+        _BUILD_DONE["snapshot_delete"] = base
+    return (
+        read_table(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.min("user_id").alias("min_user_id"),
+            F.max("user_id").alias("max_user_id"),
+        )
+    )
+
+
+SNAPSHOT_DELETE_PURGE_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(min(user_id) AS BIGINT) AS min_user_id,
+  CAST(max(user_id) AS BIGINT) AS max_user_id
+FROM events
+WHERE NOT (
+  event_type = 'click'
+  AND CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                                AND TIMESTAMP '2024-01-15 00:00:00'
+)
+GROUP BY event_type
+"""
+
+
+def read_table_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One week of one event type served through the COMPOSED
+    ``sinks.read_table`` entry point — the single call that stacks
+    every skipping tier the storage layer built this survey: the build
+    leg linearly clusters events on ``ts`` into many small files with a
+    parquet bloom filter on ``user_id`` (``cluster_parquet``) and
+    commits an in-table snapshot stats manifest
+    (``update_stats_index``); the serve leg passes ONE predicate dict
+    and gets (1) manifest FILE skipping on the ts range, (2) row-group
+    min/max skipping inside the surviving files (the clustered layout),
+    (3) the equality predicate pushed as ``Eq`` so bloom/dictionary
+    page skipping stays armed — then the exact row condition on top.
+    The oracle recomputes over the ORIGINAL table: a wrong file skip, a
+    stale snapshot, or a predicate translation bug fails the value hash
+    every round.  Skip ratios and the pushed-Eq plan shape are pinned
+    in tests/test_fileskip.py.
+
+    At 100 TB this is the read path a lakehouse table format sells:
+    callers state predicates once; file, row-group, and page pruning
+    compose from the manifest + layout without the query mentioning
+    either.  Build memoized per sf_dir; the registered row bills the
+    composed serve scan.
+    """
+    import datetime
+    import tempfile
+
+    from ..sinks import cluster_parquet, read_table, update_stats_index
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_readtable",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    plain = os.path.join(base, "plain")
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("read_table_week") != base:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        ev.repartition(8).write.mode("overwrite").parquet(plain)
+        cluster_parquet(
+            spark,
+            plain,
+            tbl,
+            ["ts"],
+            target_bytes=1 << 16,
+            bloom_cols=["user_id"],
+        )
+        update_stats_index(spark, tbl, None, ["ts"])
+        _BUILD_DONE["read_table_week"] = base
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 15)
+    ev = read_table(
+        spark, tbl, {"ts": (lo, hi), "event_type": "view"}
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+READ_TABLE_WEEK_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_type = 'view'
+  AND CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                                AND TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -2175,6 +2338,8 @@ QUERIES = {
     "inv_compacted_events_stats": compacted_events_stats,
     "inv_clustered_events_value": clustered_events_value,
     "inv_fileskip_events_value": fileskip_events_value,
+    "inv_snapshot_delete_purge": snapshot_delete_purge,
+    "inv_read_table_week": read_table_week,
 }
 
 ORACLES = {
@@ -2217,4 +2382,6 @@ ORACLES = {
     "inv_compacted_events_stats": COMPACTED_EVENTS_STATS_SQL,
     "inv_clustered_events_value": CLUSTERED_EVENTS_VALUE_SQL,
     "inv_fileskip_events_value": FILESKIP_EVENTS_VALUE_SQL,
+    "inv_snapshot_delete_purge": SNAPSHOT_DELETE_PURGE_SQL,
+    "inv_read_table_week": READ_TABLE_WEEK_SQL,
 }

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from collections.abc import Callable, Iterable, Sequence
 
@@ -234,6 +235,21 @@ class ParquetUpsertSink:
                     f"upsert into {table!r}: column type changed for "
                     + ", ".join(clash)
                     + " — schema evolution is add-only"
+                )
+            # a batch missing the table's PARTITION column is not
+            # add-only evolution: folding it in would silently rewrite
+            # the table UNPARTITIONED (NULL partition values for the
+            # batch), defeating every later pruned merge — reject loudly
+            stored_names = {f.name for f in stored.fields}
+            missing_p = [
+                c
+                for c in self.partition_cols
+                if c in stored_names and c not in df.columns
+            ]
+            if missing_p:
+                raise ValueError(
+                    f"upsert into {table!r}: batch omits partition "
+                    f"column(s) {missing_p} the table is partitioned by"
                 )
 
         if cur is None:
@@ -661,7 +677,11 @@ def _with_blooms(writer, bloom_cols: Sequence[str] | None, ndv: int):
 def _leaf_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(relative path, bytes) of every leaf DATA file under ``path``,
     via the Hadoop ``FileSystem`` API (HDFS/S3A-portable, no driver
-    data collection); ``_SUCCESS``/checksum/hidden files excluded."""
+    data collection); ``_SUCCESS``/checksum/hidden files excluded.
+    Hidden DIRECTORY subtrees (any ``_``/``.``-prefixed path segment)
+    are excluded too — the same rule Spark's own file index applies —
+    so metadata dirs like the in-table ``_stats_manifest`` are never
+    mistaken for data."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -671,11 +691,11 @@ def _leaf_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     out: list[tuple[str, int]] = []
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
         full = st.getPath().toUri().getPath()
-        out.append((full[len(root):].lstrip("/"), int(st.getLen())))
+        rel = full[len(root):].lstrip("/")
+        if any(s.startswith(("_", ".")) for s in rel.split("/")):
+            continue
+        out.append((rel, int(st.getLen())))
     return out
 
 
@@ -931,17 +951,20 @@ def _leaf_file_uris(spark: SparkSession, path: str) -> list[str]:
     """Full Hadoop URIs of every leaf data file under ``path`` so
     executors resolve the same file the driver listed (hdfs://nn/...;
     s3a://...); local file: URIs normalize to posix paths for
-    pyarrow."""
+    pyarrow.  Hidden directory subtrees (``_``/``.``-prefixed path
+    segments — e.g. the in-table ``_stats_manifest``) are skipped,
+    matching Spark's own listing semantics."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
+    root = fs.getFileStatus(p).getPath().toUri().getPath()
     it = fs.listFiles(p, True)
     paths: list[str] = []
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
+        if any(s.startswith(("_", ".")) for s in rel.split("/")):
             continue
         uri = st.getPath().toString()
         if uri.startswith("file:"):
@@ -979,27 +1002,46 @@ def parquet_stats_index(
     maintain it incrementally with ``update_stats_index``.  ``paths``
     restricts the build to an explicit file list (the incremental
     path's delta).
+
+    Directory-encoded (hive) partition columns never appear in file
+    footers, so their "stats" are derived from the directory values
+    instead (``min == max ==`` the file's partition value) — which
+    makes the manifest prune on partition predicates too, the same
+    file-level partition pruning a directory listing gives a planner,
+    but served from the manifest table.
     """
     import pandas as pd
+    from urllib.parse import unquote
 
     src_schema = spark.read.parquet(path).schema
     by_name = {f.name: f for f in src_schema.fields}
     missing = [c for c in cols if c not in by_name]
     if missing:
         raise ValueError(f"columns not in {path}: {missing}")
+    # hive partition columns: in the read schema but not in footers —
+    # their stats come from the directory encoding, parsed per file
+    dir_cols = set()
+    for rel, _ln in _leaf_files(spark, path):
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                dir_cols.add(seg.split("=", 1)[0])
+    part_cols = [c for c in cols if c in dir_cols]
     fields = [
         T.StructField("file", T.StringType()),
         T.StructField("n_rows", T.LongType()),
     ]
     for c in cols:
-        fields.append(T.StructField(f"{c}_min", by_name[c].dataType))
-        fields.append(T.StructField(f"{c}_max", by_name[c].dataType))
+        # partition values parse as strings; cast to the source type after
+        dt = T.StringType() if c in part_cols else by_name[c].dataType
+        fields.append(T.StructField(f"{c}_min", dt))
+        fields.append(T.StructField(f"{c}_max", dt))
     out_schema = T.StructType(fields)
 
     if paths is None:
         paths = _leaf_file_uris(spark, path)
     paths = list(paths)
     cols_list = list(cols)
+    part_set = set(part_cols)
 
     def _read_footers(batches):
         import pyarrow.parquet as pq
@@ -1013,6 +1055,13 @@ def parquet_stats_index(
                     return pq.ParquetFile(f).metadata
             return pq.ParquetFile(fpath).metadata
 
+        def _dir_value(fpath, c):
+            for seg in fpath.split("/")[:-1]:
+                if seg.startswith(c + "="):
+                    v = unquote(seg[len(c) + 1:])
+                    return None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            return None
+
         for pdf in batches:
             rows = []
             for fpath in pdf["path"]:
@@ -1023,6 +1072,11 @@ def parquet_stats_index(
                 }
                 rec: dict = {"file": fpath, "n_rows": md.num_rows}
                 for c in cols_list:
+                    if c in part_set:
+                        v = _dir_value(fpath, c)
+                        rec[f"{c}_min"] = v
+                        rec[f"{c}_max"] = v
+                        continue
                     lo = hi = None
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx[c]).statistics
@@ -1040,21 +1094,47 @@ def parquet_stats_index(
 
     files_df = spark.createDataFrame([(p,) for p in paths], "path string")
     n_part = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
-    return files_df.repartition(n_part).mapInPandas(
+    out = files_df.repartition(n_part).mapInPandas(
         _read_footers, schema=out_schema
     )
+    for c in part_cols:
+        dt = by_name[c].dataType
+        out = out.withColumn(f"{c}_min", F.col(f"{c}_min").cast(dt))
+        out = out.withColumn(f"{c}_max", F.col(f"{c}_max").cast(dt))
+    return out
+
+
+def _pred_parts(
+    predicates: dict | None,
+) -> tuple[dict[str, tuple], "F.Column"]:
+    """Split a predicate dict into (a) normalized closed ranges for
+    manifest pruning and (b) the exact row-level condition.  Values may
+    be 2-tuples ``(lo, hi)`` (closed range) or scalars (equality — kept
+    as ``==`` in the row condition so parquet dictionary/bloom skipping
+    engages on the pushed Eq filter, which a ``BETWEEN`` rewrite would
+    forfeit)."""
+    ranges: dict[str, tuple] = {}
+    cond = F.lit(True)
+    for c, v in (predicates or {}).items():
+        if isinstance(v, tuple) and len(v) == 2:
+            ranges[c] = v
+            cond = cond & F.col(c).between(F.lit(v[0]), F.lit(v[1]))
+        else:
+            ranges[c] = (v, v)
+            cond = cond & (F.col(c) == F.lit(v))
+    return ranges, cond
 
 
 def prune_files(
     index: DataFrame, predicates: dict[str, tuple]
 ) -> list[str]:
     """File paths whose [min, max] spans overlap EVERY ``col: (lo, hi)``
-    closed-range predicate (NULL stats keep the file — conservative).
-    The collect is O(matching files) driver memory — the same object a
-    scan planner must hold to enumerate its splits; row data never
-    moves."""
+    closed-range predicate (scalars mean equality; NULL stats keep the
+    file — conservative).  The collect is O(matching files) driver
+    memory — the same object a scan planner must hold to enumerate its
+    splits; row data never moves."""
     cond = F.lit(True)
-    for c, (lo, hi) in predicates.items():
+    for c, (lo, hi) in _pred_parts(predicates)[0].items():
         cond = (
             cond
             & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
@@ -1089,149 +1169,444 @@ def read_file_pruned(
             .schema(schema)
             .parquet(*files)
         )
-    cond = F.lit(True)
-    for c, (lo, hi) in predicates.items():
-        cond = cond & F.col(c).between(F.lit(lo), F.lit(hi))
-    return out.filter(cond)
+    return out.filter(_pred_parts(predicates)[1])
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned manifest commits (Delta-log-lite).
+#
+# Layout::
+#
+#     <manifest>/v<N>/part-*.parquet   one manifest version (Spark write)
+#     <manifest>/v<N>/_COMMIT          atomic commit marker (JSON: version,
+#                                      removed-files list pending deletion)
+#     <manifest>/_TXN                  intent marker of an in-flight
+#                                      delete_where (added/removed file
+#                                      lists + the version it will commit)
+#
+# The CURRENT manifest is the highest v<N> with a _COMMIT marker; the
+# marker is created by a tmp-write + rename, so "the snapshot advanced"
+# is a single atomic filesystem op — the same role Delta's log entry or
+# Iceberg's snapshot pointer plays.  Data-file changes are sequenced
+# around it: adds land BEFORE the commit (invisible — no committed
+# manifest references them), physical deletes happen AFTER (the commit
+# records them in its removed list, so a crash leaves only orphans that
+# the next operation's recovery sweeps, never a reader-visible
+# duplicate or lost row).  Readers that go through the snapshot
+# (``read_table``/``current_manifest``) therefore always see exactly
+# one committed version; plain directory scans of the data dir remain
+# bare-parquet eventually-consistent, which is precisely why table
+# formats require log-driven reads.  Retention is zero (removed files
+# are swept immediately after commit): a reader holding a file list
+# across a concurrent delete can hit a vanished file — the knob a real
+# deployment adds is a sweep delay, not a different protocol.
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """(jvm, Path class, FileSystem) for ``path`` via the Hadoop API."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path
+    return jvm, hp, hp(path).getFileSystem(conf)
+
+
+def _manifest_dir(path: str, manifest_path: str | None) -> str:
+    """Default manifest location: ``_stats_manifest`` INSIDE the table
+    dir (hidden to Spark scans and to ``_leaf_files`` alike), making a
+    table + its snapshot metadata one self-contained directory."""
+    if manifest_path is not None:
+        return manifest_path
+    return path.rstrip("/") + "/_stats_manifest"
+
+
+def _committed_versions(spark: SparkSession, manifest_path: str) -> list[int]:
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    if not fs.exists(hp(manifest_path)):
+        return []
+    out = []
+    for st in fs.listStatus(hp(manifest_path)):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and re.fullmatch(r"v\d+", name)
+            and fs.exists(hp(st.getPath(), "_COMMIT"))
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def manifest_version(spark: SparkSession, manifest_path: str) -> int | None:
+    """Highest committed manifest version, or None."""
+    vs = _committed_versions(spark, manifest_path)
+    return vs[-1] if vs else None
+
+
+def _read_json_marker(spark: SparkSession, path: str) -> dict:
+    jvm, hp, fs = _fs_for(spark, path)
+    stream = fs.open(hp(path))
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_json_marker(
+    spark: SparkSession, dirpath: str, name: str, payload: dict
+) -> None:
+    """Atomically create ``<dirpath>/<name>``: write a hidden tmp
+    sibling, then rename in — the rename is the single-op commit point
+    (atomic on POSIX and HDFS; on S3 a real deployment swaps this for a
+    conditional PUT)."""
+    jvm, hp, fs = _fs_for(spark, dirpath)
+    fs.mkdirs(hp(dirpath))
+    tmp = hp(f"{dirpath}/.{name}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    final = hp(f"{dirpath}/{name}")
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _flat_manifest_files(spark: SparkSession, manifest_path: str) -> list[str]:
+    """Parquet part files sitting directly under ``manifest_path`` — the
+    pre-snapshot flat layout, read explicitly (never via directory
+    inference, which would trip over v<N> subdirs mid-migration) and
+    migrated into v0 by the next commit."""
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    if not fs.exists(hp(manifest_path)):
+        return []
+    out = []
+    for st in fs.listStatus(hp(manifest_path)):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            uri = st.getPath().toString()
+            if uri.startswith("file:"):
+                uri = st.getPath().toUri().getPath()
+            out.append(uri)
+    return sorted(out)
+
+
+def current_manifest(
+    spark: SparkSession, manifest_path: str
+) -> DataFrame | None:
+    """The current committed stats manifest (highest ``v<N>`` carrying a
+    ``_COMMIT`` marker), falling back to the legacy flat layout, else
+    None.  This is THE read path for snapshot consistency: a reader
+    that resolves its file list through here sees exactly one committed
+    version regardless of concurrent deletes/maintenance."""
+    v = manifest_version(spark, manifest_path)
+    if v is not None:
+        return spark.read.parquet(f"{manifest_path}/v{v}")
+    flat = _flat_manifest_files(spark, manifest_path)
+    if flat:
+        return spark.read.parquet(*flat)
+    return None
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    df: DataFrame,
+    removed: Sequence[str],
+) -> int:
+    """Write ``df`` as the next manifest version and commit it with one
+    atomic marker rename.  ``removed`` = data files this commit
+    logically deleted (still on disk; swept post-commit).  Pending
+    removals of the predecessor that were never swept are carried
+    forward so they cannot be lost.  Post-commit housekeeping prunes
+    versions older than the immediate predecessor (kept for in-flight
+    readers) plus failed uncommitted attempts, and deletes migrated
+    flat-layout files — all crash-safe: the new version is already
+    current."""
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    committed = _committed_versions(spark, manifest_path)
+    nxt = (committed[-1] + 1) if committed else 0
+    flat = _flat_manifest_files(spark, manifest_path)
+
+    pending: list[str] = []
+    if committed:
+        prev = _read_json_marker(
+            spark, f"{manifest_path}/v{committed[-1]}/_COMMIT"
+        )
+        pending = [f for f in prev.get("removed", []) if fs.exists(hp(f))]
+    all_removed = sorted(set(removed) | set(pending))
+
+    vdir = f"{manifest_path}/v{nxt}"
+    # the write MATERIALIZES df before any input (old version / flat
+    # files) is touched — committed versions are never inputs to their
+    # own destruction
+    df.write.mode("overwrite").parquet(vdir)
+    _write_json_marker(
+        spark, vdir, "_COMMIT", {"version": nxt, "removed": all_removed}
+    )  # <- the commit point
+
+    for st in fs.listStatus(hp(manifest_path)):
+        name = st.getPath().getName()
+        if st.isDirectory() and re.fullmatch(r"v\d+", name):
+            n = int(name[1:])
+            if n < nxt - 1 or (n < nxt and n not in committed):
+                fs.delete(st.getPath(), True)
+    for fpath in flat:
+        fs.delete(hp(fpath), False)
+    return nxt
+
+
+def _sweep_removed(spark: SparkSession, manifest_path: str) -> list[str]:
+    """Physically delete data files whose removal the CURRENT manifest
+    version committed (``delete_where`` defers deletion until after its
+    atomic commit).  Idempotent; returns what it deleted."""
+    v = manifest_version(spark, manifest_path)
+    if v is None:
+        return []
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    commit = _read_json_marker(spark, f"{manifest_path}/v{v}/_COMMIT")
+    deleted = []
+    for f in commit.get("removed", []):
+        if fs.exists(hp(f)):
+            fs.delete(hp(f), False)
+            deleted.append(f)
+    return deleted
+
+
+def _post_commit_sweep(spark: SparkSession, manifest_path: str) -> list[str]:
+    """``delete_where``'s post-commit cleanup (= ``_sweep_removed``; a
+    separate name so crash-injection tests can disable JUST this half
+    and exercise the recovery path)."""
+    return _sweep_removed(spark, manifest_path)
+
+
+def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
+    """Crash recovery for an interrupted ``delete_where``: its ``_TXN``
+    intent marker records the planned file adds/removes and the version
+    it meant to commit.  If that version committed, roll FORWARD (sweep
+    the removed files); otherwise roll BACK (delete the txn's added
+    files — no committed manifest ever referenced them, so no snapshot
+    reader saw them).  Either way the table returns to a state where
+    incremental maintenance's "unknown file on disk == new ingest" rule
+    is safe again.  Idempotent; runs at the head of every maintenance
+    op."""
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    tpath = hp(f"{manifest_path}/_TXN")
+    if not fs.exists(tpath):
+        return None
+    txn = _read_json_marker(spark, f"{manifest_path}/_TXN")
+    committed = txn["expected_version"] in _committed_versions(
+        spark, manifest_path
+    )
+    if committed:
+        _sweep_removed(spark, manifest_path)
+    else:
+        for f in txn.get("added", []):
+            fs.delete(hp(f), False)
+    fs.delete(tpath, False)
+    return {"rolled": "forward" if committed else "back", **txn}
 
 
 def delete_where(
     spark: SparkSession,
     path: str,
-    manifest_path: str,
+    manifest_path: str | None,
     predicates: dict[str, tuple],
     cols: Sequence[str] | None = None,
 ) -> dict:
-    """Row-level delete over a bare-parquet dataset, manifest-pruned:
-    remove every row matching ALL ``col: (lo, hi)`` closed-range
-    predicates by rewriting ONLY the files whose footer spans can
-    contain such rows (``prune_files``) and leaving every other file
+    """Row-level delete over a bare-parquet dataset — flat OR
+    hive-partitioned — manifest-pruned and SNAPSHOT-COMMITTED: remove
+    every row matching ALL predicates (``col: (lo, hi)`` closed range,
+    or scalar equality) by rewriting ONLY the files whose footer spans
+    can contain such rows (``prune_files``), leaving every other file
     byte-untouched.  This is the retention/right-to-erasure primitive —
     on a ts-clustered 100 TB table a one-week purge rewrites the
-    handful of files tiling that week, not the table.  Afterwards the
-    manifest is refreshed incrementally (the rewritten files are the
-    only delta).
+    handful of files tiling that week, not the table.
 
-    ``cols`` are the stats columns for the manifest refresh (default:
-    inferred from the manifest's own ``*_min`` columns, so the refresh
-    always matches the stored schema).
+    Hive-partitioned layouts are rewritten per partition: candidates
+    are read with ``basePath`` (directory-encoded values surface as
+    columns), survivors are written back ``partitionBy`` the same
+    columns, and each survivor file is moved into its original
+    partition directory — untouched partitions keep their inodes.
 
-    Crash contract (documented, weaker than the versioned sink):
-    survivors are first written COMPLETELY to a sibling temp dir, then
-    moved in, then the candidate files are deleted — a crash in the
-    move/delete window can leave duplicate rows (survivors in + old
-    files not yet removed), never lost ones.  This is exactly the
-    non-transactionality that table-format logs exist to close; for
-    transactional upserts use ``ParquetUpsertSink``.
+    Transaction protocol (see the snapshot-commit section above): an
+    ``_TXN`` intent marker is logged, survivor files move in (invisible
+    — unreferenced by any committed manifest), the refreshed manifest
+    commits atomically with the candidates recorded as removed, and
+    only then are candidate files physically swept.  A crash anywhere
+    leaves a snapshot reader on exactly one committed version — the old
+    one (deletion never happened) or the new one (deletion complete);
+    duplicates are impossible by construction and recovery
+    (``_recover_txn``) is run by the next maintenance op.
 
-    Returns: files_total, files_rewritten, rows_deleted, rows_before,
-    rows_after.
+    ``manifest_path`` None uses the in-table default; ``cols`` (stats
+    columns for the refresh) default to the manifest's own ``*_min``
+    columns.  Returns the ledger: files_total, files_rewritten,
+    files_added, rows_deleted, rows_before, rows_after, partitioned,
+    version.
     """
     import uuid
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(conf)
+    mdir = _manifest_dir(path, manifest_path)
+    jvm, hp, fs = _fs_for(spark, path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
 
-    # FLAT datasets only: rewriting a hive-partitioned file in place
-    # would inline its directory-encoded partition values (or lose
-    # them), corrupting the layout — partitioned tables delete by
-    # partition rewrite (compact_partitioned_parquet's layout) instead
-    if any("=" in rel.rsplit("/", 1)[0] for rel, _ in _leaf_files(spark, path) if "/" in rel):
+    manifest = current_manifest(spark, mdir)
+    if manifest is None:
         raise ValueError(
-            "delete_where supports flat parquet datasets; "
-            f"{path} is hive-partitioned — rewrite by partition instead"
+            f"no stats manifest at {mdir} — build one with "
+            "update_stats_index first"
         )
-
-    manifest = spark.read.parquet(manifest_path)
     files_total = manifest.count()
-    cand = prune_files(manifest, predicates)
+    ranges, hit = _pred_parts(predicates)
+    cand = prune_files(manifest, ranges)
+    ledger = {
+        "files_total": int(files_total),
+        "files_rewritten": 0,
+        "files_added": 0,
+        "rows_deleted": 0,
+        "rows_before": None,
+        "rows_after": None,
+        "partitioned": False,
+        "version": manifest_version(spark, mdir),
+    }
     if not cand:
-        return {
-            "files_total": int(files_total),
-            "files_rewritten": 0,
-            "rows_deleted": 0,
-            "rows_before": None,
-            "rows_after": None,
-        }
+        return ledger
+
+    # hive partition columns (directory-encoded), in directory order
+    pcols: list[str] = []
+    for rel, _ln in _leaf_files(spark, path):
+        segs = [s for s in rel.split("/")[:-1] if "=" in s]
+        if segs:
+            pcols = [s.split("=", 1)[0] for s in segs]
+            break
 
     schema = spark.read.parquet(path).schema
-    hit = F.lit(True)
-    for c, (lo, hi) in predicates.items():
-        hit = hit & F.col(c).between(F.lit(lo), F.lit(hi))
-    touched = spark.read.schema(schema).parquet(*cand)
+    touched = (
+        spark.read.option("basePath", path).schema(schema).parquet(*cand)
+    )
     rows_before = touched.count()
     survivors = touched.filter(~hit)
 
     tmp = path.rstrip("/") + f"._delete_{uuid.uuid4().hex[:8]}"
-    survivors.write.mode("overwrite").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
+    writer = survivors.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
+    rows_after = spark.read.schema(schema).parquet(tmp).count()
 
-    # move survivors in, then drop the rewritten candidates
-    it = fs.listFiles(hpath(tmp), False)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        fs.rename(st.getPath(), hpath(os.path.join(path, name)))
-    fs.delete(hpath(tmp), True)
-    for f in cand:
-        fs.delete(hpath(f), False)
+    # plan final resting places, log the intent, THEN move
+    planned = [
+        (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
+        for rel, _ln in _leaf_files(spark, tmp)
+    ]
+    cur_v = manifest_version(spark, mdir)
+    _write_json_marker(
+        spark,
+        mdir,
+        "_TXN",
+        {
+            "expected_version": (cur_v if cur_v is not None else -1) + 1,
+            "added": [dst for _src, dst in planned],
+            "removed": list(cand),
+        },
+    )
+    added = []
+    for src, dst in planned:
+        d = hp(dst)
+        fs.mkdirs(d.getParent())
+        fs.rename(hp(src), d)
+        q = fs.getFileStatus(d).getPath()
+        uri = q.toString()
+        if uri.startswith("file:"):
+            uri = q.toUri().getPath()
+        added.append(uri)  # normalized exactly like _leaf_file_uris
+    fs.delete(hp(tmp), True)
 
     if cols is None:
         cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
-    update_stats_index(spark, path, manifest_path, list(cols))
-    return {
-        "files_total": int(files_total),
-        "files_rewritten": len(cand),
-        "rows_deleted": int(rows_before - rows_after),
-        "rows_before": int(rows_before),
-        "rows_after": int(rows_after),
-    }
+    cand_df = spark.createDataFrame([(f,) for f in cand], "file string")
+    carried = manifest.join(F.broadcast(cand_df), on="file", how="left_anti")
+    merged = carried.unionByName(
+        parquet_stats_index(spark, path, list(cols), paths=added)
+    )
+    version = _commit_manifest(spark, mdir, merged, removed=cand)
+    _post_commit_sweep(spark, mdir)
+    fs.delete(hp(f"{mdir}/_TXN"), False)
+    ledger.update(
+        {
+            "files_rewritten": len(cand),
+            "files_added": len(added),
+            "rows_deleted": int(rows_before - rows_after),
+            "rows_before": int(rows_before),
+            "rows_after": int(rows_after),
+            "partitioned": bool(pcols),
+            "version": int(version),
+        }
+    )
+    return ledger
 
 
 def update_stats_index(
     spark: SparkSession,
     path: str,
-    manifest_path: str,
-    cols: Sequence[str],
+    manifest_path: str | None = None,
+    cols: Sequence[str] | None = None,
 ) -> dict:
-    """Incrementally maintain the persisted stats manifest at
-    ``manifest_path`` for the dataset at ``path``: footer-read ONLY
-    files not yet in the manifest, drop manifest rows whose files are
-    gone (compaction/vacuum), and keep every already-indexed row as-is.
-    Per run the cost is O(new files) footer reads + an O(files)
-    metadata listing — a continuously-ingesting lake appends a few
-    files per trigger, and re-footer-reading a million-file table each
-    batch would defeat the manifest's purpose.  This is the incremental
-    commit a table format performs transactionally; here the rewrite is
-    a temp-dir + rename swap, the same crash contract as the versioned
-    sink.
+    """Incrementally maintain the persisted stats manifest for the
+    dataset at ``path``: footer-read ONLY files not yet in the
+    manifest, drop manifest rows whose files are gone
+    (compaction/vacuum), keep every already-indexed row as-is, and
+    publish the result as a new SNAPSHOT VERSION with one atomic commit
+    (see the snapshot-commit section above — there is never a moment
+    with no readable manifest, and a crashed run leaves the previous
+    version current).  Per run the cost is O(new files) footer reads +
+    an O(files) metadata listing — a continuously-ingesting lake
+    appends a few files per trigger, and re-footer-reading a
+    million-file table each batch would defeat the manifest's purpose.
+    Interrupted ``delete_where`` transactions are recovered first, so
+    the "unknown file on disk == new ingest" rule never resurrects
+    half-deleted data.
+
+    ``manifest_path`` None uses the in-table default
+    (``<path>/_stats_manifest``); a legacy flat manifest at the given
+    path is migrated into the versioned layout on the first commit.
+    ``cols`` defaults to the stats columns the existing manifest
+    already carries (required on the first build).
 
     First call (no manifest yet) degrades to a full build.  Returns a
-    ledger: files_total, files_new, files_removed, files_carried.
+    ledger: files_total, files_new, files_removed, files_carried,
+    version.
     """
-    current = _leaf_file_uris(spark, path)
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    mpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
-    fs = mpath.getFileSystem(conf)
-    have_manifest = fs.exists(mpath)
+    mdir = _manifest_dir(path, manifest_path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
 
-    if not have_manifest:
-        parquet_stats_index(spark, path, cols, paths=current).write.mode(
-            "overwrite"
-        ).parquet(manifest_path)
+    current = _leaf_file_uris(spark, path)
+    old = current_manifest(spark, mdir)
+
+    if old is None:
+        if cols is None:
+            raise ValueError(
+                "cols is required for the first manifest build"
+            )
+        version = _commit_manifest(
+            spark,
+            mdir,
+            parquet_stats_index(spark, path, list(cols), paths=current),
+            removed=[],
+        )
         return {
             "files_total": len(current),
             "files_new": len(current),
             "files_removed": 0,
             "files_carried": 0,
+            "version": version,
         }
 
-    old = spark.read.parquet(manifest_path)
+    if cols is None:
+        cols = [c[:-4] for c in old.columns if c.endswith("_min")]
     # O(files) driver set — the same bound as prune_files' planner list
     old_files = {r["file"] for r in old.select("file").collect()}
     cur_set = set(current)
@@ -1243,19 +1618,68 @@ def update_stats_index(
     )
     carried = old.join(F.broadcast(survivors_df), on="file", how="leftsemi")
     merged = carried.unionByName(
-        parquet_stats_index(spark, path, cols, paths=new)
+        parquet_stats_index(spark, path, list(cols), paths=new)
     )
-
-    # temp-dir + rename swap: the merged plan lazily READS the old
-    # manifest, so overwriting it in place would consume the input
-    # mid-scan
-    tmp = manifest_path.rstrip("/") + "._tmp_swap"
-    merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(mpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), mpath)
+    version = _commit_manifest(spark, mdir, merged, removed=[])
     return {
         "files_total": len(current),
         "files_new": len(new),
         "files_removed": removed,
         "files_carried": len(cur_set & old_files),
+        "version": version,
     }
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    predicates: dict | None = None,
+    manifest_path: str | None = None,
+) -> DataFrame:
+    """THE composed read entry point for a manifest-tracked bare-parquet
+    table: one call applies every skipping tier the layout provides,
+    in planner order —
+
+    1. **File skipping** — the snapshot stats manifest
+       (``current_manifest`` + ``prune_files``) drops whole files whose
+       footer spans cannot match; partition-column predicates prune
+       here too (directory-derived manifest stats).
+    2. **Row-group skipping** — the surviving files' footer min/max
+       meet the pushed filters (free when the data was laid out with
+       ``cluster_parquet``).
+    3. **Bloom/dictionary skipping** — scalar predicates stay ``==`` in
+       the pushed filter, so parquet bloom filters installed by
+       ``cluster_parquet``/``compact_parquet`` (``bloom_cols``) and
+       dictionary pages skip row groups on point lookups.
+
+    The exact row-level condition is applied ON TOP, so the result
+    always equals the plain filtered scan (the registered query's
+    oracle recomputes it from the raw table every round).  Predicates:
+    ``col: (lo, hi)`` closed range or ``col: value`` equality.
+
+    Reading through the manifest also buys SNAPSHOT consistency: the
+    scanned file list is exactly one committed version, never a
+    mid-delete mixture.  Without a manifest this degrades to a plain
+    directory scan plus the same filter.
+    """
+    ranges, cond = _pred_parts(predicates)
+    mdir = _manifest_dir(path, manifest_path)
+    manifest = current_manifest(spark, mdir)
+    if manifest is None:
+        return spark.read.parquet(path).filter(cond)
+    prunable = {
+        c: b for c, b in ranges.items() if f"{c}_min" in manifest.columns
+    }
+    if prunable:
+        files = prune_files(manifest, prunable)
+    else:
+        files = [r["file"] for r in manifest.select("file").collect()]
+    schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.createDataFrame([], schema).filter(cond)
+    return (
+        spark.read.option("basePath", path)
+        .schema(schema)
+        .parquet(*files)
+        .filter(cond)
+    )

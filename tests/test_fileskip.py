@@ -138,8 +138,10 @@ def test_update_stats_index_incremental(spark, tmp_path):
     assert led["files_removed"] == 1
     assert led["files_carried"] == led["files_total"] - 2
 
+    from evmtrace_etl_spark.sinks import current_manifest
+
     got = sorted(
-        tuple(r) for r in spark.read.parquet(manifest).collect()
+        tuple(r) for r in current_manifest(spark, manifest).collect()
     )
     want = sorted(
         tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
@@ -147,7 +149,7 @@ def test_update_stats_index_incremental(spark, tmp_path):
     assert got == want
     # and the maintained manifest prunes correctly for the new range
     kept = prune_files(
-        spark.read.parquet(manifest), {"k": (100_000, 200_000)}
+        current_manifest(spark, manifest), {"k": (100_000, 200_000)}
     )
     assert 0 < len(kept) <= 2
 
@@ -184,8 +186,10 @@ def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
     ]
     assert len(untouched) == total_files - led["files_rewritten"]
     # manifest refreshed == rebuild, and the deleted range prunes to 0
+    from evmtrace_etl_spark.sinks import current_manifest
+
     got_m = sorted(
-        tuple(r) for r in spark.read.parquet(manifest).collect()
+        tuple(r) for r in current_manifest(spark, manifest).collect()
     )
     want_m = sorted(
         tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
@@ -196,21 +200,163 @@ def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
     assert led2["files_rewritten"] == 0 and led2["rows_deleted"] == 0
 
 
-def test_delete_where_refuses_partitioned_layout(spark, tmp_path):
-    """In-place file surgery on a hive layout would inline or lose the
-    directory-encoded partition values — refused loudly."""
-    import pytest
-
+def test_delete_where_partitioned_preserves_layout(spark, tmp_path):
+    """Row-level delete on a HIVE-PARTITIONED layout: survivors are
+    rewritten back into their original partition directories (the
+    directory encoding — and with it every later scan's partition
+    pruning — survives the surgery), partitions outside the predicate
+    keep their inodes, and partition values still read back."""
     from evmtrace_etl_spark.sinks import delete_where, update_stats_index
 
     part = str(tmp_path / "part")
-    spark.range(100).selectExpr("id % 3 as p", "id as k").write.partitionBy(
-        "p"
-    ).parquet(part)
-    manifest = str(tmp_path / "m")
-    update_stats_index(spark, part, manifest, ["k"])
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        delete_where(spark, part, manifest, {"k": (0, 10)})
+    spark.range(3_000).selectExpr(
+        "id % 3 AS p", "id AS k", "CAST(id * 2 AS DOUBLE) AS v"
+    ).repartition(4).write.partitionBy("p").parquet(part)
+    update_stats_index(spark, part, None, ["k", "p"])
+
+    inodes_before = {
+        f: os.stat(f).st_ino
+        for f in glob.glob(part + "/p=*/part-*.parquet")
+    }
+    # predicate hits one partition only: p == 1 (manifest prunes via the
+    # directory-derived partition stats) and a k sub-range
+    led = delete_where(spark, part, None, {"p": 1, "k": (0, 1_500)})
+    assert led["partitioned"] is True
+    assert led["rows_deleted"] == 500  # k%3==1 in [0,1500]: 1,4,...,1498
+    assert 0 < led["files_rewritten"] < len(inodes_before)
+
+    # layout intact: every data file still lives under a p=<v> dir
+    leftover = glob.glob(part + "/p=*/part-*.parquet")
+    assert leftover and not glob.glob(part + "/part-*.parquet")
+    # untouched partitions kept their inodes
+    untouched = [
+        f
+        for f, ino in inodes_before.items()
+        if os.path.exists(f) and os.stat(f).st_ino == ino
+    ]
+    assert len(untouched) == len(inodes_before) - led["files_rewritten"]
+    # values: exact complement, partition column readable and correct
+    rows = spark.read.parquet(part).collect()
+    assert len(rows) == 3_000 - 500
+    assert all(r["p"] == r["k"] % 3 for r in rows)
+    assert all(not (r["p"] == 1 and r["k"] <= 1_500) for r in rows)
+
+
+def test_delete_crash_before_commit_rolls_back(spark, tmp_path, monkeypatch):
+    """Crash injection A — die between the survivor move-in and the
+    manifest commit: a snapshot reader stays on the OLD version (sees
+    every original row exactly once — no duplicates, no partial
+    delete), and the next maintenance op rolls the transaction BACK via
+    the _TXN intent marker, deleting the orphaned survivor files so
+    incremental ingest detection never double-counts them."""
+    import pytest
+
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import (
+        delete_where,
+        read_table,
+        update_stats_index,
+    )
+
+    dst = _build(spark, tmp_path)
+    update_stats_index(spark, dst, None, ["k"])
+    before = sorted(
+        r["k"] for r in read_table(spark, dst).select("k").collect()
+    )
+    assert len(before) == 20_000
+
+    real_commit = sinks._commit_manifest
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_where(spark, dst, None, {"k": (5_000, 7_000)})
+    monkeypatch.setattr(sinks, "_commit_manifest", real_commit)
+
+    # snapshot reader: old version, exactly the original rows, no dupes
+    got = sorted(r["k"] for r in read_table(spark, dst).select("k").collect())
+    assert got == before
+
+    # recovery (head of any maintenance op) rolls back the orphan adds
+    led = update_stats_index(spark, dst, None)
+    assert led["files_new"] == 0  # rolled-back survivors NOT re-ingested
+    got = sorted(r["k"] for r in read_table(spark, dst).select("k").collect())
+    assert got == before
+    # and the delete now goes through cleanly
+    led = delete_where(spark, dst, None, {"k": (5_000, 7_000)})
+    assert led["rows_deleted"] == 2_001
+    got = read_table(spark, dst).count()
+    assert got == 20_000 - 2_001
+
+
+def test_delete_crash_after_commit_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash injection B — die after the atomic manifest commit but
+    before the candidate files are physically deleted: a snapshot
+    reader is already on the NEW version (deleted rows gone, no
+    duplicates even though the old files are still on disk), and the
+    next maintenance op rolls FORWARD — sweeping the committed removals
+    so the stale files are never resurrected as 'new ingest'."""
+    import pytest
+
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import (
+        delete_where,
+        read_table,
+        update_stats_index,
+    )
+
+    dst = _build(spark, tmp_path)
+    update_stats_index(spark, dst, None, ["k"])
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before post-commit sweep")
+
+    monkeypatch.setattr(sinks, "_post_commit_sweep", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_where(spark, dst, None, {"k": (5_000, 7_000)})
+    monkeypatch.undo()
+
+    # the commit already happened: snapshot readers see the delete,
+    # exactly once, even with the candidate files still on disk
+    got = sorted(r["k"] for r in read_table(spark, dst).select("k").collect())
+    assert len(got) == 20_000 - 2_001
+    assert len(set(got)) == len(got)  # no duplicates
+    assert all(not (5_000 <= k <= 7_000) for k in got)
+
+    # roll-forward: sweep happens, stale files are NOT re-ingested
+    led = update_stats_index(spark, dst, None)
+    assert led["files_new"] == 0
+    assert read_table(spark, dst).count() == 20_000 - 2_001
+    # directory is physically clean now too
+    raw = spark.read.parquet(dst).filter("k between 5000 and 7000").count()
+    assert raw == 0
+
+
+def test_flat_manifest_migrates_to_versioned(spark, tmp_path):
+    """A pre-snapshot FLAT manifest (parquet files directly at the
+    manifest path) is read as current and migrated into the versioned
+    layout by the next maintenance commit."""
+    from evmtrace_etl_spark.sinks import (
+        current_manifest,
+        manifest_version,
+        update_stats_index,
+    )
+
+    dst = _build(spark, tmp_path)
+    manifest = str(tmp_path / "manifest")
+    parquet_stats_index(spark, dst, ["k"]).write.parquet(manifest)  # legacy
+    flat = sorted(tuple(r) for r in current_manifest(spark, manifest).collect())
+    assert flat and manifest_version(spark, manifest) is None
+
+    led = update_stats_index(spark, dst, manifest)
+    assert led["version"] == 0 and led["files_new"] == 0
+    assert manifest_version(spark, manifest) == 0
+    got = sorted(tuple(r) for r in current_manifest(spark, manifest).collect())
+    assert got == flat
+    # the legacy flat part files are gone (migrated, not duplicated)
+    assert not glob.glob(manifest + "/part-*.parquet")
 
 
 def test_read_file_pruned_keeps_partition_values(spark, tmp_path):
@@ -228,6 +374,102 @@ def test_read_file_pruned_keeps_partition_values(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 101
     assert all(r["p"] is not None and r["p"] == r["k"] % 4 for r in rows)
+
+
+def test_partition_column_stats_derive_from_directories(spark, tmp_path):
+    """Hive partition columns never appear in footers; the index derives
+    their stats from the directory encoding (min == max == the value),
+    typed as partition discovery types them — so the manifest prunes on
+    partition predicates too, closing the opaque executor-side KeyError
+    the footer lookup used to raise."""
+    part = str(tmp_path / "part")
+    spark.range(900).selectExpr("id % 3 AS p", "id AS k").repartition(
+        3
+    ).write.partitionBy("p").parquet(part)
+    idx = parquet_stats_index(spark, part, ["k", "p"]).cache()
+    rows = idx.collect()
+    assert rows
+    ptype = dict(
+        (f.name, f.dataType.simpleString())
+        for f in spark.read.parquet(part).schema.fields
+    )["p"]
+    assert dict(idx.dtypes)["p_min"] == ptype
+    assert all(r["p_min"] == r["p_max"] is not None for r in rows)
+    # equality predicate on the partition column prunes to its files
+    kept = prune_files(idx, {"p": 1})
+    assert 0 < len(kept) < len(rows)
+    assert all("/p=1/" in f for f in kept)
+
+
+def test_read_table_composes_all_skipping_tiers(spark, tmp_path):
+    """The one-call read path: manifest file-skipping + row-group stats
+    + bloom-eligible equality pushdown, result-identical to the plain
+    filtered scan, with the file-skip ratio measured."""
+    import glob as _g
+
+    from evmtrace_etl_spark.sinks import (
+        cluster_parquet,
+        current_manifest,
+        read_table,
+        update_stats_index,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "table")
+    spark.range(0, 20_000).selectExpr(
+        "id AS k", "id % 7 AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    ).repartition(5).write.parquet(src)
+    sz = sum(
+        os.path.getsize(p) for p in _g.glob(src + "/part-*.parquet")
+    )
+    cluster_parquet(
+        spark, src, dst, ["k"], target_bytes=max(1, sz // 8),
+        bloom_cols=["grp"],
+    )
+    update_stats_index(spark, dst, None, ["k"])  # in-table manifest
+
+    # range + equality predicates through the composed path
+    pred = {"k": (3_000, 4_000), "grp": 5}
+    got = sorted(tuple(r) for r in read_table(spark, dst, pred).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dst)
+        .filter("k BETWEEN 3000 AND 4000 AND grp = 5")
+        .collect()
+    )
+    assert got == want and len(got) == 143
+    # measured file-skip ratio: the k-range tiles a small file subset
+    total = current_manifest(spark, dst + "/_stats_manifest").count()
+    kept = len(
+        prune_files(
+            current_manifest(spark, dst + "/_stats_manifest"),
+            {"k": (3_000, 4_000)},
+        )
+    )
+    assert 0 < kept < total and kept / total <= 0.5
+    # the equality predicate reaches the scan as an Eq pushed filter
+    # (bloom/dictionary-eligible), not rewritten into a range
+    plan = read_table(spark, dst, pred)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PushedFilters:" in plan and "EqualTo(grp,5" in plan
+
+
+def test_manifest_lives_hidden_inside_the_table(spark, tmp_path):
+    """The default manifest location is INSIDE the table directory —
+    hidden from Spark scans and from the tier's own file listings, so
+    the table plus its snapshot metadata travel as one directory."""
+    from evmtrace_etl_spark.sinks import _leaf_file_uris, update_stats_index
+
+    dst = _build(spark, tmp_path)
+    n = spark.read.parquet(dst).count()
+    update_stats_index(spark, dst, None, ["k"])
+    assert os.path.isdir(dst + "/_stats_manifest/v0")
+    # a plain directory scan neither errors nor double-counts
+    assert spark.read.parquet(dst).count() == n
+    # and the tier's listings exclude the metadata subtree
+    assert all(
+        "_stats_manifest" not in u for u in _leaf_file_uris(spark, dst)
+    )
 
 
 def test_index_is_footer_only_no_data_scan(spark, tmp_path):

@@ -372,6 +372,17 @@ def test_parquet_upsert_schema_evolution_add_only(spark, tmp_path):
             "blocks", keys, mode="update",
         )
     assert sink.read(spark, "blocks").count() == 10
+    # a batch OMITTING the PARTITION column is not add-only evolution:
+    # silently folding it in would rewrite the table unpartitioned with
+    # NULL partition values, defeating every later pruned merge
+    with _pytest.raises(ValueError, match="partition"):
+        sink.upsert(
+            spark.createDataFrame(
+                [(77, 7700)], "number long, gas_used long"
+            ),
+            "blocks", ["number"], mode="ignore",
+        )
+    assert sink.read(spark, "blocks").count() == 10
 
 
 def test_parquet_upsert_hinted_matches_probed(spark, tmp_path):
