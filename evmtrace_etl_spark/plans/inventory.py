@@ -43,6 +43,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - manifest file-skipping serve over a stats snapshot          → fileskip_events_value
 - snapshot-committed partitioned row-level delete (purge)     → snapshot_delete_purge
 - composed read_table (file-skip + row-group + bloom tiers)   → read_table_week
+- snapshot-committed row-level UPDATE (backfill)              → update_backfill
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -2298,6 +2299,86 @@ WHERE event_type = 'view'
 """
 
 
+def update_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (``sinks.update_where``) under the driver gate —
+    the rectification/backfill primitive: the build leg ts-clusters an
+    events copy with an in-table snapshot manifest, then doubles
+    ``value`` for one week of ``purchase`` rows through the snapshot
+    transaction engine (manifest prunes the rewrite to the files tiling
+    that week on the ts stats; the unindexed ``event_type`` predicate
+    applies exactly at row level; non-matching rows in rewritten files
+    pass through bit-untouched; the refreshed manifest commits
+    atomically).  The serve leg reads the WHOLE table through the
+    snapshot and rolls up per event_type, so the oracle — which
+    recomputes the update as a CASE expression over the ORIGINAL
+    events — catches a lost row, a torn update, an update leaking
+    outside the predicate, or a doubled double that isn't bit-exact
+    (value * 2.0 is exponent-exact in IEEE 754, no rounding ambiguity
+    across engines).
+
+    At 100 TB: UPDATE-where on a ts-clustered table rewrites the
+    week-tile files only; cardinality never changes (asserted by
+    rows_before == rows_after in the ledger tests).  Build memoized per
+    sf_dir; re-running the update would double again, so the memo (and
+    the driver's fresh process per run) matters — the serve leg itself
+    is read-only.
+    """
+    import datetime
+    import tempfile
+
+    from ..sinks import cluster_parquet, read_table, update_stats_index, update_where
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_updwhere",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    plain = os.path.join(base, "plain")
+    tbl = os.path.join(base, "events")
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 15)
+    if _BUILD_DONE.get("update_backfill") != base:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        ev.repartition(8).write.mode("overwrite").parquet(plain)
+        cluster_parquet(spark, plain, tbl, ["ts"], target_bytes=1 << 16)
+        update_stats_index(spark, tbl, None, ["ts"])
+        update_where(
+            spark,
+            tbl,
+            None,
+            {"event_type": "purchase", "ts": (lo, hi)},
+            {"value": "value * 2.0"},
+        )
+        _BUILD_DONE["update_backfill"] = base
+    return (
+        read_table(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+        )
+    )
+
+
+UPDATE_BACKFILL_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(
+    CASE WHEN event_type = 'purchase'
+          AND CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                                        AND TIMESTAMP '2024-01-15 00:00:00'
+         THEN value * 2.0 ELSE value END
+    AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -2340,6 +2421,7 @@ QUERIES = {
     "inv_fileskip_events_value": fileskip_events_value,
     "inv_snapshot_delete_purge": snapshot_delete_purge,
     "inv_read_table_week": read_table_week,
+    "inv_update_backfill": update_backfill,
 }
 
 ORACLES = {
@@ -2384,4 +2466,5 @@ ORACLES = {
     "inv_fileskip_events_value": FILESKIP_EVENTS_VALUE_SQL,
     "inv_snapshot_delete_purge": SNAPSHOT_DELETE_PURGE_SQL,
     "inv_read_table_week": READ_TABLE_WEEK_SQL,
+    "inv_update_backfill": UPDATE_BACKFILL_SQL,
 }

@@ -1130,11 +1130,15 @@ def prune_files(
 ) -> list[str]:
     """File paths whose [min, max] spans overlap EVERY ``col: (lo, hi)``
     closed-range predicate (scalars mean equality; NULL stats keep the
-    file — conservative).  The collect is O(matching files) driver
-    memory — the same object a scan planner must hold to enumerate its
-    splits; row data never moves."""
+    file — conservative).  Predicates on columns the index carries no
+    stats for are skipped here (every file "may match" — the row-level
+    filter still applies them exactly).  The collect is O(matching
+    files) driver memory — the same object a scan planner must hold to
+    enumerate its splits; row data never moves."""
     cond = F.lit(True)
     for c, (lo, hi) in _pred_parts(predicates)[0].items():
+        if f"{c}_min" not in index.columns:
+            continue  # unindexed column: prune conservatively
         cond = (
             cond
             & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
@@ -1253,12 +1257,20 @@ def _read_json_marker(spark: SparkSession, path: str) -> dict:
 
 
 def _write_json_marker(
-    spark: SparkSession, dirpath: str, name: str, payload: dict
+    spark: SparkSession,
+    dirpath: str,
+    name: str,
+    payload: dict,
+    overwrite: bool = True,
 ) -> None:
     """Atomically create ``<dirpath>/<name>``: write a hidden tmp
     sibling, then rename in — the rename is the single-op commit point
     (atomic on POSIX and HDFS; on S3 a real deployment swaps this for a
-    conditional PUT)."""
+    conditional PUT).  ``overwrite=False`` keeps an existing marker in
+    place (HDFS rename-to-existing fails, making the commit marker
+    first-writer-wins there; the local-FS rename replaces, so the
+    version-expectation check in ``_commit_manifest`` is the portable
+    guard)."""
     jvm, hp, fs = _fs_for(spark, dirpath)
     fs.mkdirs(hp(dirpath))
     tmp = hp(f"{dirpath}/.{name}.tmp")
@@ -1268,7 +1280,8 @@ def _write_json_marker(
     finally:
         out.close()
     final = hp(f"{dirpath}/{name}")
-    fs.delete(final, False)
+    if overwrite:
+        fs.delete(final, False)
     fs.rename(tmp, final)
 
 
@@ -1292,13 +1305,28 @@ def _flat_manifest_files(spark: SparkSession, manifest_path: str) -> list[str]:
 
 
 def current_manifest(
-    spark: SparkSession, manifest_path: str
+    spark: SparkSession,
+    manifest_path: str,
+    version: int | None = None,
 ) -> DataFrame | None:
     """The current committed stats manifest (highest ``v<N>`` carrying a
     ``_COMMIT`` marker), falling back to the legacy flat layout, else
     None.  This is THE read path for snapshot consistency: a reader
     that resolves its file list through here sees exactly one committed
-    version regardless of concurrent deletes/maintenance."""
+    version regardless of concurrent deletes/maintenance.
+
+    ``version`` pins an explicit committed version instead (time
+    travel) — valid while that version is retained (the commit
+    housekeeping keeps the immediate predecessor by default; raise
+    ``keep_versions`` on the maintenance calls for a deeper history).
+    Raises if the requested version is not committed/retained."""
+    if version is not None:
+        if version not in _committed_versions(spark, manifest_path):
+            raise ValueError(
+                f"manifest version {version} is not committed/retained "
+                f"at {manifest_path}"
+            )
+        return spark.read.parquet(f"{manifest_path}/v{version}")
     v = manifest_version(spark, manifest_path)
     if v is not None:
         return spark.read.parquet(f"{manifest_path}/v{v}")
@@ -1308,24 +1336,47 @@ def current_manifest(
     return None
 
 
+class SnapshotConflict(RuntimeError):
+    """Another writer committed the manifest version this transaction
+    planned to create — the optimistic-concurrency failure a caller
+    retries from a fresh snapshot (the same contract as Delta's
+    ConcurrentModificationException)."""
+
+
 def _commit_manifest(
     spark: SparkSession,
     manifest_path: str,
     df: DataFrame,
     removed: Sequence[str],
+    expected_version: int | None = None,
+    keep_versions: int = 2,
 ) -> int:
     """Write ``df`` as the next manifest version and commit it with one
     atomic marker rename.  ``removed`` = data files this commit
     logically deleted (still on disk; swept post-commit).  Pending
     removals of the predecessor that were never swept are carried
-    forward so they cannot be lost.  Post-commit housekeeping prunes
-    versions older than the immediate predecessor (kept for in-flight
-    readers) plus failed uncommitted attempts, and deletes migrated
-    flat-layout files — all crash-safe: the new version is already
-    current."""
+    forward so they cannot be lost.
+
+    ``expected_version`` is the optimistic-concurrency guard: the
+    version this transaction computed against its snapshot — if another
+    writer committed it first, raise ``SnapshotConflict`` BEFORE
+    touching the log, and the caller retries from a fresh snapshot
+    (the same contract as Delta's ConcurrentModificationException).
+
+    Post-commit housekeeping retains the newest ``keep_versions``
+    committed versions (in-flight readers + time-travel history),
+    prunes older ones plus failed uncommitted attempts, and deletes
+    migrated flat-layout files — all crash-safe: the new version is
+    already current."""
     jvm, hp, fs = _fs_for(spark, manifest_path)
     committed = _committed_versions(spark, manifest_path)
     nxt = (committed[-1] + 1) if committed else 0
+    if expected_version is not None and nxt != expected_version:
+        raise SnapshotConflict(
+            f"manifest at {manifest_path}: planned to commit "
+            f"v{expected_version} but the next version is v{nxt} — "
+            "another writer committed first; retry from a fresh snapshot"
+        )
     flat = _flat_manifest_files(spark, manifest_path)
 
     pending: list[str] = []
@@ -1342,14 +1393,19 @@ def _commit_manifest(
     # own destruction
     df.write.mode("overwrite").parquet(vdir)
     _write_json_marker(
-        spark, vdir, "_COMMIT", {"version": nxt, "removed": all_removed}
+        spark,
+        vdir,
+        "_COMMIT",
+        {"version": nxt, "removed": all_removed},
+        overwrite=False,
     )  # <- the commit point
 
+    keep = max(1, int(keep_versions))
     for st in fs.listStatus(hp(manifest_path)):
         name = st.getPath().getName()
         if st.isDirectory() and re.fullmatch(r"v\d+", name):
             n = int(name[1:])
-            if n < nxt - 1 or (n < nxt and n not in committed):
+            if n <= nxt - keep or (n < nxt and n not in committed):
                 fs.delete(st.getPath(), True)
     for fpath in flat:
         fs.delete(hp(fpath), False)
@@ -1407,43 +1463,27 @@ def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
     return {"rolled": "forward" if committed else "back", **txn}
 
 
-def delete_where(
+def _txn_rewrite(
     spark: SparkSession,
     path: str,
     manifest_path: str | None,
     predicates: dict[str, tuple],
-    cols: Sequence[str] | None = None,
+    rewrite: Callable[[DataFrame, "F.Column"], DataFrame],
+    cols: Sequence[str] | None,
+    count_matched: bool = False,
 ) -> dict:
-    """Row-level delete over a bare-parquet dataset — flat OR
-    hive-partitioned — manifest-pruned and SNAPSHOT-COMMITTED: remove
-    every row matching ALL predicates (``col: (lo, hi)`` closed range,
-    or scalar equality) by rewriting ONLY the files whose footer spans
-    can contain such rows (``prune_files``), leaving every other file
-    byte-untouched.  This is the retention/right-to-erasure primitive —
-    on a ts-clustered 100 TB table a one-week purge rewrites the
-    handful of files tiling that week, not the table.
-
-    Hive-partitioned layouts are rewritten per partition: candidates
-    are read with ``basePath`` (directory-encoded values surface as
-    columns), survivors are written back ``partitionBy`` the same
-    columns, and each survivor file is moved into its original
-    partition directory — untouched partitions keep their inodes.
-
-    Transaction protocol (see the snapshot-commit section above): an
-    ``_TXN`` intent marker is logged, survivor files move in (invisible
-    — unreferenced by any committed manifest), the refreshed manifest
-    commits atomically with the candidates recorded as removed, and
-    only then are candidate files physically swept.  A crash anywhere
-    leaves a snapshot reader on exactly one committed version — the old
-    one (deletion never happened) or the new one (deletion complete);
-    duplicates are impossible by construction and recovery
-    (``_recover_txn``) is run by the next maintenance op.
-
-    ``manifest_path`` None uses the in-table default; ``cols`` (stats
-    columns for the refresh) default to the manifest's own ``*_min``
-    columns.  Returns the ledger: files_total, files_rewritten,
-    files_added, rows_deleted, rows_before, rows_after, partitioned,
-    version.
+    """The snapshot-committed candidate-file rewrite engine shared by
+    ``delete_where`` and ``update_where``: prune candidate files
+    through the manifest, apply ``rewrite(touched_rows, hit_condition)``
+    to ONLY those files' rows, write the result to a temp sibling, log
+    the ``_TXN`` intent, move the new files in (invisible to snapshot
+    readers), commit the refreshed manifest atomically with the
+    candidates recorded as removed, and sweep them post-commit.
+    Hive-partitioned layouts round-trip through ``basePath`` read +
+    ``partitionBy`` write + per-partition-directory moves, so untouched
+    partitions keep their inodes.  Crash anywhere = a snapshot reader
+    sees exactly one committed version; ``_recover_txn`` rolls the
+    interrupted attempt back or forward at the next maintenance op.
     """
     import uuid
 
@@ -1465,7 +1505,7 @@ def delete_where(
         "files_total": int(files_total),
         "files_rewritten": 0,
         "files_added": 0,
-        "rows_deleted": 0,
+        "rows_matched": 0,
         "rows_before": None,
         "rows_after": None,
         "partitioned": False,
@@ -1487,10 +1527,11 @@ def delete_where(
         spark.read.option("basePath", path).schema(schema).parquet(*cand)
     )
     rows_before = touched.count()
-    survivors = touched.filter(~hit)
+    rows_matched = touched.filter(hit).count() if count_matched else None
+    out = rewrite(touched, hit).select(*[f.name for f in schema.fields])
 
-    tmp = path.rstrip("/") + f"._delete_{uuid.uuid4().hex[:8]}"
-    writer = survivors.write.mode("overwrite")
+    tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
+    writer = out.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
@@ -1502,12 +1543,13 @@ def delete_where(
         for rel, _ln in _leaf_files(spark, tmp)
     ]
     cur_v = manifest_version(spark, mdir)
+    expected = (cur_v if cur_v is not None else -1) + 1
     _write_json_marker(
         spark,
         mdir,
         "_TXN",
         {
-            "expected_version": (cur_v if cur_v is not None else -1) + 1,
+            "expected_version": expected,
             "added": [dst for _src, dst in planned],
             "removed": list(cand),
         },
@@ -1531,20 +1573,134 @@ def delete_where(
     merged = carried.unionByName(
         parquet_stats_index(spark, path, list(cols), paths=added)
     )
-    version = _commit_manifest(spark, mdir, merged, removed=cand)
+    version = _commit_manifest(
+        spark, mdir, merged, removed=cand, expected_version=expected
+    )
     _post_commit_sweep(spark, mdir)
     fs.delete(hp(f"{mdir}/_TXN"), False)
     ledger.update(
         {
             "files_rewritten": len(cand),
             "files_added": len(added),
-            "rows_deleted": int(rows_before - rows_after),
+            "rows_matched": (
+                int(rows_matched) if rows_matched is not None else None
+            ),
             "rows_before": int(rows_before),
             "rows_after": int(rows_after),
             "partitioned": bool(pcols),
             "version": int(version),
         }
     )
+    return ledger
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None,
+    predicates: dict[str, tuple],
+    cols: Sequence[str] | None = None,
+) -> dict:
+    """Row-level delete over a bare-parquet dataset — flat OR
+    hive-partitioned — manifest-pruned and SNAPSHOT-COMMITTED: remove
+    every row matching ALL predicates (``col: (lo, hi)`` closed range,
+    or scalar equality) by rewriting ONLY the files whose footer spans
+    can contain such rows (``prune_files``), leaving every other file
+    byte-untouched.  This is the retention/right-to-erasure primitive —
+    on a ts-clustered 100 TB table a one-week purge rewrites the
+    handful of files tiling that week, not the table.
+
+    Hive-partitioned layouts are rewritten per partition: candidates
+    are read with ``basePath`` (directory-encoded values surface as
+    columns), survivors are written back ``partitionBy`` the same
+    columns, and each survivor file is moved into its original
+    partition directory — untouched partitions keep their inodes.
+
+    Transaction protocol (see the snapshot-commit section above and
+    ``_txn_rewrite``): intent-logged, add-before-commit,
+    sweep-after-commit — a crash anywhere leaves a snapshot reader on
+    exactly one committed version (duplicates impossible by
+    construction), with recovery at the next maintenance op.
+    Crash-injection-tested on both sides of the commit point.
+
+    ``manifest_path`` None uses the in-table default; ``cols`` (stats
+    columns for the refresh) default to the manifest's own ``*_min``
+    columns.  Returns the ledger: files_total, files_rewritten,
+    files_added, rows_deleted, rows_before, rows_after, partitioned,
+    version.
+    """
+    ledger = _txn_rewrite(
+        spark,
+        path,
+        manifest_path,
+        predicates,
+        lambda touched, hit: touched.filter(~hit),
+        cols,
+    )
+    rb, ra = ledger.pop("rows_before"), ledger.pop("rows_after")
+    ledger.pop("rows_matched", None)
+    ledger.update(
+        {
+            "rows_deleted": int(rb - ra) if rb is not None else 0,
+            "rows_before": rb,
+            "rows_after": ra,
+        }
+    )
+    return ledger
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None,
+    predicates: dict[str, tuple],
+    set_exprs: dict[str, "F.Column | str"],
+    cols: Sequence[str] | None = None,
+) -> dict:
+    """Row-level UPDATE over a bare-parquet dataset — the lakehouse
+    ``UPDATE t SET c = expr WHERE …`` — manifest-pruned and
+    snapshot-committed through the same transaction engine as
+    ``delete_where`` (``_txn_rewrite``): only files whose footer spans
+    can contain matching rows are rewritten; within them, matching rows
+    get each ``set_exprs`` column replaced (values may be Columns or
+    SQL expression strings, evaluated against the row — non-matching
+    rows pass through bit-untouched), and the refreshed manifest
+    commits atomically so a snapshot reader sees either no update or
+    the whole update, never a torn one.
+
+    At 100 TB this is the GDPR-rectification / backfill primitive: a
+    mis-ingested week on a ts-clustered table rewrites the files tiling
+    that week, not the table.  Returns the delete ledger shape with
+    ``rows_updated`` (matching rows) instead of ``rows_deleted`` —
+    ``rows_before == rows_after`` always (updates never change
+    cardinality; asserted by the tests and the registered query's
+    oracle).
+    """
+    resolved = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+
+    def _apply(touched: DataFrame, hit) -> DataFrame:
+        # ONE withColumns call: every SET expression evaluates against
+        # the ORIGINAL row (SQL UPDATE semantics) — sequential
+        # withColumn would leak earlier assignments into later ones.
+        # The cast pins each column to its stored type so the table's
+        # schema (and the manifest's stats types) cannot drift.
+        return touched.withColumns(
+            {
+                c: F.when(hit, expr)
+                .otherwise(F.col(c))
+                .cast(touched.schema[c].dataType)
+                for c, expr in resolved.items()
+            }
+        )
+
+    ledger = _txn_rewrite(
+        spark, path, manifest_path, predicates, _apply, cols,
+        count_matched=True,
+    )
+    ledger["rows_updated"] = ledger.pop("rows_matched") or 0
     return ledger
 
 
@@ -1584,6 +1740,8 @@ def update_stats_index(
     _sweep_removed(spark, mdir)
 
     current = _leaf_file_uris(spark, path)
+    snap_v = manifest_version(spark, mdir)
+    expected = (snap_v if snap_v is not None else -1) + 1
     old = current_manifest(spark, mdir)
 
     if old is None:
@@ -1596,6 +1754,7 @@ def update_stats_index(
             mdir,
             parquet_stats_index(spark, path, list(cols), paths=current),
             removed=[],
+            expected_version=expected,
         )
         return {
             "files_total": len(current),
@@ -1620,7 +1779,9 @@ def update_stats_index(
     merged = carried.unionByName(
         parquet_stats_index(spark, path, list(cols), paths=new)
     )
-    version = _commit_manifest(spark, mdir, merged, removed=[])
+    version = _commit_manifest(
+        spark, mdir, merged, removed=[], expected_version=expected
+    )
     return {
         "files_total": len(current),
         "files_new": len(new),
@@ -1635,6 +1796,7 @@ def read_table(
     path: str,
     predicates: dict | None = None,
     manifest_path: str | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """THE composed read entry point for a manifest-tracked bare-parquet
     table: one call applies every skipping tier the layout provides,
@@ -1661,19 +1823,22 @@ def read_table(
     scanned file list is exactly one committed version, never a
     mid-delete mixture.  Without a manifest this degrades to a plain
     directory scan plus the same filter.
+
+    ``version`` pins a retained committed snapshot instead of the
+    current one (time travel) — valid as long as that snapshot's files
+    are retained, i.e. back across append/ingest commits; a rewrite
+    (delete/update) sweeps its replaced files at commit, so travel past
+    one requires the retention knob a real deployment adds to the
+    sweep.
     """
     ranges, cond = _pred_parts(predicates)
     mdir = _manifest_dir(path, manifest_path)
-    manifest = current_manifest(spark, mdir)
+    manifest = current_manifest(spark, mdir, version=version)
     if manifest is None:
         return spark.read.parquet(path).filter(cond)
-    prunable = {
-        c: b for c, b in ranges.items() if f"{c}_min" in manifest.columns
-    }
-    if prunable:
-        files = prune_files(manifest, prunable)
-    else:
-        files = [r["file"] for r in manifest.select("file").collect()]
+    # prune_files skips predicates on unindexed columns conservatively;
+    # with no prunable predicate this is the full snapshot file list
+    files = prune_files(manifest, ranges)
     schema = spark.read.parquet(path).schema
     if not files:
         return spark.createDataFrame([], schema).filter(cond)
