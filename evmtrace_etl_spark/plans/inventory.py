@@ -44,6 +44,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - snapshot-committed partitioned row-level delete (purge)     → snapshot_delete_purge
 - composed read_table (file-skip + row-group + bloom tiers)   → read_table_week
 - snapshot-committed row-level UPDATE (backfill)              → update_backfill
+- exactly-once streaming lake ingest (txn-stamped commits)    → lake_stream_ingest
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -2379,6 +2380,86 @@ GROUP BY event_type
 """
 
 
+def lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingest into the manifest-tracked lake
+    table (``sinks.start_lake_append_stream``): the build leg stages
+    events as parquet arrival files, streams them through a
+    checkpointed ``foreachBatch`` where every micro-batch lands as ONE
+    txn-stamped snapshot commit (``append_files`` — file move-in before
+    the atomic manifest commit, batch-id in the carried txn map, so a
+    checkpoint replay after a crash is a no-op; crash-injection +
+    restart legs pinned in tests/test_fileskip.py), then the serve leg
+    rolls up the ingested table through the snapshot (``read_table``).
+    The oracle recomputes over the ORIGINAL events: a dropped batch, a
+    replayed batch (double count), or a torn commit fails the value
+    hash every round — this is the end-to-end gate that the streaming
+    half and the maintenance half of the lakehouse tier commit through
+    the SAME log.
+
+    At 100 TB this is how a streaming lake stays consistent: ingest
+    commits are idempotent per batch id (Delta's txn action), readers
+    resolve file lists through the snapshot, and the compaction/delete/
+    update maintenance ops interleave with ingest without torn reads.
+    Stream runs once per process per sf_dir (memoized); the registered
+    row bills the snapshot-served rollup.
+    """
+    import tempfile
+
+    from ..sinks import read_table, start_lake_append_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakestream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    incoming = os.path.join(base, "incoming")
+    tbl = os.path.join(base, "events")
+    ckpt = os.path.join(base, "ckpt")
+    if _BUILD_DONE.get("lake_stream") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        ev.repartition(6).write.mode("overwrite").parquet(incoming)
+        schema = spark.read.parquet(incoming).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(incoming)
+        )
+        q = start_lake_append_stream(
+            stream, tbl, ckpt, cols=["ts"], app_id="inv_lake"
+        )
+        q.awaitTermination(300)
+        _BUILD_DONE["lake_stream"] = base
+    return (
+        read_table(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_STREAM_INGEST_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -2422,6 +2503,7 @@ QUERIES = {
     "inv_snapshot_delete_purge": snapshot_delete_purge,
     "inv_read_table_week": read_table_week,
     "inv_update_backfill": update_backfill,
+    "inv_lake_stream_ingest": lake_stream_ingest,
 }
 
 ORACLES = {
@@ -2467,4 +2549,5 @@ ORACLES = {
     "inv_snapshot_delete_purge": SNAPSHOT_DELETE_PURGE_SQL,
     "inv_read_table_week": READ_TABLE_WEEK_SQL,
     "inv_update_backfill": UPDATE_BACKFILL_SQL,
+    "inv_lake_stream_ingest": LAKE_STREAM_INGEST_SQL,
 }

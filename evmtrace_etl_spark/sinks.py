@@ -1350,12 +1350,16 @@ def _commit_manifest(
     removed: Sequence[str],
     expected_version: int | None = None,
     keep_versions: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as the next manifest version and commit it with one
     atomic marker rename.  ``removed`` = data files this commit
     logically deleted (still on disk; swept post-commit).  Pending
     removals of the predecessor that were never swept are carried
-    forward so they cannot be lost.
+    forward so they cannot be lost.  ``txn`` = (app_id, batch_id)
+    stamps the commit for idempotent streaming ingest (the txn map
+    carries forward across commits; ``append_files`` skips a batch id
+    it already committed — Delta's txn action).
 
     ``expected_version`` is the optimistic-concurrency guard: the
     version this transaction computed against its snapshot — if another
@@ -1380,11 +1384,15 @@ def _commit_manifest(
     flat = _flat_manifest_files(spark, manifest_path)
 
     pending: list[str] = []
+    txns: dict = {}
     if committed:
         prev = _read_json_marker(
             spark, f"{manifest_path}/v{committed[-1]}/_COMMIT"
         )
         pending = [f for f in prev.get("removed", []) if fs.exists(hp(f))]
+        txns = dict(prev.get("txns", {}))
+    if txn is not None:
+        txns[str(txn[0])] = int(txn[1])
     all_removed = sorted(set(removed) | set(pending))
 
     vdir = f"{manifest_path}/v{nxt}"
@@ -1396,7 +1404,7 @@ def _commit_manifest(
         spark,
         vdir,
         "_COMMIT",
-        {"version": nxt, "removed": all_removed},
+        {"version": nxt, "removed": all_removed, "txns": txns},
         overwrite=False,
     )  # <- the commit point
 
@@ -1848,3 +1856,161 @@ def read_table(
         .parquet(*files)
         .filter(cond)
     )
+
+
+def last_committed_txn(
+    spark: SparkSession, manifest_path: str, app_id: str
+) -> int | None:
+    """The highest batch id ``app_id`` has committed into the manifest
+    (the txn map carries forward across every commit), or None — the
+    idempotence check a replayed streaming micro-batch consults."""
+    v = manifest_version(spark, manifest_path)
+    if v is None:
+        return None
+    commit = _read_json_marker(spark, f"{manifest_path}/v{v}/_COMMIT")
+    got = commit.get("txns", {}).get(str(app_id))
+    return int(got) if got is not None else None
+
+
+def append_files(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    manifest_path: str | None = None,
+    cols: Sequence[str] | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """EXACTLY-ONCE append of ``df`` as new data files to a
+    manifest-tracked table — the per-micro-batch ingest commit of a
+    streaming lake sink.  A plain ``mode("append")`` write is NOT
+    replay-safe: a foreachBatch retry after a crash re-appends the same
+    rows as fresh files and a directory reader double-counts them.
+    Here the batch goes through the snapshot transaction engine
+    instead:
+
+    1. the rows are written COMPLETELY to a hidden temp sibling;
+    2. the ``_TXN`` intent marker logs the planned file adds;
+    3. the files move into the table (invisible — no committed
+       manifest references them, and ``_recover_txn`` rolls an
+       interrupted attempt back);
+    4. the manifest commits atomically, stamped with ``txn =
+       (app_id, batch_id)`` — the txn map carries forward across
+       commits, so a REPLAYED batch id short-circuits to a no-op
+       (checked before any write), which is exactly-once ingest on
+       bare parquet (Delta's txn action).
+
+    Snapshot readers (``read_table``) therefore see each batch's rows
+    exactly once or not yet — never partially, never twice.  ``cols``
+    defaults to the manifest's stats columns (required on the first
+    commit).  Returns a ledger: rows, files_added, version, skipped.
+    """
+    import uuid
+
+    mdir = _manifest_dir(path, manifest_path)
+    jvm, hp, fs = _fs_for(spark, path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
+
+    if txn is not None:
+        seen = last_committed_txn(spark, mdir, txn[0])
+        if seen is not None and int(txn[1]) <= seen:
+            return {
+                "rows": 0,
+                "files_added": 0,
+                "version": manifest_version(spark, mdir),
+                "skipped": True,
+            }
+
+    manifest = current_manifest(spark, mdir)
+    if manifest is None and cols is None:
+        raise ValueError(
+            "cols is required for the first commit to a new table"
+        )
+    if cols is None:
+        cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
+
+    tmp = path.rstrip("/") + f"._append_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+
+    planned = [
+        (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
+        for rel, _ln in _leaf_files(spark, tmp)
+    ]
+    cur_v = manifest_version(spark, mdir)
+    expected = (cur_v if cur_v is not None else -1) + 1
+    _write_json_marker(
+        spark,
+        mdir,
+        "_TXN",
+        {
+            "expected_version": expected,
+            "added": [dst for _src, dst in planned],
+            "removed": [],
+        },
+    )
+    added = []
+    for src, dst in planned:
+        d = hp(dst)
+        fs.mkdirs(d.getParent())
+        fs.rename(hp(src), d)
+        q = fs.getFileStatus(d).getPath()
+        uri = q.toString()
+        if uri.startswith("file:"):
+            uri = q.toUri().getPath()
+        added.append(uri)
+    fs.delete(hp(tmp), True)
+
+    delta = parquet_stats_index(spark, path, list(cols), paths=added)
+    merged = (
+        manifest.unionByName(delta) if manifest is not None else delta
+    )
+    version = _commit_manifest(
+        spark, mdir, merged, removed=[], expected_version=expected, txn=txn
+    )
+    fs.delete(hp(f"{mdir}/_TXN"), False)
+    return {
+        "rows": int(rows),
+        "files_added": len(added),
+        "version": int(version),
+        "skipped": False,
+    }
+
+
+def start_lake_append_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    manifest_path: str | None = None,
+    cols: Sequence[str] | None = None,
+    app_id: str = "lake_append",
+    available_now: bool = True,
+):
+    """Wire a streaming DataFrame into ``append_files`` — checkpointed
+    ``foreachBatch`` where each micro-batch lands as ONE snapshot
+    commit stamped with its batch id.  Checkpoint replay after a crash
+    re-delivers a batch; the txn stamp makes the re-delivery a no-op,
+    so the table + manifest stay exactly-once while remaining plain
+    parquet any engine can read (and snapshot readers never see a
+    torn batch).  This is the streaming half of the lakehouse tier:
+    ingest commits through the same log the maintenance ops
+    (compaction, delete, update) commit through."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        append_files(
+            batch.sparkSession,
+            batch,
+            path,
+            manifest_path=manifest_path,
+            cols=cols,
+            txn=(app_id, int(batch_id)),
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -475,6 +475,148 @@ def test_concurrent_commit_raises_snapshot_conflict(spark, tmp_path):
     assert led["version"] == 2
 
 
+def test_append_files_is_replay_idempotent(spark, tmp_path):
+    """Exactly-once ingest: a batch id already stamped into the commit
+    log short-circuits to a no-op, so a foreachBatch replay after a
+    crash cannot double-count rows — and the txn map survives later
+    commits by other writers."""
+    from evmtrace_etl_spark.sinks import (
+        append_files,
+        last_committed_txn,
+        read_table,
+        update_stats_index,
+    )
+
+    dst = _build(spark, tmp_path)
+    update_stats_index(spark, dst, None, ["k"])
+    batch = spark.range(50_000, 50_100).selectExpr(
+        "id AS k", "id % 7 AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    led = append_files(spark, batch, dst, txn=("ingest", 0))
+    assert led["rows"] == 100 and not led["skipped"]
+    assert read_table(spark, dst).count() == 20_100
+
+    # replay of the SAME batch id: no-op, no files, count stable
+    led2 = append_files(spark, batch, dst, txn=("ingest", 0))
+    assert led2["skipped"] and led2["files_added"] == 0
+    assert read_table(spark, dst).count() == 20_100
+    # an unrelated maintenance commit carries the txn map forward
+    update_stats_index(spark, dst, None)
+    assert last_committed_txn(spark, dst + "/_stats_manifest", "ingest") == 0
+    led3 = append_files(spark, batch, dst, txn=("ingest", 0))
+    assert led3["skipped"]
+    # the NEXT batch id lands normally
+    nxt = spark.range(60_000, 60_050).selectExpr(
+        "id AS k", "id % 7 AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    led4 = append_files(spark, nxt, dst, txn=("ingest", 1))
+    assert not led4["skipped"] and led4["rows"] == 50
+    assert read_table(spark, dst).count() == 20_150
+
+
+def test_append_crash_then_replay_is_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection on the ingest path — die between the file
+    move-in and the manifest commit: the snapshot reader still sees the
+    pre-batch table; recovery rolls the orphaned files back; the
+    REPLAYED batch (same txn id) then commits exactly once."""
+    import pytest
+
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import (
+        append_files,
+        read_table,
+        update_stats_index,
+    )
+
+    dst = _build(spark, tmp_path)
+    update_stats_index(spark, dst, None, ["k"])
+    batch = spark.range(70_000, 70_080).selectExpr(
+        "id AS k", "id % 7 AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    real = sinks._commit_manifest
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before append commit")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_files(spark, batch, dst, txn=("ingest", 7))
+    monkeypatch.setattr(sinks, "_commit_manifest", real)
+
+    # snapshot reader: batch invisible (files on disk but uncommitted)
+    assert read_table(spark, dst).count() == 20_000
+    # replay with the same txn id: recovery rolls the orphans back,
+    # then the batch commits — exactly once
+    led = append_files(spark, batch, dst, txn=("ingest", 7))
+    assert not led["skipped"] and led["rows"] == 80
+    got = read_table(spark, dst).filter("k >= 70000").count()
+    assert got == 80 and read_table(spark, dst).count() == 20_080
+
+
+def test_lake_append_stream_exactly_once_through_restart(spark, tmp_path):
+    """The streaming half: a checkpointed file-stream lands each
+    micro-batch as one txn-stamped snapshot commit; restarting the
+    stream over the same checkpoint re-delivers nothing new, and a file
+    added after the restart lands exactly once."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from evmtrace_etl_spark.sinks import (
+        read_table,
+        start_lake_append_stream,
+        update_stats_index,
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    tbl = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 300).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.range(300, 500).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_lake_append_stream(
+        stream, tbl, ckpt, cols=["k"], app_id="t"
+    )
+    q.awaitTermination(120)
+    assert read_table(spark, tbl).count() == 500
+
+    # restart over the same checkpoint: nothing re-delivered
+    q = start_lake_append_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl, ckpt, cols=["k"], app_id="t",
+    )
+    q.awaitTermination(120)
+    assert read_table(spark, tbl).count() == 500
+
+    # new arrivals after the restart land exactly once
+    spark.range(500, 550).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_lake_append_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl, ckpt, cols=["k"], app_id="t",
+    )
+    q.awaitTermination(120)
+    got = read_table(spark, tbl)
+    assert got.count() == 550
+    assert got.select("k").distinct().count() == 550
+
+
 def test_partition_column_stats_derive_from_directories(spark, tmp_path):
     """Hive partition columns never appear in footers; the index derives
     their stats from the directory encoding (min == max == the value),
