@@ -45,6 +45,7 @@ oracle-checkable query over ``/root/testdata/sf*/`` parquet:
 - composed read_table (file-skip + row-group + bloom tiers)   → read_table_week
 - snapshot-committed row-level UPDATE (backfill)              → update_backfill
 - exactly-once streaming lake ingest (txn-stamped commits)    → lake_stream_ingest
+- OPTIMIZE-through-the-log compaction round-trip              → lake_compact_roundtrip
 
 Determinism conventions for the driver's order-insensitive value-hash:
 double aggregations are cast to DECIMAL before summing (exact, engine-
@@ -2380,32 +2381,15 @@ GROUP BY event_type
 """
 
 
-def lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACTLY-ONCE streaming ingest into the manifest-tracked lake
-    table (``sinks.start_lake_append_stream``): the build leg stages
-    events as parquet arrival files, streams them through a
-    checkpointed ``foreachBatch`` where every micro-batch lands as ONE
-    txn-stamped snapshot commit (``append_files`` — file move-in before
-    the atomic manifest commit, batch-id in the carried txn map, so a
-    checkpoint replay after a crash is a no-op; crash-injection +
-    restart legs pinned in tests/test_fileskip.py), then the serve leg
-    rolls up the ingested table through the snapshot (``read_table``).
-    The oracle recomputes over the ORIGINAL events: a dropped batch, a
-    replayed batch (double count), or a torn commit fails the value
-    hash every round — this is the end-to-end gate that the streaming
-    half and the maintenance half of the lakehouse tier commit through
-    the SAME log.
-
-    At 100 TB this is how a streaming lake stays consistent: ingest
-    commits are idempotent per batch id (Delta's txn action), readers
-    resolve file lists through the snapshot, and the compaction/delete/
-    update maintenance ops interleave with ingest without torn reads.
-    Stream runs once per process per sf_dir (memoized); the registered
-    row bills the snapshot-served rollup.
-    """
+def _lake_stream_build(spark: SparkSession, sf_dir: str) -> str:
+    """Shared build leg: stage events as parquet arrival files and
+    stream them into a manifest-tracked lake table via exactly-once
+    txn-stamped snapshot commits (memoized per sf_dir).  Returns the
+    table path; both the ingest and the compaction queries serve off
+    it."""
     import tempfile
 
-    from ..sinks import read_table, start_lake_append_stream
+    from ..sinks import start_lake_append_stream
 
     base = os.path.join(
         tempfile.gettempdir(),
@@ -2434,8 +2418,36 @@ def lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         _BUILD_DONE["lake_stream"] = base
+    return tbl
+
+
+def lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingest into the manifest-tracked lake
+    table (``sinks.start_lake_append_stream``): the build leg stages
+    events as parquet arrival files, streams them through a
+    checkpointed ``foreachBatch`` where every micro-batch lands as ONE
+    txn-stamped snapshot commit (``append_files`` — file move-in before
+    the atomic manifest commit, batch-id in the carried txn map, so a
+    checkpoint replay after a crash is a no-op; crash-injection +
+    restart legs pinned in tests/test_fileskip.py), then the serve leg
+    rolls up the ingested table through the snapshot (``read_table``).
+    The oracle recomputes over the ORIGINAL events: a dropped batch, a
+    replayed batch (double count), or a torn commit fails the value
+    hash every round — this is the end-to-end gate that the streaming
+    half and the maintenance half of the lakehouse tier commit through
+    the SAME log.
+
+    At 100 TB this is how a streaming lake stays consistent: ingest
+    commits are idempotent per batch id (Delta's txn action), readers
+    resolve file lists through the snapshot, and the compaction/delete/
+    update maintenance ops interleave with ingest without torn reads.
+    Stream runs once per process per sf_dir (memoized); the registered
+    row bills the snapshot-served rollup.
+    """
+    from ..sinks import read_table
+
     return (
-        read_table(spark, tbl)
+        read_table(spark, _lake_stream_build(spark, sf_dir))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -2455,6 +2467,56 @@ SELECT event_type,
   CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
   CAST(min(event_id) AS BIGINT) AS min_event_id,
   CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+def lake_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-through-the-log round-trip (``sinks.compact_table``):
+    the streaming build leg leaves the lake table fragmented (one file
+    set per txn-stamped micro-batch commit); this query compacts the
+    fragments in ONE snapshot transaction — new files move in
+    unreferenced, the manifest commits atomically (fragments out,
+    compacted files in), fragments swept only after — then serves a
+    rollup through the snapshot.  The oracle recomputes over the
+    ORIGINAL events, so a row lost/duplicated by the rewrite, a torn
+    commit, or a manifest that references swept files fails the value
+    hash every round.  Compaction is value-neutral BY CONTRACT
+    (rows_before == rows_after in the ledger; the multiset equality is
+    what this gate checks end-to-end).
+
+    At 100 TB: a continuously-ingesting lake runs this off the hot path
+    without pausing readers — the reader on the old snapshot finishes
+    against the old fragments, the next one plans against the compacted
+    layout.  Build (stream + compact) memoized per sf_dir; the
+    registered row bills the snapshot-served rollup.
+    """
+    from ..sinks import compact_table, read_table
+
+    tbl = _lake_stream_build(spark, sf_dir)
+    if _BUILD_DONE.get("lake_compact") != tbl:
+        compact_table(spark, tbl, target_bytes=1 << 26)
+        _BUILD_DONE["lake_compact"] = tbl
+    return (
+        read_table(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+LAKE_COMPACT_ROUNDTRIP_SQL = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY event_type
 """
@@ -2504,6 +2566,7 @@ QUERIES = {
     "inv_read_table_week": read_table_week,
     "inv_update_backfill": update_backfill,
     "inv_lake_stream_ingest": lake_stream_ingest,
+    "inv_lake_compact_roundtrip": lake_compact_roundtrip,
 }
 
 ORACLES = {
@@ -2550,4 +2613,5 @@ ORACLES = {
     "inv_read_table_week": READ_TABLE_WEEK_SQL,
     "inv_update_backfill": UPDATE_BACKFILL_SQL,
     "inv_lake_stream_ingest": LAKE_STREAM_INGEST_SQL,
+    "inv_lake_compact_roundtrip": LAKE_COMPACT_ROUNDTRIP_SQL,
 }

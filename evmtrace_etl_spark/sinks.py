@@ -1479,6 +1479,7 @@ def _txn_rewrite(
     rewrite: Callable[[DataFrame, "F.Column"], DataFrame],
     cols: Sequence[str] | None,
     count_matched: bool = False,
+    candidates: Sequence[str] | None = None,
 ) -> dict:
     """The snapshot-committed candidate-file rewrite engine shared by
     ``delete_where`` and ``update_where``: prune candidate files
@@ -1508,7 +1509,14 @@ def _txn_rewrite(
         )
     files_total = manifest.count()
     ranges, hit = _pred_parts(predicates)
-    cand = prune_files(manifest, ranges)
+    # candidates default to manifest-pruned files; an explicit list
+    # (compaction picks by SIZE, not by value span) must still be
+    # snapshot-consistent, so it is intersected with the manifest
+    if candidates is None:
+        cand = prune_files(manifest, ranges)
+    else:
+        listed = {r["file"] for r in manifest.select("file").collect()}
+        cand = [f for f in candidates if f in listed]
     ledger = {
         "files_total": int(files_total),
         "files_rewritten": 0,
@@ -1975,6 +1983,77 @@ def append_files(
         "version": int(version),
         "skipped": False,
     }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_bytes: int | None = None,
+    cols: Sequence[str] | None = None,
+) -> dict:
+    """OPTIMIZE through the log: small-file compaction of a
+    manifest-tracked table as ONE snapshot transaction — the
+    maintenance op a continuously-ingesting lake runs without pausing
+    readers.  ``append_files`` lands one file set per micro-batch, so a
+    long-running stream fragments the table; compacting it by hand
+    (``compact_parquet`` + ``update_stats_index``) deletes files before
+    the manifest refresh and a concurrent snapshot reader breaks.  Here
+    the rewrite rides ``_txn_rewrite``: the fragments are read, rows
+    repartitioned into ``ceil(bytes / target_bytes)`` files, the new
+    files move in UNREFERENCED, the manifest commits atomically (old
+    fragments out, compacted files in), and only then are the fragments
+    swept — a reader on the old snapshot finishes against the old
+    files, a reader on the new one never sees both.
+
+    ``small_bytes`` compacts only files under that size (the OPTIMIZE
+    norm — already-compacted files keep their inodes); None compacts
+    everything.  Hive-partitioned tables keep their directory encoding
+    (``_txn_rewrite``'s partitionBy round-trip); per-partition file
+    budgets for heavily-skewed layouts remain
+    ``compact_partitioned_parquet``'s job.  Rows are never changed —
+    ``rows_before == rows_after`` is part of the returned ledger and
+    the tests.
+    """
+    mdir = _manifest_dir(path, manifest_path)
+    sizes = {
+        (path.rstrip("/") + "/" + rel): ln
+        for rel, ln in _leaf_files(spark, path)
+    }
+    # normalize to the manifest's file-uri form via the FS (matches
+    # _leaf_file_uris); local paths pass through unchanged
+    small = [
+        f
+        for f, ln in sorted(sizes.items())
+        if small_bytes is None or ln < int(small_bytes)
+    ]
+    if len(small) < 2:  # nothing to merge
+        return {
+            "files_total": len(sizes),
+            "files_rewritten": 0,
+            "files_added": 0,
+            "rows_before": None,
+            "rows_after": None,
+            "partitioned": False,
+            "version": manifest_version(spark, mdir),
+        }
+    bytes_in = sum(sizes[f] for f in small)
+    n_out = max(1, -(-bytes_in // int(target_bytes)))
+
+    ledger = _txn_rewrite(
+        spark,
+        path,
+        manifest_path,
+        {},
+        lambda touched, _hit: touched.repartition(int(n_out)),
+        cols,
+        candidates=small,
+    )
+    ledger.pop("rows_matched", None)
+    ledger["n_target_files"] = int(n_out)
+    ledger["bytes_in"] = int(bytes_in)
+    return ledger
 
 
 def start_lake_append_stream(

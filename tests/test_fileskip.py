@@ -617,6 +617,64 @@ def test_lake_append_stream_exactly_once_through_restart(spark, tmp_path):
     assert got.select("k").distinct().count() == 550
 
 
+def test_compact_table_merges_fragments_through_the_log(spark, tmp_path):
+    """OPTIMIZE through the log: streaming appends fragment the table;
+    compact_table merges the fragments in ONE snapshot transaction —
+    row multiset unchanged, manifest equals a rebuild, snapshot readers
+    stay consistent, and with small_bytes set the already-big files
+    keep their inodes."""
+    from evmtrace_etl_spark.sinks import (
+        append_files,
+        compact_table,
+        current_manifest,
+        read_table,
+        update_stats_index,
+    )
+
+    dst = _build(spark, tmp_path, n_files=4)  # a few "big" files
+    update_stats_index(spark, dst, None, ["k"])
+    big_inodes = {
+        f: os.stat(f).st_ino for f in glob.glob(dst + "/part-*.parquet")
+    }
+    big_size = min(os.path.getsize(f) for f in big_inodes)
+    # fragment: three tiny ingest batches, several files each
+    for b in range(3):
+        batch = spark.range(30_000 + b * 100, 30_100 + b * 100).selectExpr(
+            "id AS k", "id % 7 AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+        ).repartition(4)
+        append_files(spark, batch, dst, txn=("frag", b))
+    n_files_before = len(glob.glob(dst + "/part-*.parquet"))
+    assert n_files_before >= len(big_inodes) + 12
+
+    led = compact_table(
+        spark, dst, target_bytes=1 << 26, small_bytes=big_size
+    )
+    assert led["files_rewritten"] >= 12
+    assert led["files_added"] < led["files_rewritten"]
+    assert led["rows_before"] == led["rows_after"] == 300
+    # big files untouched (inodes kept)
+    for f, ino in big_inodes.items():
+        assert os.path.exists(f) and os.stat(f).st_ino == ino
+    # table contents identical, served through the snapshot
+    got = read_table(spark, dst)
+    assert got.count() == 20_300
+    assert got.filter("k >= 30000").count() == 300
+    # manifest == rebuild
+    got_m = sorted(
+        tuple(r)
+        for r in current_manifest(spark, dst + "/_stats_manifest").collect()
+    )
+    want_m = sorted(
+        tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
+    )
+    assert got_m == want_m
+    # idempotent: nothing small left to merge into fewer files
+    led2 = compact_table(
+        spark, dst, target_bytes=1 << 26, small_bytes=big_size
+    )
+    assert led2["files_rewritten"] in (0, led2["files_added"])
+
+
 def test_partition_column_stats_derive_from_directories(spark, tmp_path):
     """Hive partition columns never appear in footers; the index derives
     their stats from the directory encoding (min == max == the value),
