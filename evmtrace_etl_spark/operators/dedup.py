@@ -1027,3 +1027,136 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(key, status.alias("status"), "old_fp", "new_fp")
+
+
+def corpus_signature_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The persisted half of ingest-time incremental dedup: one row per
+    (doc_id, band_id, band_key) with the doc's full minhash signature —
+    the LSH index a production corpus builder maintains NEXT TO the
+    corpus so each arriving batch is checked against it, instead of
+    re-running full-corpus dedup per ingest (O(batch × corpus-bands),
+    never O(corpus²) per trigger).  Persist with
+    ``sinks.append_files``/``update_stats_index`` so index growth rides
+    the same exactly-once snapshot commits as the data."""
+    sigs = _signatures_from_sets(shingle_hashes(docs, text_col))
+    return sigs.select(
+        "doc_id",
+        "signature",
+        F.posexplode("bands").alias("band_id", "band_key"),
+    )
+
+
+def ingest_dedup_labels(
+    batch: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Label an incoming BATCH against the persisted corpus signature
+    index (``corpus_signature_index`` rows): a batch doc sharing ≥1 LSH
+    band bucket with an indexed doc whose signature-estimated Jaccard
+    (matching minhash components / N_PERMS — the estimator calibrated
+    by ``minhash_calibration``) reaches ``threshold`` is marked a
+    near-dup of the best-matching indexed doc; everything else is kept.
+    This is ingest-time dedup: per trigger the work is the batch's band
+    keys equi-joined against the index — the candidate set, never
+    all-pairs, never a corpus rescan.
+
+    Index-side buckets larger than ``BUCKET_CAP`` are dropped (the
+    tier's standard skew guard, identical in the oracle).  Docs too
+    short to shingle carry no near-dup signal and are kept.  The best
+    match is deterministic: highest estimate, ties to the lowest
+    doc_id.
+
+    Output: doc_id (every batch doc), keep (1/0), dup_of (indexed
+    doc_id, -1 when kept), est (0.0 when kept).
+    """
+    bs = _signatures_from_sets(shingle_hashes(batch, text_col))
+    nb = bs.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("signature").alias("_sn"),
+        F.posexplode("bands").alias("band_id", "band_key"),
+    )
+    sized = index.withColumn(
+        "_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    ).filter(F.col("_n") <= BUCKET_CAP)
+    old = sized.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("old_id"),
+        F.col("signature").alias("_so"),
+    )
+    est = (
+        F.expr(
+            "size(filter(zip_with(_sn, _so, (x, y) -> x = y), b -> b))"
+        ).cast("double")
+        / F.lit(float(N_PERMS))
+    )
+    hits = (
+        nb.join(old, on=["band_id", "band_key"])
+        # self-pair guard: a REPLAYED batch whose docs already entered
+        # the index must not reject them against themselves — replays
+        # stay label-stable (est=1.0 self-matches are the replay
+        # artifact, never a real dup)
+        .filter(F.col("new_id") != F.col("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+        .withColumn("est", F.round(est, 6))
+        .filter(F.col("est") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est").desc(), F.col("old_id").asc()
+    )
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("_dup"),
+            F.col("est").alias("_est"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("keep"),
+            F.coalesce(F.col("_dup"), F.lit(-1)).cast("long").alias("dup_of"),
+            F.coalesce(F.col("_est"), F.lit(0.0)).alias("est"),
+        )
+    )
+
+
+def ingest_batch_dedup(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    txn: tuple[str, int] | None = None,
+) -> DataFrame:
+    """The effectful composition: label ``batch`` against the PERSISTED
+    index at ``index_path`` (a manifest-tracked table of
+    ``corpus_signature_index`` rows), then append the ACCEPTED docs'
+    index rows through the exactly-once snapshot commit
+    (``sinks.append_files`` — a replayed ``txn`` batch id is a no-op,
+    so a crash/retry can neither double-index nor double-accept).
+    Returns the label DataFrame (already materialized — the decisions
+    feed the append, so they must not be recomputed against the
+    now-grown index)."""
+    from ..session import materialize as _mat
+    from ..sinks import append_files, read_table
+
+    index = read_table(spark, index_path).select(
+        "doc_id", "signature", "band_id", "band_key"
+    )
+    labels = _mat(ingest_dedup_labels(batch, index, threshold, text_col))
+    accepted = batch.join(
+        labels.filter(F.col("keep") == 1).select("doc_id"), on="doc_id"
+    )
+    rows = corpus_signature_index(accepted, text_col)
+    append_files(spark, rows, index_path, txn=txn)
+    return labels

@@ -95,6 +95,31 @@ def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def llm_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental dedup (see
+    ``operators/dedup.py:ingest_dedup_labels``): the even-doc_id half
+    of the corpus plays the PERSISTED signature index, the odd half the
+    arriving batch; every batch doc is labeled keep/dup_of/est by
+    banding against the index and thresholding the minhash Jaccard
+    ESTIMATE (the estimator whose error `llm_minhash_calibration`
+    measures).  Per trigger the cost is the batch's band keys
+    equi-joined against the index — never a corpus rescan, never
+    all-pairs — which is how a production corpus builder keeps a
+    100 TB corpus near-dup-free without re-running full dedup per
+    ingest.  The effectful composition (accepted docs' index rows
+    appended through the exactly-once snapshot commit) is pinned by
+    tests/test_dedup_graph.py.  The oracle recomputes the split, the
+    index-side bucket cap, the estimates, and the deterministic
+    best-match rule relationally."""
+    docs = _docs(spark, sf_dir)
+    index = dedup.corpus_signature_index(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return dedup.ingest_dedup_labels(
+        docs.filter(F.col("doc_id") % 2 == 1), index, threshold=0.5
+    )
+
+
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verify stage standalone: exact n-gram Jaccard for every LSH
     candidate pair, no threshold."""
@@ -670,6 +695,51 @@ pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM capped a JOIN capped b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
           WHERE a.doc_id < b.doc_id)"""
+
+
+def _ingest_dedup_sql(threshold: float) -> str:
+    """Oracle for ``llm_ingest_dedup``: parity split, index-side bucket
+    cap, minhash-component estimates, deterministic best match."""
+    mh = ", ".join(
+        f"list_min(list_transform(sset, x -> ({a}*x + {b}) % {MERSENNE31}))"
+        for a, b in PERMS
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, array_to_string(list_transform("
+        f"signature[{b * LSH_ROWS + 1}:{b * LSH_ROWS + LSH_ROWS}], "
+        "x -> CAST(x AS VARCHAR)), '-') AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_shingle_ctes()},
+sig AS (SELECT doc_id, sset, [{mh}] AS signature FROM sh),
+bands AS ({bands}),
+idx AS (SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS _n
+        FROM bands WHERE doc_id % 2 = 0),
+capped AS (SELECT * FROM idx WHERE _n <= {BUCKET_CAP}),
+newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM newb n JOIN capped o
+           ON n.band_id = o.band_id AND n.band_key = o.band_key),
+est AS (SELECT new_id, old_id,
+  round(CAST(len(list_filter(range(1, {N_PERMS + 1}),
+       i -> sn.signature[i] = so.signature[i])) AS DOUBLE)
+        / {N_PERMS}, 6) AS est
+  FROM cand JOIN sig sn ON sn.doc_id = cand.new_id
+            JOIN sig so ON so.doc_id = cand.old_id),
+best AS (SELECT new_id, old_id, est,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY est DESC, old_id ASC) AS rn
+         FROM est WHERE est >= {threshold})
+SELECT d.doc_id,
+  CAST(CASE WHEN b.old_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+  CAST(coalesce(b.old_id, -1) AS BIGINT) AS dup_of,
+  coalesce(b.est, 0.0) AS est
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
 
 
 def _near_dup_sql(threshold: float) -> str:
@@ -2648,6 +2718,7 @@ FROM pc
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
+    "llm_ingest_dedup": llm_ingest_dedup,
     "llm_ngram_jaccard": llm_ngram_jaccard,
     "llm_edit_distance_pairs": llm_edit_distance_pairs,
     "llm_simhash_buckets": llm_simhash_buckets,
@@ -2724,6 +2795,7 @@ QUERIES = {
 ORACLES = {
     "llm_exact_dup_groups": EXACT_DUP_GROUPS_SQL,
     "llm_near_dup_pairs": NEAR_DUP_PAIRS_SQL,
+    "llm_ingest_dedup": _ingest_dedup_sql(0.5),
     "llm_ngram_jaccard": _near_dup_sql(0.0),
     "llm_edit_distance_pairs": EDIT_DISTANCE_PAIRS_SQL,
     "llm_simhash_buckets": SIMHASH_BUCKETS_SQL,

@@ -2056,6 +2056,61 @@ def compact_table(
     return ledger
 
 
+def table_history(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[dict]:
+    """Commit history of a manifest-tracked table (DESCRIBE HISTORY
+    analog): one dict per RETAINED committed version — version number,
+    file/row totals from the manifest, the commit's removed-file count,
+    and its txn map (which streaming batch ids are durably ingested).
+    Bounded by ``keep_versions``; the full audit trail a deployment
+    keeps by raising it."""
+    mdir = _manifest_dir(path, manifest_path)
+    out = []
+    for v in _committed_versions(spark, mdir):
+        commit = _read_json_marker(spark, f"{mdir}/v{v}/_COMMIT")
+        m = spark.read.parquet(f"{mdir}/v{v}")
+        agg = m.agg(
+            F.count(F.lit(1)).alias("files"), F.sum("n_rows").alias("rows")
+        ).collect()[0]
+        out.append(
+            {
+                "version": v,
+                "files": int(agg["files"]),
+                "rows": int(agg["rows"] or 0),
+                "removed_pending": len(commit.get("removed", [])),
+                "txns": commit.get("txns", {}),
+            }
+        )
+    return out
+
+
+def vacuum_table(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[str]:
+    """Sweep the table's leftover transaction debris: sibling temp
+    directories (``<path>._append_*`` / ``._rewrite_*`` / ``._delete_*``)
+    whose transactions are not in flight — a crash between the temp
+    write and the ``_TXN`` intent marker leaves one behind (recovery
+    can't know about it: nothing was logged yet), invisible to every
+    reader but holding disk.  Also runs ``_recover_txn`` +
+    ``_sweep_removed`` so one call returns the table to a fully clean
+    state.  Returns the removed paths."""
+    mdir = _manifest_dir(path, manifest_path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
+    jvm, hp, fs = _fs_for(spark, path)
+    parent = hp(path).getParent()
+    base = hp(path).getName()
+    removed = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if st.isDirectory() and (
+            name.startswith(base + "._append_")
+            or name.startswith(base + "._rewrite_")
+            or name.startswith(base + "._delete_")
+        ):
+            fs.delete(st.getPath(), True)
+            removed.append(st.getPath().toUri().getPath())
+    return removed
+
+
 def start_lake_append_stream(
     stream_df: DataFrame,
     path: str,

@@ -463,3 +463,103 @@ def test_semantic_dedup_cell_cap_bounds_degenerate_corpus(spark):
         s[0]["n_docs_dropped"],
         s[0]["max_cell"],
     ) == (2, 1, 51, 51)
+
+
+def test_ingest_batch_dedup_grows_index_exactly_once(spark, tmp_path):
+    """The effectful ingest composition: batch 1 seeds near-dups into
+    the persisted signature index through the exactly-once snapshot
+    commit; batch 2 containing a near-dup of a batch-1 doc is rejected
+    against the GROWN index; replaying batch 2's txn id neither
+    double-indexes nor re-labels."""
+    import os
+
+    from evmtrace_etl_spark.operators.dedup import (
+        corpus_signature_index,
+        ingest_batch_dedup,
+    )
+    from evmtrace_etl_spark.sinks import read_table, update_stats_index
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx_path = str(tmp_path / "sig_index")
+    # seed the index table with one corpus doc
+    corpus = spark.createDataFrame(
+        [(1, base + " one two three")], "doc_id long, text string"
+    )
+    corpus_signature_index(corpus).write.parquet(idx_path)
+    update_stats_index(spark, idx_path, None, ["band_id"])
+    n_idx0 = read_table(spark, idx_path).select("doc_id").distinct().count()
+    assert n_idx0 == 1
+
+    # batch 1: one near-dup of the corpus doc, one fresh doc
+    b1 = spark.createDataFrame(
+        [
+            (10, base + " one two four"),       # near-dup of doc 1
+            (11, "totally different words entirely unrelated content "
+                 "spanning many unique tokens for shingling purposes"),
+        ],
+        "doc_id long, text string",
+    )
+    l1 = {r["doc_id"]: r for r in ingest_batch_dedup(
+        spark, b1, idx_path, threshold=0.5, txn=("ing", 1)
+    ).collect()}
+    assert l1[10]["keep"] == 0 and l1[10]["dup_of"] == 1
+    assert l1[11]["keep"] == 1
+    # only the ACCEPTED doc entered the index
+    idx_docs = {
+        r["doc_id"]
+        for r in read_table(spark, idx_path).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 11}
+
+    # batch 2: near-dup of batch-1's ACCEPTED doc -> rejected against
+    # the grown index (this is the incremental property)
+    b2 = spark.createDataFrame(
+        [(20, "totally different words entirely unrelated content "
+              "spanning many unique tokens for shingling reasons")],
+        "doc_id long, text string",
+    )
+    l2 = ingest_batch_dedup(
+        spark, b2, idx_path, threshold=0.5, txn=("ing", 2)
+    ).collect()
+    assert l2[0]["keep"] == 0 and l2[0]["dup_of"] == 11
+
+    # replaying batch 1's txn id: index unchanged (exactly-once)
+    files_before = sorted(
+        f for f in os.listdir(idx_path) if f.endswith(".parquet")
+    )
+    ingest_batch_dedup(spark, b1, idx_path, threshold=0.5, txn=("ing", 1))
+    assert idx_docs == {
+        r["doc_id"]
+        for r in read_table(spark, idx_path).select("doc_id").distinct().collect()
+    }
+    assert files_before == sorted(
+        f for f in os.listdir(idx_path) if f.endswith(".parquet")
+    )
+
+
+def test_ingest_replay_labels_are_stable(spark, tmp_path):
+    """A replayed batch whose docs already entered the index must get
+    the SAME labels (the self-pair guard): keep stays 1 for the doc
+    that was accepted, even though its own rows are now indexed."""
+    from evmtrace_etl_spark.operators.dedup import (
+        corpus_signature_index,
+        ingest_batch_dedup,
+    )
+    from evmtrace_etl_spark.sinks import update_stats_index
+
+    idx_path = str(tmp_path / "sig_index")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    corpus_signature_index(corpus).write.parquet(idx_path)
+    update_stats_index(spark, idx_path, None, ["band_id"])
+    b = spark.createDataFrame(
+        [(11, "totally different words entirely unrelated content "
+              "spanning many unique tokens for shingling purposes")],
+        "doc_id long, text string",
+    )
+    first = ingest_batch_dedup(spark, b, idx_path, txn=("s", 1)).collect()
+    replay = ingest_batch_dedup(spark, b, idx_path, txn=("s", 1)).collect()
+    assert [tuple(r) for r in first] == [tuple(r) for r in replay]
+    assert first[0]["keep"] == 1

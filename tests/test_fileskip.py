@@ -675,6 +675,44 @@ def test_compact_table_merges_fragments_through_the_log(spark, tmp_path):
     assert led2["files_rewritten"] in (0, led2["files_added"])
 
 
+def test_history_and_vacuum(spark, tmp_path):
+    """table_history reports the retained commit trail (versions, file/
+    row totals, txn map); vacuum_table sweeps a pre-intent crashed temp
+    dir that no recovery path could know about."""
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import (
+        append_files,
+        table_history,
+        update_stats_index,
+        vacuum_table,
+    )
+
+    dst = _build(spark, tmp_path)
+    update_stats_index(spark, dst, None, ["k"])
+    append_files(
+        spark,
+        spark.range(90_000, 90_010).selectExpr(
+            "id AS k", "id % 7 AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+        ),
+        dst,
+        txn=("h", 3),
+    )
+    hist = table_history(spark, dst)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[-1]["rows"] == 20_010
+    assert hist[-1]["txns"] == {"h": 3}
+
+    # a crash BEFORE the _TXN intent leaves an unlogged temp sibling
+    stale = dst + "._append_deadbeef"
+    os.makedirs(stale)
+    open(stale + "/part-zzz.parquet", "wb").write(b"x")
+    removed = vacuum_table(spark, dst)
+    assert any("_append_deadbeef" in p for p in removed)
+    assert not os.path.exists(stale)
+    # data untouched
+    assert spark.read.parquet(dst).count() == 20_010
+
+
 def test_partition_column_stats_derive_from_directories(spark, tmp_path):
     """Hive partition columns never appear in footers; the index derives
     their stats from the directory encoding (min == max == the value),
