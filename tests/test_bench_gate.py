@@ -20,6 +20,10 @@ def test_healthy_curves_pass():
     assert curve_shape_gate(_pts(3000, 7600, 13500))["pass"]
     # a noisy-but-healthy run: low head, strong scaling
     assert curve_shape_gate(_pts(1100, 4500, 9000))["pass"]
+    # the measured end-of-bench saturated-host run: tiny tail inversion
+    # (5674 -> 5573, -1.8%) on pacing whose isolated re-probe scaled
+    # 3.6-7.1x — must NOT cry wolf
+    assert curve_shape_gate(_pts(3088, 5674, 5573))["pass"]
 
 
 def test_flat_curve_fails_scaling():
@@ -29,7 +33,8 @@ def test_flat_curve_fails_scaling():
 
 
 def test_non_monotonic_curve_fails():
-    g = curve_shape_gate(_pts(3000, 9000, 8000))
+    # a real inversion (>10%), not saturation jitter
+    g = curve_shape_gate(_pts(3000, 9000, 7000))
     assert not g["monotonic"] and not g["pass"]
 
 
