@@ -338,6 +338,46 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_components(_docs(spark, sf_dir))
 
 
+def llm_component_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exemplar selection per near-dup cluster — the
+    corpus-builder refinement of the keep-lowest-id rule: compose the
+    transitive near-dup components (L5) with the quality-classifier
+    score (L33) and keep the HIGHEST-QUALITY doc of each cluster (ties
+    to the lowest doc_id; ranks computed on the 6-dp-rounded score per
+    the repo's ranks-after-rounding rule).  The per-cluster window runs
+    over clustered docs only — a corpus-scale window never happens; at
+    100 TB the added cost over the component build is one equi-join
+    against the (doc, score) projection and a window bounded by
+    cluster sizes.
+
+    Output: doc_id, component_id, component_size, quality_score,
+    keep (1 for the cluster's exemplar, else 0).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    comp = dedup.near_dup_components(docs).select(
+        "doc_id", "component_id", "component_size"
+    )
+    q = text_analysis.quality_classifier_scores(docs).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(q, on="doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component_id",
+            "component_size",
+            "quality_score",
+            (F.col("_rn") == 1).cast("int").alias("keep"),
+        )
+    )
+
+
 def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs sharing ≥1 k-shingle with the pseudo-holdout."""
     docs = _docs(spark, sf_dir)
@@ -2153,6 +2193,36 @@ FROM a
 
 
 
+COMPONENT_EXEMPLARS_SQL = f"""
+WITH RECURSIVE nd AS ({_near_dup_sql(0.5)}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM nd
+          UNION SELECT doc_b, doc_a FROM nd),
+reach AS (
+  SELECT s AS v, s AS r FROM edges
+  UNION
+  SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component_id FROM reach GROUP BY v),
+sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+          FROM comp GROUP BY component_id),
+q AS (SELECT doc_id, quality_score FROM ({QUALITY_CLASSIFIER_SQL})),
+ranked AS (
+  SELECT comp.doc_id, comp.component_id, sizes.component_size,
+         q.quality_score,
+         row_number() OVER (PARTITION BY comp.component_id
+                            ORDER BY q.quality_score DESC,
+                                     comp.doc_id ASC) AS rn
+  FROM comp
+  JOIN sizes USING (component_id)
+  JOIN q ON q.doc_id = comp.doc_id
+)
+SELECT doc_id, component_id, component_size, quality_score,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM ranked
+"""
+
+
+
 def llm_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick TF vectors (sparse long form) — text -> embedding
     bridge feeding the ANN/embedding-dedup family."""
@@ -2747,6 +2817,7 @@ QUERIES = {
     "llm_quality_sample": llm_quality_sample,
     "llm_repetition_profile": llm_repetition_profile,
     "llm_dedup_components": llm_dedup_components,
+    "llm_component_exemplars": llm_component_exemplars,
     "llm_decontamination": llm_decontamination,
     "llm_bloom_decontamination": llm_bloom_decontamination,
     "llm_pii_profile": llm_pii_profile,
@@ -2824,6 +2895,7 @@ ORACLES = {
     "llm_quality_sample": QUALITY_SAMPLE_SQL,
     "llm_repetition_profile": REPETITION_PROFILE_SQL,
     "llm_dedup_components": DEDUP_COMPONENTS_SQL,
+    "llm_component_exemplars": COMPONENT_EXEMPLARS_SQL,
     "llm_decontamination": DECONTAMINATION_SQL,
     "llm_bloom_decontamination": DECONTAMINATION_SQL,
     "llm_pii_profile": PII_PROFILE_SQL,

@@ -1480,6 +1480,7 @@ def _txn_rewrite(
     cols: Sequence[str] | None,
     count_matched: bool = False,
     candidates: Sequence[str] | None = None,
+    keep_versions: int = 2,
 ) -> dict:
     """The snapshot-committed candidate-file rewrite engine shared by
     ``delete_where`` and ``update_where``: prune candidate files
@@ -1590,7 +1591,8 @@ def _txn_rewrite(
         parquet_stats_index(spark, path, list(cols), paths=added)
     )
     version = _commit_manifest(
-        spark, mdir, merged, removed=cand, expected_version=expected
+        spark, mdir, merged, removed=cand, expected_version=expected,
+        keep_versions=keep_versions,
     )
     _post_commit_sweep(spark, mdir)
     fs.delete(hp(f"{mdir}/_TXN"), False)
@@ -1616,6 +1618,7 @@ def delete_where(
     manifest_path: str | None,
     predicates: dict[str, tuple],
     cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
 ) -> dict:
     """Row-level delete over a bare-parquet dataset — flat OR
     hive-partitioned — manifest-pruned and SNAPSHOT-COMMITTED: remove
@@ -1652,6 +1655,7 @@ def delete_where(
         predicates,
         lambda touched, hit: touched.filter(~hit),
         cols,
+        keep_versions=keep_versions,
     )
     rb, ra = ledger.pop("rows_before"), ledger.pop("rows_after")
     ledger.pop("rows_matched", None)
@@ -1672,6 +1676,7 @@ def update_where(
     predicates: dict[str, tuple],
     set_exprs: dict[str, "F.Column | str"],
     cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
 ) -> dict:
     """Row-level UPDATE over a bare-parquet dataset — the lakehouse
     ``UPDATE t SET c = expr WHERE …`` — manifest-pruned and
@@ -1714,7 +1719,7 @@ def update_where(
 
     ledger = _txn_rewrite(
         spark, path, manifest_path, predicates, _apply, cols,
-        count_matched=True,
+        count_matched=True, keep_versions=keep_versions,
     )
     ledger["rows_updated"] = ledger.pop("rows_matched") or 0
     return ledger
@@ -1725,6 +1730,7 @@ def update_stats_index(
     path: str,
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
 ) -> dict:
     """Incrementally maintain the persisted stats manifest for the
     dataset at ``path``: footer-read ONLY files not yet in the
@@ -1771,6 +1777,7 @@ def update_stats_index(
             parquet_stats_index(spark, path, list(cols), paths=current),
             removed=[],
             expected_version=expected,
+            keep_versions=keep_versions,
         )
         return {
             "files_total": len(current),
@@ -1796,7 +1803,8 @@ def update_stats_index(
         parquet_stats_index(spark, path, list(cols), paths=new)
     )
     version = _commit_manifest(
-        spark, mdir, merged, removed=[], expected_version=expected
+        spark, mdir, merged, removed=[], expected_version=expected,
+        keep_versions=keep_versions,
     )
     return {
         "files_total": len(current),
@@ -1887,6 +1895,7 @@ def append_files(
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
+    keep_versions: int = 2,
 ) -> dict:
     """EXACTLY-ONCE append of ``df`` as new data files to a
     manifest-tracked table — the per-micro-batch ingest commit of a
@@ -1974,7 +1983,8 @@ def append_files(
         manifest.unionByName(delta) if manifest is not None else delta
     )
     version = _commit_manifest(
-        spark, mdir, merged, removed=[], expected_version=expected, txn=txn
+        spark, mdir, merged, removed=[], expected_version=expected, txn=txn,
+        keep_versions=keep_versions,
     )
     fs.delete(hp(f"{mdir}/_TXN"), False)
     return {
@@ -1992,6 +2002,7 @@ def compact_table(
     target_bytes: int = 128 * 1024 * 1024,
     small_bytes: int | None = None,
     cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
 ) -> dict:
     """OPTIMIZE through the log: small-file compaction of a
     manifest-tracked table as ONE snapshot transaction — the
@@ -2049,6 +2060,7 @@ def compact_table(
         lambda touched, _hit: touched.repartition(int(n_out)),
         cols,
         candidates=small,
+        keep_versions=keep_versions,
     )
     ledger.pop("rows_matched", None)
     ledger["n_target_files"] = int(n_out)

@@ -819,3 +819,33 @@ def test_index_is_footer_only_no_data_scan(spark, tmp_path):
     plan = idx._jdf.queryExecution().executedPlan().toString()
     # the only scan in the plan is the in-memory path list
     assert "FileScan parquet" not in plan
+
+
+def test_keep_versions_retains_deeper_history(spark, tmp_path):
+    """keep_versions > 2 retains a deeper time-travel window through
+    every maintenance op."""
+    from evmtrace_etl_spark.sinks import (
+        append_files,
+        read_table,
+        table_history,
+        update_stats_index,
+    )
+
+    dst = _build(spark, tmp_path)
+    update_stats_index(spark, dst, None, ["k"], keep_versions=4)  # v0
+    for b in range(3):  # v1..v3
+        append_files(
+            spark,
+            spark.range(50_000 + b * 10, 50_010 + b * 10).selectExpr(
+                "id AS k", "id % 7 AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+            ),
+            dst,
+            txn=("kv", b),
+            keep_versions=4,
+        )
+    hist = table_history(spark, dst)
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    # every retained version time-travels (append-only: files all alive)
+    assert read_table(spark, dst, version=0).count() == 20_000
+    assert read_table(spark, dst, version=2).count() == 20_020
+    assert read_table(spark, dst, version=3).count() == 20_030
