@@ -2416,7 +2416,13 @@ def _lake_stream_build(spark: SparkSession, sf_dir: str) -> str:
         q = start_lake_append_stream(
             stream, tbl, ckpt, cols=["ts"], app_id="inv_lake"
         )
-        q.awaitTermination(300)
+        # repo convention (plans/sink_parity.py): a timed-out build must
+        # fail loudly, never memoize a partially-ingested table
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "lake_stream build did not finish within 300s"
+            )
         _BUILD_DONE["lake_stream"] = base
     return tbl
 

@@ -341,7 +341,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_component_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware exemplar selection per near-dup cluster — the
     corpus-builder refinement of the keep-lowest-id rule: compose the
-    transitive near-dup components (L5) with the quality-classifier
+    transitive near-dup components (L18) with the quality-classifier
     score (L33) and keep the HIGHEST-QUALITY doc of each cluster (ties
     to the lowest doc_id; ranks computed on the 6-dp-rounded score per
     the repo's ranks-after-rounding rule).  The per-cluster window runs

@@ -1282,7 +1282,19 @@ def _write_json_marker(
     final = hp(f"{dirpath}/{name}")
     if overwrite:
         fs.delete(final, False)
-    fs.rename(tmp, final)
+    # Hadoop reports rename failure by RETURNING FALSE, not raising —
+    # an unchecked result would report a lost commit as success.  With
+    # overwrite=False a false return means rename-to-existing lost the
+    # first-writer-wins race (HDFS semantics) → SnapshotConflict, the
+    # same contract the version-expectation check enforces portably.
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        if not overwrite:
+            raise SnapshotConflict(
+                f"marker {dirpath}/{name} already exists — another "
+                "writer committed first; retry from a fresh snapshot"
+            )
+        raise IOError(f"rename failed writing marker {dirpath}/{name}")
 
 
 def _flat_manifest_files(spark: SparkSession, manifest_path: str) -> list[str]:
@@ -1471,6 +1483,27 @@ def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
     return {"rolled": "forward" if committed else "back", **txn}
 
 
+def _move_files_in(fs, hp, planned: Sequence[tuple[str, str]]) -> list[str]:
+    """Move each planned ``(src, dst)`` data file into the table and
+    return the dst URIs normalized exactly like ``_leaf_file_uris``
+    (fully-qualified via the FS; ``file:`` stripped to a posix path).
+    Hadoop signals rename failure by returning false — checked here, so
+    a silently-failed move can never leave a transaction half-applied
+    with a success ledger."""
+    added = []
+    for src, dst in planned:
+        d = hp(dst)
+        fs.mkdirs(d.getParent())
+        if not fs.rename(hp(src), d):
+            raise IOError(f"rename failed moving {src} -> {dst}")
+        q = fs.getFileStatus(d).getPath()
+        uri = q.toString()
+        if uri.startswith("file:"):
+            uri = q.toUri().getPath()
+        added.append(uri)
+    return added
+
+
 def _txn_rewrite(
     spark: SparkSession,
     path: str,
@@ -1518,6 +1551,15 @@ def _txn_rewrite(
     else:
         listed = {r["file"] for r in manifest.select("file").collect()}
         cand = [f for f in candidates if f in listed]
+        if candidates and not cand:
+            # an explicit candidate list entirely outside the committed
+            # snapshot is a path-form mismatch or untracked files — a
+            # silent no-op here would report success without compacting
+            raise ValueError(
+                f"none of the {len(candidates)} candidate files appear "
+                f"in the committed manifest at {mdir} — path form "
+                "mismatch, or the files were written outside the log"
+            )
     ledger = {
         "files_total": int(files_total),
         "files_rewritten": 0,
@@ -1571,16 +1613,7 @@ def _txn_rewrite(
             "removed": list(cand),
         },
     )
-    added = []
-    for src, dst in planned:
-        d = hp(dst)
-        fs.mkdirs(d.getParent())
-        fs.rename(hp(src), d)
-        q = fs.getFileStatus(d).getPath()
-        uri = q.toString()
-        if uri.startswith("file:"):
-            uri = q.toUri().getPath()
-        added.append(uri)  # normalized exactly like _leaf_file_uris
+    added = _move_files_in(fs, hp, planned)
     fs.delete(hp(tmp), True)
 
     if cols is None:
@@ -1966,16 +1999,7 @@ def append_files(
             "removed": [],
         },
     )
-    added = []
-    for src, dst in planned:
-        d = hp(dst)
-        fs.mkdirs(d.getParent())
-        fs.rename(hp(src), d)
-        q = fs.getFileStatus(d).getPath()
-        uri = q.toString()
-        if uri.startswith("file:"):
-            uri = q.toUri().getPath()
-        added.append(uri)
+    added = _move_files_in(fs, hp, planned)
     fs.delete(hp(tmp), True)
 
     delta = parquet_stats_index(spark, path, list(cols), paths=added)
@@ -2028,12 +2052,18 @@ def compact_table(
     the tests.
     """
     mdir = _manifest_dir(path, manifest_path)
-    sizes = {
-        (path.rstrip("/") + "/" + rel): ln
-        for rel, ln in _leaf_files(spark, path)
-    }
-    # normalize to the manifest's file-uri form via the FS (matches
-    # _leaf_file_uris); local paths pass through unchanged
+    jvm, hp, fs = _fs_for(spark, path)
+    sizes = {}
+    for rel, ln in _leaf_files(spark, path):
+        # qualify through the FS so the candidate list intersects the
+        # manifest's file-uri form (hdfs://nn/... fully-qualified;
+        # file: stripped to posix) — an unqualified caller path must
+        # not make _txn_rewrite's intersection silently empty
+        q = fs.getFileStatus(hp(path.rstrip("/") + "/" + rel)).getPath()
+        uri = q.toString()
+        if uri.startswith("file:"):
+            uri = q.toUri().getPath()
+        sizes[uri] = ln
     small = [
         f
         for f, ln in sorted(sizes.items())
