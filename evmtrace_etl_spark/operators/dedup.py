@@ -1062,22 +1062,52 @@ def ingest_dedup_labels(
     keys equi-joined against the index — the candidate set, never
     all-pairs, never a corpus rescan.
 
-    Index-side buckets larger than ``BUCKET_CAP`` are dropped (the
-    tier's standard skew guard, identical in the oracle).  Docs too
-    short to shingle carry no near-dup signal and are kept.  The best
-    match is deterministic: highest estimate, ties to the lowest
-    doc_id.
+    Two mutually-near-dup docs arriving in ONE batch are also resolved
+    (intra-batch leg): every batch doc additionally sees LOWER-doc_id
+    batch docs sharing a band bucket as candidate matches — the
+    deterministic sequential-arrival order — so a batch can never land
+    two copies the index would have caught had they arrived one
+    trigger apart.
 
-    Output: doc_id (every batch doc), keep (1/0), dup_of (indexed
-    doc_id, -1 when kept), est (0.0 when kept).
+    Buckets larger than ``BUCKET_CAP`` are dropped on each side (the
+    tier's standard skew guard, identical in the oracle): index-side
+    sized over the WHOLE index bucket, batch-side over the batch's own
+    rows.  Docs too short to shingle carry no near-dup signal and are
+    kept.  The best match is deterministic: highest estimate, ties to
+    the lowest doc_id (across both legs).
+
+    Scale shape (the serve path runs per micro-batch, so the plan must
+    be batch-sized, not index-sized): the index is left-semi-joined to
+    the BATCH's distinct band keys FIRST — a broadcast of the tiny
+    batch key set — so the bucket-sizing Window shuffles only the
+    touched buckets' rows, never the whole persisted index; sizing
+    stays exact because the semi-join keeps every index row of a
+    touched bucket.  The candidate join then broadcasts the batch
+    side, so index rows cross exactly one (touched-only) Exchange per
+    trigger.  Pinned by tests/test_plan_shapes.py.
+
+    Output: doc_id (every batch doc), keep (1/0), dup_of (indexed or
+    lower batch doc_id, -1 when kept), est (0.0 when kept).
     """
     bs = _signatures_from_sets(shingle_hashes(batch, text_col))
-    nb = bs.select(
-        F.col("doc_id").alias("new_id"),
-        F.col("signature").alias("_sn"),
-        F.posexplode("bands").alias("band_id", "band_key"),
+    # materialized ONCE: the batch band table feeds four consumers
+    # (key distinct, candidate join, both intra-batch legs) — without
+    # this the batch's shingle+minhash pass recomputes per consumer
+    # (the r8 semantic_dedup lesson, batch-sized here but still 4x)
+    nb = _materialize(
+        bs.select(
+            F.col("doc_id").alias("new_id"),
+            F.col("signature").alias("_sn"),
+            F.posexplode("bands").alias("band_id", "band_key"),
+        )
     )
-    sized = index.withColumn(
+    # index leg: prune FIRST (broadcast semi-join on the batch's band
+    # keys), THEN size only the touched buckets — counts stay exact
+    batch_keys = nb.select("band_id", "band_key").distinct()
+    touched = index.join(
+        F.broadcast(batch_keys), on=["band_id", "band_key"], how="left_semi"
+    )
+    sized = touched.withColumn(
         "_n",
         F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
     ).filter(F.col("_n") <= BUCKET_CAP)
@@ -1093,13 +1123,41 @@ def ingest_dedup_labels(
         ).cast("double")
         / F.lit(float(N_PERMS))
     )
-    hits = (
-        nb.join(old, on=["band_id", "band_key"])
-        # self-pair guard: a REPLAYED batch whose docs already entered
-        # the index must not reject them against themselves — replays
-        # stay label-stable (est=1.0 self-matches are the replay
-        # artifact, never a real dup)
+    idx_hits = (
+        F.broadcast(nb)
+        .join(old, on=["band_id", "band_key"])
+        # self-pair guard (defense in depth — ingest_batch_dedup also
+        # anti-joins the index on the batch's doc_ids, so a REPLAYED
+        # batch never rejects its docs against their own index rows)
         .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id", "_sn", "_so")
+    )
+    # intra-batch leg: lower-id batch docs as candidate matches, with
+    # the same per-bucket cap applied over the batch's own rows
+    bcap = nb.withColumn(
+        "_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key")),
+    ).filter(F.col("_n") <= BUCKET_CAP)
+    # no broadcast hint here: nb is materialized, so AQE has exact
+    # sizes and converts this to a broadcast join for real (small)
+    # micro-batches at runtime; at bench scale the 12.5k-doc pseudo
+    # batch self-joins cheaper as a shuffled join of band rows
+    intra_hits = (
+        bcap.select("band_id", "band_key", "new_id", "_sn")
+        .join(
+            bcap.select(
+                "band_id",
+                "band_key",
+                F.col("new_id").alias("old_id"),
+                F.col("_sn").alias("_so"),
+            ),
+            on=["band_id", "band_key"],
+        )
+        .filter(F.col("old_id") < F.col("new_id"))
+        .select("new_id", "old_id", "_sn", "_so")
+    )
+    hits = (
+        idx_hits.unionByName(intra_hits)
         .dropDuplicates(["new_id", "old_id"])
         .withColumn("est", F.round(est, 6))
         .filter(F.col("est") >= threshold)
@@ -1144,6 +1202,15 @@ def ingest_batch_dedup(
     index rows through the exactly-once snapshot commit
     (``sinks.append_files`` — a replayed ``txn`` batch id is a no-op,
     so a crash/retry can neither double-index nor double-accept).
+
+    Replay label-stability: the index side EXCLUDES the batch's own
+    doc_ids (broadcast anti-join) — a checkpoint-replayed batch whose
+    docs already entered the index is labeled against the index as it
+    stood BEFORE the batch, so every doc (including two mutual
+    near-dups resolved by the intra-batch leg on the first run) gets
+    the identical keep/dup_of on replay.  Tested with a mutual-near-dup
+    batch in tests/test_dedup_graph.py.
+
     Returns the label DataFrame (already materialized — the decisions
     feed the append, so they must not be recomputed against the
     now-grown index)."""
@@ -1152,6 +1219,8 @@ def ingest_batch_dedup(
 
     index = read_table(spark, index_path).select(
         "doc_id", "signature", "band_id", "band_key"
+    ).join(
+        F.broadcast(batch.select("doc_id")), on="doc_id", how="left_anti"
     )
     labels = _mat(ingest_dedup_labels(batch, index, threshold, text_col))
     accepted = batch.join(

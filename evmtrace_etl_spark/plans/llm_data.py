@@ -102,15 +102,18 @@ def llm_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving batch; every batch doc is labeled keep/dup_of/est by
     banding against the index and thresholding the minhash Jaccard
     ESTIMATE (the estimator whose error `llm_minhash_calibration`
-    measures).  Per trigger the cost is the batch's band keys
-    equi-joined against the index — never a corpus rescan, never
-    all-pairs — which is how a production corpus builder keeps a
-    100 TB corpus near-dup-free without re-running full dedup per
-    ingest.  The effectful composition (accepted docs' index rows
-    appended through the exactly-once snapshot commit) is pinned by
-    tests/test_dedup_graph.py.  The oracle recomputes the split, the
-    index-side bucket cap, the estimates, and the deterministic
-    best-match rule relationally."""
+    measures), and intra-batch mutual near-dups resolve against the
+    LOWER doc_id (sequential-arrival order).  Per trigger the index is
+    semi-join-pruned to the batch's band keys BEFORE bucket sizing, so
+    the serve plan never shuffles the whole persisted index — never a
+    corpus rescan, never all-pairs — which is how a production corpus
+    builder keeps a 100 TB corpus near-dup-free without re-running
+    full dedup per ingest.  The effectful composition (accepted docs'
+    index rows appended through the exactly-once snapshot commit,
+    replay-stable via the batch-doc_id anti-join) is pinned by
+    tests/test_dedup_graph.py.  The oracle recomputes the split, both
+    bucket caps, both candidate legs, the estimates, and the
+    deterministic best-match rule relationally."""
     docs = _docs(spark, sf_dir)
     index = dedup.corpus_signature_index(
         docs.filter(F.col("doc_id") % 2 == 0)
@@ -738,8 +741,9 @@ pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 
 
 def _ingest_dedup_sql(threshold: float) -> str:
-    """Oracle for ``llm_ingest_dedup``: parity split, index-side bucket
-    cap, minhash-component estimates, deterministic best match."""
+    """Oracle for ``llm_ingest_dedup``: parity split, per-side bucket
+    caps, index + intra-batch (lower-id) candidate legs,
+    minhash-component estimates, deterministic best match."""
     mh = ", ".join(
         f"list_min(list_transform(sset, x -> ({a}*x + {b}) % {MERSENNE31}))"
         for a, b in PERMS
@@ -759,9 +763,19 @@ idx AS (SELECT doc_id, band_id, band_key,
         FROM bands WHERE doc_id % 2 = 0),
 capped AS (SELECT * FROM idx WHERE _n <= {BUCKET_CAP}),
 newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
-cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+newcap AS (SELECT doc_id, band_id, band_key,
+                  count(*) OVER (PARTITION BY band_id, band_key) AS _n
+           FROM newb),
+ncap AS (SELECT * FROM newcap WHERE _n <= {BUCKET_CAP}),
+cand AS (SELECT DISTINCT new_id, old_id FROM (
+         SELECT n.doc_id AS new_id, o.doc_id AS old_id
          FROM newb n JOIN capped o
-           ON n.band_id = o.band_id AND n.band_key = o.band_key),
+           ON n.band_id = o.band_id AND n.band_key = o.band_key
+         UNION ALL
+         SELECT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM ncap n JOIN ncap o
+           ON n.band_id = o.band_id AND n.band_key = o.band_key
+          AND o.doc_id < n.doc_id)),
 est AS (SELECT new_id, old_id,
   round(CAST(len(list_filter(range(1, {N_PERMS + 1}),
        i -> sn.signature[i] = so.signature[i])) AS DOUBLE)

@@ -539,8 +539,10 @@ def test_ingest_batch_dedup_grows_index_exactly_once(spark, tmp_path):
 
 def test_ingest_replay_labels_are_stable(spark, tmp_path):
     """A replayed batch whose docs already entered the index must get
-    the SAME labels (the self-pair guard): keep stays 1 for the doc
-    that was accepted, even though its own rows are now indexed."""
+    the SAME labels (the index side anti-joins the batch's doc_ids, so
+    a replay is labeled against the index as it stood BEFORE the
+    batch): keep stays 1 for the doc that was accepted, even though
+    its own rows are now indexed."""
     from evmtrace_etl_spark.operators.dedup import (
         corpus_signature_index,
         ingest_batch_dedup,
@@ -563,3 +565,54 @@ def test_ingest_replay_labels_are_stable(spark, tmp_path):
     replay = ingest_batch_dedup(spark, b, idx_path, txn=("s", 1)).collect()
     assert [tuple(r) for r in first] == [tuple(r) for r in replay]
     assert first[0]["keep"] == 1
+
+
+def test_ingest_mutual_near_dups_in_one_batch_replay_stable(
+    spark, tmp_path
+):
+    """Two MUTUAL near-dups arriving in one batch: the intra-batch leg
+    resolves them deterministically on the first run (lower doc_id
+    wins, the other is dup_of it), only the winner enters the index,
+    and a checkpoint replay of the same batch reproduces the identical
+    labels — the grown index cannot flip keep 1->0 for both (the
+    replay-instability the single-doc test missed)."""
+    from evmtrace_etl_spark.operators.dedup import (
+        corpus_signature_index,
+        ingest_batch_dedup,
+    )
+    from evmtrace_etl_spark.sinks import read_table, update_stats_index
+
+    idx_path = str(tmp_path / "sig_index")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    corpus_signature_index(corpus).write.parquet(idx_path)
+    update_stats_index(spark, idx_path, None, ["band_id"])
+    base = (
+        "totally different words entirely unrelated content "
+        "spanning many unique tokens for shingling"
+    )
+    b = spark.createDataFrame(
+        [(11, base + " purposes"), (12, base + " reasons")],
+        "doc_id long, text string",
+    )
+    first = {r["doc_id"]: r for r in ingest_batch_dedup(
+        spark, b, idx_path, threshold=0.5, txn=("m", 1)
+    ).collect()}
+    # sequential-arrival order: 11 kept, 12 dups against it
+    assert first[11]["keep"] == 1 and first[11]["dup_of"] == -1
+    assert first[12]["keep"] == 0 and first[12]["dup_of"] == 11
+    # only the winner entered the index
+    idx_docs = {
+        r["doc_id"]
+        for r in read_table(spark, idx_path)
+        .select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 11}
+    replay = {r["doc_id"]: r for r in ingest_batch_dedup(
+        spark, b, idx_path, threshold=0.5, txn=("m", 1)
+    ).collect()}
+    assert {k: tuple(v) for k, v in first.items()} == {
+        k: tuple(v) for k, v in replay.items()
+    }

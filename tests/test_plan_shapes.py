@@ -739,3 +739,47 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ingest_dedup_prunes_index_before_sizing(spark, tmp_path):
+    """L51 serve-path pin (VERDICT r9 'what's wrong #1'): per trigger
+    the persisted signature index must be semi-join-pruned to the
+    BATCH's band keys BEFORE the bucket-sizing Window — index rows
+    reach the LeftSemi broadcast join straight off the scan, with no
+    Exchange/Window/Sort of the full index below it.  A refactor that
+    re-introduces a corpus-band-wide shuffle per micro-batch fails
+    here rather than at 100 TB."""
+    from evmtrace_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "sig_index")
+    dedup.corpus_signature_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta doc x")],
+        "doc_id long, text string",
+    )
+    plan = plan_of(
+        dedup.ingest_dedup_labels(batch, index, threshold=0.5), "simple"
+    )
+    lines = plan.splitlines()
+    semi = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    # the index is the plan's ONLY parquet scan (the batch is an
+    # in-memory DF); the tmp path itself may be truncated in explain
+    scan = [i for i, ln in enumerate(lines) if "Scan parquet" in ln]
+    assert semi, plan       # the prune exists
+    assert scan, plan       # the index is scanned
+    # the (single) index scan sits directly under the semi join: no
+    # Exchange / Window / Sort of the full index in between
+    s, c = semi[0], scan[0]
+    assert s < c, plan
+    between = "\n".join(lines[s + 1 : c])
+    for op in ("Exchange", "Window", "Sort", "SortMergeJoin"):
+        assert op not in between, plan
+    # and the index appears exactly once in the plan (one scan per
+    # trigger, not a second full pass)
+    assert len(scan) == 1, plan
