@@ -1352,7 +1352,32 @@ class SnapshotConflict(RuntimeError):
     """Another writer committed the manifest version this transaction
     planned to create — the optimistic-concurrency failure a caller
     retries from a fresh snapshot (the same contract as Delta's
-    ConcurrentModificationException)."""
+    ConcurrentModificationException; ``retry_on_conflict`` is the
+    bounded-retry wrapper)."""
+
+
+import threading as _threading
+
+_LOG_LOCKS: dict[str, "_threading.Lock"] = {}
+_LOG_LOCKS_GUARD = _threading.Lock()
+
+
+def _log_lock(mdir: str) -> "_threading.Lock":
+    """Per-table in-process write lock.  Writer concurrency contract:
+
+    - SAME driver (the common deployment — multiple streams/maintenance
+      ops on one SparkSession): transactions on one table serialize on
+      this lock, so the intent-log → move-in → commit window of writer
+      A can never interleave with writer B's head-of-op recovery
+      (which would roll A's in-flight files back as if crashed).
+    - DIFFERENT drivers: commit-level optimistic concurrency still
+      holds (first-writer-wins ``_COMMIT`` rename + the
+      ``expected_version`` guard raise ``SnapshotConflict``, and the
+      loser rolls its own files back) — but intent RECOVERY assumes a
+      single maintenance actor, the same granularity as Delta on S3
+      without a coordinating LogStore."""
+    with _LOG_LOCKS_GUARD:
+        return _LOG_LOCKS.setdefault(mdir, _threading.Lock())
 
 
 def _commit_manifest(
@@ -1363,6 +1388,7 @@ def _commit_manifest(
     expected_version: int | None = None,
     keep_versions: int = 2,
     txn: tuple[str, int] | None = None,
+    table_schema: dict | None = None,
 ) -> int:
     """Write ``df`` as the next manifest version and commit it with one
     atomic marker rename.  ``removed`` = data files this commit
@@ -1397,12 +1423,17 @@ def _commit_manifest(
 
     pending: list[str] = []
     txns: dict = {}
+    schema_json: dict | None = table_schema
     if committed:
         prev = _read_json_marker(
             spark, f"{manifest_path}/v{committed[-1]}/_COMMIT"
         )
         pending = [f for f in prev.get("removed", []) if fs.exists(hp(f))]
         txns = dict(prev.get("txns", {}))
+        if schema_json is None:
+            # the table schema rides every commit once stamped — a
+            # maintenance op that doesn't evolve it carries it forward
+            schema_json = prev.get("schema")
     if txn is not None:
         txns[str(txn[0])] = int(txn[1])
     all_removed = sorted(set(removed) | set(pending))
@@ -1412,11 +1443,14 @@ def _commit_manifest(
     # files) is touched — committed versions are never inputs to their
     # own destruction
     df.write.mode("overwrite").parquet(vdir)
+    payload = {"version": nxt, "removed": all_removed, "txns": txns}
+    if schema_json is not None:
+        payload["schema"] = schema_json
     _write_json_marker(
         spark,
         vdir,
         "_COMMIT",
-        {"version": nxt, "removed": all_removed, "txns": txns},
+        payload,
         overwrite=False,
     )  # <- the commit point
 
@@ -1483,6 +1517,83 @@ def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
     return {"rolled": "forward" if committed else "back", **txn}
 
 
+def committed_schema(
+    spark: SparkSession, manifest_path: str, version: int | None = None
+) -> T.StructType | None:
+    """The table schema stamped into the committed snapshot (current,
+    or ``version`` for time travel; rides every ``_COMMIT`` once a
+    schema-aware op stamps it; carried forward by maintenance
+    commits), or None for pre-schema tables — readers then fall back
+    to the directory footer schema."""
+    v = version if version is not None else manifest_version(
+        spark, manifest_path
+    )
+    if v is None or v not in _committed_versions(spark, manifest_path):
+        return None
+    commit = _read_json_marker(spark, f"{manifest_path}/v{v}/_COMMIT")
+    sj = commit.get("schema")
+    return T.StructType.fromJson(sj) if sj is not None else None
+
+
+def _evolved_schema(
+    table_schema: T.StructType, batch_schema: T.StructType, ctx: str
+) -> T.StructType:
+    """ADD-ONLY schema evolution (the same contract as
+    ``ParquetUpsertSink``, sinks.py:139): the batch may ADD columns
+    (appended, nullable — old files read back NULL through the stored
+    schema) or OMIT columns (null-filled for its rows); a TYPE change
+    on a shared column raises — silently widening would leave old
+    files unreadable under the evolved schema.  Returns the evolved
+    table schema: stored fields in their original order, then new
+    batch-only fields in batch order."""
+    table_types = {f.name: _denulled(f.dataType) for f in table_schema.fields}
+    clash = [
+        f"{f.name} (table {table_types[f.name].simpleString()}"
+        f" vs batch {f.dataType.simpleString()})"
+        for f in batch_schema.fields
+        if f.name in table_types
+        and _denulled(f.dataType) != table_types[f.name]
+    ]
+    if clash:
+        raise ValueError(
+            f"{ctx}: column type changed for " + ", ".join(clash)
+            + " — schema evolution is add-only"
+        )
+    new_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in batch_schema.fields
+        if f.name not in table_types
+    ]
+    return T.StructType(list(table_schema.fields) + new_fields)
+
+
+def _aligned(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """``df`` projected to ``schema``'s column order, null-filling
+    omitted columns — the write shape after add-only evolution."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def _rollback_conflict(spark: SparkSession, manifest_path: str,
+                       added: Sequence[str]) -> None:
+    """Undo a transaction that lost the optimistic-concurrency race
+    AFTER moving its files into the table: delete the moved-in files
+    (no committed manifest references them) and this txn's ``_TXN``
+    intent marker, so a retry from a fresh snapshot starts clean and
+    incremental maintenance cannot adopt the orphans as new ingest."""
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    for f in added:
+        fs.delete(hp(f), False)
+    fs.delete(hp(f"{manifest_path}/_TXN"), False)
+
+
 def _move_files_in(fs, hp, planned: Sequence[tuple[str, str]]) -> list[str]:
     """Move each planned ``(src, dst)`` data file into the table and
     return the dst URIs normalized exactly like ``_leaf_file_uris``
@@ -1505,6 +1616,27 @@ def _move_files_in(fs, hp, planned: Sequence[tuple[str, str]]) -> list[str]:
 
 
 def _txn_rewrite(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None,
+    predicates: dict[str, tuple],
+    rewrite: Callable[[DataFrame, "F.Column"], DataFrame],
+    cols: Sequence[str] | None,
+    count_matched: bool = False,
+    candidates: Sequence[str] | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Per-table-serialized entry to ``_txn_rewrite_unlocked`` (see
+    ``_log_lock`` for the writer-concurrency contract)."""
+    with _log_lock(_manifest_dir(path, manifest_path)):
+        return _txn_rewrite_unlocked(
+            spark, path, manifest_path, predicates, rewrite, cols,
+            count_matched=count_matched, candidates=candidates,
+            keep_versions=keep_versions,
+        )
+
+
+def _txn_rewrite_unlocked(
     spark: SparkSession,
     path: str,
     manifest_path: str | None,
@@ -1541,6 +1673,11 @@ def _txn_rewrite(
             f"no stats manifest at {mdir} — build one with "
             "update_stats_index first"
         )
+    # pin the snapshot version HERE: the commit plans against exactly
+    # this manifest, so an interloper committing after this point must
+    # surface as SnapshotConflict, never as a silently-merged-from-
+    # stale-snapshot commit
+    snap_v = manifest_version(spark, mdir)
     files_total = manifest.count()
     ranges, hit = _pred_parts(predicates)
     # candidates default to manifest-pruned files; an explicit list
@@ -1568,7 +1705,7 @@ def _txn_rewrite(
         "rows_before": None,
         "rows_after": None,
         "partitioned": False,
-        "version": manifest_version(spark, mdir),
+        "version": snap_v,
     }
     if not cand:
         return ledger
@@ -1581,7 +1718,9 @@ def _txn_rewrite(
             pcols = [s.split("=", 1)[0] for s in segs]
             break
 
-    schema = spark.read.parquet(path).schema
+    schema = committed_schema(spark, mdir)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     touched = (
         spark.read.option("basePath", path).schema(schema).parquet(*cand)
     )
@@ -1601,8 +1740,7 @@ def _txn_rewrite(
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
         for rel, _ln in _leaf_files(spark, tmp)
     ]
-    cur_v = manifest_version(spark, mdir)
-    expected = (cur_v if cur_v is not None else -1) + 1
+    expected = (snap_v if snap_v is not None else -1) + 1
     _write_json_marker(
         spark,
         mdir,
@@ -1623,10 +1761,14 @@ def _txn_rewrite(
     merged = carried.unionByName(
         parquet_stats_index(spark, path, list(cols), paths=added)
     )
-    version = _commit_manifest(
-        spark, mdir, merged, removed=cand, expected_version=expected,
-        keep_versions=keep_versions,
-    )
+    try:
+        version = _commit_manifest(
+            spark, mdir, merged, removed=cand, expected_version=expected,
+            keep_versions=keep_versions,
+        )
+    except SnapshotConflict:
+        _rollback_conflict(spark, mdir, added)
+        raise
     _post_commit_sweep(spark, mdir)
     fs.delete(hp(f"{mdir}/_TXN"), False)
     ledger.update(
@@ -1765,6 +1907,22 @@ def update_stats_index(
     cols: Sequence[str] | None = None,
     keep_versions: int = 2,
 ) -> dict:
+    """Per-table-serialized entry to ``_update_stats_index_unlocked``
+    (see ``_log_lock`` for the writer-concurrency contract)."""
+    with _log_lock(_manifest_dir(path, manifest_path)):
+        return _update_stats_index_unlocked(
+            spark, path, manifest_path=manifest_path, cols=cols,
+            keep_versions=keep_versions,
+        )
+
+
+def _update_stats_index_unlocked(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None = None,
+    cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
+) -> dict:
     """Incrementally maintain the persisted stats manifest for the
     dataset at ``path``: footer-read ONLY files not yet in the
     manifest, drop manifest rows whose files are gone
@@ -1896,7 +2054,11 @@ def read_table(
     # prune_files skips predicates on unindexed columns conservatively;
     # with no prunable predicate this is the full snapshot file list
     files = prune_files(manifest, ranges)
-    schema = spark.read.parquet(path).schema
+    # the committed snapshot's schema (old files null-fill columns a
+    # later batch evolved in); pre-schema tables fall back to footers
+    schema = committed_schema(spark, mdir, version=version)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     if not files:
         return spark.createDataFrame([], schema).filter(cond)
     return (
@@ -1922,6 +2084,24 @@ def last_committed_txn(
 
 
 def append_files(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    manifest_path: str | None = None,
+    cols: Sequence[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Per-table-serialized entry to ``_append_files_unlocked`` (see
+    ``_log_lock`` for the writer-concurrency contract)."""
+    with _log_lock(_manifest_dir(path, manifest_path)):
+        return _append_files_unlocked(
+            spark, df, path, manifest_path=manifest_path, cols=cols,
+            txn=txn, keep_versions=keep_versions,
+        )
+
+
+def _append_files_unlocked(
     spark: SparkSession,
     df: DataFrame,
     path: str,
@@ -1972,12 +2152,33 @@ def append_files(
             }
 
     manifest = current_manifest(spark, mdir)
+    # pin the snapshot version at manifest-read time: an interloper
+    # committing after this point must fail this commit loudly
+    # (SnapshotConflict), never merge from a stale stats snapshot
+    snap_v = manifest_version(spark, mdir)
     if manifest is None and cols is None:
         raise ValueError(
             "cols is required for the first commit to a new table"
         )
     if cols is None:
         cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
+
+    # ADD-ONLY schema evolution (same contract as ParquetUpsertSink):
+    # resolve the table schema from the committed snapshot (falling
+    # back to the directory footers for pre-schema tables), reject
+    # type changes, append new columns, null-fill omitted ones; the
+    # evolved schema is stamped into this commit so read_table serves
+    # old files null-filled under it.
+    if manifest is not None:
+        stored = committed_schema(spark, mdir)
+        if stored is None:
+            stored = spark.read.parquet(path).schema
+        evolved = _evolved_schema(
+            stored, df.schema, f"append_files into {path}"
+        )
+        df = _aligned(df, evolved)
+    else:
+        evolved = df.schema
 
     tmp = path.rstrip("/") + f"._append_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
@@ -1987,8 +2188,7 @@ def append_files(
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
         for rel, _ln in _leaf_files(spark, tmp)
     ]
-    cur_v = manifest_version(spark, mdir)
-    expected = (cur_v if cur_v is not None else -1) + 1
+    expected = (snap_v if snap_v is not None else -1) + 1
     _write_json_marker(
         spark,
         mdir,
@@ -2006,10 +2206,18 @@ def append_files(
     merged = (
         manifest.unionByName(delta) if manifest is not None else delta
     )
-    version = _commit_manifest(
-        spark, mdir, merged, removed=[], expected_version=expected, txn=txn,
-        keep_versions=keep_versions,
-    )
+    try:
+        version = _commit_manifest(
+            spark, mdir, merged, removed=[], expected_version=expected,
+            txn=txn, keep_versions=keep_versions,
+            table_schema=evolved.jsonValue(),
+        )
+    except SnapshotConflict:
+        # lost the optimistic race AFTER moving files in: undo them so
+        # a retry from a fresh snapshot (retry_on_conflict) starts
+        # clean and maintenance can't adopt the orphans
+        _rollback_conflict(spark, mdir, added)
+        raise
     fs.delete(hp(f"{mdir}/_TXN"), False)
     return {
         "rows": int(rows),
@@ -2017,6 +2225,279 @@ def append_files(
         "version": int(version),
         "skipped": False,
     }
+
+
+def merge_into(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    manifest_path: str | None = None,
+    mode: str = "update",
+    cols: Sequence[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Per-table-serialized entry to ``_merge_into_unlocked`` (see
+    ``_log_lock`` for the writer-concurrency contract)."""
+    with _log_lock(_manifest_dir(path, manifest_path)):
+        return _merge_into_unlocked(
+            spark, source, path, keys, manifest_path=manifest_path,
+            mode=mode, cols=cols, txn=txn, keep_versions=keep_versions,
+        )
+
+
+def _merge_into_unlocked(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    manifest_path: str | None = None,
+    mode: str = "update",
+    cols: Sequence[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Keyed MERGE INTO a manifest-tracked table as ONE snapshot
+    transaction — the lakehouse ``MERGE INTO t USING s ON t.k = s.k
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+    (mode='update'), or insert-if-absent / DO NOTHING (mode='ignore')
+    — the reference's blocks upsert (src/types/etl_result.rs:267-281,
+    src/dumper/postgres.rs:41-92) re-expressed on the snapshot log, so
+    one table gets BOTH exactly-once streaming appends and keyed
+    upserts through one commit protocol.
+
+    Plan shape (100 TB): candidate files are manifest-pruned by the
+    SOURCE's key range (cluster/sort the table by the merge key and a
+    batch touching one key span rewrites the files tiling that span,
+    not the table); mode='update' rewrites only those files (matched
+    rows replaced by the source row, whole-row semantics) and lands
+    unmatched-key source rows as new files in the SAME commit;
+    mode='ignore' rewrites NOTHING — candidates are scanned for key
+    existence only and just the fresh rows land as new files.
+
+    Transaction protocol = ``append_files``/``_txn_rewrite``'s:
+    temp-sibling write, ``_TXN`` intent, move-in (invisible until
+    commit), one atomic manifest commit carrying the evolved schema
+    and the optional ``txn=(app_id, batch_id)`` stamp (a replayed
+    batch id is a no-op — exactly-once keyed upsert from a stream),
+    post-commit sweep of replaced files; ``SnapshotConflict`` rolls
+    back the moved-in files so ``retry_on_conflict`` restarts clean.
+    Crash-injection tested on both sides of the commit point.
+
+    Source rows must be unique per key (Delta's MERGE contract —
+    multiple source matches for one target row raise).  Schema
+    evolution is the add-only contract shared with ``append_files``.
+    Returns a ledger: files_total, files_rewritten, files_added,
+    rows_source, rows_updated, rows_inserted, rows_before, rows_after,
+    partitioned, version, mode, skipped.
+    """
+    import uuid
+
+    if mode not in ("update", "ignore"):
+        raise ValueError(f"unknown merge mode {mode!r}")
+    keys = list(keys)
+    mdir = _manifest_dir(path, manifest_path)
+    jvm, hp, fs = _fs_for(spark, path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
+
+    if txn is not None:
+        seen = last_committed_txn(spark, mdir, txn[0])
+        if seen is not None and int(txn[1]) <= seen:
+            return {
+                "rows_source": 0,
+                "files_rewritten": 0,
+                "files_added": 0,
+                "version": manifest_version(spark, mdir),
+                "skipped": True,
+            }
+
+    manifest = current_manifest(spark, mdir)
+    if manifest is None:
+        raise ValueError(
+            f"no stats manifest at {mdir} — create the table with "
+            "append_files / update_stats_index first"
+        )
+    if cols is None:
+        cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
+    # pin the snapshot version at manifest-read time (see append_files)
+    snap_v = manifest_version(spark, mdir)
+    files_total = manifest.count()
+
+    stored = committed_schema(spark, mdir)
+    if stored is None:
+        stored = spark.read.parquet(path).schema
+    evolved = _evolved_schema(stored, source.schema, f"merge_into {path}")
+    missing_keys = [k for k in keys if k not in source.columns]
+    if missing_keys:
+        raise ValueError(f"merge source lacks key column(s) {missing_keys}")
+    src = _aligned(source, evolved).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        agg = src.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.min(k).alias(f"_lo_{k}") for k in keys],
+            *[F.max(k).alias(f"_hi_{k}") for k in keys],
+            F.count_distinct(*[F.col(k) for k in keys]).alias("_nk"),
+        ).collect()[0]
+        n_src = int(agg["_n"])
+        ledger = {
+            "files_total": int(files_total),
+            "files_rewritten": 0,
+            "files_added": 0,
+            "rows_source": n_src,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "rows_before": 0,
+            "rows_after": 0,
+            "partitioned": False,
+            "version": snap_v,
+            "mode": mode,
+            "skipped": False,
+        }
+        if n_src == 0:
+            return ledger
+        if int(agg["_nk"]) != n_src:
+            raise ValueError(
+                "merge source has duplicate rows per key — a target row "
+                "would match more than one source row (resolve with "
+                "keep-last dedup before merging)"
+            )
+
+        # candidate files: every file whose footer span can contain a
+        # source key (conservative when the key is not a stats column)
+        ranges = {
+            k: (agg[f"_lo_{k}"], agg[f"_hi_{k}"])
+            for k in keys
+            if agg[f"_lo_{k}"] is not None
+        }
+        cand = prune_files(manifest, ranges)
+
+        pcols: list[str] = []
+        for rel, _ln in _leaf_files(spark, path):
+            segs = [s for s in rel.split("/")[:-1] if "=" in s]
+            if segs:
+                pcols = [s.split("=", 1)[0] for s in segs]
+                break
+
+        if cand:
+            touched = (
+                spark.read.option("basePath", path)
+                .schema(evolved)
+                .parquet(*cand)
+            )
+        else:
+            touched = spark.createDataFrame([], evolved)
+        rows_before = touched.count()
+
+        if mode == "update":
+            survivors = touched.join(
+                src.select(*keys).dropDuplicates(keys), on=keys,
+                how="left_anti",
+            )
+            out = survivors.unionByName(src)
+            removed = list(cand)
+        else:
+            fresh = src.join(
+                touched.select(*keys), on=keys, how="left_anti"
+            )
+            out = fresh
+            removed = []
+
+        tmp = path.rstrip("/") + f"._merge_{uuid.uuid4().hex[:8]}"
+        writer = out.select(*[f.name for f in evolved.fields]).write.mode(
+            "overwrite"
+        )
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(tmp)
+        rows_after = spark.read.schema(evolved).parquet(tmp).count()
+
+        planned = [
+            (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
+            for rel, _ln in _leaf_files(spark, tmp)
+        ]
+        expected = (snap_v if snap_v is not None else -1) + 1
+        _write_json_marker(
+            spark,
+            mdir,
+            "_TXN",
+            {
+                "expected_version": expected,
+                "added": [dst for _src_f, dst in planned],
+                "removed": removed,
+            },
+        )
+        added = _move_files_in(fs, hp, planned)
+        fs.delete(hp(tmp), True)
+
+        if removed:
+            cand_df = spark.createDataFrame(
+                [(f,) for f in removed], "file string"
+            )
+            carried = manifest.join(
+                F.broadcast(cand_df), on="file", how="left_anti"
+            )
+        else:
+            carried = manifest
+        merged = carried.unionByName(
+            parquet_stats_index(spark, path, list(cols), paths=added)
+        )
+        try:
+            version = _commit_manifest(
+                spark, mdir, merged, removed=removed,
+                expected_version=expected, txn=txn,
+                keep_versions=keep_versions,
+                table_schema=evolved.jsonValue(),
+            )
+        except SnapshotConflict:
+            _rollback_conflict(spark, mdir, added)
+            raise
+        _post_commit_sweep(spark, mdir)
+        fs.delete(hp(f"{mdir}/_TXN"), False)
+
+        if mode == "update":
+            rows_updated = int(rows_before - (rows_after - n_src))
+            rows_inserted = n_src - rows_updated
+        else:
+            rows_inserted = int(rows_after)
+            rows_updated = 0
+        ledger.update(
+            {
+                "files_rewritten": len(removed),
+                "files_added": len(added),
+                "rows_updated": rows_updated,
+                "rows_inserted": rows_inserted,
+                "rows_before": int(rows_before),
+                "rows_after": int(rows_after),
+                "partitioned": bool(pcols),
+                "version": int(version),
+            }
+        )
+        return ledger
+    finally:
+        src.unpersist()
+
+
+def retry_on_conflict(fn, attempts: int = 5, base_delay_s: float = 0.05):
+    """Bounded retry-from-fresh-snapshot for optimistic-concurrency
+    losers (Delta's contract): call ``fn`` (a zero-arg closure over
+    ``append_files`` / ``merge_into`` / ``delete_where`` /
+    ``update_where`` / ``compact_table`` — each re-reads the snapshot
+    at its own head, so calling again IS the retry), backing off
+    exponentially on ``SnapshotConflict``; the losing attempt has
+    already rolled its moved-in files back, so every retry starts
+    clean.  Re-raises after ``attempts`` exhausted."""
+    import time as _time
+
+    last: SnapshotConflict | None = None
+    for i in range(max(1, int(attempts))):
+        try:
+            return fn()
+        except SnapshotConflict as e:
+            last = e
+            _time.sleep(base_delay_s * (2 ** i))
+    raise last
 
 
 def compact_table(
