@@ -2528,6 +2528,142 @@ GROUP BY event_type
 """
 
 
+def _lake_merge_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_merge_upsert``: seed a manifest-tracked,
+    event_id-range-clustered lake table with 30% STALE values, then
+    repair it with one keyed MERGE (update + insert legs in one
+    snapshot commit), replay the merge's txn id (must no-op), and run
+    a DO-NOTHING merge whose existing-key rows carry poison values
+    that must NOT land.  Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files, merge_into
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakemerge",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_merge") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        cut = ev.agg(F.expr("max(event_id) div 3")).collect()[0][0]
+        stale = ev.withColumn(
+            "value",
+            F.when(F.col("event_id") <= cut, F.lit(-1.0)).otherwise(
+                F.col("value")
+            ),
+        )
+        # range-clustered seed: the correction merge prunes to the
+        # files tiling event_id <= cut, not the table
+        append_files(
+            spark,
+            stale.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )
+        corrections = ev.filter(F.col("event_id") <= cut)
+        merged_rows = ev.filter(F.col("event_id") % 10 == 7).select(
+            (F.col("event_id") + 1_000_000_000).alias("event_id"),
+            "user_id",
+            F.lit("merged").alias("event_type"),
+            "ts",
+            "value",
+        )
+        src = corrections.unionByName(merged_rows)
+        merge_into(
+            spark, src, tbl, keys=["event_id"], txn=("inv_merge", 1)
+        )
+        # checkpoint replay of the same batch id: exactly-once no-op
+        replay = merge_into(
+            spark, src, tbl, keys=["event_id"], txn=("inv_merge", 1)
+        )
+        assert replay["skipped"]
+        # DO NOTHING: existing keys carry poison (-999) that must not
+        # land; genuinely-new keys insert
+        ignore_src = ev.filter(F.col("event_id") % 10 == 5).withColumn(
+            "value", F.lit(-999.0)
+        ).unionByName(
+            ev.filter(F.col("event_id") % 10 == 4).select(
+                (F.col("event_id") + 2_000_000_000).alias("event_id"),
+                "user_id",
+                F.lit("ignored").alias("event_type"),
+                "ts",
+                "value",
+            )
+        )
+        merge_into(spark, ignore_src, tbl, keys=["event_id"], mode="ignore")
+        _BUILD_DONE["lake_merge"] = base
+    return tbl
+
+
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE INTO through the snapshot log (``sinks.merge_into``
+    — the reference's blocks DO-UPDATE upsert, etl_result.rs:267-281 /
+    postgres.rs:41-92, on the R19 lake tier): the build leg seeds the
+    lake table with 30% stale values over an event_id-range-clustered
+    layout, repairs them with ONE keyed merge whose update leg
+    rewrites only the manifest-pruned files tiling the stale key span
+    and whose insert leg lands unmatched keys in the same atomic
+    commit, replays the merge's txn id (exactly-once: a no-op), then
+    runs a DO-NOTHING merge carrying poison values on existing keys.
+    The serve leg rolls the table up through the snapshot
+    (``read_table``); the oracle recomputes the expected final state
+    from the ORIGINAL events — an uncorrected stale value, a poison
+    value that landed, a lost/duplicated insert, or a double-applied
+    replay fails the value hash every round.
+
+    At 100 TB this is the dimension-upsert-into-a-streamed-fact-table
+    day-one case: updates prune by key range (cluster the table on the
+    merge key), inserts ride the same commit, and replays are no-ops
+    per batch id."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_merge_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_MERGE_UPSERT_SQL = """
+WITH final AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id + 1000000000, user_id, 'merged', value
+  FROM events WHERE event_id % 10 = 7
+  UNION ALL
+  SELECT event_id + 2000000000, user_id, 'ignored', value
+  FROM events WHERE event_id % 10 = 4
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM final
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -2573,6 +2709,7 @@ QUERIES = {
     "inv_update_backfill": update_backfill,
     "inv_lake_stream_ingest": lake_stream_ingest,
     "inv_lake_compact_roundtrip": lake_compact_roundtrip,
+    "inv_lake_merge_upsert": lake_merge_upsert,
 }
 
 ORACLES = {
@@ -2620,4 +2757,5 @@ ORACLES = {
     "inv_update_backfill": UPDATE_BACKFILL_SQL,
     "inv_lake_stream_ingest": LAKE_STREAM_INGEST_SQL,
     "inv_lake_compact_roundtrip": LAKE_COMPACT_ROUNDTRIP_SQL,
+    "inv_lake_merge_upsert": LAKE_MERGE_UPSERT_SQL,
 }
