@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import TRANSACTION_SCHEMA
 from ..session import materialize as _materialize
-from ..sinks import ParquetUpsertSink
+from ..sinks import LakeUpsertSink, ParquetUpsertSink
 from ..sources import fixtures
 from ..streaming import runner, sources
 from . import zk_parity
@@ -241,7 +241,10 @@ def spark_upsert_replay(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Two foreachBatch cycles: chain-1 traces, then a full replay.  The
     insert-if-absent sink must keep the first insert of every key."""
     base = _workdir("upsert_replay")
-    sink = ParquetUpsertSink(os.path.join(base, "sink"))
+    # the UNIFIED storage path (r9 verdict ask #3): keyed insert-if-
+    # absent through the snapshot log (merge_into mode='ignore'), same
+    # commit protocol as streaming appends / compaction / deletes
+    sink = LakeUpsertSink(os.path.join(base, "sink"))
     _upsert_replay_cycles(sink, spark)
     return zk_parity.project_tx(sink.read(spark, "transactions"))
 
@@ -327,7 +330,9 @@ def spark_upsert_blocks(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """Two block micro-batches with a cross-batch duplicate (chain 1,
     block 100): DO-UPDATE upsert keeps the later batch's row."""
     base = _workdir("upsert_blocks")
-    sink = ParquetUpsertSink(os.path.join(base, "sink"))
+    # DO-UPDATE keep-last through the snapshot log (merge_into
+    # mode='update') — the reference's blocks upsert on the lake tier
+    sink = LakeUpsertSink(os.path.join(base, "sink"))
     blocks = fixtures.blocks_df(spark)
     runner.process_block_batch(
         blocks.filter("seq <= 2"), sink, checksum=False

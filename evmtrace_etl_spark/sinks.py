@@ -389,6 +389,129 @@ class ParquetUpsertSink:
         return ndir
 
 
+class LakeUpsertSink:
+    """``ParquetUpsertSink``'s protocol (``upsert``/``read``/
+    ``compact``/``vacuum``) re-based on the SNAPSHOT LOG — one commit
+    protocol for the whole storage tier (r9 verdict ask #3): keyed
+    upserts land as ``merge_into`` transactions through the same
+    manifest the streaming appends (``append_files``), compaction
+    (``compact_table``), deletes and updates commit through, so a
+    table gets exactly-once ingest AND keyed merge on one log, plus
+    snapshot isolation, time travel and ``SnapshotConflict``/
+    ``retry_on_conflict`` concurrency for free.
+
+    Layout: ``<base>/<table>/`` is a plain (optionally hive-
+    partitioned) parquet directory with its ``_stats_manifest`` log
+    inside — any engine reads the data files; snapshot readers resolve
+    the committed file list.  Mirrors the reference's keyed DO NOTHING
+    / DO UPDATE sink (src/dumper/postgres.rs:41-92,
+    src/types/etl_result.rs:205-281).
+
+    vs ``ParquetUpsertSink`` (kept): PUS rewrites a whole VERSION
+    DIRECTORY per upsert and hardlinks untouched partitions across —
+    O(touched partitions) data work but O(table files) link work per
+    batch, with readers pinned to version dirs.  The lake sink
+    rewrites only manifest-pruned candidate FILES and never touches
+    (or links) the rest — the shape that wins at 100 TB.  PUS remains
+    the lower-latency choice for very-high-trigger-rate micro-batches
+    where per-commit metadata jobs dominate (the same trade Delta
+    users tune with trigger intervals), and for the whole-version-swap
+    layout contract some readers pin.
+
+    Partition pruning needs no caller hint: directory-derived
+    partition stats in the manifest prune candidates to the touched
+    partitions' files (``uses_partition_hints = False`` — the runner
+    then skips deriving the hint entirely).
+    """
+
+    uses_partition_hints = False
+
+    def __init__(
+        self,
+        base_dir: str,
+        partition_cols: Sequence[str] = ("chain_id",),
+    ):
+        self.base_dir = base_dir
+        self.partition_cols = tuple(partition_cols)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def _exists(self, spark: SparkSession, table: str) -> bool:
+        return (
+            manifest_version(
+                spark, _manifest_dir(self._path(table), None)
+            )
+            is not None
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        if not self._exists(spark, table):
+            return None
+        return read_table(spark, self._path(table))
+
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: Sequence[str],
+        mode: str = "ignore",
+        touched_partitions: Sequence[dict] | None = None,
+    ) -> None:
+        """mode='ignore' → insert-if-absent (DO NOTHING, zero file
+        rewrites); mode='update' → replace matched rows wholesale (DO
+        UPDATE all columns).  ``touched_partitions`` is accepted for
+        protocol compatibility and ignored — the manifest's partition
+        stats prune equivalently without a hint."""
+        if mode not in ("ignore", "update"):  # pragma: no cover
+            raise ValueError(f"unknown upsert mode {mode!r}")
+        spark = df.sparkSession
+        path = self._path(table)
+        pcols = [c for c in self.partition_cols if c in df.columns]
+        if not self._exists(spark, table):
+            # first write: no merge — seed the table + manifest; stats
+            # over the partition/key columns footer-friendly types
+            stats = [
+                c
+                for c in list(dict.fromkeys([*pcols, *keys]))
+                if not df.schema[c].dataType.typeName().startswith(
+                    ("array", "map", "struct")
+                )
+            ] or list(pcols) or [df.columns[0]]
+            append_files(
+                spark, df, path, cols=stats, partition_by=pcols or None
+            )
+            return
+        # same guard as ParquetUpsertSink: a batch omitting the
+        # table's partition column must not silently degrade into a
+        # null-partition rewrite
+        stored = committed_schema(spark, _manifest_dir(path, None))
+        if stored is not None:
+            stored_names = {f.name for f in stored.fields}
+            missing_p = [
+                c
+                for c in self.partition_cols
+                if c in stored_names and c not in df.columns
+            ]
+            if missing_p:
+                raise ValueError(
+                    f"upsert into {table!r}: batch omits partition "
+                    f"column(s) {missing_p} the table is partitioned by"
+                )
+        merge_into(spark, df, path, keys=list(keys), mode=mode)
+
+    def compact(
+        self, spark: SparkSession, table: str, n_tasks: int = 8
+    ) -> None:
+        """OPTIMIZE through the log (``compact_table``) — concurrent
+        snapshot readers are never broken."""
+        if self._exists(spark, table):
+            compact_table(spark, self._path(table))
+
+    def vacuum(self, spark: SparkSession, table: str) -> list[str]:
+        return vacuum_table(spark, self._path(table))
+
+
 def _flatten_for_sql(df: DataFrame) -> DataFrame:
     """Serialize array/decimal columns to strings the way the reference
     renders sets into its SQL literals."""
@@ -2091,13 +2214,14 @@ def append_files(
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
+    partition_by: Sequence[str] | None = None,
 ) -> dict:
     """Per-table-serialized entry to ``_append_files_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
     with _log_lock(_manifest_dir(path, manifest_path)):
         return _append_files_unlocked(
             spark, df, path, manifest_path=manifest_path, cols=cols,
-            txn=txn, keep_versions=keep_versions,
+            txn=txn, keep_versions=keep_versions, partition_by=partition_by,
         )
 
 
@@ -2109,6 +2233,7 @@ def _append_files_unlocked(
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
+    partition_by: Sequence[str] | None = None,
 ) -> dict:
     """EXACTLY-ONCE append of ``df`` as new data files to a
     manifest-tracked table — the per-micro-batch ingest commit of a
@@ -2181,8 +2306,14 @@ def _append_files_unlocked(
         evolved = df.schema
 
     tmp = path.rstrip("/") + f"._append_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    rows = spark.read.parquet(tmp).count()
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        # hive-encode the batch; the move-in preserves the partition
+        # directory layout and the stats index derives the partition
+        # columns' min=max from the directory values
+        writer = writer.partitionBy(*list(partition_by))
+    writer.parquet(tmp)
+    rows = spark.read.option("basePath", tmp).parquet(tmp).count()
 
     planned = [
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
