@@ -2643,6 +2643,94 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lake_evo_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_schema_evolution``: two append commits with
+    DIFFERENT schemas — the even-event_id half lands first as
+    (event_id, user_id, value); the odd half then lands with an ADDED
+    ``lang`` column (the add-only evolution path: the commit marker
+    carries the evolved schema, the manifest's old files null-fill).
+    Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakeevo",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_evo") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        append_files(
+            spark, ev.filter(F.col("event_id") % 2 == 0), tbl,
+            cols=["event_id"],
+        )
+        evolved = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 2 == 1)
+            .select(
+                "event_id",
+                "user_id",
+                "value",
+                F.col("event_type").alias("lang"),
+            )
+        )
+        append_files(spark, evolved, tbl)
+        _BUILD_DONE["lake_evo"] = base
+    return tbl
+
+
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-ONLY schema evolution on the lake path end-to-end (r9
+    verdict ask #4, ``sinks._evolved_schema``/``committed_schema``):
+    the build leg appends the even-event_id half of events under the
+    original 3-column schema, then the odd half with an ADDED ``lang``
+    column — the second commit stamps the evolved schema into the log,
+    and the serve leg reads the WHOLE table through the snapshot
+    (``read_table``), where the first commit's files null-fill the
+    evolved column under the committed schema.  The rollup counts rows
+    with/without the evolved column and decimal-sums ``value`` across
+    both schema generations; the oracle recomputes from the raw events
+    — a dropped/duplicated half, a misaligned column, or a
+    wrongly-filled evolved value fails the value hash every round.
+
+    At 100 TB this is the day-two lake operation: a producer adds a
+    field, history stays readable under one schema, and no backfill
+    rewrite of old files is needed."""
+    from ..sinks import read_table
+
+    return read_table(spark, _lake_evo_build(spark, sf_dir)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("lang").alias("n_with_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(_dec("value"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("total_value"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+LAKE_SCHEMA_EVOLUTION_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(CASE WHEN event_id % 2 = 1 THEN event_type END) AS BIGINT)
+    AS n_with_lang,
+  CAST(count(DISTINCT CASE WHEN event_id % 2 = 1 THEN event_type END)
+    AS BIGINT) AS n_langs,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR)
+    AS total_value,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+"""
+
+
 LAKE_MERGE_UPSERT_SQL = """
 WITH final AS (
   SELECT event_id, user_id, event_type, value FROM events
@@ -2710,6 +2798,7 @@ QUERIES = {
     "inv_lake_stream_ingest": lake_stream_ingest,
     "inv_lake_compact_roundtrip": lake_compact_roundtrip,
     "inv_lake_merge_upsert": lake_merge_upsert,
+    "inv_lake_schema_evolution": lake_schema_evolution,
 }
 
 ORACLES = {
@@ -2758,4 +2847,5 @@ ORACLES = {
     "inv_lake_stream_ingest": LAKE_STREAM_INGEST_SQL,
     "inv_lake_compact_roundtrip": LAKE_COMPACT_ROUNDTRIP_SQL,
     "inv_lake_merge_upsert": LAKE_MERGE_UPSERT_SQL,
+    "inv_lake_schema_evolution": LAKE_SCHEMA_EVOLUTION_SQL,
 }

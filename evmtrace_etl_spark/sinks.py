@@ -2765,6 +2765,118 @@ def vacuum_table(spark: SparkSession, path: str, manifest_path: str | None = Non
     return removed
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    manifest_path: str | None = None,
+) -> DataFrame:
+    """Incremental read (append-span CDC): the rows committed AFTER
+    retained snapshot ``since_version`` — what a downstream consumer
+    processes per poll without re-reading the table (Delta's
+    streaming-source-from-a-table for the append-only case).
+
+    Scale shape: the diff is FILE-level — the current manifest's file
+    set minus ``since_version``'s — so the read touches only the delta
+    files, never the table.  This is exact because append commits only
+    ADD files; if any commit in the span removed files (delete/update/
+    merge-update/compaction rewrote history), row-level changes are no
+    longer recoverable from file arithmetic and this raises — re-read
+    the snapshot instead (full CDF would need change-data files, which
+    this tier intentionally does not write).
+
+    ``since_version`` must still be retained (``keep_versions``).
+    Returns a DataFrame under the CURRENT committed schema (evolved
+    columns null-fill for pre-evolution files)."""
+    mdir = _manifest_dir(path, manifest_path)
+    versions = _committed_versions(spark, mdir)
+    if since_version not in versions:
+        raise ValueError(
+            f"version {since_version} is not committed/retained at "
+            f"{mdir} — raise keep_versions on the maintenance ops for "
+            "deeper incremental history"
+        )
+    head = versions[-1]
+    base_files = {
+        r["file"]
+        for r in current_manifest(spark, mdir, version=since_version)
+        .select("file")
+        .collect()
+    }
+    head_files = {
+        r["file"]
+        for r in current_manifest(spark, mdir).select("file").collect()
+    }
+    rewritten = base_files - head_files
+    if rewritten:
+        raise ValueError(
+            f"the v{since_version}..v{head} span rewrote "
+            f"{len(rewritten)} file(s) (delete/update/merge/compact) — "
+            "append-span CDC cannot reconstruct row-level changes "
+            "across a rewrite; re-read the snapshot"
+        )
+    new_files = sorted(head_files - base_files)
+    schema = committed_schema(spark, mdir)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", path).schema(schema).parquet(*new_files)
+    )
+
+
+def start_lake_merge_stream(
+    stream_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    manifest_path: str | None = None,
+    mode: str = "update",
+    cols: Sequence[str] | None = None,
+    app_id: str = "lake_merge",
+    available_now: bool = True,
+):
+    """Streaming keyed upsert through the snapshot log — the streaming
+    half of ``merge_into``, completing the unification the reference's
+    dumper does per batch (keyed DO NOTHING / DO UPDATE,
+    src/dumper/postgres.rs:41-92): a checkpointed ``foreachBatch``
+    where every micro-batch lands as ONE txn-stamped merge commit, so
+    a checkpoint replay after a crash is a no-op (exactly-once keyed
+    upsert on bare parquet) and a snapshot reader sees each batch's
+    merge entirely or not yet.
+
+    The first batch on an empty table seeds it (``append_files`` —
+    ``cols`` is required then, as the stats columns).  Micro-batches
+    must be key-unique (Delta's MERGE contract; dedup upstream with
+    keep-last — ``operators/relational.py`` D1/D3 — as the reference's
+    in-batch dedup does, etl_result.rs:205-248)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        mdir = _manifest_dir(path, manifest_path)
+        if manifest_version(sp, mdir) is None:
+            append_files(
+                sp, batch, path, manifest_path=manifest_path, cols=cols,
+                txn=(app_id, int(batch_id)),
+            )
+        else:
+            merge_into(
+                sp, batch, path, keys=list(keys),
+                manifest_path=manifest_path, mode=mode, cols=cols,
+                txn=(app_id, int(batch_id)),
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_lake_append_stream(
     stream_df: DataFrame,
     path: str,
