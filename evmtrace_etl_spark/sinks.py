@@ -1258,6 +1258,15 @@ def prune_files(
     filter still applies them exactly).  The collect is O(matching
     files) driver memory — the same object a scan planner must hold to
     enumerate its splits; row data never moves."""
+    return _prune_files_with_total(index, predicates)[0]
+
+
+def _prune_files_with_total(
+    index: DataFrame, predicates: dict[str, tuple]
+) -> tuple[list[str], int]:
+    """``prune_files`` plus the manifest's total file count from the
+    SAME collect — writers that ledger files_total fuse the two into
+    one job instead of a count plus a filtered collect."""
     cond = F.lit(True)
     for c, (lo, hi) in _pred_parts(predicates)[0].items():
         if f"{c}_min" not in index.columns:
@@ -1267,7 +1276,8 @@ def prune_files(
             & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
             & (F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= F.lit(hi)))
         )
-    return [r["file"] for r in index.filter(cond).select("file").collect()]
+    rows = index.select("file", cond.alias("_m")).collect()
+    return [r["file"] for r in rows if r["_m"]], len(rows)
 
 
 def read_file_pruned(
@@ -1512,6 +1522,7 @@ def _commit_manifest(
     keep_versions: int = 2,
     txn: tuple[str, int] | None = None,
     table_schema: dict | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Write ``df`` as the next manifest version and commit it with one
     atomic marker rename.  ``removed`` = data files this commit
@@ -1547,6 +1558,7 @@ def _commit_manifest(
     pending: list[str] = []
     txns: dict = {}
     schema_json: dict | None = table_schema
+    pby: list | None = list(partition_by) if partition_by is not None else None
     if committed:
         prev = _read_json_marker(
             spark, f"{manifest_path}/v{committed[-1]}/_COMMIT"
@@ -1557,6 +1569,11 @@ def _commit_manifest(
             # the table schema rides every commit once stamped — a
             # maintenance op that doesn't evolve it carries it forward
             schema_json = prev.get("schema")
+        if pby is None:
+            # partition columns ride the commit too (Delta's
+            # partitionColumns) — writers then skip the O(files)
+            # directory probe per transaction
+            pby = prev.get("partition_by")
     if txn is not None:
         txns[str(txn[0])] = int(txn[1])
     all_removed = sorted(set(removed) | set(pending))
@@ -1569,6 +1586,8 @@ def _commit_manifest(
     payload = {"version": nxt, "removed": all_removed, "txns": txns}
     if schema_json is not None:
         payload["schema"] = schema_json
+    if pby is not None:
+        payload["partition_by"] = pby
     _write_json_marker(
         spark,
         vdir,
@@ -1656,6 +1675,34 @@ def committed_schema(
     commit = _read_json_marker(spark, f"{manifest_path}/v{v}/_COMMIT")
     sj = commit.get("schema")
     return T.StructType.fromJson(sj) if sj is not None else None
+
+
+def committed_partitioning(
+    spark: SparkSession, manifest_path: str
+) -> list[str] | None:
+    """The table's hive partition columns as stamped into the current
+    commit ([] = flat), or None for pre-stamp tables — writers then
+    fall back to probing the directory layout once."""
+    v = manifest_version(spark, manifest_path)
+    if v is None:
+        return None
+    commit = _read_json_marker(spark, f"{manifest_path}/v{v}/_COMMIT")
+    return commit.get("partition_by")
+
+
+def _detect_pcols(spark: SparkSession, path: str, mdir: str) -> list[str]:
+    """Partition columns for a manifest-tracked table: the commit's
+    stamped list when present, else ONE directory probe (pre-stamp
+    tables) — never an O(files) walk per transaction once stamped."""
+    pby = committed_partitioning(spark, mdir)
+    if pby is not None:
+        return list(pby)
+    # a hive layout encodes EVERY leaf under partition dirs, so the
+    # first leaf decides — never a full O(files) walk
+    for rel, _ln in _leaf_files(spark, path):
+        segs = [s for s in rel.split("/")[:-1] if "=" in s]
+        return [s.split("=", 1)[0] for s in segs]
+    return []
 
 
 def _evolved_schema(
@@ -1833,13 +1880,8 @@ def _txn_rewrite_unlocked(
     if not cand:
         return ledger
 
-    # hive partition columns (directory-encoded), in directory order
-    pcols: list[str] = []
-    for rel, _ln in _leaf_files(spark, path):
-        segs = [s for s in rel.split("/")[:-1] if "=" in s]
-        if segs:
-            pcols = [s.split("=", 1)[0] for s in segs]
-            break
+    # hive partition columns: stamped in the commit, else probed once
+    pcols = _detect_pcols(spark, path, mdir)
 
     schema = committed_schema(spark, mdir)
     if schema is None:
@@ -1887,7 +1929,7 @@ def _txn_rewrite_unlocked(
     try:
         version = _commit_manifest(
             spark, mdir, merged, removed=cand, expected_version=expected,
-            keep_versions=keep_versions,
+            keep_versions=keep_versions, partition_by=pcols,
         )
     except SnapshotConflict:
         _rollback_conflict(spark, mdir, added)
@@ -2305,7 +2347,16 @@ def _append_files_unlocked(
     else:
         evolved = df.schema
 
+    from pyspark.sql import Observation
+
     tmp = path.rstrip("/") + f"._append_{uuid.uuid4().hex[:8]}"
+    obs = Observation()
+    if partition_by:
+        # align one write task per partition value first — otherwise a
+        # micro-batch fans into one file per shuffle task per value
+        # and every later metadata cost is O(that file count)
+        df = df.repartition(*list(partition_by))
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     writer = df.write.mode("overwrite")
     if partition_by:
         # hive-encode the batch; the move-in preserves the partition
@@ -2313,7 +2364,10 @@ def _append_files_unlocked(
         # columns' min=max from the directory values
         writer = writer.partitionBy(*list(partition_by))
     writer.parquet(tmp)
-    rows = spark.read.option("basePath", tmp).parquet(tmp).count()
+    # row count rides the write (CollectMetrics) — no read-back scan,
+    # and an EMPTY batch no longer trips schema inference on a
+    # file-less temp dir
+    rows = int(obs.get["n"])
 
     planned = [
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
@@ -2342,6 +2396,13 @@ def _append_files_unlocked(
             spark, mdir, merged, removed=[], expected_version=expected,
             txn=txn, keep_versions=keep_versions,
             table_schema=evolved.jsonValue(),
+            partition_by=(
+                list(partition_by)
+                if partition_by is not None
+                # detect once (stamped thereafter) so flat tables stamp
+                # [] and later transactions skip the directory probe
+                else _detect_pcols(spark, path, mdir)
+            ),
         )
     except SnapshotConflict:
         # lost the optimistic race AFTER moving files in: undo them so
@@ -2368,6 +2429,7 @@ def merge_into(
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
+    target_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Per-table-serialized entry to ``_merge_into_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -2375,6 +2437,7 @@ def merge_into(
         return _merge_into_unlocked(
             spark, source, path, keys, manifest_path=manifest_path,
             mode=mode, cols=cols, txn=txn, keep_versions=keep_versions,
+            target_bytes=target_bytes,
         )
 
 
@@ -2388,6 +2451,7 @@ def _merge_into_unlocked(
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
+    target_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Keyed MERGE INTO a manifest-tracked table as ONE snapshot
     transaction — the lakehouse ``MERGE INTO t USING s ON t.k = s.k
@@ -2454,7 +2518,6 @@ def _merge_into_unlocked(
         cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
     # pin the snapshot version at manifest-read time (see append_files)
     snap_v = manifest_version(spark, mdir)
-    files_total = manifest.count()
 
     stored = committed_schema(spark, mdir)
     if stored is None:
@@ -2473,7 +2536,7 @@ def _merge_into_unlocked(
         ).collect()[0]
         n_src = int(agg["_n"])
         ledger = {
-            "files_total": int(files_total),
+            "files_total": None,  # filled by the fused prune collect
             "files_rewritten": 0,
             "files_added": 0,
             "rows_source": n_src,
@@ -2502,14 +2565,11 @@ def _merge_into_unlocked(
             for k in keys
             if agg[f"_lo_{k}"] is not None
         }
-        cand = prune_files(manifest, ranges)
+        # one collect serves both the candidate list and files_total
+        cand, files_total = _prune_files_with_total(manifest, ranges)
+        ledger["files_total"] = int(files_total)
 
-        pcols: list[str] = []
-        for rel, _ln in _leaf_files(spark, path):
-            segs = [s for s in rel.split("/")[:-1] if "=" in s]
-            if segs:
-                pcols = [s.split("=", 1)[0] for s in segs]
-                break
+        pcols = _detect_pcols(spark, path, mdir)
 
         if cand:
             touched = (
@@ -2519,7 +2579,10 @@ def _merge_into_unlocked(
             )
         else:
             touched = spark.createDataFrame([], evolved)
-        rows_before = touched.count()
+        # ignore mode never rewrites candidates, so their row count is
+        # ledger-irrelevant — skipping it saves a candidate scan per
+        # trigger on the streaming upsert path
+        rows_before = touched.count() if mode == "update" else None
 
         if mode == "update":
             survivors = touched.join(
@@ -2535,14 +2598,47 @@ def _merge_into_unlocked(
             out = fresh
             removed = []
 
+        # OPTIMIZED WRITE (Delta's trade): shape the output BEFORE the
+        # write so a micro-batch merge lands a handful of right-sized
+        # files, not one file per shuffle task per partition value —
+        # every downstream cost (footer stats, manifest rows, move-in
+        # renames, later prunes) is O(files written).  Partitioned
+        # tables align one task per partition value (within-partition
+        # size splitting is compact_table's job); flat tables target
+        # ceil(candidate_bytes / target_bytes) files.
+        if pcols:
+            out = out.repartition(*pcols)
+        else:
+            cand_bytes = 0
+            for f in cand:
+                try:
+                    cand_bytes += fs.getFileStatus(hp(f)).getLen()
+                except Exception:  # pragma: no cover - racing sweep
+                    pass
+            n_out = max(1, -(-cand_bytes // int(target_bytes)))
+            out = out.repartition(int(n_out))
+
+        from pyspark.sql import Observation
+
         tmp = path.rstrip("/") + f"._merge_{uuid.uuid4().hex[:8]}"
-        writer = out.select(*[f.name for f in evolved.fields]).write.mode(
-            "overwrite"
+        obs = Observation()
+        final = out.select(*[f.name for f in evolved.fields]).observe(
+            obs, F.count(F.lit(1)).alias("n")
         )
+        writer = final.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
-        rows_after = spark.read.schema(evolved).parquet(tmp).count()
+        # row count rides the write itself (CollectMetrics) — no
+        # read-back scan of the temp output
+        rows_after = int(obs.get["n"])
+        if mode == "ignore" and rows_after == 0:
+            # every source key already exists: nothing to add, nothing
+            # to rewrite — no commit needed (a replay re-derives the
+            # same no-op, so skipping the txn stamp is still
+            # exactly-once)
+            fs.delete(hp(tmp), True)
+            return ledger
 
         planned = [
             (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
@@ -2580,6 +2676,7 @@ def _merge_into_unlocked(
                 expected_version=expected, txn=txn,
                 keep_versions=keep_versions,
                 table_schema=evolved.jsonValue(),
+                partition_by=pcols,
             )
         except SnapshotConflict:
             _rollback_conflict(spark, mdir, added)
@@ -2599,7 +2696,9 @@ def _merge_into_unlocked(
                 "files_added": len(added),
                 "rows_updated": rows_updated,
                 "rows_inserted": rows_inserted,
-                "rows_before": int(rows_before),
+                "rows_before": (
+                    int(rows_before) if rows_before is not None else None
+                ),
                 "rows_after": int(rows_after),
                 "partitioned": bool(pcols),
                 "version": int(version),
@@ -2745,10 +2844,13 @@ def vacuum_table(spark: SparkSession, path: str, manifest_path: str | None = Non
     can't know about it: nothing was logged yet), invisible to every
     reader but holding disk.  Also runs ``_recover_txn`` +
     ``_sweep_removed`` so one call returns the table to a fully clean
-    state.  Returns the removed paths."""
+    state.  Returns the removed paths.  Takes the table's write lock:
+    recovery rolling back an uncommitted ``_TXN`` must never race a
+    same-driver writer that is between intent and commit."""
     mdir = _manifest_dir(path, manifest_path)
-    _recover_txn(spark, mdir)
-    _sweep_removed(spark, mdir)
+    with _log_lock(mdir):
+        _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
     jvm, hp, fs = _fs_for(spark, path)
     parent = hp(path).getParent()
     base = hp(path).getName()
@@ -2853,6 +2955,8 @@ def start_lake_merge_stream(
     in-batch dedup does, etl_result.rs:205-248)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # e.g. a final watermark-commit batch
+            return
         sp = batch.sparkSession
         mdir = _manifest_dir(path, manifest_path)
         if manifest_version(sp, mdir) is None:
