@@ -4,9 +4,18 @@ src/dumper/postgres/insert_tree.rs:16-31; conflict policies from
 src/types/etl_result.rs:159, 216, 269-281 — transactions/contracts DO
 NOTHING, blocks DO UPDATE all columns).
 
-Three implementations behind one ``upsert(df, table, keys, mode)``
-protocol:
+Four implementations behind one ``upsert(df, table, keys, mode)``
+protocol, plus the snapshot-transactional lake tier (R19/R20 — see the
+snapshot-commit section mid-file: ``_commit_manifest`` / ``_txn_rewrite``
+/ ``append_files`` / ``merge_into`` / ``read_table`` / ``table_changes``):
 
+- ``LakeUpsertSink`` — the UNIFIED path (r10): keyed upserts as
+  ``merge_into`` snapshot transactions through the same manifest log
+  the streaming appends, compaction, deletes and updates commit
+  through — one commit protocol for the whole storage tier, with
+  snapshot isolation, add-only schema evolution, time travel and
+  optimistic concurrency.  Per-batch cost is O(manifest-pruned
+  candidate files + batch).
 - ``ParquetUpsertSink`` — versioned parquet tables with a
   **partition-pruned merge**: tables are hive-partitioned (default
   ``chain_id``), each micro-batch merges against ONLY the partitions it
