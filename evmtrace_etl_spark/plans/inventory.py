@@ -2731,6 +2731,80 @@ FROM events
 """
 
 
+def _lake_changes_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_changes_feed``: two append commits — the
+    non-multiple-of-3 event_ids land as snapshot v0, the multiples of
+    3 as v1 — so the append-span CDC read since v0 is exactly the
+    second commit's rows.  Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakechanges",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_changes") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(
+            spark, ev.filter(F.col("event_id") % 3 != 0), tbl,
+            cols=["event_id"],
+        )
+        append_files(spark, ev.filter(F.col("event_id") % 3 == 0), tbl)
+        _BUILD_DONE["lake_changes"] = base
+    return tbl
+
+
+def lake_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-span CDC through the snapshot log
+    (``sinks.table_changes``): the build leg lands two append commits;
+    the serve leg asks for everything committed AFTER snapshot v0 and
+    rolls it up — the incremental-consumption primitive a downstream
+    pipeline polls instead of re-reading the table (Delta's
+    streaming-source-from-a-table for the append-only case).  The read
+    is served from the DELTA FILES alone (current file set minus v0's
+    — at 100 TB a poll touches the new batches, never the table), and
+    the oracle recomputes the second commit's rows relationally — a
+    changes feed that leaked v0 rows, dropped a new file, or
+    double-served one fails the value hash every round."""
+    from ..sinks import table_changes
+
+    return (
+        table_changes(spark, _lake_changes_build(spark, sf_dir), 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_CHANGES_FEED_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR)
+    AS total_value,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE event_id % 3 = 0
+GROUP BY event_type
+"""
+
+
 LAKE_MERGE_UPSERT_SQL = """
 WITH final AS (
   SELECT event_id, user_id, event_type, value FROM events
@@ -2799,6 +2873,7 @@ QUERIES = {
     "inv_lake_compact_roundtrip": lake_compact_roundtrip,
     "inv_lake_merge_upsert": lake_merge_upsert,
     "inv_lake_schema_evolution": lake_schema_evolution,
+    "inv_lake_changes_feed": lake_changes_feed,
 }
 
 ORACLES = {
@@ -2848,4 +2923,5 @@ ORACLES = {
     "inv_lake_compact_roundtrip": LAKE_COMPACT_ROUNDTRIP_SQL,
     "inv_lake_merge_upsert": LAKE_MERGE_UPSERT_SQL,
     "inv_lake_schema_evolution": LAKE_SCHEMA_EVOLUTION_SQL,
+    "inv_lake_changes_feed": LAKE_CHANGES_FEED_SQL,
 }

@@ -1804,6 +1804,7 @@ def _txn_rewrite(
     count_matched: bool = False,
     candidates: Sequence[str] | None = None,
     keep_versions: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Per-table-serialized entry to ``_txn_rewrite_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -1811,7 +1812,7 @@ def _txn_rewrite(
         return _txn_rewrite_unlocked(
             spark, path, manifest_path, predicates, rewrite, cols,
             count_matched=count_matched, candidates=candidates,
-            keep_versions=keep_versions,
+            keep_versions=keep_versions, txn=txn,
         )
 
 
@@ -1825,6 +1826,7 @@ def _txn_rewrite_unlocked(
     count_matched: bool = False,
     candidates: Sequence[str] | None = None,
     keep_versions: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """The snapshot-committed candidate-file rewrite engine shared by
     ``delete_where`` and ``update_where``: prune candidate files
@@ -1845,6 +1847,24 @@ def _txn_rewrite_unlocked(
     jvm, hp, fs = _fs_for(spark, path)
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
+
+    if txn is not None:
+        # exactly-once for STREAMED rewrites (a foreachBatch retention
+        # delete / rectification update): a replayed batch id
+        # short-circuits before any work, same contract as append/merge
+        seen = last_committed_txn(spark, mdir, txn[0])
+        if seen is not None and int(txn[1]) <= seen:
+            return {
+                "files_total": None,
+                "files_rewritten": 0,
+                "files_added": 0,
+                "rows_matched": None,
+                "rows_before": None,
+                "rows_after": None,
+                "partitioned": False,
+                "version": manifest_version(spark, mdir),
+                "skipped": True,
+            }
 
     manifest = current_manifest(spark, mdir)
     if manifest is None:
@@ -1885,6 +1905,7 @@ def _txn_rewrite_unlocked(
         "rows_after": None,
         "partitioned": False,
         "version": snap_v,
+        "skipped": False,
     }
     if not cand:
         return ledger
@@ -1938,7 +1959,7 @@ def _txn_rewrite_unlocked(
     try:
         version = _commit_manifest(
             spark, mdir, merged, removed=cand, expected_version=expected,
-            keep_versions=keep_versions, partition_by=pcols,
+            keep_versions=keep_versions, partition_by=pcols, txn=txn,
         )
     except SnapshotConflict:
         _rollback_conflict(spark, mdir, added)
@@ -1968,6 +1989,7 @@ def delete_where(
     predicates: dict[str, tuple],
     cols: Sequence[str] | None = None,
     keep_versions: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Row-level delete over a bare-parquet dataset — flat OR
     hive-partitioned — manifest-pruned and SNAPSHOT-COMMITTED: remove
@@ -2005,6 +2027,7 @@ def delete_where(
         lambda touched, hit: touched.filter(~hit),
         cols,
         keep_versions=keep_versions,
+        txn=txn,
     )
     rb, ra = ledger.pop("rows_before"), ledger.pop("rows_after")
     ledger.pop("rows_matched", None)
@@ -2026,6 +2049,7 @@ def update_where(
     set_exprs: dict[str, "F.Column | str"],
     cols: Sequence[str] | None = None,
     keep_versions: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Row-level UPDATE over a bare-parquet dataset — the lakehouse
     ``UPDATE t SET c = expr WHERE …`` — manifest-pruned and
@@ -2068,7 +2092,7 @@ def update_where(
 
     ledger = _txn_rewrite(
         spark, path, manifest_path, predicates, _apply, cols,
-        count_matched=True, keep_versions=keep_versions,
+        count_matched=True, keep_versions=keep_versions, txn=txn,
     )
     ledger["rows_updated"] = ledger.pop("rows_matched") or 0
     return ledger
@@ -2143,6 +2167,7 @@ def _update_stats_index_unlocked(
             removed=[],
             expected_version=expected,
             keep_versions=keep_versions,
+            partition_by=_detect_pcols(spark, path, mdir),
         )
         return {
             "files_total": len(current),
@@ -2170,6 +2195,7 @@ def _update_stats_index_unlocked(
     version = _commit_manifest(
         spark, mdir, merged, removed=[], expected_version=expected,
         keep_versions=keep_versions,
+        partition_by=_detect_pcols(spark, path, mdir),
     )
     return {
         "files_total": len(current),

@@ -490,3 +490,37 @@ def test_lake_merge_stream_exactly_once_through_restart(spark, tmp_path):
     assert {r["k"]: r["v"] for r in t2.collect()} == got
     hist_after = table_history(spark, tbl)
     assert hist_after[-1]["version"] == hist_before[-1]["version"]
+
+
+def test_delete_where_txn_replay_is_noop(spark, tmp_path):
+    """Streamed retention deletes are exactly-once too: a replayed
+    (app_id, batch_id) on delete_where/update_where short-circuits
+    before any rewrite — a foreachBatch GDPR purge that crashes after
+    its commit cannot double-rewrite on redelivery."""
+    from evmtrace_etl_spark.sinks import delete_where, update_where
+
+    tbl = _seed(spark, tmp_path, n=200, files=4)
+    led = delete_where(
+        spark, tbl, None, {"k": (0, 49)}, txn=("purge", 1)
+    )
+    assert led["rows_deleted"] == 50 and not led["skipped"]
+    assert read_table(spark, tbl).count() == 150
+    led2 = delete_where(
+        spark, tbl, None, {"k": (0, 49)}, txn=("purge", 1)
+    )
+    assert led2["skipped"] and led2["files_rewritten"] == 0
+    assert read_table(spark, tbl).count() == 150
+    # the next batch id lands; update_where shares the contract
+    led3 = update_where(
+        spark, tbl, None, {"k": (50, 59)}, {"v": "-1"},
+        txn=("purge", 2),
+    )
+    assert led3["rows_updated"] == 10 and not led3["skipped"]
+    led4 = update_where(
+        spark, tbl, None, {"k": (50, 59)}, {"v": "-99"},
+        txn=("purge", 2),
+    )
+    assert led4["skipped"]
+    t = read_table(spark, tbl)
+    assert t.filter("v = -1").count() == 10
+    assert t.filter("v = -99").count() == 0
