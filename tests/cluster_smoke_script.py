@@ -211,6 +211,60 @@ def main() -> None:
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    # ---- Snapshot-log transactions across real executors -------------
+    # the R19/R20 lake tier's commit protocol on two executor JVMs:
+    # partitioned seed append (Observation row counts, hive move-in),
+    # keyed merge (update + ignore), txn replay no-op, predicate
+    # delete, and the composed snapshot read — all values verified.
+    from evmtrace_etl_spark.sinks import (
+        append_files,
+        delete_where,
+        merge_into,
+        read_table,
+    )
+
+    ltbl = os.path.join(
+        tempfile.mkdtemp(prefix="evmtrace_cluster_lake_"), "t"
+    )
+    seed = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    led = append_files(
+        spark, seed, ltbl, cols=["k", "p"], partition_by=["p"]
+    )
+    assert led["rows"] == 1000, led
+    src = spark.range(500, 1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    mled = merge_into(spark, src, ltbl, keys=["k"], txn=("cl", 1))
+    assert mled["rows_updated"] == 500 and mled["rows_inserted"] == 200
+    assert merge_into(spark, src, ltbl, keys=["k"], txn=("cl", 1))[
+        "skipped"
+    ]
+    iled = merge_into(
+        spark,
+        spark.range(1150, 1300).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("p"),
+            F.lit(-2).cast("long").alias("v"),
+        ),
+        ltbl,
+        keys=["k"],
+        mode="ignore",
+    )
+    assert iled["files_rewritten"] == 0 and iled["rows_inserted"] == 100
+    dled = delete_where(spark, ltbl, None, {"k": (0, 99)})
+    assert dled["rows_deleted"] == 100, dled
+    t = read_table(spark, ltbl)
+    assert t.count() == 1200  # 1000 - 100 + 200 + 100
+    assert t.filter("v = -1").count() == 700
+    assert t.filter("v = -2").count() == 100
+    assert t.filter("k = 300").select("v").collect()[0][0] == 3000
+
     print("CLUSTER_SMOKE_OK")
 
 
