@@ -1236,6 +1236,134 @@ def parquet_stats_index(
     return out
 
 
+def _py_cast(v, dt: T.DataType):
+    """A directory-encoded partition value (string) as the Python value
+    matching the source column type — the driver-side twin of the
+    ``cast`` the distributed stats builder applies."""
+    if v is None:
+        return None
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int(v)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dt, T.BooleanType):
+        return str(v).lower() == "true"
+    if isinstance(dt, T.DateType):
+        import datetime
+
+        return datetime.date.fromisoformat(str(v))
+    return v  # strings (and anything hive encodes as one)
+
+
+def _local_stats_rows(
+    paths: Sequence[str],
+    cols: Sequence[str],
+    source_schema: T.StructType,
+    pcols: Sequence[str],
+) -> tuple[list[dict], T.StructType]:
+    """Driver-side twin of ``parquet_stats_index`` for BATCH-sized file
+    lists: read the handful of footers with pyarrow right here and
+    return (rows, stats schema) — zero Spark jobs.  A streaming commit
+    adds a few files per trigger; launching a distributed metadata job
+    (fixed ~0.5 s scheduling floor per job on any cluster) to read five
+    footers is pure overhead, which is exactly why Delta computes its
+    add-action stats inside the write tasks.  The distributed builder
+    remains the path for table-scale rebuilds."""
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    by_name = {f.name: f for f in source_schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"stats columns not in table schema: {missing}")
+    part_set = {c for c in cols if c in set(pcols)}
+    fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in cols:
+        fields.append(T.StructField(f"{c}_min", by_name[c].dataType))
+        fields.append(T.StructField(f"{c}_max", by_name[c].dataType))
+    out_schema = T.StructType(fields)
+
+    def _meta(fpath):
+        if "://" in fpath:  # HDFS/S3A URI — open via pyarrow fs
+            from pyarrow import fs as pafs
+
+            filesystem, rel = pafs.FileSystem.from_uri(fpath)
+            with filesystem.open_input_file(rel) as f:
+                return pq.ParquetFile(f).metadata
+        return pq.ParquetFile(fpath).metadata
+
+    def _dir_value(fpath, c):
+        for seg in fpath.split("/")[:-1]:
+            if seg.startswith(c + "="):
+                v = unquote(seg[len(c) + 1:])
+                return None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        return None
+
+    rows: list[dict] = []
+    for fpath in paths:
+        md = _meta(fpath)
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rec: dict = {"file": fpath, "n_rows": md.num_rows}
+        for c in cols:
+            if c in part_set:
+                v = _py_cast(_dir_value(fpath, c), by_name[c].dataType)
+                rec[f"{c}_min"] = v
+                rec[f"{c}_max"] = v
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break  # one stats-less group poisons the file
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[f"{c}_min"] = lo
+            rec[f"{c}_max"] = hi
+        rows.append(rec)
+    return rows, out_schema
+
+
+#: Batches at or under this many files take the driver-side stats path
+#: (``_local_stats_rows``); larger sets go distributed.
+_LOCAL_STATS_MAX = 64
+
+
+def _write_parquet_local(
+    spark: SparkSession,
+    rows: list[dict],
+    schema: T.StructType,
+    dirpath: str,
+) -> None:
+    """Write ``rows`` as ONE parquet file under ``dirpath`` with pyarrow
+    on the driver — the O(batch) manifest delta is a few rows, and a
+    distributed write would pay a full Spark job's scheduling floor to
+    emit them.  Types follow the Spark schema exactly (arrow-converted),
+    so Spark reads the file back under the same types the distributed
+    writer would have produced."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    table = pa.Table.from_pylist(list(rows), schema=arrow_schema)
+    jvm, hp, fs = _fs_for(spark, dirpath)
+    fs.mkdirs(hp(dirpath))
+    target = dirpath.rstrip("/") + "/part-00000-delta.parquet"
+    if "://" in target:
+        from pyarrow import fs as pafs
+
+        filesystem, rel = pafs.FileSystem.from_uri(target)
+        with filesystem.open_output_stream(rel) as f:
+            pq.write_table(table, f)
+    else:
+        pq.write_table(table, target)
+
+
 def _pred_parts(
     predicates: dict | None,
 ) -> tuple[dict[str, tuple], "F.Column"]:
@@ -1257,25 +1385,13 @@ def _pred_parts(
     return ranges, cond
 
 
-def prune_files(
-    index: DataFrame, predicates: dict[str, tuple]
-) -> list[str]:
-    """File paths whose [min, max] spans overlap EVERY ``col: (lo, hi)``
-    closed-range predicate (scalars mean equality; NULL stats keep the
-    file — conservative).  Predicates on columns the index carries no
-    stats for are skipped here (every file "may match" — the row-level
-    filter still applies them exactly).  The collect is O(matching
-    files) driver memory — the same object a scan planner must hold to
-    enumerate its splits; row data never moves."""
-    return _prune_files_with_total(index, predicates)[0]
-
-
-def _prune_files_with_total(
-    index: DataFrame, predicates: dict[str, tuple]
-) -> tuple[list[str], int]:
-    """``prune_files`` plus the manifest's total file count from the
-    SAME collect — writers that ledger files_total fuse the two into
-    one job instead of a count plus a filtered collect."""
+def _prune_cond(index: DataFrame, predicates: dict[str, tuple]) -> "F.Column":
+    """The manifest-row match condition for ``prune_files``: a file
+    survives when its [min, max] span overlaps EVERY ``col: (lo, hi)``
+    closed-range predicate (NULL stats keep the file — conservative;
+    predicates on columns the index carries no stats for are skipped —
+    every file "may match" and the row-level filter applies them
+    exactly)."""
     cond = F.lit(True)
     for c, (lo, hi) in _pred_parts(predicates)[0].items():
         if f"{c}_min" not in index.columns:
@@ -1285,8 +1401,45 @@ def _prune_files_with_total(
             & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
             & (F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= F.lit(hi)))
         )
-    rows = index.select("file", cond.alias("_m")).collect()
-    return [r["file"] for r in rows if r["_m"]], len(rows)
+    return cond
+
+
+def prune_files(
+    index: DataFrame, predicates: dict[str, tuple]
+) -> list[str]:
+    """File paths whose [min, max] spans overlap EVERY ``col: (lo, hi)``
+    closed-range predicate (scalars mean equality; NULL stats keep the
+    file — conservative).  Predicates on columns the index carries no
+    stats for are skipped here (every file "may match" — the row-level
+    filter still applies them exactly).  The collect is O(matching
+    files) driver memory — the filter runs distributed and only the
+    surviving file paths reach the driver, the same object a scan
+    planner must hold to enumerate its splits; row data never moves."""
+    return [
+        r["file"]
+        for r in index.filter(_prune_cond(index, predicates))
+        .select("file")
+        .collect()
+    ]
+
+
+def _prune_files_with_total(
+    index: DataFrame, predicates: dict[str, tuple]
+) -> tuple[list[str], int]:
+    """``prune_files`` plus the manifest's total file count from the
+    SAME job — writers that ledger files_total fuse the two into one
+    aggregate instead of a count plus a filtered collect.  Driver
+    memory stays O(matching files): non-matching rows contribute only
+    to the count (``collect_list`` drops the NULLs the unmatched
+    branch produces)."""
+    cond = _prune_cond(index, predicates)
+    agg = index.agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sort_array(
+            F.collect_list(F.when(cond, F.col("file")))
+        ).alias("_matches"),
+    ).collect()[0]
+    return list(agg["_matches"]), int(agg["_total"])
 
 
 def read_file_pruned(
@@ -1323,22 +1476,41 @@ def read_file_pruned(
 #
 # Layout::
 #
-#     <manifest>/v<N>/part-*.parquet   one manifest version (Spark write)
+#     <manifest>/v<N>/part-*.parquet   DELTA: stats rows for the files THIS
+#                                      commit added (O(batch)); CHECKPOINT:
+#                                      the full reconstructed manifest
 #     <manifest>/v<N>/_COMMIT          atomic commit marker (JSON: version,
-#                                      removed-files list pending deletion)
+#                                      kind delta|checkpoint, base_ckpt,
+#                                      added/removed file lists, pending
+#                                      sweep backlog, txn map, schema,
+#                                      partition columns, cdf flag, active
+#                                      deletion vectors, change-data files)
 #     <manifest>/_TXN                  intent marker of an in-flight
-#                                      delete_where (added/removed file
+#                                      rewrite/append (added/removed file
 #                                      lists + the version it will commit)
 #
 # The CURRENT manifest is the highest v<N> with a _COMMIT marker; the
 # marker is created by a tmp-write + rename, so "the snapshot advanced"
 # is a single atomic filesystem op — the same role Delta's log entry or
-# Iceberg's snapshot pointer plays.  Data-file changes are sequenced
-# around it: adds land BEFORE the commit (invisible — no committed
-# manifest references them), physical deletes happen AFTER (the commit
-# records them in its removed list, so a crash leaves only orphans that
-# the next operation's recovery sweeps, never a reader-visible
-# duplicate or lost row).  Readers that go through the snapshot
+# Iceberg's snapshot pointer plays.  Commit COST is O(batch), not
+# O(table-files): a normal commit writes only the added files' stats
+# rows (its delta parquet) plus the marker; the full manifest is
+# materialized as a CHECKPOINT every ``_CHECKPOINT_EVERY`` commits (and
+# on maintenance rebuilds), exactly Delta's JSON-actions +
+# periodic-parquet-checkpoint shape.  A snapshot reconstructs as
+# ``checkpoint ∪ subsequent deltas − subsequent removed lists`` — file
+# paths are never reused (uuid part names), so the set algebra is
+# order-free.  The manifest version parquet itself is written to a
+# hidden temp dir and RENAMED into ``v<N>`` (fail-if-exists), so a
+# stale cross-driver writer can never overwrite a winner's committed
+# version in place.
+#
+# Data-file changes are sequenced around the marker: adds land BEFORE
+# the commit (invisible — no committed manifest references them),
+# physical deletes happen AFTER (the commit records them in its
+# ``pending`` backlog, so a crash leaves only orphans that the next
+# operation's recovery sweeps, never a reader-visible duplicate or
+# lost row).  Readers that go through the snapshot
 # (``read_table``/``current_manifest``) therefore always see exactly
 # one committed version; plain directory scans of the data dir remain
 # bare-parquet eventually-consistent, which is precisely why table
@@ -1347,6 +1519,11 @@ def read_file_pruned(
 # across a concurrent delete can hit a vanished file — the knob a real
 # deployment adds is a sweep delay, not a different protocol.
 # ---------------------------------------------------------------------------
+
+#: Materialize a full manifest checkpoint every N commits — bounds the
+#: delta chain a snapshot read reconstructs through (Delta's
+#: checkpointInterval; 10 is Delta's default).
+_CHECKPOINT_EVERY = 10
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -1458,32 +1635,137 @@ def _flat_manifest_files(spark: SparkSession, manifest_path: str) -> list[str]:
     return sorted(out)
 
 
+def _commit_info(spark: SparkSession, manifest_path: str, version: int) -> dict:
+    """The ``_COMMIT`` marker payload of a committed version."""
+    return _read_json_marker(spark, f"{manifest_path}/v{version}/_COMMIT")
+
+
+def _version_parquet_parts(
+    spark: SparkSession, manifest_path: str, version: int
+) -> list[str]:
+    """Parquet part files inside one manifest version dir (a pure-
+    removal delta commit carries none — its whole content is the
+    marker)."""
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    vdir = f"{manifest_path}/v{version}"
+    out = []
+    for st in fs.listStatus(hp(vdir)):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(f"{vdir}/{name}")
+    return out
+
+
+def _manifest_schema_from(marker: dict) -> T.StructType | None:
+    """The manifest-row schema implied by a commit marker: ``file``,
+    ``n_rows``, per-stats-column min/max typed from the committed
+    table schema, and the ``added_version`` bookkeeping column — or
+    None when the marker predates the schema/stats_cols stamps (the
+    reader then merges footers instead)."""
+    sj = marker.get("schema")
+    stats_cols = marker.get("stats_cols")
+    if sj is None or stats_cols is None:
+        return None
+    by_name = {
+        f.name: f.dataType for f in T.StructType.fromJson(sj).fields
+    }
+    fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in stats_cols:
+        dt = by_name.get(c)
+        if dt is None:  # stats col no longer in the table schema
+            return None
+        fields.append(T.StructField(f"{c}_min", dt, True))
+        fields.append(T.StructField(f"{c}_max", dt, True))
+    fields.append(T.StructField("added_version", T.LongType(), True))
+    return T.StructType(fields)
+
+
+def _reconstruct_manifest(
+    spark: SparkSession, manifest_path: str, version: int
+) -> DataFrame:
+    """Materialize the manifest SNAPSHOT at ``version`` from the log:
+    the base checkpoint's full manifest, union the delta commits'
+    added-stats rows up to ``version``, minus the deltas' removed
+    lists.  File paths are never reused (uuid part names), so the set
+    algebra is order-free; schema evolution of the stats columns
+    unions by name with NULL fill (conservative pruning).  Legacy
+    markers without ``kind`` wrote full manifests — each is its own
+    checkpoint.  Raises when the chain is no longer retained."""
+    marker = _commit_info(spark, manifest_path, version)
+    kind = marker.get("kind", "checkpoint")
+    base = int(marker.get("base_ckpt", version)) if kind == "delta" else version
+    committed = set(_committed_versions(spark, manifest_path))
+    chain = list(range(base, version + 1))
+    missing = [v for v in chain if v not in committed]
+    if missing:
+        raise ValueError(
+            f"manifest version {version} at {manifest_path} is no longer "
+            f"reconstructible — its checkpoint chain v{base}..v{version} "
+            f"lost {missing} to retention"
+        )
+    dirs: list[str] = []
+    removed: set[str] = set()
+    for v in chain:
+        m = marker if v == version else _commit_info(spark, manifest_path, v)
+        if v > base:
+            removed.update(m.get("removed", []))
+        if _version_parquet_parts(spark, manifest_path, v):
+            dirs.append(f"{manifest_path}/v{v}")
+    if not dirs:  # an empty table's checkpoint (zero files tracked)
+        return spark.createDataFrame(
+            [], "file string, n_rows long, added_version long"
+        )
+    # ONE read over the whole chain.  The manifest schema is DERIVED
+    # from the marker (stats columns typed per the committed table
+    # schema) so no footer needs touching at plan time; files missing
+    # a column (pre-evolution deltas, legacy checkpoints without the
+    # bookkeeping column) NULL-fill under the explicit schema — the
+    # same semantics as a per-dir unionByName, zero jobs.  Pre-schema
+    # tables fall back to a distributed footer merge.
+    mschema = _manifest_schema_from(marker)
+    if mschema is not None:
+        out = spark.read.schema(mschema).parquet(*dirs)
+    else:
+        out = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    if removed:
+        rdf = spark.createDataFrame(
+            [(f,) for f in sorted(removed)], "file string"
+        )
+        out = out.join(F.broadcast(rdf), on="file", how="left_anti")
+    return out
+
+
 def current_manifest(
     spark: SparkSession,
     manifest_path: str,
     version: int | None = None,
 ) -> DataFrame | None:
     """The current committed stats manifest (highest ``v<N>`` carrying a
-    ``_COMMIT`` marker), falling back to the legacy flat layout, else
-    None.  This is THE read path for snapshot consistency: a reader
-    that resolves its file list through here sees exactly one committed
-    version regardless of concurrent deletes/maintenance.
+    ``_COMMIT`` marker, reconstructed checkpoint-plus-deltas), falling
+    back to the legacy flat layout, else None.  This is THE read path
+    for snapshot consistency: a reader that resolves its file list
+    through here sees exactly one committed version regardless of
+    concurrent deletes/maintenance.
 
     ``version`` pins an explicit committed version instead (time
-    travel) — valid while that version is retained (the commit
-    housekeeping keeps the immediate predecessor by default; raise
-    ``keep_versions`` on the maintenance calls for a deeper history).
-    Raises if the requested version is not committed/retained."""
+    travel) — valid while that version's checkpoint chain is retained
+    (housekeeping retains the chains of the newest ``keep_versions``
+    committed versions; raise ``keep_versions`` on the maintenance
+    calls for a deeper history).  Raises if the requested version is
+    not committed/retained."""
     if version is not None:
         if version not in _committed_versions(spark, manifest_path):
             raise ValueError(
                 f"manifest version {version} is not committed/retained "
                 f"at {manifest_path}"
             )
-        return spark.read.parquet(f"{manifest_path}/v{version}")
+        return _reconstruct_manifest(spark, manifest_path, version)
     v = manifest_version(spark, manifest_path)
     if v is not None:
-        return spark.read.parquet(f"{manifest_path}/v{v}")
+        return _reconstruct_manifest(spark, manifest_path, v)
     flat = _flat_manifest_files(spark, manifest_path)
     if flat:
         return spark.read.parquet(*flat)
@@ -1504,8 +1786,23 @@ _LOG_LOCKS: dict[str, "_threading.Lock"] = {}
 _LOG_LOCKS_GUARD = _threading.Lock()
 
 
+def _lock_key(mdir: str) -> str:
+    """Canonical lock-registry key for a manifest dir: scheme-stripped
+    for the local FS, normpath'd, trailing-slash-free — two spellings
+    of the same table path (``file:`` URI vs posix, relative vs
+    absolute, trailing slash) must land on the SAME lock or the
+    same-driver intent→commit serialization silently evaporates."""
+    key = mdir
+    if key.startswith("file:"):
+        key = re.sub(r"^file:/+", "/", key)
+    if "://" not in key:  # leave non-local URIs (hdfs://…) untouched
+        key = os.path.normpath(os.path.abspath(key))
+    return key.rstrip("/") or "/"
+
+
 def _log_lock(mdir: str) -> "_threading.Lock":
-    """Per-table in-process write lock.  Writer concurrency contract:
+    """Per-table in-process write lock, keyed on the canonical path
+    form (``_lock_key``).  Writer concurrency contract:
 
     - SAME driver (the common deployment — multiple streams/maintenance
       ops on one SparkSession): transactions on one table serialize on
@@ -1519,28 +1816,47 @@ def _log_lock(mdir: str) -> "_threading.Lock":
       single maintenance actor, the same granularity as Delta on S3
       without a coordinating LogStore."""
     with _LOG_LOCKS_GUARD:
-        return _LOG_LOCKS.setdefault(mdir, _threading.Lock())
+        return _LOG_LOCKS.setdefault(_lock_key(mdir), _threading.Lock())
 
 
 def _commit_manifest(
     spark: SparkSession,
     manifest_path: str,
-    df: DataFrame,
+    added_stats: DataFrame | None,
     removed: Sequence[str],
     expected_version: int | None = None,
     keep_versions: int = 2,
     txn: tuple[str, int] | None = None,
     table_schema: dict | None = None,
     partition_by: Sequence[str] | None = None,
+    added_files: Sequence[str] | None = None,
+    force_checkpoint: bool = False,
+    dvs_add: Sequence[dict] | None = None,
+    dvs_clear: bool = False,
+    changes: Sequence[str] | None = None,
+    cdf: bool | None = None,
+    extra_pending: Sequence[str] | None = None,
+    added_rows: list[dict] | None = None,
+    stats_schema: T.StructType | None = None,
 ) -> int:
-    """Write ``df`` as the next manifest version and commit it with one
-    atomic marker rename.  ``removed`` = data files this commit
-    logically deleted (still on disk; swept post-commit).  Pending
+    """Commit the next manifest version with one atomic marker rename.
+    ``added_stats`` = stats rows for the files THIS commit adds (the
+    O(batch) delta — NOT the full manifest); ``removed`` = data files
+    it logically deletes (still on disk; swept post-commit).  Pending
     removals of the predecessor that were never swept are carried
     forward so they cannot be lost.  ``txn`` = (app_id, batch_id)
     stamps the commit for idempotent streaming ingest (the txn map
     carries forward across commits; ``append_files`` skips a batch id
     it already committed — Delta's txn action).
+
+    Most commits write only the delta parquet + marker; every
+    ``_CHECKPOINT_EVERY`` commits (or on ``force_checkpoint`` — the
+    maintenance rebuild path) the FULL reconstructed manifest is
+    materialized instead, bounding the chain a snapshot read replays.
+    Either way the version parquet is written to a hidden temp dir and
+    atomically RENAMED into ``v<N>`` — rename-to-existing fails, so a
+    stale cross-driver writer that slipped past the version check can
+    never overwrite a committed winner's version dir in place.
 
     ``expected_version`` is the optimistic-concurrency guard: the
     version this transaction computed against its snapshot — if another
@@ -1548,11 +1864,21 @@ def _commit_manifest(
     touching the log, and the caller retries from a fresh snapshot
     (the same contract as Delta's ConcurrentModificationException).
 
-    Post-commit housekeeping retains the newest ``keep_versions``
-    committed versions (in-flight readers + time-travel history),
-    prunes older ones plus failed uncommitted attempts, and deletes
-    migrated flat-layout files — all crash-safe: the new version is
-    already current."""
+    ``added_files`` (the added URIs, already on the caller's driver
+    from the move-in) avoids a collect for the marker's added list;
+    ``dvs_add``/``dvs_clear`` maintain the carried deletion-vector
+    list; ``changes`` records this commit's change-data files; ``cdf``
+    sets the carried change-data-feed table flag; ``extra_pending``
+    adds retired sidecar files (old deletion vectors) to the sweep
+    backlog.
+
+    Post-commit housekeeping retains the checkpoint chains of the
+    newest ``keep_versions`` committed versions (in-flight readers +
+    time-travel history), prunes older ones plus failed uncommitted
+    attempts, and deletes migrated flat-layout files — all crash-safe:
+    the new version is already current."""
+    import uuid as _uuid
+
     jvm, hp, fs = _fs_for(spark, manifest_path)
     committed = _committed_versions(spark, manifest_path)
     nxt = (committed[-1] + 1) if committed else 0
@@ -1568,11 +1894,16 @@ def _commit_manifest(
     txns: dict = {}
     schema_json: dict | None = table_schema
     pby: list | None = list(partition_by) if partition_by is not None else None
+    cdf_flag: bool = bool(cdf) if cdf is not None else False
+    dvs: list[dict] = []
+    base_prev: int | None = None
     if committed:
-        prev = _read_json_marker(
-            spark, f"{manifest_path}/v{committed[-1]}/_COMMIT"
-        )
-        pending = [f for f in prev.get("removed", []) if fs.exists(hp(f))]
+        prev = _commit_info(spark, manifest_path, committed[-1])
+        pending = [
+            f
+            for f in prev.get("pending", prev.get("removed", []))
+            if fs.exists(hp(f))
+        ]
         txns = dict(prev.get("txns", {}))
         if schema_json is None:
             # the table schema rides every commit once stamped — a
@@ -1583,20 +1914,182 @@ def _commit_manifest(
             # partitionColumns) — writers then skip the O(files)
             # directory probe per transaction
             pby = prev.get("partition_by")
+        if cdf is None:
+            cdf_flag = bool(prev.get("cdf", False))
+        dvs = list(prev.get("dvs", []))
+        stats_cols = prev.get("stats_cols")
+        base_prev = (
+            int(prev.get("base_ckpt", committed[-1]))
+            if prev.get("kind", "checkpoint") == "delta"
+            else committed[-1]
+        )
+    else:
+        stats_cols = None
     if txn is not None:
         txns[str(txn[0])] = int(txn[1])
-    all_removed = sorted(set(removed) | set(pending))
+    retired: list[str] = list(extra_pending or [])
+    if dvs_clear:
+        retired += [d["file"] for d in dvs]
+        dvs = []
+    if dvs_add:
+        dvs += [dict(d) for d in dvs_add]
+    removed_now = sorted(set(removed))
+    pending_all = sorted(set(pending) | set(removed_now) | set(retired))
+    if added_files is None:
+        if added_rows is not None:
+            added_files = [r["file"] for r in added_rows]
+        elif added_stats is not None:
+            added_files = [
+                r["file"] for r in added_stats.select("file").collect()
+            ]
+        else:
+            added_files = []
+
+    checkpoint = (
+        force_checkpoint
+        or not committed
+        or bool(flat)
+        or (nxt - (base_prev if base_prev is not None else nxt))
+        >= _CHECKPOINT_EVERY
+    )
+
+    # stamp the delta rows with the version that adds them — deletion
+    # vectors compare tombstone versions against this to decide which
+    # files a suppression still applies to
+    if added_rows is not None:
+        added_rows = [dict(r, added_version=nxt) for r in added_rows]
+        if stats_schema is not None and not any(
+            f.name == "added_version" for f in stats_schema.fields
+        ):
+            stats_schema = T.StructType(
+                list(stats_schema.fields)
+                + [T.StructField("added_version", T.LongType(), True)]
+            )
+        if checkpoint:
+            # the checkpoint path needs a DataFrame to union; the rows
+            # are batch-sized, so the conversion is driver-trivial
+            added_stats = spark.createDataFrame(
+                [
+                    tuple(r.get(f.name) for f in stats_schema.fields)
+                    for r in added_rows
+                ],
+                stats_schema,
+            )
+    elif added_stats is not None and "added_version" not in added_stats.columns:
+        added_stats = added_stats.withColumn(
+            "added_version", F.lit(nxt).cast("long")
+        )
+
+    local_delta = not checkpoint and added_rows is not None
+    if checkpoint:
+        parts: list[DataFrame] = []
+        prev_df: DataFrame | None = None
+        if committed:
+            prev_df = _reconstruct_manifest(spark, manifest_path, committed[-1])
+        elif flat:
+            prev_df = spark.read.parquet(*flat)
+        if prev_df is not None:
+            if removed_now:
+                rdf = spark.createDataFrame(
+                    [(f,) for f in removed_now], "file string"
+                )
+                prev_df = prev_df.join(
+                    F.broadcast(rdf), on="file", how="left_anti"
+                )
+            parts.append(prev_df)
+        if added_stats is not None:
+            parts.append(added_stats)
+        if parts:
+            out_df = parts[0]
+            for p in parts[1:]:
+                out_df = out_df.unionByName(p, allowMissingColumns=True)
+        else:
+            out_df = spark.createDataFrame(
+                [], "file string, n_rows long, added_version long"
+            )
+    elif not local_delta:
+        out_df = (
+            added_stats
+            if added_stats is not None
+            # a pure-removal delta: an empty placeholder keeps the
+            # write→rename commit shape; reconstruction skips part-less
+            # version dirs anyway
+            else spark.createDataFrame([], "file string")
+        )
 
     vdir = f"{manifest_path}/v{nxt}"
-    # the write MATERIALIZES df before any input (old version / flat
-    # files) is touched — committed versions are never inputs to their
-    # own destruction
-    df.write.mode("overwrite").parquet(vdir)
-    payload = {"version": nxt, "removed": all_removed, "txns": txns}
+    tmpdir = f"{manifest_path}/.v{nxt}.{_uuid.uuid4().hex[:8]}"
+    # the write MATERIALIZES the version to a private temp dir before
+    # any input (old versions / flat files) is touched and before the
+    # log is — committed versions are never inputs to their own
+    # destruction, and a stale writer never writes INTO a live vdir
+    if local_delta:
+        # a batch-sized delta: ONE driver-side pyarrow write, zero
+        # Spark jobs — the commit's metadata cost is O(batch) in time,
+        # not just bytes
+        _write_parquet_local(spark, added_rows, stats_schema, tmpdir)
+    else:
+        out_df.write.mode("overwrite").parquet(tmpdir)
+    if fs.exists(hp(vdir)):
+        if fs.exists(hp(f"{vdir}/_COMMIT")):
+            # another writer committed this version while we wrote the
+            # temp dir — classic optimistic-concurrency loss
+            fs.delete(hp(tmpdir), True)
+            raise SnapshotConflict(
+                f"manifest at {manifest_path}: v{nxt} was committed by "
+                "another writer — retry from a fresh snapshot"
+            )
+        # a marker-less v<N> is a crashed attempt (same-driver writers
+        # serialize on _log_lock, so it cannot be live here); clear it
+        # so the rename can land.  Cross-driver crashed-attempt cleanup
+        # keeps single-maintenance-actor granularity (see _log_lock).
+        fs.delete(hp(vdir), True)
+    if not fs.rename(hp(tmpdir), hp(vdir)):
+        fs.delete(hp(tmpdir), True)
+        raise SnapshotConflict(
+            f"manifest at {manifest_path}: v{nxt} appeared while "
+            "committing — another writer won; retry from a fresh snapshot"
+        )
+    # the stats column set rides the marker too — writers resolve it
+    # from one JSON read instead of reconstructing the manifest just
+    # to look at its column names
+    if added_rows is not None and stats_schema is not None:
+        stats_cols = [
+            f.name[:-4]
+            for f in stats_schema.fields
+            if f.name.endswith("_min")
+        ]
+    elif added_stats is not None:
+        stats_cols = [
+            c[:-4] for c in added_stats.columns if c.endswith("_min")
+        ]
+    payload = {
+        "version": nxt,
+        "kind": "checkpoint" if checkpoint else "delta",
+        "base_ckpt": (
+            nxt if checkpoint else (base_prev if base_prev is not None else nxt)
+        ),
+        "added": sorted(added_files),
+        "removed": removed_now,
+        "pending": pending_all,
+        "txns": txns,
+    }
+    if stats_cols is not None:
+        payload["stats_cols"] = list(stats_cols)
     if schema_json is not None:
         payload["schema"] = schema_json
     if pby is not None:
         payload["partition_by"] = pby
+    if cdf_flag:
+        payload["cdf"] = True
+    if dvs:
+        payload["dvs"] = dvs
+    if dvs_add or dvs_clear:
+        # row visibility changed without file removal — append-span CDC
+        # must refuse this span unless change-data files serve it
+        payload["dvs_delta"] = True
+    if changes is not None:
+        payload["changes"] = sorted(changes)
     _write_json_marker(
         spark,
         vdir,
@@ -1605,12 +2098,27 @@ def _commit_manifest(
         overwrite=False,
     )  # <- the commit point
 
+    # housekeeping: keep the newest ``keep_versions`` committed
+    # versions RECONSTRUCTIBLE — i.e. retain everything from the oldest
+    # wanted version's base checkpoint up; delete older chains and
+    # failed uncommitted attempts
     keep = max(1, int(keep_versions))
+    live = committed + [nxt]
+    oldest_wanted = live[max(0, len(live) - keep)]
+    if oldest_wanted == nxt:
+        floor = payload["base_ckpt"]
+    else:
+        m = _commit_info(spark, manifest_path, oldest_wanted)
+        floor = (
+            int(m.get("base_ckpt", oldest_wanted))
+            if m.get("kind", "checkpoint") == "delta"
+            else oldest_wanted
+        )
     for st in fs.listStatus(hp(manifest_path)):
         name = st.getPath().getName()
         if st.isDirectory() and re.fullmatch(r"v\d+", name):
             n = int(name[1:])
-            if n <= nxt - keep or (n < nxt and n not in committed):
+            if n < floor or (n < nxt and n not in committed):
                 fs.delete(st.getPath(), True)
     for fpath in flat:
         fs.delete(hp(fpath), False)
@@ -1619,15 +2127,17 @@ def _commit_manifest(
 
 def _sweep_removed(spark: SparkSession, manifest_path: str) -> list[str]:
     """Physically delete data files whose removal the CURRENT manifest
-    version committed (``delete_where`` defers deletion until after its
-    atomic commit).  Idempotent; returns what it deleted."""
+    version committed — the ``pending`` backlog (this commit's logical
+    removals plus any predecessor removals never swept; legacy markers
+    carried the same list as ``removed``).  Idempotent; returns what it
+    deleted."""
     v = manifest_version(spark, manifest_path)
     if v is None:
         return []
     jvm, hp, fs = _fs_for(spark, manifest_path)
-    commit = _read_json_marker(spark, f"{manifest_path}/v{v}/_COMMIT")
+    commit = _commit_info(spark, manifest_path, v)
     deleted = []
-    for f in commit.get("removed", []):
+    for f in commit.get("pending", commit.get("removed", [])):
         if fs.exists(hp(f)):
             fs.delete(hp(f), False)
             deleted.append(f)
@@ -1714,6 +2224,38 @@ def _detect_pcols(spark: SparkSession, path: str, mdir: str) -> list[str]:
     return []
 
 
+def _guard_partition_cols(
+    spark: SparkSession,
+    path: str,
+    mdir: str,
+    stored_schema: T.StructType,
+    source_cols: Sequence[str],
+    ctx: str,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Raise when a write batch OMITS one of the table's hive partition
+    columns: the add-only evolution path would null-fill it and
+    ``partitionBy`` would land every row in
+    ``__HIVE_DEFAULT_PARTITION__`` — data silently migrating out of its
+    partition.  Applied on every lake write entry (append / merge /
+    streamed merge), not just ``LakeUpsertSink``."""
+    pcols = (
+        list(partition_by)
+        if partition_by is not None
+        else _detect_pcols(spark, path, mdir)
+    )
+    stored_names = {f.name for f in stored_schema.fields}
+    have = set(source_cols)
+    missing = [c for c in pcols if c in stored_names and c not in have]
+    if missing:
+        raise ValueError(
+            f"{ctx}: the batch omits the table's partition column(s) "
+            f"{missing} — null-filling them would silently rewrite rows "
+            "into __HIVE_DEFAULT_PARTITION__; include the column(s) in "
+            "the source"
+        )
+
+
 def _evolved_schema(
     table_schema: T.StructType, batch_schema: T.StructType, ctx: str
 ) -> T.StructType:
@@ -1794,6 +2336,118 @@ def _move_files_in(fs, hp, planned: Sequence[tuple[str, str]]) -> list[str]:
     return added
 
 
+def _active_dvs(
+    spark: SparkSession, manifest_path: str, version: int | None = None
+) -> list[dict]:
+    """The deletion vectors active at a committed snapshot (current, or
+    ``version`` for time travel): ``[{"file", "version", "keys"}, …]``,
+    carried forward by every commit until ``materialize_deletes``
+    retires them.  Empty for tables that never took a merge-on-read
+    write."""
+    v = version if version is not None else manifest_version(
+        spark, manifest_path
+    )
+    if v is None:
+        return []
+    return list(_commit_info(spark, manifest_path, v).get("dvs", []))
+
+
+def _table_cdf(spark: SparkSession, manifest_path: str) -> bool:
+    """Whether the table's carried change-data-feed flag is set (every
+    rewrite commit then writes change-data files ``table_changes`` can
+    serve row-level CDC from)."""
+    v = manifest_version(spark, manifest_path)
+    if v is None:
+        return False
+    return bool(_commit_info(spark, manifest_path, v).get("cdf", False))
+
+
+def _dv_suppress(
+    spark: SparkSession,
+    df: DataFrame,
+    manifest: DataFrame,
+    dvs: Sequence[dict],
+) -> DataFrame:
+    """Apply active deletion vectors (key tombstones) to a scanned
+    DataFrame: a row is suppressed iff some tombstone for its merge key
+    was committed at a LATER version than the row's file was added —
+    so a merge-on-read upsert's new rows (same commit as the tombstone)
+    and any later re-insert survive, while every older version of the
+    key disappears.  The tombstone set is batch-sized (broadcast), the
+    file→added_version map is manifest-metadata-sized (broadcast), and
+    the scan itself stays one pass — no shuffle enters the plan.
+
+    File provenance rides ``input_file_name()`` (scheme-stripped to
+    match the manifest's URI form); rows from files the manifest does
+    not know (legacy/pre-DV) conservatively count as oldest, so
+    tombstones apply to them."""
+    dvs = list(dvs)
+    if not dvs:
+        return df
+    keys = list(dvs[0]["keys"])
+    for d in dvs[1:]:
+        if list(d["keys"]) != keys:
+            raise ValueError(
+                "active deletion vectors disagree on merge keys "
+                f"({keys} vs {list(d['keys'])}) — materialize_deletes "
+                "before merging on a different key set"
+            )
+    tomb: DataFrame | None = None
+    for d in dvs:
+        t = (
+            spark.read.parquet(d["file"])
+            .select(*keys)
+            .withColumn("__dv_v", F.lit(int(d["version"])).cast("long"))
+        )
+        tomb = t if tomb is None else tomb.unionByName(t)
+    tmax = tomb.groupBy(*keys).agg(F.max("__dv_v").alias("__dv_v"))
+    if "added_version" in manifest.columns:
+        av = F.coalesce(F.col("added_version"), F.lit(-1)).cast("long")
+    else:  # legacy manifest rows: every file predates every tombstone
+        av = F.lit(-1).cast("long")
+    fmap = manifest.select(
+        F.col("file").alias("__dv_file"), av.alias("__dv_av")
+    )
+    return (
+        df.withColumn(
+            "__dv_file",
+            F.regexp_replace(F.input_file_name(), r"^file:/+", "/"),
+        )
+        .join(F.broadcast(fmap), on="__dv_file", how="left")
+        .join(F.broadcast(tmax), on=keys, how="left")
+        .filter(
+            F.col("__dv_v").isNull()
+            | (F.col("__dv_v") <= F.coalesce(F.col("__dv_av"), F.lit(-1)))
+        )
+        .drop("__dv_file", "__dv_av", "__dv_v")
+    )
+
+
+def _write_changes(
+    spark: SparkSession, df: DataFrame, path: str, version: int
+) -> list[str]:
+    """Write one commit's change-data rows (already carrying
+    ``_change_type``/``_commit_version``) under ``<path>/_changes/``
+    and return the written file URIs for the commit marker.  The files
+    are invisible until the marker references them; a crashed attempt's
+    files ride the ``_TXN`` added list and roll back with it."""
+    import uuid
+
+    cdir = path.rstrip("/") + f"/_changes/v{version}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(cdir)
+    jvm, hp, fs = _fs_for(spark, path)
+    out = []
+    for st in fs.listStatus(hp(cdir)):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            q = st.getPath()
+            uri = q.toString()
+            if uri.startswith("file:"):
+                uri = q.toUri().getPath()
+            out.append(uri)
+    return sorted(out)
+
+
 def _txn_rewrite(
     spark: SparkSession,
     path: str,
@@ -1805,6 +2459,7 @@ def _txn_rewrite(
     candidates: Sequence[str] | None = None,
     keep_versions: int = 2,
     txn: tuple[str, int] | None = None,
+    changes_fn: Callable[[DataFrame, "F.Column"], DataFrame] | None = None,
 ) -> dict:
     """Per-table-serialized entry to ``_txn_rewrite_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -1812,7 +2467,7 @@ def _txn_rewrite(
         return _txn_rewrite_unlocked(
             spark, path, manifest_path, predicates, rewrite, cols,
             count_matched=count_matched, candidates=candidates,
-            keep_versions=keep_versions, txn=txn,
+            keep_versions=keep_versions, txn=txn, changes_fn=changes_fn,
         )
 
 
@@ -1827,6 +2482,7 @@ def _txn_rewrite_unlocked(
     candidates: Sequence[str] | None = None,
     keep_versions: int = 2,
     txn: tuple[str, int] | None = None,
+    changes_fn: Callable[[DataFrame, "F.Column"], DataFrame] | None = None,
 ) -> dict:
     """The snapshot-committed candidate-file rewrite engine shared by
     ``delete_where`` and ``update_where``: prune candidate files
@@ -1919,30 +2575,74 @@ def _txn_rewrite_unlocked(
     touched = (
         spark.read.option("basePath", path).schema(schema).parquet(*cand)
     )
-    rows_before = touched.count()
-    rows_matched = touched.filter(hit).count() if count_matched else None
-    out = rewrite(touched, hit).select(*[f.name for f in schema.fields])
+    # active deletion vectors apply to the candidate read: the rewrite
+    # must not resurrect suppressed rows, and the rewritten files get
+    # added_version = this commit (newer than every tombstone), so
+    # their suppression is MATERIALIZED here for the touched files
+    dvs = _active_dvs(spark, mdir, version=snap_v)
+    touched = _dv_suppress(spark, touched, manifest, dvs)
+
+    from pyspark.sql import Observation
+
+    # every ledger count rides the ONE write job as CollectMetrics —
+    # no pre-count of the candidates, no read-back of the temp output
+    # (three saved jobs per transaction)
+    obs_in = Observation()
+    touched_obs = touched.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("m"),
+    )
+    out = rewrite(touched_obs, hit).select(*[f.name for f in schema.fields])
+    obs_out = Observation()
+    out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
 
     tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
     writer = out.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
-    rows_after = spark.read.schema(schema).parquet(tmp).count()
+    rows_before = int(obs_in.get["n"])
+    rows_matched = (
+        int(obs_in.get["m"] or 0) if count_matched else None
+    )
+    rows_after = int(obs_out.get["n"])
+
+    expected = (snap_v if snap_v is not None else -1) + 1
+
+    # change-data feed: when the table's cdf flag is set, this commit's
+    # row-level changes land as sidecar files table_changes serves —
+    # computed by the operation (delete/update know their own change
+    # rows; compaction's is the explicit empty set)
+    changes_files: list[str] | None = None
+    if _table_cdf(spark, mdir):
+        cdc = changes_fn(touched, hit) if changes_fn is not None else None
+        changes_files = (
+            _write_changes(
+                spark,
+                cdc.withColumn(
+                    "_commit_version", F.lit(expected).cast("long")
+                ),
+                path,
+                expected,
+            )
+            if cdc is not None
+            else []
+        )
 
     # plan final resting places, log the intent, THEN move
     planned = [
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
         for rel, _ln in _leaf_files(spark, tmp)
     ]
-    expected = (snap_v if snap_v is not None else -1) + 1
     _write_json_marker(
         spark,
         mdir,
         "_TXN",
         {
             "expected_version": expected,
-            "added": [dst for _src, dst in planned],
+            "added": [dst for _src, dst in planned]
+            + list(changes_files or []),
             "removed": list(cand),
         },
     )
@@ -1951,18 +2651,28 @@ def _txn_rewrite_unlocked(
 
     if cols is None:
         cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
-    cand_df = spark.createDataFrame([(f,) for f in cand], "file string")
-    carried = manifest.join(F.broadcast(cand_df), on="file", how="left_anti")
-    merged = carried.unionByName(
-        parquet_stats_index(spark, path, list(cols), paths=added)
-    )
+    # O(batch) commit: only the new files' stats rows are written; the
+    # rewritten candidates ride the marker's removed list and fall out
+    # of the snapshot at reconstruction (materialized at the next
+    # checkpoint) — driver-side footer reads for batch-sized adds
+    delta_df = None
+    delta_rows = delta_schema = None
+    if len(added) <= _LOCAL_STATS_MAX:
+        delta_rows, delta_schema = _local_stats_rows(
+            added, list(cols), schema, pcols
+        )
+    else:
+        delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
     try:
         version = _commit_manifest(
-            spark, mdir, merged, removed=cand, expected_version=expected,
+            spark, mdir, delta_df,
+            removed=cand, expected_version=expected,
             keep_versions=keep_versions, partition_by=pcols, txn=txn,
+            added_files=added, changes=changes_files,
+            added_rows=delta_rows, stats_schema=delta_schema,
         )
     except SnapshotConflict:
-        _rollback_conflict(spark, mdir, added)
+        _rollback_conflict(spark, mdir, added + list(changes_files or []))
         raise
     _post_commit_sweep(spark, mdir)
     fs.delete(hp(f"{mdir}/_TXN"), False)
@@ -2028,6 +2738,11 @@ def delete_where(
         cols,
         keep_versions=keep_versions,
         txn=txn,
+        # change-data feed (when the table's flag is set): the deleted
+        # rows, verbatim
+        changes_fn=lambda touched, hit: touched.filter(hit).withColumn(
+            "_change_type", F.lit("delete")
+        ),
     )
     rb, ra = ledger.pop("rows_before"), ledger.pop("rows_after")
     ledger.pop("rows_matched", None)
@@ -2090,9 +2805,24 @@ def update_where(
             }
         )
 
+    def _cdc(touched: DataFrame, hit) -> DataFrame:
+        # pre/postimages of the matched rows — the postimage re-applies
+        # the SET expressions to the preimage rows (hit is already
+        # true there), so predicate columns the update itself moves
+        # cannot mislabel the postimage
+        pre = touched.filter(hit)
+        return pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            _apply(pre, F.lit(True)).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+
     ledger = _txn_rewrite(
         spark, path, manifest_path, predicates, _apply, cols,
         count_matched=True, keep_versions=keep_versions, txn=txn,
+        changes_fn=_cdc,
     )
     ledger["rows_updated"] = ledger.pop("rows_matched") or 0
     return ledger
@@ -2168,6 +2898,7 @@ def _update_stats_index_unlocked(
             expected_version=expected,
             keep_versions=keep_versions,
             partition_by=_detect_pcols(spark, path, mdir),
+            added_files=current,
         )
         return {
             "files_total": len(current),
@@ -2183,24 +2914,28 @@ def _update_stats_index_unlocked(
     old_files = {r["file"] for r in old.select("file").collect()}
     cur_set = set(current)
     new = sorted(cur_set - old_files)
-    removed = len(old_files - cur_set)
+    gone = sorted(old_files - cur_set)
 
-    survivors_df = spark.createDataFrame(
-        [(p,) for p in sorted(cur_set & old_files)], "file string"
-    )
-    carried = old.join(F.broadcast(survivors_df), on="file", how="leftsemi")
-    merged = carried.unionByName(
-        parquet_stats_index(spark, path, list(cols), paths=new)
-    )
+    # the rebuild is the maintenance path, so it materializes a full
+    # CHECKPOINT (the commit carries the adopted files as added and the
+    # vanished ones as removed; the checkpoint write folds both in)
     version = _commit_manifest(
-        spark, mdir, merged, removed=[], expected_version=expected,
+        spark, mdir,
+        # None (not an empty frame) when nothing is new — an empty
+        # union would still stamp the bookkeeping column onto a
+        # legacy manifest that migrates unchanged
+        parquet_stats_index(spark, path, list(cols), paths=new)
+        if new
+        else None,
+        removed=gone, expected_version=expected,
         keep_versions=keep_versions,
         partition_by=_detect_pcols(spark, path, mdir),
+        added_files=new, force_checkpoint=True,
     )
     return {
         "files_total": len(current),
         "files_new": len(new),
-        "files_removed": removed,
+        "files_removed": len(gone),
         "files_carried": len(cur_set & old_files),
         "version": version,
     }
@@ -2245,6 +2980,12 @@ def read_table(
     (delete/update) sweeps its replaced files at commit, so travel past
     one requires the retention knob a real deployment adds to the
     sweep.
+
+    Active deletion vectors (merge-on-read upserts) apply at serve
+    time: tombstoned keys' OLDER rows are suppressed via a broadcast
+    join against the batch-sized tombstone set — no shuffle enters the
+    plan, and ``materialize_deletes`` folds the suppression back into
+    the data files.
     """
     ranges, cond = _pred_parts(predicates)
     mdir = _manifest_dir(path, manifest_path)
@@ -2261,12 +3002,15 @@ def read_table(
         schema = spark.read.parquet(path).schema
     if not files:
         return spark.createDataFrame([], schema).filter(cond)
-    return (
+    out = (
         spark.read.option("basePath", path)
         .schema(schema)
         .parquet(*files)
-        .filter(cond)
     )
+    dvs = _active_dvs(spark, mdir, version=version)
+    if dvs:
+        out = _dv_suppress(spark, out, manifest, dvs)
+    return out.filter(cond)
 
 
 def last_committed_txn(
@@ -2292,6 +3036,7 @@ def append_files(
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
     partition_by: Sequence[str] | None = None,
+    enable_cdf: bool | None = None,
 ) -> dict:
     """Per-table-serialized entry to ``_append_files_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -2299,6 +3044,7 @@ def append_files(
         return _append_files_unlocked(
             spark, df, path, manifest_path=manifest_path, cols=cols,
             txn=txn, keep_versions=keep_versions, partition_by=partition_by,
+            enable_cdf=enable_cdf,
         )
 
 
@@ -2311,6 +3057,7 @@ def _append_files_unlocked(
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
     partition_by: Sequence[str] | None = None,
+    enable_cdf: bool | None = None,
 ) -> dict:
     """EXACTLY-ONCE append of ``df`` as new data files to a
     manifest-tracked table — the per-micro-batch ingest commit of a
@@ -2343,27 +3090,42 @@ def _append_files_unlocked(
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
 
+    # ONE listing + ONE head-marker read serve the whole transaction:
+    # snapshot pin, txn idempotence, stats columns, schema, and the
+    # partition layout all ride the same JSON (pre-log flat manifests
+    # fall back to the reconstruction read)
+    snap_v = manifest_version(spark, mdir)
+    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    have_table = snap_v is not None or bool(
+        _flat_manifest_files(spark, mdir)
+    )
+
     if txn is not None:
-        seen = last_committed_txn(spark, mdir, txn[0])
-        if seen is not None and int(txn[1]) <= seen:
+        seen = head.get("txns", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
             return {
                 "rows": 0,
                 "files_added": 0,
-                "version": manifest_version(spark, mdir),
+                "version": snap_v,
                 "skipped": True,
             }
 
-    manifest = current_manifest(spark, mdir)
-    # pin the snapshot version at manifest-read time: an interloper
-    # committing after this point must fail this commit loudly
-    # (SnapshotConflict), never merge from a stale stats snapshot
-    snap_v = manifest_version(spark, mdir)
-    if manifest is None and cols is None:
+    if not have_table and cols is None:
         raise ValueError(
             "cols is required for the first commit to a new table"
         )
     if cols is None:
-        cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
+        cols = head.get("stats_cols")
+        if cols is None:  # legacy marker / flat manifest
+            cols = [
+                c[:-4]
+                for c in current_manifest(spark, mdir).columns
+                if c.endswith("_min")
+            ]
+    if partition_by is None and head.get("partition_by"):
+        # appends to a stamped hive-partitioned table keep its layout
+        # without the caller restating it every batch
+        partition_by = list(head["partition_by"])
 
     # ADD-ONLY schema evolution (same contract as ParquetUpsertSink):
     # resolve the table schema from the committed snapshot (falling
@@ -2371,12 +3133,27 @@ def _append_files_unlocked(
     # type changes, append new columns, null-fill omitted ones; the
     # evolved schema is stamped into this commit so read_table serves
     # old files null-filled under it.
-    if manifest is not None:
-        stored = committed_schema(spark, mdir)
-        if stored is None:
-            stored = spark.read.parquet(path).schema
+    if have_table:
+        sj = head.get("schema")
+        stored = (
+            T.StructType.fromJson(sj)
+            if sj is not None
+            else spark.read.parquet(path).schema
+        )
         evolved = _evolved_schema(
             stored, df.schema, f"append_files into {path}"
+        )
+        # a batch that OMITS the table's partition column must fail
+        # loudly — null-filling it would land the rows in
+        # __HIVE_DEFAULT_PARTITION__, silently migrating data out of
+        # its partition (the LakeUpsertSink guard, hoisted to every
+        # lake write path)
+        _guard_partition_cols(
+            spark, path, mdir, stored, df.columns,
+            f"append_files into {path}",
+            partition_by
+            if partition_by is not None
+            else head.get("partition_by"),
         )
         df = _aligned(df, evolved)
     else:
@@ -2422,22 +3199,34 @@ def _append_files_unlocked(
     added = _move_files_in(fs, hp, planned)
     fs.delete(hp(tmp), True)
 
-    delta = parquet_stats_index(spark, path, list(cols), paths=added)
-    merged = (
-        manifest.unionByName(delta) if manifest is not None else delta
+    # O(batch) commit: only the new files' stats rows are written (the
+    # delta) — driver-side for batch-sized adds (zero Spark jobs),
+    # distributed above _LOCAL_STATS_MAX
+    pcols_commit = (
+        list(partition_by)
+        if partition_by is not None
+        # detect once (stamped thereafter) so flat tables stamp
+        # [] and later transactions skip the directory probe
+        else _detect_pcols(spark, path, mdir)
     )
+    delta_df = None
+    delta_rows = delta_schema = None
+    if len(added) <= _LOCAL_STATS_MAX:
+        delta_rows, delta_schema = _local_stats_rows(
+            added, list(cols), evolved, pcols_commit
+        )
+    else:
+        delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
     try:
         version = _commit_manifest(
-            spark, mdir, merged, removed=[], expected_version=expected,
+            spark, mdir, delta_df, removed=[], expected_version=expected,
             txn=txn, keep_versions=keep_versions,
             table_schema=evolved.jsonValue(),
-            partition_by=(
-                list(partition_by)
-                if partition_by is not None
-                # detect once (stamped thereafter) so flat tables stamp
-                # [] and later transactions skip the directory probe
-                else _detect_pcols(spark, path, mdir)
-            ),
+            partition_by=pcols_commit,
+            added_files=added,
+            cdf=enable_cdf,
+            added_rows=delta_rows,
+            stats_schema=delta_schema,
         )
     except SnapshotConflict:
         # lost the optimistic race AFTER moving files in: undo them so
@@ -2465,6 +3254,7 @@ def merge_into(
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
     target_bytes: int = 128 * 1024 * 1024,
+    strategy: str = "copy-on-write",
 ) -> dict:
     """Per-table-serialized entry to ``_merge_into_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -2472,7 +3262,7 @@ def merge_into(
         return _merge_into_unlocked(
             spark, source, path, keys, manifest_path=manifest_path,
             mode=mode, cols=cols, txn=txn, keep_versions=keep_versions,
-            target_bytes=target_bytes,
+            target_bytes=target_bytes, strategy=strategy,
         )
 
 
@@ -2487,6 +3277,7 @@ def _merge_into_unlocked(
     txn: tuple[str, int] | None = None,
     keep_versions: int = 2,
     target_bytes: int = 128 * 1024 * 1024,
+    strategy: str = "copy-on-write",
 ) -> dict:
     """Keyed MERGE INTO a manifest-tracked table as ONE snapshot
     transaction — the lakehouse ``MERGE INTO t USING s ON t.k = s.k
@@ -2506,6 +3297,16 @@ def _merge_into_unlocked(
     mode='ignore' rewrites NOTHING — candidates are scanned for key
     existence only and just the fresh rows land as new files.
 
+    ``strategy='merge-on-read'`` (mode='update' only) removes the
+    write amplification entirely: NO candidate file is read or
+    rewritten — the source rows land as new files and the source KEYS
+    land as a deletion-vector tombstone file recorded in the commit;
+    ``read_table`` suppresses older rows for tombstoned keys at serve
+    time (tombstone version > the row's file's added_version), and
+    ``materialize_deletes`` folds the suppression back into the data
+    files.  A 1-row update to a 128 MB file writes ~1 row, not
+    128 MB — Delta/Iceberg's deletion-vector shape on this log.
+
     Transaction protocol = ``append_files``/``_txn_rewrite``'s:
     temp-sibling write, ``_TXN`` intent, move-in (invisible until
     commit), one atomic manifest commit carrying the evolved schema
@@ -2513,33 +3314,52 @@ def _merge_into_unlocked(
     batch id is a no-op — exactly-once keyed upsert from a stream),
     post-commit sweep of replaced files; ``SnapshotConflict`` rolls
     back the moved-in files so ``retry_on_conflict`` restarts clean.
-    Crash-injection tested on both sides of the commit point.
+    Crash-injection tested on both sides of the commit point.  When
+    the table's change-data-feed flag is set, the commit also writes
+    row-level change files (insert / update_preimage /
+    update_postimage) that ``table_changes`` serves across rewrites.
 
     Source rows must be unique per key (Delta's MERGE contract —
     multiple source matches for one target row raise).  Schema
     evolution is the add-only contract shared with ``append_files``.
     Returns a ledger: files_total, files_rewritten, files_added,
     rows_source, rows_updated, rows_inserted, rows_before, rows_after,
-    partitioned, version, mode, skipped.
+    partitioned, version, mode, skipped (merge-on-read adds dv_files;
+    its rows_updated/inserted are None unless the CDF scan computed
+    them).
     """
     import uuid
 
     if mode not in ("update", "ignore"):
         raise ValueError(f"unknown merge mode {mode!r}")
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+    if strategy == "merge-on-read" and mode != "update":
+        raise ValueError(
+            "merge-on-read needs mode='update' — insert-if-absent "
+            "(mode='ignore') must scan candidates for key existence, "
+            "which is exactly what merge-on-read avoids"
+        )
     keys = list(keys)
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
 
+    # ONE listing + ONE head-marker read serve the whole transaction:
+    # snapshot pin, txn idempotence, schema, partition columns, active
+    # deletion vectors, and the cdf flag all ride the same JSON
+    snap_v = manifest_version(spark, mdir)
+    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+
     if txn is not None:
-        seen = last_committed_txn(spark, mdir, txn[0])
-        if seen is not None and int(txn[1]) <= seen:
+        seen = head.get("txns", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
             return {
                 "rows_source": 0,
                 "files_rewritten": 0,
                 "files_added": 0,
-                "version": manifest_version(spark, mdir),
+                "version": snap_v,
                 "skipped": True,
             }
 
@@ -2550,18 +3370,26 @@ def _merge_into_unlocked(
             "append_files / update_stats_index first"
         )
     if cols is None:
-        cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
-    # pin the snapshot version at manifest-read time (see append_files)
-    snap_v = manifest_version(spark, mdir)
+        cols = head.get("stats_cols") or [
+            c[:-4] for c in manifest.columns if c.endswith("_min")
+        ]
 
-    stored = committed_schema(spark, mdir)
-    if stored is None:
-        stored = spark.read.parquet(path).schema
+    sj = head.get("schema")
+    stored = (
+        T.StructType.fromJson(sj)
+        if sj is not None
+        else spark.read.parquet(path).schema
+    )
     evolved = _evolved_schema(stored, source.schema, f"merge_into {path}")
     missing_keys = [k for k in keys if k not in source.columns]
     if missing_keys:
         raise ValueError(f"merge source lacks key column(s) {missing_keys}")
+    _guard_partition_cols(
+        spark, path, mdir, stored, source.columns, f"merge_into {path}",
+        partition_by=head.get("partition_by"),
+    )
     src = _aligned(source, evolved).persist(StorageLevel.MEMORY_AND_DISK)
+    caches: list[DataFrame] = [src]
     try:
         agg = src.agg(
             F.count(F.lit(1)).alias("_n"),
@@ -2604,34 +3432,97 @@ def _merge_into_unlocked(
         cand, files_total = _prune_files_with_total(manifest, ranges)
         ledger["files_total"] = int(files_total)
 
-        pcols = _detect_pcols(spark, path, mdir)
+        pby = head.get("partition_by")
+        pcols = (
+            list(pby) if pby is not None else _detect_pcols(spark, path, mdir)
+        )
+        dvs = list(head.get("dvs", []))
+        if dvs and list(dvs[0]["keys"]) != keys:
+            raise ValueError(
+                f"table has active deletion vectors keyed on "
+                f"{list(dvs[0]['keys'])} but this merge uses {keys} — "
+                "materialize_deletes before merging on a different key"
+            )
+        cdf_on = bool(head.get("cdf", False))
+        expected = (snap_v if snap_v is not None else -1) + 1
+        mor = strategy == "merge-on-read"
 
-        if cand:
-            touched = (
+        def _scan_touched() -> DataFrame:
+            if not cand:
+                return spark.createDataFrame([], evolved)
+            raw = (
                 spark.read.option("basePath", path)
                 .schema(evolved)
                 .parquet(*cand)
             )
-        else:
-            touched = spark.createDataFrame([], evolved)
-        # ignore mode never rewrites candidates, so their row count is
-        # ledger-irrelevant — skipping it saves a candidate scan per
-        # trigger on the streaming upsert path
-        rows_before = touched.count() if mode == "update" else None
+            # active deletion vectors apply to every candidate read —
+            # the merge must neither resurrect a suppressed row
+            # (update) nor count one as existing (ignore)
+            return _dv_suppress(spark, raw, manifest, dvs)
 
-        if mode == "update":
-            survivors = touched.join(
-                src.select(*keys).dropDuplicates(keys), on=keys,
-                how="left_anti",
-            )
-            out = survivors.unionByName(src)
-            removed = list(cand)
-        else:
-            fresh = src.join(
-                touched.select(*keys), on=keys, how="left_anti"
-            )
-            out = fresh
+        changes_df: DataFrame | None = None
+        rows_before: int | None = None
+        obs_in = None
+        if mor:
+            # merge-on-read: NO candidate file is read or rewritten —
+            # the source rows land as new files, the source keys as a
+            # tombstone; read_table suppresses older rows at serve
+            # time.  The CDF scan (below) is the only optional read.
+            out = src
             removed = []
+        else:
+            touched = _scan_touched()
+            # ignore mode never rewrites candidates, so their row count
+            # is ledger-irrelevant; in update mode it rides the write
+            # job as CollectMetrics — no separate candidate pre-count
+            if mode == "update":
+                from pyspark.sql import Observation as _Obs
+
+                obs_in = _Obs()
+                touched = touched.observe(
+                    obs_in, F.count(F.lit(1)).alias("n")
+                )
+            if mode == "update":
+                survivors = touched.join(
+                    src.select(*keys).dropDuplicates(keys), on=keys,
+                    how="left_anti",
+                )
+                out = survivors.unionByName(src)
+                removed = list(cand)
+            else:
+                fresh = src.join(
+                    touched.select(*keys), on=keys, how="left_anti"
+                )
+                out = fresh
+                removed = []
+                if cdf_on:
+                    changes_df = fresh.withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+        if cdf_on and mode == "update":
+            # row-level CDC for the upsert: preimages are the CURRENT
+            # visible rows for matched keys (one candidate scan — the
+            # only read a merge-on-read commit pays, and only with the
+            # feed enabled), postimages/inserts split the source by
+            # matched key
+            pre = _scan_touched().join(
+                src.select(*keys), on=keys, how="leftsemi"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(pre)
+            pre_k = pre.select(*keys)
+            changes_df = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    src.join(pre_k, on=keys, how="leftsemi").withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                .unionByName(
+                    src.join(pre_k, on=keys, how="left_anti").withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            )
 
         # OPTIMIZED WRITE (Delta's trade): shape the output BEFORE the
         # write so a micro-batch merge lands a handful of right-sized
@@ -2639,10 +3530,14 @@ def _merge_into_unlocked(
         # every downstream cost (footer stats, manifest rows, move-in
         # renames, later prunes) is O(files written).  Partitioned
         # tables align one task per partition value (within-partition
-        # size splitting is compact_table's job); flat tables target
-        # ceil(candidate_bytes / target_bytes) files.
+        # size splitting is compact_table's job); flat copy-on-write
+        # targets ceil(candidate_bytes / target_bytes) files; flat
+        # merge-on-read writes a batch, so one file per ~1M source
+        # rows (compact_table consolidates a long-running stream).
         if pcols:
             out = out.repartition(*pcols)
+        elif mor:
+            out = out.repartition(max(1, -(-n_src // 1_000_000)))
         else:
             cand_bytes = 0
             for f in cand:
@@ -2664,9 +3559,11 @@ def _merge_into_unlocked(
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
-        # row count rides the write itself (CollectMetrics) — no
-        # read-back scan of the temp output
+        # row counts ride the write itself (CollectMetrics) — no
+        # read-back scan of the temp output, no candidate pre-count
         rows_after = int(obs.get["n"])
+        if obs_in is not None:
+            rows_before = int(obs_in.get["n"])
         if mode == "ignore" and rows_after == 0:
             # every source key already exists: nothing to add, nothing
             # to rewrite — no commit needed (a replay re-derives the
@@ -2675,51 +3572,100 @@ def _merge_into_unlocked(
             fs.delete(hp(tmp), True)
             return ledger
 
+        # merge-on-read tombstone: the source keys, one sidecar file,
+        # recorded in the commit's deletion-vector list
+        dv_files: list[str] = []
+        if mor:
+            ddir = (
+                path.rstrip("/")
+                + f"/_deletes/v{expected}-{uuid.uuid4().hex[:8]}"
+            )
+            src.select(*keys).coalesce(1).write.mode("overwrite").parquet(
+                ddir
+            )
+            for st in fs.listStatus(hp(ddir)):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    q = st.getPath()
+                    uri = q.toString()
+                    if uri.startswith("file:"):
+                        uri = q.toUri().getPath()
+                    dv_files.append(uri)
+
+        changes_files: list[str] | None = None
+        if cdf_on:
+            changes_files = (
+                _write_changes(
+                    spark,
+                    changes_df.withColumn(
+                        "_commit_version", F.lit(expected).cast("long")
+                    ),
+                    path,
+                    expected,
+                )
+                if changes_df is not None
+                else []
+            )
+
         planned = [
             (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
             for rel, _ln in _leaf_files(spark, tmp)
         ]
-        expected = (snap_v if snap_v is not None else -1) + 1
         _write_json_marker(
             spark,
             mdir,
             "_TXN",
             {
                 "expected_version": expected,
-                "added": [dst for _src_f, dst in planned],
+                "added": [dst for _src_f, dst in planned]
+                + dv_files
+                + list(changes_files or []),
                 "removed": removed,
             },
         )
         added = _move_files_in(fs, hp, planned)
         fs.delete(hp(tmp), True)
 
-        if removed:
-            cand_df = spark.createDataFrame(
-                [(f,) for f in removed], "file string"
-            )
-            carried = manifest.join(
-                F.broadcast(cand_df), on="file", how="left_anti"
+        # O(batch) commit: only the new files' stats rows are written;
+        # rewritten candidates ride the marker's removed list —
+        # driver-side footer reads for batch-sized adds (zero jobs)
+        delta_df = None
+        delta_rows = delta_schema = None
+        if len(added) <= _LOCAL_STATS_MAX:
+            delta_rows, delta_schema = _local_stats_rows(
+                added, list(cols), evolved, pcols
             )
         else:
-            carried = manifest
-        merged = carried.unionByName(
-            parquet_stats_index(spark, path, list(cols), paths=added)
-        )
+            delta_df = parquet_stats_index(
+                spark, path, list(cols), paths=added
+            )
         try:
             version = _commit_manifest(
-                spark, mdir, merged, removed=removed,
+                spark, mdir, delta_df, removed=removed,
                 expected_version=expected, txn=txn,
                 keep_versions=keep_versions,
                 table_schema=evolved.jsonValue(),
                 partition_by=pcols,
+                added_files=added,
+                dvs_add=[
+                    {"file": f, "version": expected, "keys": list(keys)}
+                    for f in dv_files
+                ],
+                changes=changes_files,
+                added_rows=delta_rows,
+                stats_schema=delta_schema,
             )
         except SnapshotConflict:
-            _rollback_conflict(spark, mdir, added)
+            _rollback_conflict(
+                spark, mdir, added + dv_files + list(changes_files or [])
+            )
             raise
         _post_commit_sweep(spark, mdir)
         fs.delete(hp(f"{mdir}/_TXN"), False)
 
-        if mode == "update":
+        if mor:
+            rows_updated = rows_inserted = None
+        elif mode == "update":
             rows_updated = int(rows_before - (rows_after - n_src))
             rows_inserted = n_src - rows_updated
         else:
@@ -2739,9 +3685,12 @@ def _merge_into_unlocked(
                 "version": int(version),
             }
         )
+        if mor:
+            ledger["dv_files"] = len(dv_files)
         return ledger
     finally:
-        src.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def retry_on_conflict(fn, attempts: int = 5, base_delay_s: float = 0.05):
@@ -2844,27 +3793,223 @@ def compact_table(
     return ledger
 
 
+def materialize_deletes(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None = None,
+    cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Per-table-serialized entry to ``_materialize_deletes_unlocked``
+    (see ``_log_lock`` for the writer-concurrency contract)."""
+    with _log_lock(_manifest_dir(path, manifest_path)):
+        return _materialize_deletes_unlocked(
+            spark, path, manifest_path=manifest_path, cols=cols,
+            keep_versions=keep_versions, target_bytes=target_bytes,
+        )
+
+
+def _materialize_deletes_unlocked(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None = None,
+    cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Fold the active deletion vectors back into the data files — the
+    REORG/PURGE maintenance op paired with merge-on-read
+    ``merge_into``: candidate files (manifest-pruned by the tombstone
+    key ranges, and only those whose ``added_version`` predates a
+    tombstone) are rewritten with the suppression applied, the
+    tombstone sidecars retire into the sweep backlog, and the commit
+    clears the carried deletion-vector list — one snapshot
+    transaction, same crash contract as every other rewrite.  After
+    it, ``read_table`` serves the same rows with zero join work.
+
+    Row VISIBILITY does not change (the suppression was already served
+    at read time), so on a CDF table this commit records the explicit
+    empty change set, like compaction.  Returns a ledger:
+    files_rewritten, files_added, rows_suppressed, dv_files_removed,
+    version."""
+    import uuid
+
+    mdir = _manifest_dir(path, manifest_path)
+    jvm, hp, fs = _fs_for(spark, path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
+
+    snap_v = manifest_version(spark, mdir)
+    dvs = _active_dvs(spark, mdir, version=snap_v)
+    ledger = {
+        "files_rewritten": 0,
+        "files_added": 0,
+        "rows_suppressed": 0,
+        "dv_files_removed": 0,
+        "version": snap_v,
+    }
+    if not dvs:
+        return ledger
+    manifest = current_manifest(spark, mdir)
+    if cols is None:
+        cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
+    keys = list(dvs[0]["keys"])
+    max_dv_v = max(int(d["version"]) for d in dvs)
+    expected = (snap_v if snap_v is not None else -1) + 1
+
+    tomb: DataFrame | None = None
+    for d in dvs:
+        t = spark.read.parquet(d["file"]).select(*keys)
+        tomb = t if tomb is None else tomb.unionByName(t)
+    agg = tomb.agg(
+        *[F.min(k).alias(f"_lo_{k}") for k in keys],
+        *[F.max(k).alias(f"_hi_{k}") for k in keys],
+    ).collect()[0]
+    ranges = {
+        k: (agg[f"_lo_{k}"], agg[f"_hi_{k}"])
+        for k in keys
+        if agg[f"_lo_{k}"] is not None
+    }
+    # candidates: key-span overlap AND added before some tombstone —
+    # files newer than every tombstone cannot hold suppressed rows
+    av = (
+        F.coalesce(F.col("added_version"), F.lit(-1))
+        if "added_version" in manifest.columns
+        else F.lit(-1)
+    )
+    cand = prune_files(
+        manifest.filter(av < F.lit(max_dv_v)), ranges
+    )
+    dv_files = [d["file"] for d in dvs]
+
+    if not cand:
+        # tombstones that never matched a stored row: clear the list
+        # with a metadata-only commit
+        version = _commit_manifest(
+            spark, mdir, None, removed=[], expected_version=expected,
+            keep_versions=keep_versions, dvs_clear=True,
+            changes=[] if _table_cdf(spark, mdir) else None,
+        )
+        _post_commit_sweep(spark, mdir)
+        ledger.update(
+            {"dv_files_removed": len(dv_files), "version": int(version)}
+        )
+        return ledger
+
+    pcols = _detect_pcols(spark, path, mdir)
+    schema = committed_schema(spark, mdir)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    from pyspark.sql import Observation
+
+    raw = spark.read.option("basePath", path).schema(schema).parquet(*cand)
+    obs_in = Observation()
+    raw = raw.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    out = _dv_suppress(spark, raw, manifest, dvs).select(
+        *[f.name for f in schema.fields]
+    )
+
+    if pcols:
+        out = out.repartition(*pcols)
+    else:
+        cand_bytes = 0
+        for f in cand:
+            try:
+                cand_bytes += fs.getFileStatus(hp(f)).getLen()
+            except Exception:  # pragma: no cover - racing sweep
+                pass
+        out = out.repartition(
+            max(1, -(-cand_bytes // int(target_bytes)))
+        )
+
+    tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
+    obs = Observation()
+    final = out.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = final.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
+    rows_before = int(obs_in.get["n"])
+    rows_after = int(obs.get["n"])
+
+    planned = [
+        (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
+        for rel, _ln in _leaf_files(spark, tmp)
+    ]
+    _write_json_marker(
+        spark,
+        mdir,
+        "_TXN",
+        {
+            "expected_version": expected,
+            "added": [dst for _src, dst in planned],
+            "removed": list(cand),
+        },
+    )
+    added = _move_files_in(fs, hp, planned)
+    fs.delete(hp(tmp), True)
+
+    delta_df = None
+    delta_rows = delta_schema = None
+    if len(added) <= _LOCAL_STATS_MAX:
+        delta_rows, delta_schema = _local_stats_rows(
+            added, list(cols), schema, pcols
+        )
+    else:
+        delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
+    try:
+        version = _commit_manifest(
+            spark, mdir, delta_df, removed=cand, expected_version=expected,
+            keep_versions=keep_versions, partition_by=pcols,
+            added_files=added, dvs_clear=True,
+            changes=[] if _table_cdf(spark, mdir) else None,
+            added_rows=delta_rows, stats_schema=delta_schema,
+        )
+    except SnapshotConflict:
+        _rollback_conflict(spark, mdir, added)
+        raise
+    _post_commit_sweep(spark, mdir)
+    fs.delete(hp(f"{mdir}/_TXN"), False)
+    ledger.update(
+        {
+            "files_rewritten": len(cand),
+            "files_added": len(added),
+            "rows_suppressed": int(rows_before - rows_after),
+            "dv_files_removed": len(dv_files),
+            "version": int(version),
+        }
+    )
+    return ledger
+
+
 def table_history(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[dict]:
     """Commit history of a manifest-tracked table (DESCRIBE HISTORY
     analog): one dict per RETAINED committed version — version number,
-    file/row totals from the manifest, the commit's removed-file count,
+    commit kind (checkpoint/delta), file/row totals from the
+    reconstructed snapshot, the commit's added/removed file counts,
     and its txn map (which streaming batch ids are durably ingested).
-    Bounded by ``keep_versions``; the full audit trail a deployment
-    keeps by raising it."""
+    Bounded by the retained checkpoint chains (``keep_versions`` floor
+    — the delta run since the last checkpoint stays readable); the
+    full audit trail a deployment keeps by raising ``keep_versions``."""
     mdir = _manifest_dir(path, manifest_path)
     out = []
     for v in _committed_versions(spark, mdir):
-        commit = _read_json_marker(spark, f"{mdir}/v{v}/_COMMIT")
-        m = spark.read.parquet(f"{mdir}/v{v}")
+        commit = _commit_info(spark, mdir, v)
+        m = _reconstruct_manifest(spark, mdir, v)
         agg = m.agg(
             F.count(F.lit(1)).alias("files"), F.sum("n_rows").alias("rows")
         ).collect()[0]
         out.append(
             {
                 "version": v,
+                "kind": commit.get("kind", "checkpoint"),
                 "files": int(agg["files"]),
                 "rows": int(agg["rows"] or 0),
-                "removed_pending": len(commit.get("removed", [])),
+                "added": len(commit.get("added", [])),
+                "removed_pending": len(
+                    commit.get("pending", commit.get("removed", []))
+                ),
                 "txns": commit.get("txns", {}),
             }
         )
@@ -2896,10 +4041,50 @@ def vacuum_table(spark: SparkSession, path: str, manifest_path: str | None = Non
             name.startswith(base + "._append_")
             or name.startswith(base + "._rewrite_")
             or name.startswith(base + "._delete_")
+            or name.startswith(base + "._merge_")
         ):
             fs.delete(st.getPath(), True)
             removed.append(st.getPath().toUri().getPath())
+    # sidecar orphans: _deletes/_changes files no retained commit
+    # references (a crash between the sidecar write and the _TXN
+    # intent leaves them — invisible to readers, holding disk)
+    live: set[str] = set()
+    for v in _committed_versions(spark, mdir):
+        commit = _commit_info(spark, mdir, v)
+        live.update(d["file"] for d in commit.get("dvs", []))
+        live.update(commit.get("changes", []) or [])
+    for sub in ("_deletes", "_changes"):
+        sdir = hp(path.rstrip("/") + "/" + sub)
+        if not fs.exists(sdir):
+            continue
+        for st in fs.listStatus(sdir):
+            refd = False
+            for leaf in (
+                fs.listStatus(st.getPath()) if st.isDirectory() else [st]
+            ):
+                q = leaf.getPath()
+                uri = q.toString()
+                if uri.startswith("file:"):
+                    uri = q.toUri().getPath()
+                if uri in live:
+                    refd = True
+            if not refd:
+                fs.delete(st.getPath(), True)
+                removed.append(st.getPath().toUri().getPath())
     return removed
+
+
+def _cdf_schema(schema: T.StructType) -> T.StructType:
+    """The change-feed row shape: the table schema plus
+    ``_change_type`` (insert / update_preimage / update_postimage /
+    delete) and ``_commit_version`` — Delta's CDF columns."""
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), True),
+            T.StructField("_commit_version", T.LongType(), True),
+        ]
+    )
 
 
 def table_changes(
@@ -2907,24 +4092,34 @@ def table_changes(
     path: str,
     since_version: int,
     manifest_path: str | None = None,
+    change_feed: bool = False,
 ) -> DataFrame:
-    """Incremental read (append-span CDC): the rows committed AFTER
-    retained snapshot ``since_version`` — what a downstream consumer
-    processes per poll without re-reading the table (Delta's
-    streaming-source-from-a-table for the append-only case).
+    """Incremental read: what changed AFTER retained snapshot
+    ``since_version`` — what a downstream consumer processes per poll
+    without re-reading the table (Delta's
+    streaming-source-from-a-table).
 
-    Scale shape: the diff is FILE-level — the current manifest's file
-    set minus ``since_version``'s — so the read touches only the delta
-    files, never the table.  This is exact because append commits only
-    ADD files; if any commit in the span removed files (delete/update/
-    merge-update/compaction rewrote history), row-level changes are no
-    longer recoverable from file arithmetic and this raises — re-read
-    the snapshot instead (full CDF would need change-data files, which
-    this tier intentionally does not write).
+    Default mode (append-span CDC): the plain new rows.  The diff is
+    FILE-level — the current manifest's file set minus
+    ``since_version``'s — so the read touches only the delta files,
+    never the table.  This is exact because append commits only ADD
+    files; if any commit in the span removed files or changed deletion
+    vectors (delete/update/merge/compaction rewrote or suppressed
+    history), row-level changes are no longer recoverable from file
+    arithmetic and this raises — use ``change_feed=True`` on a
+    CDF-enabled table, or re-read the snapshot.
+
+    ``change_feed=True`` (row-level CDC): rows carry ``_change_type``
+    (insert / update_preimage / update_postimage / delete) and
+    ``_commit_version``.  Append commits synthesize inserts from their
+    added files (no sidecar needed — Delta does the same); rewrite
+    commits are served from the change-data files they wrote when the
+    table's CDF flag was set (``append_files(enable_cdf=True)``), and
+    raise when a rewrite commit in the span predates the flag.
 
     ``since_version`` must still be retained (``keep_versions``).
-    Returns a DataFrame under the CURRENT committed schema (evolved
-    columns null-fill for pre-evolution files)."""
+    Rows come back under the CURRENT committed schema (evolved columns
+    null-fill for pre-evolution files)."""
     mdir = _manifest_dir(path, manifest_path)
     versions = _committed_versions(spark, mdir)
     if since_version not in versions:
@@ -2934,6 +4129,50 @@ def table_changes(
             "deeper incremental history"
         )
     head = versions[-1]
+    schema = committed_schema(spark, mdir)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+
+    if change_feed:
+        span = [v for v in versions if v > since_version]
+        parts: list[DataFrame] = []
+        cdf_schema = _cdf_schema(schema)
+        for v in span:
+            commit = _commit_info(spark, mdir, v)
+            changes = commit.get("changes")
+            if changes is not None:
+                # a rewrite/merge that wrote its change-data files
+                # (possibly the explicit empty set — compaction)
+                if changes:
+                    parts.append(
+                        spark.read.schema(cdf_schema).parquet(*changes)
+                    )
+                continue
+            if commit.get("removed") or commit.get("dvs_delta"):
+                raise ValueError(
+                    f"commit v{v} rewrote files without change-data "
+                    "files — enable the change-data feed "
+                    "(append_files(enable_cdf=True)) before rewrites "
+                    "to serve row-level CDC across them"
+                )
+            added = commit.get("added", [])
+            if added:
+                parts.append(
+                    spark.read.option("basePath", path)
+                    .schema(schema)
+                    .parquet(*added)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+        if not parts:
+            return spark.createDataFrame([], cdf_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     base_files = {
         r["file"]
         for r in current_manifest(spark, mdir, version=since_version)
@@ -2945,17 +4184,18 @@ def table_changes(
         for r in current_manifest(spark, mdir).select("file").collect()
     }
     rewritten = base_files - head_files
-    if rewritten:
+    dv_now = {d["file"] for d in _active_dvs(spark, mdir)}
+    dv_then = {d["file"] for d in _active_dvs(spark, mdir, since_version)}
+    if rewritten or dv_now != dv_then:
         raise ValueError(
             f"the v{since_version}..v{head} span rewrote "
-            f"{len(rewritten)} file(s) (delete/update/merge/compact) — "
-            "append-span CDC cannot reconstruct row-level changes "
-            "across a rewrite; re-read the snapshot"
+            f"{len(rewritten)} file(s) or changed deletion vectors "
+            "(delete/update/merge/compact) — append-span CDC cannot "
+            "reconstruct row-level changes across that; use "
+            "change_feed=True on a CDF-enabled table, or re-read the "
+            "snapshot"
         )
     new_files = sorted(head_files - base_files)
-    schema = committed_schema(spark, mdir)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
     if not new_files:
         return spark.createDataFrame([], schema)
     return (

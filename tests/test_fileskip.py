@@ -141,7 +141,10 @@ def test_update_stats_index_incremental(spark, tmp_path):
     from evmtrace_etl_spark.sinks import current_manifest
 
     got = sorted(
-        tuple(r) for r in current_manifest(spark, manifest).collect()
+        tuple(r)
+        for r in current_manifest(spark, manifest)
+        .drop("added_version")  # delta-log bookkeeping column
+        .collect()
     )
     want = sorted(
         tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
@@ -189,7 +192,10 @@ def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
     from evmtrace_etl_spark.sinks import current_manifest
 
     got_m = sorted(
-        tuple(r) for r in current_manifest(spark, manifest).collect()
+        tuple(r)
+        for r in current_manifest(spark, manifest)
+        .drop("added_version")
+        .collect()
     )
     want_m = sorted(
         tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
@@ -419,7 +425,9 @@ def test_update_where_rewrites_matching_rows_in_place(spark, tmp_path):
     # manifest refreshed == rebuild (stats follow the moved k values)
     got_m = sorted(
         tuple(r)
-        for r in current_manifest(spark, dst + "/_stats_manifest").collect()
+        for r in current_manifest(spark, dst + "/_stats_manifest")
+        .drop("added_version")
+        .collect()
     )
     want_m = sorted(
         tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()
@@ -465,10 +473,11 @@ def test_concurrent_commit_raises_snapshot_conflict(spark, tmp_path):
     mdir = dst + "/_stats_manifest"
     m = current_manifest(spark, mdir)
     # writer A snapshots (plans to commit v1); writer B commits v1 first
-    sinks._commit_manifest(spark, mdir, m, removed=[])  # B wins v1
+    # (an empty delta — commits carry only what THEY add)
+    sinks._commit_manifest(spark, mdir, m.limit(0), removed=[])  # B wins v1
     with pytest.raises(sinks.SnapshotConflict, match="v1 .*v2|next version"):
         sinks._commit_manifest(
-            spark, mdir, m, removed=[], expected_version=1
+            spark, mdir, m.limit(0), removed=[], expected_version=1
         )  # A's stale plan
     # and the real maintenance path still commits cleanly after a retry
     led = update_stats_index(spark, dst, None)
@@ -662,7 +671,9 @@ def test_compact_table_merges_fragments_through_the_log(spark, tmp_path):
     # manifest == rebuild
     got_m = sorted(
         tuple(r)
-        for r in current_manifest(spark, dst + "/_stats_manifest").collect()
+        for r in current_manifest(spark, dst + "/_stats_manifest")
+        .drop("added_version")
+        .collect()
     )
     want_m = sorted(
         tuple(r) for r in parquet_stats_index(spark, dst, ["k"]).collect()

@@ -223,7 +223,8 @@ def test_conflict_after_move_in_rolls_back_cleanly(
             state["fired"] = True
             real_marker(spark_, dirpath, name, payload, **kw)
             m = sinks.current_manifest(spark, mdir)
-            sinks._commit_manifest(spark, mdir, m, removed=[])
+            # an empty delta — commits carry only what THEY add
+            sinks._commit_manifest(spark, mdir, m.limit(0), removed=[])
             return
         real_marker(spark_, dirpath, name, payload, **kw)
 
