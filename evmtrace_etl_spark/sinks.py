@@ -1819,7 +1819,85 @@ def _log_lock(mdir: str) -> "_threading.Lock":
         return _LOG_LOCKS.setdefault(_lock_key(mdir), _threading.Lock())
 
 
+#: A crashed writer's commit lease is considered stale (breakable)
+#: after this many seconds.  Generous because the lease spans the
+#: checkpoint write on checkpoint commits; a deployment with longer
+#: checkpoints raises it (or swaps the lease for a heartbeat).
+_LEASE_TTL_S = 60
+
+
+class _CommitLease:
+    """Cross-PROCESS commit mutex: an atomic ``createNewFile`` on
+    ``<manifest>/_LOCK`` (atomic on local FS and HDFS; a real S3
+    deployment swaps this for a conditional PUT / DynamoDB LogStore,
+    exactly Delta-on-S3's shape).  The in-process ``_log_lock``
+    serializes same-driver writers; this lease serializes the
+    version-compute → manifest-rename → marker window across DRIVERS,
+    which also makes the marker-less-vdir crash cleanup safe: while
+    holding the lease, a v<N> without ``_COMMIT`` can only be a dead
+    writer's leftovers.  A lease older than ``_LEASE_TTL_S`` is broken
+    as crashed."""
+
+    def __init__(self, spark: SparkSession, manifest_path: str):
+        self._spark = spark
+        self._mdir = manifest_path
+        self._path = f"{manifest_path}/_LOCK"
+
+    def __enter__(self):
+        import time as _time
+
+        jvm, hp, fs = _fs_for(self._spark, self._mdir)
+        fs.mkdirs(hp(self._mdir))
+        lock = hp(self._path)
+        deadline = _time.monotonic() + 2 * _LEASE_TTL_S
+        while True:
+            try:
+                if fs.createNewFile(lock):
+                    return self
+            except Exception:  # pragma: no cover - racing mkdirs
+                pass
+            try:
+                age_ms = (
+                    jvm.java.lang.System.currentTimeMillis()
+                    - fs.getFileStatus(lock).getModificationTime()
+                )
+                if age_ms > _LEASE_TTL_S * 1000:
+                    # stale: the holder died mid-commit — break it
+                    fs.delete(lock, False)
+                    continue
+            except Exception:
+                continue  # vanished between create and stat — retry
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lease at {self._path} held for over "
+                    f"{2 * _LEASE_TTL_S}s — break it manually if the "
+                    "holder is dead"
+                )
+            _time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        jvm, hp, fs = _fs_for(self._spark, self._mdir)
+        fs.delete(hp(self._path), False)
+        return False
+
+
 def _commit_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    added_stats: DataFrame | None,
+    removed: Sequence[str] = (),
+    **kwargs,
+) -> int:
+    """``_commit_manifest_unleased`` under the cross-process commit
+    lease (see ``_CommitLease``) — the version-compute → rename →
+    marker window of two DRIVERS can never interleave."""
+    with _CommitLease(spark, manifest_path):
+        return _commit_manifest_unleased(
+            spark, manifest_path, added_stats, removed, **kwargs
+        )
+
+
+def _commit_manifest_unleased(
     spark: SparkSession,
     manifest_path: str,
     added_stats: DataFrame | None,

@@ -1,0 +1,499 @@
+"""Round-11 lake tier: O(batch) delta-action commits with periodic
+checkpoints, merge-on-read deletion vectors (``merge_into
+strategy='merge-on-read'`` + ``materialize_deletes``), row-level CDC
+(``table_changes(change_feed=True)`` over change-data files), the
+cross-driver commit-rename guard, and the partition-column write
+guard."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark import sinks
+from evmtrace_etl_spark.sinks import (
+    append_files,
+    delete_where,
+    materialize_deletes,
+    merge_into,
+    read_table,
+    table_changes,
+    update_where,
+)
+
+
+def _seed(spark, tmp_path, n: int = 1000, files: int = 8) -> str:
+    """Key-clustered manifest-tracked table (same shape as
+    test_lake_merge's)."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    step = n // files
+    parts = [
+        df.filter((F.col("k") >= i * step) & (F.col("k") < (i + 1) * step))
+        for i in range(files)
+    ]
+    append_files(spark, parts[0].coalesce(1), tbl, cols=["k"])
+    for p in parts[1:]:
+        append_files(spark, p.coalesce(1), tbl)
+    return tbl
+
+
+def _markers(tbl: str) -> dict[int, dict]:
+    out = {}
+    for mp in glob.glob(tbl + "/_stats_manifest/v*/_COMMIT"):
+        with open(mp) as f:
+            payload = json.load(f)
+        out[payload["version"]] = payload
+    return out
+
+
+# ---------------------------------------------------------------------------
+# O(batch) commit protocol
+# ---------------------------------------------------------------------------
+
+
+def test_commit_metadata_is_o_batch(spark, tmp_path):
+    """A delta commit's version parquet carries ONLY the files the
+    commit added — on a many-file table the written metadata rows stay
+    O(batch), with the full manifest materialized only at checkpoint
+    commits (every _CHECKPOINT_EVERY)."""
+    tbl = _seed(spark, tmp_path)  # v0..v7: 8 files
+    batch = spark.range(5000, 5010).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    led = append_files(spark, batch.coalesce(1), tbl)  # v8: delta
+    v = led["version"]
+    markers = _markers(tbl)
+    assert markers[v]["kind"] == "delta"
+    assert len(markers[v]["added"]) == 1
+    # the delta parquet holds exactly the added file's stats row, not
+    # the table's (9-file) manifest
+    rows = spark.read.parquet(f"{tbl}/_stats_manifest/v{v}").count()
+    assert rows == 1
+    # ... and the snapshot still reconstructs the full file list
+    manifest = sinks.current_manifest(spark, tbl + "/_stats_manifest")
+    assert manifest.count() == 9
+    assert read_table(spark, tbl).count() == 1010
+
+
+def test_checkpoint_every_n_commits_bounds_the_chain(spark, tmp_path):
+    """Every _CHECKPOINT_EVERY commits a full checkpoint materializes:
+    base_ckpt advances, older delta dirs become prunable, and reads
+    keep serving the same table."""
+    tbl = _seed(spark, tmp_path)  # v0 ckpt (first), v1..v7 deltas
+    for i in range(5):  # v8..v12 — v10 must checkpoint
+        batch = spark.range(9000 + i, 9001 + i).select(
+            F.col("id").alias("k"), F.lit(2).cast("long").alias("v")
+        )
+        append_files(spark, batch.coalesce(1), tbl)
+    markers = _markers(tbl)
+    kinds = {v: m["kind"] for v, m in markers.items()}
+    assert kinds.get(10) == "checkpoint"
+    assert all(k == "delta" for v, k in kinds.items() if 10 < v <= 12)
+    # the checkpoint's parquet holds the FULL manifest as of v10
+    # (8 seed files + the v8..v10 appends)
+    assert spark.read.parquet(f"{tbl}/_stats_manifest/v10").count() == 11
+    assert read_table(spark, tbl).count() == 1005
+    # chains older than the retained window were pruned
+    assert not os.path.isdir(tbl + "/_stats_manifest/v0")
+    with pytest.raises(ValueError, match="not committed/retained"):
+        read_table(spark, tbl, version=0)
+
+
+def test_time_travel_across_deltas(spark, tmp_path):
+    """Any retained version reconstructs exactly: checkpoint + deltas
+    − removed.  Travel holds across APPEND commits always; past a
+    rewrite it holds from the rewrite commit forward (the replaced
+    files are swept at commit — the documented zero-retention trade)."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)  # v0, v1
+    src = spark.range(50, 120).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], keep_versions=4)  # v2
+    append_files(
+        spark,
+        spark.range(500, 510).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        ),
+        tbl,
+        keep_versions=4,
+    )  # v3
+    assert read_table(spark, tbl, version=2).count() == 120
+    assert read_table(spark, tbl, version=3).count() == 130
+    assert (
+        read_table(spark, tbl, version=2).filter("v = -1").count() == 70
+    )
+    # merge-on-read rewrites nothing, so travel across IT keeps even
+    # the pre-merge snapshot serveable
+    merge_into(
+        spark,
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), F.lit(-9).cast("long").alias("v")
+        ),
+        tbl, keys=["k"], keep_versions=5, strategy="merge-on-read",
+    )  # v4
+    assert read_table(spark, tbl, version=3).filter("v = -9").count() == 0
+    assert read_table(spark, tbl, version=4).filter("v = -9").count() == 5
+    assert read_table(spark, tbl, version=3).count() == 130
+
+
+def test_stale_writer_cannot_overwrite_committed_version(spark, tmp_path):
+    """The lost-commit window: a stale writer that passed the version
+    check must NOT overwrite a winner's committed v<N> in place — the
+    rename-into-place commit fails instead (SnapshotConflict), and the
+    winner's marker + manifest survive intact."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    mdir = tbl + "/_stats_manifest"
+    head = sinks.manifest_version(spark, mdir)
+    winner_marker = json.load(open(f"{mdir}/v{head}/_COMMIT"))
+    m = sinks.current_manifest(spark, mdir)
+    # a stale writer believes head+1 is free — but it is already
+    # committed by the time its manifest write lands
+    with pytest.raises(sinks.SnapshotConflict):
+        sinks._commit_manifest(
+            spark, mdir, m.limit(0), removed=[], expected_version=head
+        )
+    assert json.load(open(f"{mdir}/v{head}/_COMMIT")) == winner_marker
+    assert read_table(spark, tbl).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def test_mor_merge_rewrites_zero_files(spark, tmp_path):
+    """strategy='merge-on-read': the upsert lands as new files + a key
+    tombstone — every pre-existing data file keeps its inode, yet
+    read_table serves the updated values and the inserts."""
+    tbl = _seed(spark, tmp_path)
+    inodes = {
+        f: os.stat(f).st_ino for f in glob.glob(tbl + "/part-*.parquet")
+    }
+    src = spark.range(500, 1200).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    led = merge_into(
+        spark, src, tbl, keys=["k"], strategy="merge-on-read"
+    )
+    assert led["files_rewritten"] == 0 and led["dv_files"] == 1
+    assert led["rows_after"] == 700  # the source rows, verbatim
+    for f, ino in inodes.items():  # zero write amplification
+        assert os.path.exists(f) and os.stat(f).st_ino == ino
+    t = read_table(spark, tbl)
+    assert t.count() == 1200
+    assert t.filter("v = -1").count() == 700
+    assert t.filter("k = 600").select("v").collect()[0][0] == -1
+    assert t.filter("k = 100").select("v").collect()[0][0] == 1000
+    # keys are unique after the merge (old versions suppressed)
+    assert t.select("k").distinct().count() == 1200
+
+
+def test_mor_merges_stack_latest_wins(spark, tmp_path):
+    """Two overlapping merge-on-read upserts: the newer tombstone
+    suppresses the older merge's rows too — keep-last per key across
+    the whole stack; a later APPEND of a tombstoned key survives
+    (its file is newer than every tombstone)."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    m1 = spark.range(40, 60).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    m2 = spark.range(50, 70).select(
+        F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")
+    )
+    merge_into(spark, m1, tbl, keys=["k"], strategy="merge-on-read")
+    merge_into(spark, m2, tbl, keys=["k"], strategy="merge-on-read")
+    t = read_table(spark, tbl)
+    assert t.count() == 100
+    got = {r["k"]: r["v"] for r in t.filter("k >= 40 and k < 70").collect()}
+    assert all(got[k] == -1 for k in range(40, 50))
+    assert all(got[k] == -2 for k in range(50, 70))
+    # an append AFTER the tombstones is newer — it must survive
+    append_files(
+        spark,
+        spark.range(55, 56).select(
+            F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+        ),
+        tbl,
+    )
+    vs = sorted(
+        r["v"] for r in read_table(spark, tbl).filter("k = 55").collect()
+    )
+    assert vs == [-2, 99]  # append is not keyed; both visible
+
+
+def test_materialize_deletes_round_trip(spark, tmp_path):
+    """materialize_deletes folds the suppression into the data files:
+    the served rows are IDENTICAL before and after, the tombstone
+    sidecars are swept, the dv list clears, and a second call is a
+    no-op."""
+    tbl = _seed(spark, tmp_path)
+    src = spark.range(500, 1200).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], strategy="merge-on-read")
+    before = sorted(
+        tuple(r) for r in read_table(spark, tbl).collect()
+    )
+    led = materialize_deletes(spark, tbl)
+    assert led["rows_suppressed"] == 500  # the replaced originals
+    assert led["dv_files_removed"] == 1
+    assert sorted(tuple(r) for r in read_table(spark, tbl).collect()) == before
+    assert glob.glob(tbl + "/_deletes/*/*.parquet") == []
+    head = sinks.manifest_version(spark, tbl + "/_stats_manifest")
+    assert "dvs" not in _markers(tbl)[head]
+    led2 = materialize_deletes(spark, tbl)
+    assert led2["files_rewritten"] == 0 and led2["dv_files_removed"] == 0
+
+
+def test_cow_ops_on_dv_table_do_not_resurrect(spark, tmp_path):
+    """A copy-on-write rewrite (delete_where / compact / CoW merge) on
+    a table with active deletion vectors reads its candidates THROUGH
+    the suppression — rewritten files are newer than every tombstone,
+    so a suppressed row can never come back."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    src = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], strategy="merge-on-read")
+    # CoW delete overlapping the suppressed span rewrites those files
+    led = delete_where(spark, tbl, None, {"k": (0, 30)})
+    assert led["files_rewritten"] >= 1
+    t = read_table(spark, tbl)
+    assert t.count() == 100 - 31  # 0..30 gone entirely
+    assert t.filter("v = -1").count() == 0  # merged rows deleted too
+    assert t.filter("k >= 10 and k <= 19").count() == 0  # NOT resurrected
+    # the preserved rows are byte-faithful
+    assert t.filter("k = 50").select("v").collect()[0][0] == 500
+
+
+def test_mor_guards(spark, tmp_path):
+    """merge-on-read requires mode='update'; stacked merges must agree
+    on the key set until materialized."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    src = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    with pytest.raises(ValueError, match="merge-on-read needs"):
+        merge_into(
+            spark, src, tbl, keys=["k"], mode="ignore",
+            strategy="merge-on-read",
+        )
+    merge_into(spark, src, tbl, keys=["k"], strategy="merge-on-read")
+    with pytest.raises(ValueError, match="deletion vectors keyed"):
+        merge_into(
+            spark, src.withColumnRenamed("v", "v2").selectExpr(
+                "k", "v2 as v", "k as k2"
+            ),
+            tbl, keys=["k", "k2"], strategy="merge-on-read",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Row-level CDC (change-data feed)
+# ---------------------------------------------------------------------------
+
+
+def test_change_feed_across_rewrites(spark, tmp_path):
+    """With the table's cdf flag set, merge/delete/update commits write
+    change-data files and table_changes(change_feed=True) serves exact
+    row-level CDC across them; appends synthesize inserts with no
+    sidecar; compaction contributes the explicit empty set."""
+    tbl = str(tmp_path / "cdf")
+    seed = spark.range(20).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    append_files(spark, seed, tbl, cols=["k"], enable_cdf=True)  # v0
+    merge_into(  # v1: 5 updates + 5 inserts
+        spark,
+        spark.range(15, 25).select(
+            F.col("id").alias("k"), F.lit(2).cast("long").alias("v")
+        ),
+        tbl, keys=["k"],
+    )
+    delete_where(spark, tbl, None, {"k": (0, 2)})  # v2: 3 deletes
+    update_where(spark, tbl, None, {"k": (3, 4)}, {"v": "v + 100"})  # v3
+    cf = table_changes(spark, tbl, 0, change_feed=True)
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["count"]
+        for r in cf.groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    }
+    assert got == {
+        (1, "update_preimage"): 5,
+        (1, "update_postimage"): 5,
+        (1, "insert"): 5,
+        (2, "delete"): 3,
+        (3, "update_preimage"): 2,
+        (3, "update_postimage"): 2,
+    }
+    # values are exact: the postimages carry the merged/updated values
+    post = {
+        r["k"]: r["v"]
+        for r in cf.filter(
+            "_commit_version = 3 AND _change_type = 'update_postimage'"
+        ).collect()
+    }
+    assert post == {3: 101, 4: 101}  # seed v=1, +100
+    # appends synthesize inserts — a fresh append shows up with no
+    # sidecar written
+    append_files(
+        spark,
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+        ),
+        tbl,
+    )  # v4
+    cf2 = table_changes(spark, tbl, 3, change_feed=True)
+    assert cf2.count() == 3
+    assert set(
+        r["_change_type"] for r in cf2.select("_change_type").collect()
+    ) == {"insert"}
+    # and the plain append-span mode still refuses the rewrite span
+    with pytest.raises(ValueError, match="append-span CDC"):
+        table_changes(spark, tbl, 0)
+
+
+def test_default_mode_detects_dv_change(spark, tmp_path):
+    """A merge-on-read commit removes no files but changes row
+    visibility — append-span CDC must refuse that span too."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    v0 = sinks.manifest_version(spark, tbl + "/_stats_manifest")
+    merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        tbl, keys=["k"], strategy="merge-on-read",
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        table_changes(spark, tbl, v0)
+
+
+# ---------------------------------------------------------------------------
+# Write guards + lock keys
+# ---------------------------------------------------------------------------
+
+
+def test_partition_column_omission_raises(spark, tmp_path):
+    """A merge/append source that omits the table's partition column
+    must fail loudly instead of silently landing every row in
+    __HIVE_DEFAULT_PARTITION__."""
+    tbl = str(tmp_path / "part")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    append_files(spark, df, tbl, cols=["k"], partition_by=["p"])
+    bad = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(2).cast("long").alias("v")
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        merge_into(spark, bad, tbl, keys=["k"])
+    with pytest.raises(ValueError, match="partition column"):
+        append_files(spark, bad, tbl)
+    # and an append WITHOUT restating partition_by keeps the layout
+    ok = spark.range(200, 205).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("int").alias("p"),
+        F.lit(3).cast("long").alias("v"),
+    )
+    append_files(spark, ok, tbl)
+    assert not glob.glob(tbl + "/part-*.parquet")  # no flat leak
+    assert read_table(spark, tbl).filter("p = 1 and v = 3").count() == 5
+
+
+def test_lock_key_normalization():
+    """Spelling variants of one table path must map to ONE lock."""
+    k = sinks._lock_key("/a/b/_stats_manifest")
+    assert sinks._lock_key("/a/b/_stats_manifest/") == k
+    assert sinks._lock_key("file:///a/b/_stats_manifest") == k
+    assert sinks._lock_key("/a/./b/_stats_manifest") == k
+    assert (
+        sinks._log_lock("/a/b/_stats_manifest")
+        is sinks._log_lock("file:///a/b/_stats_manifest/")
+    )
+
+
+def test_two_processes_both_land(spark, tmp_path):
+    """Cross-PROCESS two-writer safety (beyond the in-process
+    _log_lock): a child driver in its OWN JVM and this one append to
+    the same table concurrently — the commit lease serializes the
+    version-compute → rename → marker window, losers retry from a
+    fresh snapshot, and every batch lands exactly once."""
+    import subprocess
+    import sys
+
+    from evmtrace_etl_spark.sinks import retry_on_conflict
+
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    script = os.path.join(os.path.dirname(__file__), "lake_two_process_script.py")
+    repo = os.path.dirname(os.path.dirname(__file__))
+    env = dict(
+        os.environ,
+        PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    child = subprocess.Popen(
+        [sys.executable, script, tbl, "10000", "3"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=repo,
+        env=env,
+    )
+    try:
+        for b in range(3):  # parent's writes race the child's
+            batch = spark.range(20000 + b * 100, 20000 + b * 100 + 100).select(
+                F.col("id").alias("k"),
+                F.lit(-1).cast("long").alias("v"),
+            )
+            retry_on_conflict(
+                lambda: append_files(spark, batch, tbl), attempts=10
+            )
+        out, _ = child.communicate(timeout=180)
+    finally:
+        if child.poll() is None:
+            child.kill()
+    assert "CHILD_DONE" in out, out
+    assert out.count("CHILD_COMMIT") == 3
+    t = read_table(spark, tbl)
+    assert t.count() == 100 + 6 * 100
+    assert t.filter("v = -1").count() == 300  # parent's batches
+    assert t.filter("v = -2").count() == 300  # child's batches
+    # version numbers are a contiguous serialized history
+    mdir = tbl + "/_stats_manifest"
+    assert sinks.manifest_version(spark, mdir) == 1 + 6
+    assert not os.path.exists(mdir + "/_LOCK")  # lease released
+
+
+def test_vacuum_sweeps_orphan_sidecars(spark, tmp_path):
+    """An unreferenced tombstone/change file (crash before the intent
+    marker) is invisible to readers but holds disk — vacuum_table
+    removes it while keeping every referenced sidecar."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        tbl, keys=["k"], strategy="merge-on-read",
+    )
+    live = glob.glob(tbl + "/_deletes/*")
+    assert len(live) == 1
+    os.makedirs(tbl + "/_deletes/v99-orphan")
+    open(tbl + "/_deletes/v99-orphan/part-0.parquet", "w").close()
+    os.makedirs(tbl + "/_changes/v99-orphan")
+    open(tbl + "/_changes/v99-orphan/part-0.parquet", "w").close()
+    removed = sinks.vacuum_table(spark, tbl)
+    assert any("v99-orphan" in r for r in removed)
+    assert glob.glob(tbl + "/_deletes/*") == live  # referenced one kept
+    assert glob.glob(tbl + "/_changes/*") == []
+    assert read_table(spark, tbl).filter("v = -1").count() == 5
