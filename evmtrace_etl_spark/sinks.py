@@ -3277,6 +3277,28 @@ def _append_files_unlocked(
     added = _move_files_in(fs, hp, planned)
     fs.delete(hp(tmp), True)
 
+    # change-data feed: on a CDF table, appends ALSO write their rows
+    # as insert change files — the zero-retention sweep deletes
+    # replaced data files at the next rewrite, so synthesizing inserts
+    # from the data files later is not durable; the sidecars are (the
+    # explicit trade vs Delta's retained-data-file synthesis).  A
+    # crash before the commit leaves them unreferenced — vacuum sweeps
+    # those.
+    changes_files: list[str] | None = None
+    if bool(head.get("cdf", False)) or bool(enable_cdf):
+        changes_files = _write_changes(
+            spark,
+            spark.read.option("basePath", path)
+            .schema(evolved)
+            .parquet(*added)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn(
+                "_commit_version", F.lit(expected).cast("long")
+            ),
+            path,
+            expected,
+        ) if added else []
+
     # O(batch) commit: only the new files' stats rows are written (the
     # delta) — driver-side for batch-sized adds (zero Spark jobs),
     # distributed above _LOCAL_STATS_MAX
@@ -3305,12 +3327,13 @@ def _append_files_unlocked(
             cdf=enable_cdf,
             added_rows=delta_rows,
             stats_schema=delta_schema,
+            changes=changes_files,
         )
     except SnapshotConflict:
         # lost the optimistic race AFTER moving files in: undo them so
         # a retry from a fresh snapshot (retry_on_conflict) starts
         # clean and maintenance can't adopt the orphans
-        _rollback_conflict(spark, mdir, added)
+        _rollback_conflict(spark, mdir, added + list(changes_files or []))
         raise
     fs.delete(hp(f"{mdir}/_TXN"), False)
     return {

@@ -1,0 +1,184 @@
+"""Streaming consumption of a lake table's commit log
+(``sources.lake_changes``): version offsets ride the stream
+checkpoint, each micro-batch serves the commits in (start, end], and
+txn-stamped downstream writes make source→sink exactly-once across
+restarts and replays."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark import sinks
+from evmtrace_etl_spark.sinks import append_files, merge_into, read_table
+from evmtrace_etl_spark.sources.lake_changes import (
+    lake_changes_stream,
+    start_lake_changes_stream,
+)
+
+
+def _src(spark, tmp_path, n_commits: int = 3) -> str:
+    tbl = str(tmp_path / "src")
+    for i in range(n_commits):
+        batch = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), F.lit(i).cast("long").alias("b")
+        )
+        append_files(spark, batch, tbl, cols=["k"])
+    return tbl
+
+
+def test_stream_serves_commits_exactly_once_across_restart(
+    spark, tmp_path
+):
+    """Three source commits stream into a downstream lake table; a new
+    commit + restart from the SAME checkpoint serves only the new
+    span; a full replay re-run is a no-op (txn stamps)."""
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def proc(batch, bid):
+        append_files(
+            batch.sparkSession, batch, dst, cols=["k"],
+            txn=("repl", int(bid)),
+        )
+
+    q = start_lake_changes_stream(spark, src, proc, ckpt)
+    q.awaitTermination(120)
+    assert read_table(spark, dst).count() == 30
+    assert read_table(spark, dst).select("k").distinct().count() == 30
+
+    append_files(
+        spark,
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("b")
+        ),
+        src,
+    )
+    q2 = start_lake_changes_stream(spark, src, proc, ckpt)
+    q2.awaitTermination(120)
+    t = read_table(spark, dst)
+    assert t.count() == 35
+    assert t.select("k").distinct().count() == 35  # no double-serve
+    # an idle restart moves nothing
+    q3 = start_lake_changes_stream(spark, src, proc, ckpt)
+    q3.awaitTermination(120)
+    assert read_table(spark, dst).count() == 35
+
+
+def test_stream_replay_of_a_batch_is_noop(spark, tmp_path):
+    """If the downstream crashed after committing but before the
+    stream checkpointed, the batch is re-delivered — the txn stamp
+    short-circuits it (exactly-once end to end)."""
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    seen: list[int] = []
+
+    def proc(batch, bid):
+        seen.append(int(bid))
+        append_files(
+            batch.sparkSession, batch, dst, cols=["k"],
+            txn=("repl", int(bid)),
+        )
+
+    q = start_lake_changes_stream(spark, src, proc, str(tmp_path / "c1"))
+    q.awaitTermination(120)
+    n0 = read_table(spark, dst).count()
+    # a FRESH checkpoint replays everything from v0 — every append is
+    # re-delivered with the same batch ids and must no-op
+    q2 = start_lake_changes_stream(spark, src, proc, str(tmp_path / "c2"))
+    q2.awaitTermination(120)
+    assert read_table(spark, dst).count() == n0 == 30
+    assert len(seen) >= 2
+
+
+def test_stream_refuses_rewrites_without_cdf(spark, tmp_path):
+    """A rewrite commit in the span fails the plain-rows stream with a
+    clear error instead of silently double-serving rows."""
+    src = _src(spark, tmp_path)
+    merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("b")
+        ),
+        src, keys=["k"],
+    )
+    q = start_lake_changes_stream(
+        spark, src, lambda b, i: None, str(tmp_path / "c")
+    )
+    with pytest.raises(Exception, match="rewrote|change_feed"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_change_feed_stream_serves_cdc_rows(spark, tmp_path):
+    """change_feed=true: the stream serves row-level CDC — appends
+    synthesize inserts, a merge's change files arrive typed with
+    their commit version."""
+    src = str(tmp_path / "src")
+    append_files(
+        spark,
+        spark.range(20).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("b")
+        ),
+        src, cols=["k"], enable_cdf=True,
+    )
+    merge_into(
+        spark,
+        spark.range(15, 25).select(
+            F.col("id").alias("k"), F.lit(2).cast("long").alias("b")
+        ),
+        src, keys=["k"],
+    )
+    got: list = []
+
+    def proc(batch, bid):
+        got.extend(
+            (r["_commit_version"], r["_change_type"], r["k"], r["b"])
+            for r in batch.collect()
+        )
+
+    q = start_lake_changes_stream(
+        spark, src, proc, str(tmp_path / "c"), change_feed=True
+    )
+    q.awaitTermination(120)
+    by_type: dict = {}
+    for v, ct, k, b in got:
+        by_type[(v, ct)] = by_type.get((v, ct), 0) + 1
+    assert by_type == {
+        (0, "insert"): 20,
+        (1, "update_preimage"): 5,
+        (1, "update_postimage"): 5,
+        (1, "insert"): 5,
+    }
+    # postimage values are the merged ones
+    assert all(
+        b == 2 for v, ct, k, b in got if ct == "update_postimage"
+    )
+
+
+def test_stream_over_partitioned_table_keeps_partition_values(
+    spark, tmp_path
+):
+    """Hive partition values are directory-encoded — the executor-side
+    pyarrow read must reinject them from the path."""
+    src = str(tmp_path / "src")
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.lit(1).cast("long").alias("b"),
+    )
+    append_files(spark, df, src, cols=["k"], partition_by=["p"])
+    rows: list = []
+
+    def proc(batch, bid):
+        rows.extend((r["k"], r["p"]) for r in batch.collect())
+
+    q = start_lake_changes_stream(spark, src, proc, str(tmp_path / "c"))
+    q.awaitTermination(120)
+    assert len(rows) == 30
+    assert all(p == k % 3 for k, p in rows)
