@@ -2805,6 +2805,373 @@ GROUP BY event_type
 """
 
 
+def _lake_mor_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_merge_mor``: seed an event_id-clustered
+    lake table with STALE values on the %10∈{3,7} keys, then repair
+    with TWO stacked merge-on-read upserts — merge A fixes the %10=3
+    keys; merge B OVERLAPS it (re-updating %10=3 to value+0.5 and
+    fixing %10=7) and inserts new %10=9 keys shifted by 1e9.  Both
+    ledgers must show files_rewritten == 0 (zero write amplification —
+    the deletion-vector contract), and the table is served WITHOUT
+    materializing, so the oracle checks the read-time suppression
+    join itself: a resurrected old row, a lost tombstone, or
+    wrong-order stacking fails the value hash.  Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files, merge_into
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakemor",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_mor") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        stale = ev.withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 10 == 3, F.lit(-1.0)
+            ).when(
+                F.col("event_id") % 10 == 7, F.lit(-1.0)
+            ).otherwise(F.col("value")),
+        )
+        append_files(
+            spark,
+            stale.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )
+        fix_a = ev.filter(F.col("event_id") % 10 == 3).withColumn(
+            "event_type", F.lit("fixed_a")
+        )
+        led_a = merge_into(
+            spark, fix_a, tbl, keys=["event_id"],
+            strategy="merge-on-read",
+        )
+        assert led_a["files_rewritten"] == 0 and led_a["dv_files"] == 1
+        fix_b = (
+            ev.filter(F.col("event_id") % 10 == 3)
+            .withColumn("value", F.col("value") + 0.5)
+            .unionByName(ev.filter(F.col("event_id") % 10 == 7))
+            .withColumn("event_type", F.lit("fixed_b"))
+            .unionByName(
+                ev.filter(F.col("event_id") % 10 == 9).select(
+                    (F.col("event_id") + 1_000_000_000).alias("event_id"),
+                    "user_id",
+                    F.lit("mor_new").alias("event_type"),
+                    "value",
+                )
+            )
+        )
+        led_b = merge_into(
+            spark, fix_b, tbl, keys=["event_id"],
+            strategy="merge-on-read", txn=("inv_mor", 1),
+        )
+        assert led_b["files_rewritten"] == 0
+        # exactly-once: replaying the batch id is a no-op
+        assert merge_into(
+            spark, fix_b, tbl, keys=["event_id"],
+            strategy="merge-on-read", txn=("inv_mor", 1),
+        )["skipped"]
+        _BUILD_DONE["lake_mor"] = base
+    return tbl
+
+
+def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read keyed upsert through deletion vectors
+    (``sinks.merge_into(strategy='merge-on-read')`` — the reference's
+    DO-UPDATE, etl_result.rs:267-281, WITHOUT copy-on-write
+    amplification): the build leg stacks two overlapping
+    zero-rewrite upserts (key tombstones + new files; every seed file
+    keeps its bytes) and the serve leg reads THROUGH the tombstones —
+    read_table's suppression join must keep exactly the newest row
+    per key (merge B over merge A over the stale seed) plus merge B's
+    inserts.  The oracle recomputes the expected final state from the
+    raw events; a resurrected stale row, a suppressed survivor, or a
+    double-applied replay fails the value hash every round.
+
+    At 100 TB this is the narrow-update-over-a-wide-table case: a
+    1-row correction writes ~1 row + a tombstone, never a 128 MB file
+    rewrite — Delta/Iceberg's deletion-vector shape on this log, with
+    ``materialize_deletes`` as the paired maintenance op."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_mor_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_MERGE_MOR_SQL = """
+WITH final AS (
+  SELECT event_id, user_id,
+    CASE WHEN event_id % 10 IN (3, 7) THEN 'fixed_b'
+         ELSE event_type END AS event_type,
+    CASE WHEN event_id % 10 = 3 THEN value + 0.5
+         ELSE value END AS value
+  FROM events
+  UNION ALL
+  SELECT event_id + 1000000000, user_id, 'mor_new', value
+  FROM events WHERE event_id % 10 = 9
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM final
+GROUP BY event_type
+"""
+
+
+def _lake_cdc_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_cdc_feed``: a CDF-enabled table takes an
+    append (v1), a copy-on-write merge with updates AND inserts (v2),
+    and a row-level delete (v3) — each rewrite commit writes its
+    change-data files.  Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files, delete_where, merge_into
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakecdc",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_cdc") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        cut = ev.agg(F.expr("max(event_id) div 10")).collect()[0][0]
+        append_files(  # v0 (excluded by since_version=0)
+            spark,
+            ev.filter(F.col("event_id") % 3 != 0).repartitionByRange(
+                4, "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+            enable_cdf=True,
+        )
+        append_files(spark, ev.filter(F.col("event_id") % 3 == 0), tbl)  # v1
+        src = ev.filter(F.col("event_id") % 10 == 7).withColumn(
+            "value", F.col("value") + 1000.0
+        ).withColumn("event_type", F.lit("upd")).unionByName(
+            ev.filter(F.col("event_id") % 10 == 1).select(
+                (F.col("event_id") + 1_000_000_000).alias("event_id"),
+                "user_id",
+                F.lit("cdc_new").alias("event_type"),
+                "value",
+            )
+        )
+        merge_into(spark, src, tbl, keys=["event_id"])  # v2
+        delete_where(spark, tbl, None, {"event_id": (0, int(cut))})  # v3
+        _BUILD_DONE["lake_cdc"] = base
+    return tbl
+
+
+def lake_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC across REWRITES (``sinks.table_changes(…,
+    change_feed=True)`` over the change-data files the commits wrote
+    — Delta's CDF shape): the build leg runs append → keyed merge →
+    delete on a CDF-enabled table; the serve leg reads the whole
+    change feed since v0 and rolls it up by commit version and change
+    type.  The oracle recomputes every change row relationally — the
+    merge's preimages must carry PRE-merge values, its postimages the
+    merged ones, the delete's rows the POST-merge state — so a
+    mislabeled change type, a preimage computed after the fact, or a
+    leaked/dropped row fails the value hash every round.
+
+    At 100 TB this is the downstream-consumer contract: a poll reads
+    only the span's change files (O(changes), never O(table)) and
+    keeps working across compactions, merges, and deletes — the
+    append-span fallback (``inv_lake_changes_feed``) raises there by
+    design."""
+    from ..sinks import table_changes
+
+    return (
+        table_changes(
+            spark, _lake_cdc_build(spark, sf_dir), 0, change_feed=True
+        )
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("event_id").alias("n_keys"),
+        )
+        .withColumnRenamed("_commit_version", "commit_version")
+        .withColumnRenamed("_change_type", "change_type")
+    )
+
+
+LAKE_CDC_FEED_SQL = """
+WITH merged AS (
+  SELECT event_id, user_id,
+    CASE WHEN event_id % 10 = 7 THEN 'upd' ELSE event_type END AS event_type,
+    CASE WHEN event_id % 10 = 7 THEN value + 1000.0 ELSE value END AS value
+  FROM events
+  UNION ALL
+  SELECT event_id + 1000000000, user_id, 'cdc_new', value
+  FROM events WHERE event_id % 10 = 1
+),
+cut AS (SELECT max(event_id) // 10 AS cut FROM events),
+changes AS (
+  -- v1: the %3=0 append, synthesized/filed as inserts
+  SELECT 1 AS commit_version, 'insert' AS change_type, event_id, value
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  -- v2: the merge's preimages (pre-merge values) ...
+  SELECT 2, 'update_preimage', event_id, value
+  FROM events WHERE event_id % 10 = 7
+  UNION ALL
+  -- ... postimages (merged values) ...
+  SELECT 2, 'update_postimage', event_id, value + 1000.0
+  FROM events WHERE event_id % 10 = 7
+  UNION ALL
+  -- ... and the unmatched-key inserts
+  SELECT 2, 'insert', event_id + 1000000000, value
+  FROM events WHERE event_id % 10 = 1
+  UNION ALL
+  -- v3: the delete sees the POST-merge state of the deleted span
+  SELECT 3, 'delete', event_id, value
+  FROM merged, cut WHERE event_id BETWEEN 0 AND cut
+)
+SELECT commit_version, change_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys
+FROM changes
+GROUP BY commit_version, change_type
+"""
+
+
+def _lake_stream_changes_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_stream_changes``: a source lake table takes
+    three append commits and streams them through the commit-log
+    source (``sources.lake_changes``) into a downstream lake table
+    with txn-stamped exactly-once writes; a fourth commit lands and
+    the stream RESTARTS from the same checkpoint — only the new span
+    flows.  Memoized per sf_dir; returns the DOWNSTREAM table."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files
+    from ..sources.lake_changes import start_lake_changes_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakechstream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src_tbl = os.path.join(base, "src")
+    dst_tbl = os.path.join(base, "dst")
+    ckpt = os.path.join(base, "ckpt")
+    if _BUILD_DONE.get("lake_stream_changes") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for m in range(3):  # v0..v2
+            append_files(
+                spark, ev.filter(F.col("event_id") % 4 == m), src_tbl,
+                cols=["event_id"],
+            )
+
+        def _replicate(batch, batch_id: int) -> None:
+            append_files(
+                batch.sparkSession, batch, dst_tbl, cols=["event_id"],
+                txn=("inv_lake_stream", int(batch_id)),
+            )
+
+        q = start_lake_changes_stream(spark, src_tbl, _replicate, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("lake changes stream leg 1 timed out")
+        # a late commit + restart from the SAME checkpoint: only the
+        # new span flows, and txn stamps keep replays no-ops
+        append_files(spark, ev.filter(F.col("event_id") % 4 == 3), src_tbl)
+        q2 = start_lake_changes_stream(spark, src_tbl, _replicate, ckpt)
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError("lake changes stream leg 2 timed out")
+        _BUILD_DONE["lake_stream_changes"] = base
+    return dst_tbl
+
+
+def lake_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake table AS a streaming source (``spark.readStream.format
+    ("lake_changes")`` — the Python Data Source API over the commit
+    log; Delta's streaming-source-from-a-table): commits stream
+    exactly-once into a downstream lake table across a restart, with
+    version offsets in the stream checkpoint and txn stamps on the
+    downstream commits.  The serve leg rolls the downstream table up;
+    the oracle recomputes from the raw events — a double-served span,
+    a dropped commit, or a replayed batch landing twice fails the
+    value hash every round.
+
+    At 100 TB this replaces a broker between pipeline stages: each
+    poll plans from the span's markers (O(span) driver work) and
+    fans the new files out across executors — the reference's
+    consumer loop (src/consumer/kafka/trace/mod.rs:24-51) with the
+    table's own log as the topic."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_stream_changes_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_STREAM_CHANGES_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR)
+    AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
 LAKE_MERGE_UPSERT_SQL = """
 WITH final AS (
   SELECT event_id, user_id, event_type, value FROM events
@@ -2874,6 +3241,9 @@ QUERIES = {
     "inv_lake_merge_upsert": lake_merge_upsert,
     "inv_lake_schema_evolution": lake_schema_evolution,
     "inv_lake_changes_feed": lake_changes_feed,
+    "inv_lake_merge_mor": lake_merge_mor,
+    "inv_lake_cdc_feed": lake_cdc_feed,
+    "inv_lake_stream_changes": lake_stream_changes,
 }
 
 ORACLES = {
@@ -2924,4 +3294,7 @@ ORACLES = {
     "inv_lake_merge_upsert": LAKE_MERGE_UPSERT_SQL,
     "inv_lake_schema_evolution": LAKE_SCHEMA_EVOLUTION_SQL,
     "inv_lake_changes_feed": LAKE_CHANGES_FEED_SQL,
+    "inv_lake_merge_mor": LAKE_MERGE_MOR_SQL,
+    "inv_lake_cdc_feed": LAKE_CDC_FEED_SQL,
+    "inv_lake_stream_changes": LAKE_STREAM_CHANGES_SQL,
 }
