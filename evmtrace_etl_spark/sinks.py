@@ -1212,11 +1212,20 @@ def parquet_stats_index(
                     lo = hi = None
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx[c]).statistics
-                        if st is None or not st.has_min_max:
+                        try:
+                            ok = st is not None and st.has_min_max
+                            smin = st.min if ok else None
+                            smax = st.max if ok else None
+                        except Exception:
+                            # pyarrow cannot extract stats for some
+                            # physical types (e.g. decimals) — NULL
+                            # stats mean "may match": conservative
+                            ok = False
+                        if not ok:
                             lo = hi = None
                             break  # one stats-less group poisons the file
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
+                        lo = smin if lo is None else min(lo, smin)
+                        hi = smax if hi is None else max(hi, smax)
                     rec[f"{c}_min"] = lo
                     rec[f"{c}_max"] = hi
                 rows.append(rec)
@@ -1317,11 +1326,20 @@ def _local_stats_rows(
             lo = hi = None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
-                if st is None or not st.has_min_max:
+                try:
+                    ok = st is not None and st.has_min_max
+                    smin = st.min if ok else None
+                    smax = st.max if ok else None
+                except Exception:
+                    # pyarrow cannot extract stats for some physical
+                    # types (e.g. decimals) — NULL stats mean "may
+                    # match": conservative, never wrong
+                    ok = False
+                if not ok:
                     lo = hi = None
                     break  # one stats-less group poisons the file
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                lo = smin if lo is None else min(lo, smin)
+                hi = smax if hi is None else max(hi, smax)
             rec[f"{c}_min"] = lo
             rec[f"{c}_max"] = hi
         rows.append(rec)

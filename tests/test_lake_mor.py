@@ -411,6 +411,41 @@ def test_partition_column_omission_raises(spark, tmp_path):
     assert read_table(spark, tbl).filter("p = 1 and v = 3").count() == 5
 
 
+def test_driver_side_stats_handle_timestamp_and_decimal(spark, tmp_path):
+    """The O(batch) commit's driver-side footer reader must match the
+    distributed builder's semantics: timestamp stats prune exactly
+    (session writes TIMESTAMP_MICROS), and types pyarrow cannot
+    extract stats for (decimals) degrade to NULL stats — conservative
+    'may match', results exact either way."""
+    import datetime
+
+    tbl = str(tmp_path / "ts")
+    df = spark.range(100).selectExpr(
+        "id as k",
+        "timestamp'2026-01-01' + make_interval(0,0,0,0,cast(id as int),0,0)"
+        " as ts",
+        "cast(id as decimal(10,2)) as d",
+    )
+    append_files(spark, df, tbl, cols=["ts", "d"])
+    b2 = spark.range(100, 120).selectExpr(
+        "id as k",
+        "timestamp'2026-06-01' + make_interval(0,0,0,0,cast(id as int),0,0)"
+        " as ts",
+        "cast(id as decimal(10,2)) as d",
+    )
+    append_files(spark, b2, tbl)  # driver-side stats path
+    m = sinks.current_manifest(spark, tbl + "/_stats_manifest")
+    span = (
+        datetime.datetime(2026, 5, 1), datetime.datetime(2026, 12, 1)
+    )
+    assert read_table(spark, tbl, {"ts": span}).count() == 20
+    kept = sinks.prune_files(m, {"ts": span})
+    assert 0 < len(kept) < m.count()  # the June files only
+    # decimal stats are NULL (pyarrow limitation) -> no prune, but the
+    # exact row filter still holds
+    assert read_table(spark, tbl, {"d": (105.0, 110.0)}).count() == 6
+
+
 def test_lock_key_normalization():
     """Spelling variants of one table path must map to ONE lock."""
     k = sinks._lock_key("/a/b/_stats_manifest")
