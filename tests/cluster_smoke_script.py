@@ -265,6 +265,65 @@ def main() -> None:
     assert t.filter("v = -2").count() == 100
     assert t.filter("k = 300").select("v").collect()[0][0] == 3000
 
+    # ---- r11: merge-on-read suppression + CDC across real JVMs -------
+    # the deletion-vector read path joins input_file_name-derived
+    # provenance against broadcast maps ON THE EXECUTORS — exactly the
+    # part a local[(*)] run cannot prove; the change feed's sidecar
+    # files must also read back across JVMs.
+    from evmtrace_etl_spark.sinks import materialize_deletes, table_changes
+
+    mor = merge_into(
+        spark,
+        spark.range(200, 260).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("p"),
+            F.lit(-7).cast("long").alias("v"),
+        ),
+        ltbl,
+        keys=["k"],
+        strategy="merge-on-read",
+    )
+    assert mor["files_rewritten"] == 0 and mor["dv_files"] == 1, mor
+    t2 = read_table(spark, ltbl)
+    assert t2.count() == 1200
+    assert t2.filter("v = -7").count() == 60
+    assert t2.filter("k = 210").select("v").collect()[0][0] == -7
+    mat = materialize_deletes(spark, ltbl)
+    assert mat["rows_suppressed"] == 60 and mat["dv_files_removed"] == 1
+    t3 = read_table(spark, ltbl)
+    assert t3.count() == 1200 and t3.filter("v = -7").count() == 60
+
+    ctbl = os.path.join(
+        tempfile.mkdtemp(prefix="evmtrace_cluster_cdf_"), "t"
+    )
+    append_files(
+        spark,
+        spark.range(50).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        ),
+        ctbl,
+        cols=["k"],
+        enable_cdf=True,
+    )
+    merge_into(
+        spark,
+        spark.range(40, 60).select(
+            F.col("id").alias("k"), F.lit(2).cast("long").alias("v")
+        ),
+        ctbl,
+        keys=["k"],
+    )
+    cf = table_changes(spark, ctbl, 0, change_feed=True)
+    counts = {
+        r["_change_type"]: r["count"]
+        for r in cf.groupBy("_change_type").count().collect()
+    }
+    assert counts == {
+        "update_preimage": 10,
+        "update_postimage": 10,
+        "insert": 10,
+    }, counts
+
     print("CLUSTER_SMOKE_OK")
 
 

@@ -783,3 +783,43 @@ def test_ingest_dedup_prunes_index_before_sizing(spark, tmp_path):
     # and the index appears exactly once in the plan (one scan per
     # trigger, not a second full pass)
     assert len(scan) == 1, plan
+
+
+def test_dv_suppressed_read_never_shuffles_the_fact(spark, tmp_path):
+    """Deletion-vector serving (read_table over a merge-on-read table):
+    the fact scan flows through exactly two BROADCAST hash joins — the
+    file→added_version provenance map and the tombstone max-version
+    set, both metadata/batch-sized — and the only hash-partitioned
+    Exchange in the plan is the tombstone-side aggregate.  A
+    SortMergeJoin or a fact-side Exchange here would shuffle the whole
+    table per read at 100 TB."""
+    from evmtrace_etl_spark import sinks
+
+    tbl = str(tmp_path / "t")
+    sinks.append_files(
+        spark,
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        tbl,
+        cols=["k"],
+    )
+    sinks.merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")
+        ),
+        tbl,
+        keys=["k"],
+        strategy="merge-on-read",
+    )
+    df = sinks.read_table(spark, tbl)
+    plan = plan_of(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # the one shuffle is the batch-sized tombstone aggregate, never the
+    # fact side
+    assert plan.count("Exchange hashpartitioning") == 1
+    # and the values still come out right
+    assert df.filter("v = -7").count() == 5
+    assert df.count() == 1000
