@@ -295,6 +295,75 @@ def test_mor_guards(spark, tmp_path):
         )
 
 
+def test_mor_crash_before_commit_rolls_back_tombstone(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection between the tombstone/data move-in and the
+    commit: a snapshot reader sees the pre-merge table WITHOUT any
+    suppression (the tombstone is not in any committed marker), the
+    next op's recovery deletes the orphan data + tombstone files, and
+    the replayed merge commits exactly once."""
+    tbl = _seed(spark, tmp_path, n=200, files=4)
+    src = spark.range(50, 70).select(
+        F.col("id").alias("k"), F.lit(-9).cast("long").alias("v")
+    )
+    real = sinks._commit_manifest
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before mor commit")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_into(
+            spark, src, tbl, keys=["k"], txn=("morc", 1),
+            strategy="merge-on-read",
+        )
+    monkeypatch.setattr(sinks, "_commit_manifest", real)
+
+    t = read_table(spark, tbl)
+    assert t.count() == 200 and t.filter("v = -9").count() == 0
+    led = merge_into(
+        spark, src, tbl, keys=["k"], txn=("morc", 1),
+        strategy="merge-on-read",
+    )
+    assert not led["skipped"]
+    # recovery (at the head of the retried merge) removed the crashed
+    # attempt's orphan tombstone FILE; vacuum clears its empty dir
+    assert len(glob.glob(tbl + "/_deletes/*/*.parquet")) == 1
+    sinks.vacuum_table(spark, tbl)
+    assert len(glob.glob(tbl + "/_deletes/*")) == 1
+    t2 = read_table(spark, tbl)
+    assert t2.count() == 200 and t2.filter("v = -9").count() == 20
+
+
+def test_mor_crash_after_commit_is_durable(spark, tmp_path, monkeypatch):
+    """Crash injection after the commit point: the tombstone is in the
+    committed marker — suppression serves immediately, the replay is a
+    no-op."""
+    tbl = _seed(spark, tmp_path, n=200, files=4)
+    src = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(-3).cast("long").alias("v")
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash after mor commit")
+
+    monkeypatch.setattr(sinks, "_post_commit_sweep", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_into(
+            spark, src, tbl, keys=["k"], txn=("morc2", 1),
+            strategy="merge-on-read",
+        )
+    monkeypatch.undo()
+
+    t = read_table(spark, tbl)
+    assert t.count() == 200 and t.filter("v = -3").count() == 30
+    assert merge_into(
+        spark, src, tbl, keys=["k"], txn=("morc2", 1),
+        strategy="merge-on-read",
+    )["skipped"]
+
+
 # ---------------------------------------------------------------------------
 # Row-level CDC (change-data feed)
 # ---------------------------------------------------------------------------
