@@ -2944,6 +2944,95 @@ GROUP BY event_type
 """
 
 
+def _lake_cluster_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_cluster_skip``: seed the lake table in
+    ARRIVAL order (hash repartition — every file spans the full
+    event_id range, so a range predicate prunes nothing), then
+    ``cluster_table`` re-lays it out on event_id through one snapshot
+    commit; the build asserts the prune actually tightened.  Memoized
+    per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files, cluster_table, current_manifest, prune_files
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakecluster",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_cluster") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(spark, ev.repartition(8), tbl, cols=["event_id"])
+        led = cluster_table(
+            spark, tbl, ["event_id"], target_bytes=1 << 18
+        )
+        assert led["rows_before"] == led["rows_after"]
+        if led["files_added"] > 1:  # tiny SFs fit one file — no spans
+            m = current_manifest(spark, tbl + "/_stats_manifest")
+            hi = ev.agg(F.max("event_id")).collect()[0][0]
+            kept = prune_files(m, {"event_id": (0, int(hi) // 4)})
+            # the re-layout must actually skip
+            assert len(kept) < m.count()
+        _BUILD_DONE["lake_cluster"] = base
+    return tbl
+
+
+def lake_cluster_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ORDER BY through the log (``sinks.cluster_table``):
+    the build leg seeds the lake table in arrival order — a range
+    predicate prunes NOTHING — and re-clusters it on event_id as one
+    snapshot transaction (readers never paused, crash leaves one
+    committed version, rows untouched by ledger contract and by the
+    build's assertion that pruning tightened).  The serve leg range-
+    reads the bottom quartile through the snapshot; the oracle
+    recomputes it from the raw events — a dropped/duplicated row in
+    the re-layout, or a stats manifest that no longer matches the
+    files, fails the value hash every round.
+
+    At 100 TB this is the periodic maintenance a streamed-in
+    (arrival-ordered) fact table needs for its manifest spans to tile
+    the query key: scan-the-slice instead of scan-the-table, same
+    transaction protocol as compaction."""
+    from ..sinks import read_table
+
+    tbl = _lake_cluster_build(spark, sf_dir)
+    hi = _t(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
+    return (
+        read_table(spark, tbl, {"event_id": (0, int(hi) // 4)})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_CLUSTER_SKIP_SQL = """
+WITH cut AS (SELECT max(event_id) // 4 AS hi FROM events)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR)
+    AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events, cut
+WHERE event_id BETWEEN 0 AND hi
+GROUP BY event_type
+"""
+
+
 def _lake_cdc_build(spark: SparkSession, sf_dir: str) -> str:
     """Build leg for ``lake_cdc_feed``: a CDF-enabled table takes an
     append (v1), a copy-on-write merge with updates AND inserts (v2),
@@ -3244,6 +3333,7 @@ QUERIES = {
     "inv_lake_merge_mor": lake_merge_mor,
     "inv_lake_cdc_feed": lake_cdc_feed,
     "inv_lake_stream_changes": lake_stream_changes,
+    "inv_lake_cluster_skip": lake_cluster_skip,
 }
 
 ORACLES = {
@@ -3297,4 +3387,5 @@ ORACLES = {
     "inv_lake_merge_mor": LAKE_MERGE_MOR_SQL,
     "inv_lake_cdc_feed": LAKE_CDC_FEED_SQL,
     "inv_lake_stream_changes": LAKE_STREAM_CHANGES_SQL,
+    "inv_lake_cluster_skip": LAKE_CLUSTER_SKIP_SQL,
 }

@@ -2556,6 +2556,9 @@ def _txn_rewrite(
     keep_versions: int = 2,
     txn: tuple[str, int] | None = None,
     changes_fn: Callable[[DataFrame, "F.Column"], DataFrame] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_ndv: int = 1_000_000,
+    observe_input: bool = True,
 ) -> dict:
     """Per-table-serialized entry to ``_txn_rewrite_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -2564,6 +2567,8 @@ def _txn_rewrite(
             spark, path, manifest_path, predicates, rewrite, cols,
             count_matched=count_matched, candidates=candidates,
             keep_versions=keep_versions, txn=txn, changes_fn=changes_fn,
+            bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
+            observe_input=observe_input,
         )
 
 
@@ -2579,6 +2584,9 @@ def _txn_rewrite_unlocked(
     keep_versions: int = 2,
     txn: tuple[str, int] | None = None,
     changes_fn: Callable[[DataFrame, "F.Column"], DataFrame] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_ndv: int = 1_000_000,
+    observe_input: bool = True,
 ) -> dict:
     """The snapshot-committed candidate-file rewrite engine shared by
     ``delete_where`` and ``update_where``: prune candidate files
@@ -2682,26 +2690,48 @@ def _txn_rewrite_unlocked(
 
     # every ledger count rides the ONE write job as CollectMetrics —
     # no pre-count of the candidates, no read-back of the temp output
-    # (three saved jobs per transaction)
-    obs_in = Observation()
-    touched_obs = touched.observe(
-        obs_in,
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(hit, 1).otherwise(0)).alias("m"),
-    )
+    # (three saved jobs per transaction).  observe_input=False is for
+    # rewrites whose plan re-executes the input subtree (a
+    # repartitionByRange re-layout runs the range-sampling pass over
+    # it first, which would double-count the metric); those take
+    # rows_before from the manifest's per-file row counts instead.
+    obs_in: "Observation | None" = None
+    touched_obs = touched
+    if observe_input:
+        obs_in = Observation()
+        touched_obs = touched.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("m"),
+        )
     out = rewrite(touched_obs, hit).select(*[f.name for f in schema.fields])
     obs_out = Observation()
     out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
 
     tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
-    writer = out.write.mode("overwrite")
+    writer = _with_blooms(out.write.mode("overwrite"), bloom_cols, bloom_ndv)
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
-    rows_before = int(obs_in.get["n"])
-    rows_matched = (
-        int(obs_in.get["m"] or 0) if count_matched else None
-    )
+    if obs_in is not None:
+        rows_before = int(obs_in.get["n"])
+        rows_matched = (
+            int(obs_in.get["m"] or 0) if count_matched else None
+        )
+    else:
+        # the manifest already tracks per-file counts — exact for the
+        # candidate set (per-suppression on DV tables: a re-layout
+        # also materializes tombstones, and the delta shows here)
+        cand_df2 = spark.createDataFrame(
+            [(f,) for f in cand], "file string"
+        )
+        rows_before = int(
+            manifest.join(F.broadcast(cand_df2), on="file", how="leftsemi")
+            .agg(F.sum("n_rows"))
+            .collect()[0][0]
+            or 0
+        )
+        rows_matched = None
     rows_after = int(obs_out.get["n"])
 
     expected = (snap_v if snap_v is not None else -1) + 1
@@ -3909,6 +3939,117 @@ def compact_table(
     ledger.pop("rows_matched", None)
     ledger["n_target_files"] = int(n_out)
     ledger["bytes_in"] = int(bytes_in)
+    return ledger
+
+
+def cluster_table(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    manifest_path: str | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    zorder: bool = False,
+    n_buckets: int = 16,
+    rel_err: float = 0.001,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_ndv: int = 1_000_000,
+    cols: Sequence[str] | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """OPTIMIZE ORDER/ZORDER BY through the log: re-layout a
+    manifest-tracked table CLUSTERED on ``keys`` as ONE snapshot
+    transaction — ``cluster_parquet``'s layouts (lexicographic
+    range-sort, or quantile-bucketed Morton z-order for multi-key
+    workloads, optionally + parquet blooms on other columns) committed
+    through the same protocol as compaction, so snapshot readers are
+    never paused and a crash leaves exactly one committed version.
+    After it, the manifest's per-file spans tile the key range and
+    ``read_table`` range predicates prune to the files holding
+    matching rows — on a streamed-in (arrival-ordered) 100 TB table
+    this is the difference between scanning the table and scanning
+    the slice, re-established periodically as ingest un-sorts it.
+
+    Rows are never changed (``rows_before == rows_after`` in the
+    ledger; a CDF table records the explicit empty change set, like
+    compaction).  The z-order quantile probe runs against the CURRENT
+    snapshot before the transaction pins candidates — cut points are
+    a layout heuristic, not a correctness input.  Returns the rewrite
+    ledger plus the clustering spec."""
+    keys = list(keys)
+    mdir = _manifest_dir(path, manifest_path)
+    manifest = current_manifest(spark, mdir)
+    if manifest is None:
+        raise ValueError(
+            f"no stats manifest at {mdir} — create the table with "
+            "append_files / update_stats_index first"
+        )
+    jvm, hp, fs = _fs_for(spark, path)
+    cand = prune_files(manifest, {})  # the full committed file list
+    bytes_in = 0
+    for f in cand:
+        try:
+            bytes_in += fs.getFileStatus(hp(f)).getLen()
+        except Exception:  # pragma: no cover - racing sweep
+            pass
+    n_out = max(1, -(-bytes_in // int(target_bytes)))
+
+    if zorder:
+        bits = max(1, (int(n_buckets) - 1).bit_length())
+        # quantile cuts from the current snapshot (key columns only)
+        all_cuts = _quantile_cuts(
+            read_table(spark, path, manifest_path=manifest_path).select(
+                *keys
+            ),
+            keys,
+            int(n_buckets),
+            rel_err,
+        )
+
+        def _relayout(touched: DataFrame, _hit) -> DataFrame:
+            z = _morton(
+                [
+                    _bucket_from_cuts(k, c)
+                    for k, c in zip(keys, all_cuts)
+                ],
+                bits,
+            )
+            return (
+                touched.withColumn("_z", z)
+                .repartitionByRange(int(n_out), "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+    else:
+
+        def _relayout(touched: DataFrame, _hit) -> DataFrame:
+            return touched.repartitionByRange(
+                int(n_out), *keys
+            ).sortWithinPartitions(*keys)
+
+    ledger = _txn_rewrite(
+        spark,
+        path,
+        manifest_path,
+        {},
+        _relayout,
+        cols,
+        candidates=cand,
+        keep_versions=keep_versions,
+        bloom_cols=bloom_cols,
+        bloom_ndv=bloom_ndv,
+        # the range partitioner's sampling pass re-executes the input
+        # subtree — an input-side Observation would double-count
+        observe_input=False,
+    )
+    ledger.pop("rows_matched", None)
+    ledger.update(
+        {
+            "keys": keys,
+            "zorder": bool(zorder),
+            "n_target_files": int(n_out),
+            "bytes_in": int(bytes_in),
+        }
+    )
     return ledger
 
 

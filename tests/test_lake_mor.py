@@ -480,6 +480,41 @@ def test_partition_column_omission_raises(spark, tmp_path):
     assert read_table(spark, tbl).filter("p = 1 and v = 3").count() == 5
 
 
+def test_cluster_table_relayouts_through_the_log(spark, tmp_path):
+    """OPTIMIZE ORDER/ZORDER through the log: an arrival-ordered table
+    (every file spans the full key range) re-lays out in ONE snapshot
+    transaction — range predicates then prune to the tiling files,
+    values and cardinality are untouched, and the z-order leg keeps
+    the same invariants."""
+    tbl = str(tmp_path / "t")
+    df = spark.range(100_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    ).repartition(8)  # hash layout: zero skipping
+    append_files(spark, df, tbl, cols=["k"])
+    m0 = sinks.current_manifest(spark, tbl + "/_stats_manifest")
+    assert len(sinks.prune_files(m0, {"k": (1000, 2000)})) == 8
+
+    led = sinks.cluster_table(spark, tbl, ["k"], target_bytes=1 << 18)
+    assert led["rows_before"] == led["rows_after"] == 100_000
+    assert led["files_rewritten"] == 8
+    m1 = sinks.current_manifest(spark, tbl + "/_stats_manifest")
+    kept = sinks.prune_files(m1, {"k": (1000, 2000)})
+    assert len(kept) < m1.count()  # tiling, not table
+    t = read_table(spark, tbl, {"k": (1000, 2000)})
+    assert t.count() == 1001
+    assert t.agg(F.sum("v")).collect()[0][0] == sum(
+        2 * k for k in range(1000, 2001)
+    )
+
+    led2 = sinks.cluster_table(
+        spark, tbl, ["k", "g"], zorder=True, target_bytes=1 << 18
+    )
+    assert led2["zorder"] and led2["rows_before"] == led2["rows_after"]
+    assert read_table(spark, tbl).count() == 100_000
+
+
 def test_driver_side_stats_handle_timestamp_and_decimal(spark, tmp_path):
     """The O(batch) commit's driver-side footer reader must match the
     distributed builder's semantics: timestamp stats prune exactly
