@@ -3033,6 +3033,119 @@ GROUP BY event_type
 """
 
 
+def _lake_restore_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_restore``: seed the full events table (v0),
+    land two JUNK commits — a bad-feed append (v1) and a
+    merge-on-read corruption of real keys (v2) — then RESTORE to v0
+    (v3: junk files swept, tombstones dropped) and apply one
+    legitimate post-restore merge (v4), proving the table is fully
+    writable after the rollback.  Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files, merge_into, restore_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakerestore",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_restore") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(
+            spark,
+            ev.repartitionByRange(4, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )  # v0 — the good state
+        append_files(  # v1: a bad feed lands junk rows
+            spark,
+            ev.filter(F.col("event_id") % 5 == 0).select(
+                (F.col("event_id") + 3_000_000_000).alias("event_id"),
+                "user_id",
+                F.lit("junk").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+            ),
+            tbl,
+        )
+        merge_into(  # v2: and corrupts real keys (merge-on-read)
+            spark,
+            ev.filter(F.col("event_id") % 7 == 0).withColumn(
+                "value", F.lit(-999.0)
+            ),
+            tbl, keys=["event_id"], strategy="merge-on-read",
+        )
+        led = restore_table(spark, tbl, 0)  # v3: roll it all back
+        assert led["restored_to"] == 0 and led["files_removed"] >= 2
+        merge_into(  # v4: the table stays fully writable post-restore
+            spark,
+            ev.filter(F.col("event_id") % 10 == 2).withColumn(
+                "value", F.col("value") + 5.0
+            ).withColumn("event_type", F.lit("post")),
+            tbl, keys=["event_id"],
+        )
+        _BUILD_DONE["lake_restore"] = base
+    return tbl
+
+
+def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE VERSION AS OF through the log (``sinks.restore_table``
+    — Delta's RESTORE): the build leg corrupts the table with a junk
+    append AND a merge-on-read key corruption, rolls both back to the
+    v0 snapshot as a NEW commit (junk files swept, tombstones
+    dropped, txn map carried forward), then applies a legitimate
+    keyed merge on the restored table.  The serve leg rolls the final
+    state up; the oracle recomputes it from the raw events — a junk
+    row that survived the restore, a lingering tombstone suppressing
+    a real row, or a post-restore write landing wrong fails the
+    value hash every round.
+
+    At 100 TB this is the bad-deploy day: hours of corrupt commits
+    roll back in one O(metadata) transaction while readers stay on
+    their snapshots — no table copy, no downtime."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_restore_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_RESTORE_SQL = """
+WITH final AS (
+  SELECT event_id, user_id,
+    CASE WHEN event_id % 10 = 2 THEN 'post' ELSE event_type END AS event_type,
+    CASE WHEN event_id % 10 = 2 THEN value + 5.0 ELSE value END AS value
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR)
+    AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM final
+GROUP BY event_type
+"""
+
+
 def _lake_cdc_build(spark: SparkSession, sf_dir: str) -> str:
     """Build leg for ``lake_cdc_feed``: a CDF-enabled table takes an
     append (v1), a copy-on-write merge with updates AND inserts (v2),
@@ -3334,6 +3447,7 @@ QUERIES = {
     "inv_lake_cdc_feed": lake_cdc_feed,
     "inv_lake_stream_changes": lake_stream_changes,
     "inv_lake_cluster_skip": lake_cluster_skip,
+    "inv_lake_restore": lake_restore,
 }
 
 ORACLES = {
@@ -3388,4 +3502,5 @@ ORACLES = {
     "inv_lake_cdc_feed": LAKE_CDC_FEED_SQL,
     "inv_lake_stream_changes": LAKE_STREAM_CHANGES_SQL,
     "inv_lake_cluster_skip": LAKE_CLUSTER_SKIP_SQL,
+    "inv_lake_restore": LAKE_RESTORE_SQL,
 }

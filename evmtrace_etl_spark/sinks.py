@@ -1934,6 +1934,8 @@ def _commit_manifest_unleased(
     extra_pending: Sequence[str] | None = None,
     added_rows: list[dict] | None = None,
     stats_schema: T.StructType | None = None,
+    restore_manifest: DataFrame | None = None,
+    dvs_replace: Sequence[dict] | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2029,6 +2031,12 @@ def _commit_manifest_unleased(
         dvs = []
     if dvs_add:
         dvs += [dict(d) for d in dvs_add]
+    if dvs_replace is not None:
+        # RESTORE pins the target snapshot's deletion-vector set; head
+        # tombstones it drops retire into the sweep backlog
+        keep_files = {d["file"] for d in dvs_replace}
+        retired += [d["file"] for d in dvs if d["file"] not in keep_files]
+        dvs = [dict(d) for d in dvs_replace]
     removed_now = sorted(set(removed))
     pending_all = sorted(set(pending) | set(removed_now) | set(retired))
     if added_files is None:
@@ -2077,7 +2085,11 @@ def _commit_manifest_unleased(
         )
 
     local_delta = not checkpoint and added_rows is not None
-    if checkpoint:
+    if restore_manifest is not None:
+        # RESTORE: the checkpoint IS the target snapshot's manifest
+        checkpoint, local_delta = True, False
+        out_df = restore_manifest
+    elif checkpoint:
         parts: list[DataFrame] = []
         prev_df: DataFrame | None = None
         if committed:
@@ -4241,6 +4253,89 @@ def _materialize_deletes_unlocked(
         }
     )
     return ledger
+
+
+def restore_table(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    manifest_path: str | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """RESTORE the table to retained snapshot ``version`` as a NEW
+    commit (Delta's RESTORE TABLE ... VERSION AS OF): the restored
+    state becomes the next version — history moves forward, nothing is
+    rewritten in place, and concurrent readers stay on their snapshot.
+    The commit's manifest is ``version``'s reconstruction; files the
+    later commits added are logically removed (and swept — the
+    zero-retention trade: a restore is not itself un-restorable),
+    files ``version`` referenced must still exist (valid back across
+    append/MOR spans; a copy-on-write rewrite in between swept them —
+    raises then).  The restored commit also pins ``version``'s schema
+    and deletion-vector set, while the txn map carries FORWARD from
+    the head so streaming writers' replay protection survives the
+    restore.  Returns a ledger: version, restored_to, files_removed,
+    files_readded."""
+    mdir = _manifest_dir(path, manifest_path)
+    with _log_lock(mdir):
+        jvm, hp, fs = _fs_for(spark, path)
+        _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
+        versions = _committed_versions(spark, mdir)
+        if version not in versions:
+            raise ValueError(
+                f"version {version} is not committed/retained at {mdir}"
+            )
+        head = versions[-1]
+        snap_v = head
+        target_marker = _commit_info(spark, mdir, version)
+        target = _reconstruct_manifest(spark, mdir, version)
+        target_files = {r["file"] for r in target.select("file").collect()}
+        head_files = {
+            r["file"]
+            for r in _reconstruct_manifest(spark, mdir, head)
+            .select("file")
+            .collect()
+        }
+        missing = [
+            f
+            for f in sorted(target_files - head_files)
+            if not fs.exists(hp(f))
+        ] + [
+            d["file"]
+            for d in target_marker.get("dvs", [])
+            if not fs.exists(hp(d["file"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {path} to v{version}: "
+                f"{len(missing)} of its data/tombstone files were swept "
+                "by a later rewrite (restore is valid back across "
+                "append/merge-on-read spans; rewrites sweep at commit)"
+            )
+        removed = sorted(head_files - target_files)
+        readded = sorted(target_files - head_files)
+        version_new = _commit_manifest(
+            spark,
+            mdir,
+            None,
+            removed=removed,
+            expected_version=head + 1,
+            keep_versions=keep_versions,
+            table_schema=target_marker.get("schema"),
+            partition_by=target_marker.get("partition_by"),
+            added_files=readded,
+            force_checkpoint=True,
+            restore_manifest=target,
+            dvs_replace=list(target_marker.get("dvs", [])),
+        )
+        _post_commit_sweep(spark, mdir)
+        return {
+            "version": int(version_new),
+            "restored_to": int(version),
+            "files_removed": len(removed),
+            "files_readded": len(readded),
+        }
 
 
 def table_history(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[dict]:

@@ -480,6 +480,99 @@ def test_partition_column_omission_raises(spark, tmp_path):
     assert read_table(spark, tbl).filter("p = 1 and v = 3").count() == 5
 
 
+def test_restore_table_rolls_back_as_a_new_commit(spark, tmp_path):
+    """RESTORE VERSION AS OF: the restored state lands as the NEXT
+    commit — the junk commits' files sweep, the target's schema and
+    deletion vectors pin, the txn map carries forward, and a restore
+    across a copy-on-write rewrite (whose files are gone) raises."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)  # v0, v1
+    good_v = sinks.manifest_version(spark, tbl + "/_stats_manifest")
+    # junk commits to roll back: an append and a MOR merge
+    append_files(
+        spark,
+        spark.range(900, 950).select(
+            F.col("id").alias("k"), F.lit(-5).cast("long").alias("v")
+        ),
+        tbl,
+        txn=("w", 7),
+    )  # v2
+    merge_into(
+        spark,
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit(-6).cast("long").alias("v")
+        ),
+        tbl, keys=["k"], strategy="merge-on-read",
+    )  # v3
+    assert read_table(spark, tbl).count() == 150
+
+    led = sinks.restore_table(spark, tbl, good_v)
+    assert led["restored_to"] == good_v and led["version"] == 4
+    t = read_table(spark, tbl)
+    assert t.count() == 100
+    assert t.filter("v < 0").count() == 0  # junk gone, nothing suppressed
+    assert sorted(r["k"] for r in t.collect()) == list(range(100))
+    # the junk files are physically swept; no tombstones linger
+    assert glob.glob(tbl + "/_deletes/*/*.parquet") == []
+    # txn map survived the restore: the junk append's id still no-ops
+    led2 = append_files(
+        spark,
+        spark.range(900, 950).select(
+            F.col("id").alias("k"), F.lit(-5).cast("long").alias("v")
+        ),
+        tbl,
+        txn=("w", 7),
+    )
+    assert led2["skipped"]
+    # and the table keeps working normally after the restore
+    append_files(
+        spark,
+        spark.range(200, 210).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+        ),
+        tbl,
+    )
+    assert read_table(spark, tbl).count() == 110
+
+    # restore ACROSS a rewrite: the rewrite swept the old files — raise
+    tbl2 = _seed(spark, tmp_path.joinpath("b"), n=100, files=2)
+    v_pre = sinks.manifest_version(spark, tbl2 + "/_stats_manifest")
+    merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        tbl2, keys=["k"],  # copy-on-write rewrite
+    )
+    with pytest.raises(ValueError, match="swept"):
+        sinks.restore_table(spark, tbl2, v_pre)
+
+
+def test_restore_preserves_mor_suppression(spark, tmp_path):
+    """Restoring to a version WITH active deletion vectors pins that
+    version's tombstone set — the suppression serves again exactly."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    merge_into(
+        spark,
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")
+        ),
+        tbl, keys=["k"], strategy="merge-on-read",
+    )
+    mor_v = sinks.manifest_version(spark, tbl + "/_stats_manifest")
+    append_files(
+        spark,
+        spark.range(500, 520).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        ),
+        tbl,
+    )
+    sinks.restore_table(spark, tbl, mor_v)
+    t = read_table(spark, tbl)
+    assert t.count() == 100
+    assert t.filter("v = -7").count() == 10  # suppression restored
+    assert t.select("k").distinct().count() == 100
+
+
 def test_cluster_table_relayouts_through_the_log(spark, tmp_path):
     """OPTIMIZE ORDER/ZORDER through the log: an arrival-ordered table
     (every file spans the full key range) re-lays out in ONE snapshot
