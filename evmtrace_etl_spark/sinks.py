@@ -1827,11 +1827,15 @@ def _log_lock(mdir: str) -> "_threading.Lock":
       this lock, so the intent-log → move-in → commit window of writer
       A can never interleave with writer B's head-of-op recovery
       (which would roll A's in-flight files back as if crashed).
-    - DIFFERENT drivers: commit-level optimistic concurrency still
-      holds (first-writer-wins ``_COMMIT`` rename + the
-      ``expected_version`` guard raise ``SnapshotConflict``, and the
-      loser rolls its own files back) — but intent RECOVERY assumes a
-      single maintenance actor, the same granularity as Delta on S3
+    - DIFFERENT drivers: the COMMIT itself serializes on the
+      cross-process lease (``_CommitLease`` — atomic createNewFile on
+      ``_LOCK``), the version parquet renames into ``v<N>``
+      fail-if-exists, and the ``expected_version`` guard raises
+      ``SnapshotConflict`` for the loser (who rolls its own files
+      back) — two-process-tested.  Intent RECOVERY (rolling a dead
+      writer's ``_TXN`` back) still assumes a single maintenance
+      actor: a live remote writer between intent and commit looks
+      identical to a crashed one, the same granularity as Delta on S3
       without a coordinating LogStore."""
     with _LOG_LOCKS_GUARD:
         return _LOG_LOCKS.setdefault(_lock_key(mdir), _threading.Lock())
@@ -2192,7 +2196,7 @@ def _commit_manifest_unleased(
         payload["cdf"] = True
     if dvs:
         payload["dvs"] = dvs
-    if dvs_add or dvs_clear:
+    if dvs_add or dvs_clear or (dvs_replace is not None and retired):
         # row visibility changed without file removal — append-span CDC
         # must refuse this span unless change-data files serve it
         payload["dvs_delta"] = True
