@@ -439,9 +439,19 @@ class LakeUpsertSink:
         self,
         base_dir: str,
         partition_cols: Sequence[str] = ("chain_id",),
+        strategy: str = "copy-on-write",
     ):
+        """``strategy`` applies to mode='update' upserts:
+        'copy-on-write' (default — Delta's default too) rewrites the
+        manifest-pruned candidate files; 'merge-on-read' writes key
+        tombstones instead (zero rewrite amplification; reads pay a
+        broadcast suppression join until ``materialize_deletes``) —
+        the right trade for narrow updates over wide tables."""
         self.base_dir = base_dir
         self.partition_cols = tuple(partition_cols)
+        if strategy not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown upsert strategy {strategy!r}")
+        self.strategy = strategy
 
     def _path(self, table: str) -> str:
         return os.path.join(self.base_dir, table)
@@ -507,7 +517,12 @@ class LakeUpsertSink:
                     f"upsert into {table!r}: batch omits partition "
                     f"column(s) {missing_p} the table is partitioned by"
                 )
-        merge_into(spark, df, path, keys=list(keys), mode=mode)
+        merge_into(
+            spark, df, path, keys=list(keys), mode=mode,
+            # insert-if-absent must scan for existence either way;
+            # the strategy knob only governs DO-UPDATE rewrites
+            strategy=self.strategy if mode == "update" else "copy-on-write",
+        )
 
     def compact(
         self, spark: SparkSession, table: str, n_tasks: int = 8
@@ -3151,7 +3166,12 @@ def read_table(
     )
     dvs = _active_dvs(spark, mdir, version=version)
     if dvs:
-        out = _dv_suppress(spark, out, manifest, dvs)
+        # the suppression joins move the merge keys to the front —
+        # restore the committed column order (a serve-path surface
+        # must not reorder columns based on join mechanics)
+        out = _dv_suppress(spark, out, manifest, dvs).select(
+            *[f.name for f in schema.fields]
+        )
     return out.filter(cond)
 
 

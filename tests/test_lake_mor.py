@@ -655,6 +655,47 @@ def test_lock_key_normalization():
     )
 
 
+def test_lake_upsert_sink_mor_strategy_matches_cow(spark, tmp_path):
+    """LakeUpsertSink(strategy='merge-on-read'): DO-UPDATE upserts land
+    as tombstones (zero candidate rewrites) and the sink's read serves
+    the identical table a copy-on-write sink produces."""
+    from evmtrace_etl_spark.sinks import LakeUpsertSink
+
+    batches = [
+        spark.range(100).select(
+            F.lit(1).cast("long").alias("chain_id"),
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        spark.range(50, 150).select(
+            F.lit(1).cast("long").alias("chain_id"),
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("v"),
+        ),
+    ]
+    cow = LakeUpsertSink(str(tmp_path / "cow"))
+    mor = LakeUpsertSink(str(tmp_path / "mor"), strategy="merge-on-read")
+    for sink in (cow, mor):
+        for b in batches:
+            sink.upsert(b, "t", ["chain_id", "k"], mode="update")
+    cols = ["chain_id", "k", "v"]
+    want = sorted(
+        tuple(r) for r in cow.read(spark, "t").select(*cols).collect()
+    )
+    got = sorted(
+        tuple(r) for r in mor.read(spark, "t").select(*cols).collect()
+    )
+    assert got == want and len(got) == 150
+    # the MOR table's seed files kept their inodes (zero rewrites)
+    import json
+
+    markers = _markers(str(tmp_path / "mor" / "t"))
+    head = max(markers)
+    assert markers[head].get("dvs"), "tombstone expected on the log"
+    with pytest.raises(ValueError, match="strategy"):
+        LakeUpsertSink(str(tmp_path / "x"), strategy="bogus")
+
+
 def test_two_processes_both_land(spark, tmp_path):
     """Cross-PROCESS two-writer safety (beyond the in-process
     _log_lock): a child driver in its OWN JVM and this one append to
