@@ -53,6 +53,7 @@ import json
 import os
 import re
 import shutil
+import time
 from collections.abc import Callable, Iterable, Sequence
 
 from pyspark import StorageLevel
@@ -1673,6 +1674,62 @@ def _commit_info(spark: SparkSession, manifest_path: str, version: int) -> dict:
     return _read_json_marker(spark, f"{manifest_path}/v{version}/_COMMIT")
 
 
+def _commit_wall_ts(
+    spark: SparkSession,
+    manifest_path: str,
+    version: int,
+    marker: dict | None = None,
+) -> float:
+    """A committed version's wall-clock time (epoch seconds): the
+    ``ts`` stamp its ``_COMMIT`` marker carries, falling back to the
+    marker FILE's modification time for commits made before the stamp
+    existed — the same fallback Delta uses when a log entry predates
+    in-commit timestamps."""
+    if marker is None:
+        marker = _commit_info(spark, manifest_path, version)
+    ts = marker.get("ts")
+    if ts is not None:
+        return float(ts)
+    jvm, hp, fs = _fs_for(spark, manifest_path)
+    st = fs.getFileStatus(hp(f"{manifest_path}/v{version}/_COMMIT"))
+    return st.getModificationTime() / 1000.0
+
+
+def version_at_timestamp(
+    spark: SparkSession,
+    path: str,
+    ts: float,
+    manifest_path: str | None = None,
+) -> int:
+    """Resolve ``TIMESTAMP AS OF``: the latest RETAINED committed
+    version whose commit time is <= ``ts`` (epoch seconds).  Commit
+    times are read as a running max over the retained chain, so a
+    legacy un-stamped commit (mtime fallback) can never make the
+    mapping non-monotone.  Raises ``ValueError`` when ``ts`` predates
+    the oldest retained commit — the snapshot that WAS current then is
+    no longer reconstructible, and serving a newer one would silently
+    lie.  O(retained versions) marker reads, no data or manifest scan."""
+    mdir = _manifest_dir(path, manifest_path)
+    versions = _committed_versions(spark, mdir)
+    if not versions:
+        raise ValueError(f"no committed snapshot at {mdir}")
+    best: int | None = None
+    running = 0.0
+    for v in versions:
+        running = max(running, _commit_wall_ts(spark, mdir, v))
+        if running <= float(ts):
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the oldest retained commit "
+            f"(v{versions[0]}) at {mdir} — raise keep_versions to "
+            "retain deeper history"
+        )
+    return best
+
+
 def _version_parquet_parts(
     spark: SparkSession, manifest_path: str, version: int
 ) -> list[str]:
@@ -2014,8 +2071,10 @@ def _commit_manifest_unleased(
     cdf_flag: bool = bool(cdf) if cdf is not None else False
     dvs: list[dict] = []
     base_prev: int | None = None
+    prev_ts: float = 0.0
     if committed:
         prev = _commit_info(spark, manifest_path, committed[-1])
+        prev_ts = float(prev.get("ts", 0.0) or 0.0)
         pending = [
             f
             for f in prev.get("pending", prev.get("removed", []))
@@ -2200,6 +2259,11 @@ def _commit_manifest_unleased(
         "removed": removed_now,
         "pending": pending_all,
         "txns": txns,
+        # commit wall-clock time, clamped strictly above the
+        # predecessor's so TIMESTAMP AS OF resolution is total-ordered
+        # even under clock skew between writers (Delta's adjusted
+        # in-commit timestamps)
+        "ts": round(max(time.time(), prev_ts + 1e-3), 6),
     }
     if stats_cols is not None:
         payload["stats_cols"] = list(stats_cols)
@@ -3104,6 +3168,7 @@ def read_table(
     predicates: dict | None = None,
     manifest_path: str | None = None,
     version: int | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
     """THE composed read entry point for a manifest-tracked bare-parquet
     table: one call applies every skipping tier the layout provides,
@@ -3136,7 +3201,10 @@ def read_table(
     are retained, i.e. back across append/ingest commits; a rewrite
     (delete/update) sweeps its replaced files at commit, so travel past
     one requires the retention knob a real deployment adds to the
-    sweep.
+    sweep.  ``as_of_timestamp`` (epoch seconds) is the TIMESTAMP AS OF
+    form — resolved through the commit markers' monotone ``ts`` stamps
+    (``version_at_timestamp``) to the snapshot that was current at
+    that instant; mutually exclusive with ``version``.
 
     Active deletion vectors (merge-on-read upserts) apply at serve
     time: tombstoned keys' OLDER rows are suppressed via a broadcast
@@ -3146,6 +3214,15 @@ def read_table(
     """
     ranges, cond = _pred_parts(predicates)
     mdir = _manifest_dir(path, manifest_path)
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "read_table: version and as_of_timestamp are mutually "
+                "exclusive"
+            )
+        version = version_at_timestamp(
+            spark, path, as_of_timestamp, manifest_path
+        )
     manifest = current_manifest(spark, mdir, version=version)
     if manifest is None:
         return spark.read.parquet(path).filter(cond)
@@ -4282,9 +4359,10 @@ def _materialize_deletes_unlocked(
 def restore_table(
     spark: SparkSession,
     path: str,
-    version: int,
+    version: int | None = None,
     manifest_path: str | None = None,
     keep_versions: int = 2,
+    as_of_timestamp: float | None = None,
 ) -> dict:
     """RESTORE the table to retained snapshot ``version`` as a NEW
     commit (Delta's RESTORE TABLE ... VERSION AS OF): the restored
@@ -4298,9 +4376,21 @@ def restore_table(
     raises then).  The restored commit also pins ``version``'s schema
     and deletion-vector set, while the txn map carries FORWARD from
     the head so streaming writers' replay protection survives the
-    restore.  Returns a ledger: version, restored_to, files_removed,
+    restore.  ``as_of_timestamp`` (epoch seconds) is the RESTORE ...
+    TIMESTAMP AS OF form — resolved via ``version_at_timestamp``;
+    exactly one of ``version``/``as_of_timestamp`` is required.
+    Returns a ledger: version, restored_to, files_removed,
     files_readded."""
     mdir = _manifest_dir(path, manifest_path)
+    if (version is None) == (as_of_timestamp is None):
+        raise ValueError(
+            "restore_table: exactly one of version / as_of_timestamp "
+            "is required"
+        )
+    if as_of_timestamp is not None:
+        version = version_at_timestamp(
+            spark, path, as_of_timestamp, manifest_path
+        )
     with _log_lock(mdir):
         jvm, hp, fs = _fs_for(spark, path)
         _recover_txn(spark, mdir)
@@ -4382,6 +4472,7 @@ def table_history(spark: SparkSession, path: str, manifest_path: str | None = No
         out.append(
             {
                 "version": v,
+                "ts": _commit_wall_ts(spark, mdir, v, marker=commit),
                 "kind": commit.get("kind", "checkpoint"),
                 "files": int(agg["files"]),
                 "rows": int(agg["rows"] or 0),

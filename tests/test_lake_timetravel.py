@@ -1,0 +1,113 @@
+"""TIMESTAMP AS OF time travel over the snapshot log: commit markers
+carry a monotone wall-clock ``ts`` stamp, ``version_at_timestamp``
+resolves an instant to the snapshot that was current then, and
+``read_table(as_of_timestamp=...)`` / ``restore_table(
+as_of_timestamp=...)`` ride the same resolution — Delta's
+``TIMESTAMP AS OF`` / ``RESTORE ... TIMESTAMP AS OF`` analogs over
+bare parquet."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.sinks import (
+    append_files,
+    read_table,
+    restore_table,
+    table_history,
+    version_at_timestamp,
+)
+
+
+def _three_commits(spark, tmp_path) -> str:
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        append_files(spark, df.coalesce(1), tbl, cols=["k"], keep_versions=10)
+    return tbl
+
+
+def test_history_ts_strictly_increasing(spark, tmp_path):
+    """Every commit stamps a wall-clock ts strictly above its
+    predecessor's (clock-skew clamp), and table_history surfaces it."""
+    tbl = _three_commits(spark, tmp_path)
+    hist = table_history(spark, tbl)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    ts = [h["ts"] for h in hist]
+    assert ts[0] < ts[1] < ts[2]
+    # sane wall-clock values, not counters
+    assert all(t > 1.5e9 for t in ts)
+
+
+def test_read_table_timestamp_as_of(spark, tmp_path):
+    """as_of_timestamp serves the snapshot that was current at the
+    instant: exact commit times hit their version, midpoints resolve
+    DOWN, the far future resolves to head, and an instant before the
+    first retained commit refuses rather than serving a newer lie."""
+    tbl = _three_commits(spark, tmp_path)
+    hist = table_history(spark, tbl)
+    by_v = {h["version"]: h["ts"] for h in hist}
+
+    for v, expect_rows in ((0, 100), (1, 200), (2, 300)):
+        got = read_table(spark, tbl, as_of_timestamp=by_v[v])
+        assert got.count() == expect_rows
+    # midpoint between v0 and v1 -> still v0
+    mid = (by_v[0] + by_v[1]) / 2.0
+    assert version_at_timestamp(spark, tbl, mid) == 0
+    assert read_table(spark, tbl, as_of_timestamp=mid).count() == 100
+    # far future -> head
+    assert version_at_timestamp(spark, tbl, by_v[2] + 3600) == 2
+    # before the oldest retained commit -> refuse
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(spark, tbl, by_v[0] - 1.0)
+    # version= and as_of_timestamp= are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_table(spark, tbl, version=1, as_of_timestamp=by_v[1])
+
+
+def test_restore_timestamp_as_of(spark, tmp_path):
+    """RESTORE ... TIMESTAMP AS OF: restoring to v1's commit instant
+    equals restoring to v1, moving history FORWARD as a new commit."""
+    tbl = _three_commits(spark, tmp_path)
+    ts_v1 = {h["version"]: h["ts"] for h in table_history(spark, tbl)}[1]
+    led = restore_table(spark, tbl, as_of_timestamp=ts_v1, keep_versions=10)
+    assert led["restored_to"] == 1
+    assert led["version"] == 3
+    assert read_table(spark, tbl).count() == 200
+    # exactly one of version / as_of_timestamp
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_table(spark, tbl)
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_table(spark, tbl, version=1, as_of_timestamp=ts_v1)
+
+
+def test_legacy_marker_mtime_fallback(spark, tmp_path):
+    """A commit made before the ts stamp existed (marker carries no
+    ``ts``) resolves through the _COMMIT file's mtime, and the
+    running-max walk keeps the version<->time mapping monotone."""
+    tbl = _three_commits(spark, tmp_path)
+    hist = {h["version"]: h["ts"] for h in table_history(spark, tbl)}
+    marker = os.path.join(tbl, "_stats_manifest", "v1", "_COMMIT")
+    payload = json.loads(open(marker).read())
+    payload.pop("ts")
+    with open(marker, "w") as f:
+        f.write(json.dumps(payload))
+    # the Hadoop local FS keeps a checksum sidecar; editing the marker
+    # behind its back must drop it or reads fail ChecksumException
+    crc = os.path.join(os.path.dirname(marker), "._COMMIT.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # v1's time now comes from the marker file's mtime (rewritten just
+    # now -> AFTER v2's stamp); the running max keeps resolution sane:
+    # v0's instant still resolves to v0, the future still to head
+    assert version_at_timestamp(spark, tbl, hist[0]) == 0
+    assert version_at_timestamp(spark, tbl, hist[2] + 3600) == 2
+    # and history still reports a time for every version
+    ts = [h["ts"] for h in table_history(spark, tbl)]
+    assert len(ts) == 3 and all(t > 1.5e9 for t in ts)
