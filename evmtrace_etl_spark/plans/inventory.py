@@ -3146,6 +3146,135 @@ GROUP BY event_type
 """
 
 
+def _lake_timetravel_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_timetravel``: a RETENTION table
+    (``append_files(retain_removed=True)`` — replaced data files stay
+    on disk until their snapshot leaves the ``keep_versions`` window)
+    takes v0 = the full events table, v1 = a copy-on-write keyed merge
+    (every ``event_id % 10 = 3`` row re-valued), v2 = a row-range
+    delete of the low ids.  Both rewrites would have swept their
+    replaced files on a default table; retention keeps all three
+    snapshots servable.  Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files, delete_where, merge_into
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_laketravel",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_travel") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        cut = ev.agg(F.expr("max(event_id) div 5")).collect()[0][0]
+        append_files(  # v0
+            spark,
+            ev.repartitionByRange(4, "event_id"),
+            tbl,
+            cols=["event_id"],
+            retain_removed=True,
+            keep_versions=10,
+        )
+        src = (
+            ev.filter(F.col("event_id") % 10 == 3)
+            .withColumn("value", F.col("value") + 500.0)
+            .withColumn("event_type", F.lit("tt_upd"))
+        )
+        merge_into(spark, src, tbl, keys=["event_id"], keep_versions=10)  # v1
+        delete_where(  # v2
+            spark, tbl, None, {"event_id": (0, int(cut))}, keep_versions=10
+        )
+        _BUILD_DONE["lake_travel"] = base
+    return tbl
+
+
+def lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel ACROSS rewrite commits on a retention table
+    (``read_table(version=…/as_of_timestamp=…)`` +
+    ``append_files(retain_removed=True)`` — Delta's VERSION/TIMESTAMP
+    AS OF with a VACUUM retention window): the build leg commits
+    append → copy-on-write merge → range delete; the serve leg rolls
+    up all THREE snapshots — v0 pinned by version, v1 resolved through
+    the commit markers' monotone wall-clock stamps
+    (``version_at_timestamp``), the head read plain — and unions them
+    labeled.  The oracle recomputes each state relationally from the
+    raw events, so a swept file (travel serving partial data), a
+    mis-resolved timestamp, or retention leaking rewritten rows into
+    an old snapshot fails the value hash every round.
+
+    At 100 TB this is the reproducibility contract a training pipeline
+    needs: "rebuild the corpus exactly as it was when run X sampled
+    it" is one O(metadata) snapshot resolution, not a table copy —
+    while rewrites keep landing on the head."""
+    from functools import reduce
+
+    from ..sinks import read_table, table_history
+
+    tbl = _lake_timetravel_build(spark, sf_dir)
+    hist = table_history(spark, tbl)
+    ts_v1 = next(h["ts"] for h in hist if h["version"] == 1)
+
+    def leg(label: str, **kw) -> DataFrame:
+        return (
+            read_table(spark, tbl, **kw)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(_dec("value"))
+                .cast("decimal(38,6)")
+                .cast("string")
+                .alias("total_value"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.max("event_id").alias("max_event_id"),
+            )
+            .withColumn("snapshot", F.lit(label))
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            leg("v0", version=0),
+            leg("v1", as_of_timestamp=ts_v1),
+            leg("head"),
+        ],
+    )
+
+
+LAKE_TIMETRAVEL_SQL = """
+WITH v1 AS (
+  SELECT event_id, user_id,
+    CASE WHEN event_id % 10 = 3 THEN 'tt_upd' ELSE event_type END AS event_type,
+    CASE WHEN event_id % 10 = 3 THEN value + 500.0 ELSE value END AS value
+  FROM events
+), head AS (
+  SELECT * FROM v1
+  WHERE NOT (event_id >= 0
+             AND event_id <= (SELECT max(event_id) // 5 FROM events))
+), lab AS (
+  SELECT 'v0' AS snapshot, event_id, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT 'v1', event_id, user_id, event_type, value FROM v1
+  UNION ALL
+  SELECT 'head', event_id, user_id, event_type, value FROM head
+)
+SELECT snapshot, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR)
+    AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM lab
+GROUP BY snapshot, event_type
+"""
+
+
 def _lake_cdc_build(spark: SparkSession, sf_dir: str) -> str:
     """Build leg for ``lake_cdc_feed``: a CDF-enabled table takes an
     append (v1), a copy-on-write merge with updates AND inserts (v2),
@@ -3448,6 +3577,7 @@ QUERIES = {
     "inv_lake_stream_changes": lake_stream_changes,
     "inv_lake_cluster_skip": lake_cluster_skip,
     "inv_lake_restore": lake_restore,
+    "inv_lake_timetravel": lake_timetravel,
 }
 
 ORACLES = {
@@ -3503,4 +3633,5 @@ ORACLES = {
     "inv_lake_stream_changes": LAKE_STREAM_CHANGES_SQL,
     "inv_lake_cluster_skip": LAKE_CLUSTER_SKIP_SQL,
     "inv_lake_restore": LAKE_RESTORE_SQL,
+    "inv_lake_timetravel": LAKE_TIMETRAVEL_SQL,
 }

@@ -2012,6 +2012,7 @@ def _commit_manifest_unleased(
     stats_schema: T.StructType | None = None,
     restore_manifest: DataFrame | None = None,
     dvs_replace: Sequence[dict] | None = None,
+    retain: bool | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2064,21 +2065,22 @@ def _commit_manifest_unleased(
         )
     flat = _flat_manifest_files(spark, manifest_path)
 
-    pending: list[str] = []
     txns: dict = {}
     schema_json: dict | None = table_schema
     pby: list | None = list(partition_by) if partition_by is not None else None
     cdf_flag: bool = bool(cdf) if cdf is not None else False
+    retain_flag: bool = bool(retain) if retain is not None else False
     dvs: list[dict] = []
     base_prev: int | None = None
     prev_ts: float = 0.0
+    pending_entries: list[dict] = []
     if committed:
         prev = _commit_info(spark, manifest_path, committed[-1])
         prev_ts = float(prev.get("ts", 0.0) or 0.0)
-        pending = [
-            f
-            for f in prev.get("pending", prev.get("removed", []))
-            if fs.exists(hp(f))
+        pending_entries = [
+            e
+            for e in _pending_entries(prev)
+            if fs.exists(hp(e["file"]))
         ]
         txns = dict(prev.get("txns", {}))
         if schema_json is None:
@@ -2092,6 +2094,8 @@ def _commit_manifest_unleased(
             pby = prev.get("partition_by")
         if cdf is None:
             cdf_flag = bool(prev.get("cdf", False))
+        if retain is None:
+            retain_flag = bool(prev.get("retain", False))
         dvs = list(prev.get("dvs", []))
         stats_cols = prev.get("stats_cols")
         base_prev = (
@@ -2116,7 +2120,6 @@ def _commit_manifest_unleased(
         retired += [d["file"] for d in dvs if d["file"] not in keep_files]
         dvs = [dict(d) for d in dvs_replace]
     removed_now = sorted(set(removed))
-    pending_all = sorted(set(pending) | set(removed_now) | set(retired))
     if added_files is None:
         if added_rows is not None:
             added_files = [r["file"] for r in added_rows]
@@ -2126,6 +2129,25 @@ def _commit_manifest_unleased(
             ]
         else:
             added_files = []
+    # the sweep backlog merges the carried entries with THIS commit's
+    # removals (stamped with the removing version — the retention
+    # sweep compares it against the retained floor); a file already
+    # pending keeps its earlier removal stamp, and a file this commit
+    # RE-ADDS (RESTORE across a retained rewrite) leaves the backlog —
+    # the new head references it, so sweeping it would lose data
+    by_file = {e["file"]: e for e in pending_entries}
+    for f in set(removed_now) | set(retired):
+        by_file.setdefault(f, {"file": f, "rm_v": nxt})
+    for f in added_files:
+        by_file.pop(f, None)
+    pending_struct = sorted(by_file.values(), key=lambda e: e["file"])
+    # default tables keep the legacy bare-path wire shape (swept at
+    # commit, rm_v irrelevant); retention tables persist the stamps
+    pending_all = (
+        pending_struct
+        if retain_flag
+        else [e["file"] for e in pending_struct]
+    )
 
     checkpoint = (
         force_checkpoint
@@ -2273,6 +2295,17 @@ def _commit_manifest_unleased(
         payload["partition_by"] = pby
     if cdf_flag:
         payload["cdf"] = True
+    if retain_flag:
+        payload["retain"] = True
+        # the retention floor: the oldest version inside THIS commit's
+        # keep_versions window (housekeeping's oldest_wanted).  The
+        # sweep compares pending rm_v stamps against it — version DIRS
+        # below it may survive as checkpoint-chain links, so the dir
+        # listing alone would overstate retention forever
+        live_now = committed + [nxt]
+        payload["floor"] = live_now[
+            max(0, len(live_now) - max(1, int(keep_versions)))
+        ]
     if dvs:
         payload["dvs"] = dvs
     if dvs_add or dvs_clear or (dvs_replace is not None and retired):
@@ -2316,19 +2349,49 @@ def _commit_manifest_unleased(
     return nxt
 
 
+def _pending_entries(commit: dict) -> list[dict]:
+    """A commit's pending-removal backlog, normalized to ``{'file',
+    'rm_v'}`` dicts — ``rm_v`` is the version whose commit removed the
+    file.  Legacy bare-path entries (default zero-retention tables,
+    and markers written before retention existed) normalize to
+    ``rm_v=0``: due for deletion unconditionally."""
+    out = []
+    for e in commit.get("pending", commit.get("removed", [])):
+        if isinstance(e, str):
+            out.append({"file": e, "rm_v": 0})
+        else:
+            out.append({"file": e["file"], "rm_v": int(e.get("rm_v", 0))})
+    return out
+
+
 def _sweep_removed(spark: SparkSession, manifest_path: str) -> list[str]:
     """Physically delete data files whose removal the CURRENT manifest
     version committed — the ``pending`` backlog (this commit's logical
     removals plus any predecessor removals never swept; legacy markers
-    carried the same list as ``removed``).  Idempotent; returns what it
-    deleted."""
-    v = manifest_version(spark, manifest_path)
-    if v is None:
+    carried the same list as ``removed``).  On a RETENTION table
+    (``retain_removed`` stamped at creation) a file removed by commit
+    ``rm_v`` is kept while any OLDER version is still retained — those
+    snapshots' manifests reference it, so time travel and RESTORE keep
+    working across rewrites; once housekeeping advances the retained
+    floor past ``rm_v`` the next sweep reclaims it (Delta's VACUUM
+    retention, driven by ``keep_versions`` instead of wall-clock age).
+    Idempotent; returns what it deleted."""
+    versions = _committed_versions(spark, manifest_path)
+    if not versions:
         return []
     jvm, hp, fs = _fs_for(spark, manifest_path)
-    commit = _commit_info(spark, manifest_path, v)
+    commit = _commit_info(spark, manifest_path, versions[-1])
+    entries = _pending_entries(commit)
+    if bool(commit.get("retain", False)):
+        # retained version V reads files removed at rm_v > V; a file
+        # is reclaimable only when no retained version predates its
+        # removal — i.e. the retained floor (the head commit's
+        # keep_versions window, stamped as ``floor``) has reached rm_v
+        floor = int(commit.get("floor", versions[0]))
+        entries = [e for e in entries if floor >= e["rm_v"]]
     deleted = []
-    for f in commit.get("pending", commit.get("removed", [])):
+    for e in entries:
+        f = e["file"]
         if fs.exists(hp(f)):
             fs.delete(hp(f), False)
             deleted.append(f)
@@ -3198,10 +3261,11 @@ def read_table(
 
     ``version`` pins a retained committed snapshot instead of the
     current one (time travel) — valid as long as that snapshot's files
-    are retained, i.e. back across append/ingest commits; a rewrite
-    (delete/update) sweeps its replaced files at commit, so travel past
-    one requires the retention knob a real deployment adds to the
-    sweep.  ``as_of_timestamp`` (epoch seconds) is the TIMESTAMP AS OF
+    are retained, i.e. back across append/ingest commits always, and
+    across rewrites too on a table created with
+    ``append_files(retain_removed=True)`` — a default (zero-retention)
+    table sweeps replaced files at the rewrite's commit, so travel
+    past one raises.  ``as_of_timestamp`` (epoch seconds) is the TIMESTAMP AS OF
     form — resolved through the commit markers' monotone ``ts`` stamps
     (``version_at_timestamp``) to the snapshot that was current at
     that instant; mutually exclusive with ``version``.
@@ -3276,6 +3340,7 @@ def append_files(
     keep_versions: int = 2,
     partition_by: Sequence[str] | None = None,
     enable_cdf: bool | None = None,
+    retain_removed: bool | None = None,
 ) -> dict:
     """Per-table-serialized entry to ``_append_files_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -3283,7 +3348,7 @@ def append_files(
         return _append_files_unlocked(
             spark, df, path, manifest_path=manifest_path, cols=cols,
             txn=txn, keep_versions=keep_versions, partition_by=partition_by,
-            enable_cdf=enable_cdf,
+            enable_cdf=enable_cdf, retain_removed=retain_removed,
         )
 
 
@@ -3297,6 +3362,7 @@ def _append_files_unlocked(
     keep_versions: int = 2,
     partition_by: Sequence[str] | None = None,
     enable_cdf: bool | None = None,
+    retain_removed: bool | None = None,
 ) -> dict:
     """EXACTLY-ONCE append of ``df`` as new data files to a
     manifest-tracked table — the per-micro-batch ingest commit of a
@@ -3320,7 +3386,13 @@ def _append_files_unlocked(
     Snapshot readers (``read_table``) therefore see each batch's rows
     exactly once or not yet — never partially, never twice.  ``cols``
     defaults to the manifest's stats columns (required on the first
-    commit).  Returns a ledger: rows, files_added, version, skipped.
+    commit).  ``retain_removed=True`` stamps the table (carried flag,
+    like ``enable_cdf``) so later rewrites keep replaced data files on
+    disk until their snapshot falls out of ``keep_versions`` — the
+    retention knob that makes time travel and RESTORE work ACROSS
+    rewrite commits (see ``_sweep_removed``), trading disk for
+    history exactly like Delta's VACUUM retention window.  Returns a
+    ledger: rows, files_added, version, skipped.
     """
     import uuid
 
@@ -3486,6 +3558,7 @@ def _append_files_unlocked(
             partition_by=pcols_commit,
             added_files=added,
             cdf=enable_cdf,
+            retain=retain_removed,
             added_rows=delta_rows,
             stats_schema=delta_schema,
             changes=changes_files,
@@ -4371,9 +4444,12 @@ def restore_table(
     The commit's manifest is ``version``'s reconstruction; files the
     later commits added are logically removed (and swept — the
     zero-retention trade: a restore is not itself un-restorable),
-    files ``version`` referenced must still exist (valid back across
-    append/MOR spans; a copy-on-write rewrite in between swept them —
-    raises then).  The restored commit also pins ``version``'s schema
+    files ``version`` referenced must still exist (always true back
+    across append/MOR spans, and across rewrites too on a
+    ``retain_removed`` table while the target version is retained;
+    on a default table a copy-on-write rewrite in between swept them —
+    raises then).  A retained file the restore re-adds leaves the
+    sweep backlog — the restored head references it.  The restored commit also pins ``version``'s schema
     and deletion-vector set, while the txn map carries FORWARD from
     the head so streaming writers' replay protection survives the
     restore.  ``as_of_timestamp`` (epoch seconds) is the RESTORE ...

@@ -1,0 +1,170 @@
+"""Removed-file retention (``append_files(retain_removed=True)``):
+a rewrite's replaced data files stay on disk until their snapshot
+falls out of ``keep_versions``, so time travel (version AND
+timestamp) and RESTORE work ACROSS rewrite commits — Delta's VACUUM
+retention window, driven by retained versions instead of wall-clock
+age.  Default tables keep the zero-retention shape (replaced files
+swept at the rewrite's commit) byte-for-byte: their markers still
+carry bare-path pending lists."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.sinks import (
+    append_files,
+    merge_into,
+    read_table,
+    restore_table,
+    table_history,
+    vacuum_table,
+    version_at_timestamp,
+)
+
+
+def _data_files(tbl: str) -> set[str]:
+    return {
+        p
+        for p in glob.glob(os.path.join(tbl, "**", "*.parquet"), recursive=True)
+        if "_stats_manifest" not in p and "_changes" not in p
+    }
+
+
+def _seed(spark, tmp_path, retain: bool, keep_versions: int = 10) -> str:
+    tbl = str(tmp_path / ("ret" if retain else "plain"))
+    for lo in (0, 100):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        append_files(
+            spark, df.coalesce(1), tbl, cols=["k"],
+            keep_versions=keep_versions,
+            retain_removed=retain if lo == 0 else None,  # stamped once
+        )
+    return tbl
+
+
+def test_time_travel_across_rewrite(spark, tmp_path):
+    """On a retention table a copy-on-write merge keeps the replaced
+    files, so both forms of time travel serve the pre-rewrite state;
+    a default table swept them at the rewrite commit and raises."""
+    tbl = _seed(spark, tmp_path, retain=True)
+    before = _data_files(tbl)
+    hist = table_history(spark, tbl)
+    pre_v, pre_ts = hist[-1]["version"], hist[-1]["ts"]
+
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    led = merge_into(spark, src, tbl, keys=["k"], keep_versions=10)
+    assert led["files_rewritten"] >= 1
+    # replaced files still on disk
+    assert before <= _data_files(tbl)
+
+    old = read_table(spark, tbl, version=pre_v)
+    assert old.count() == 200 and old.filter("v = -1").count() == 0
+    assert version_at_timestamp(spark, tbl, pre_ts) == pre_v
+    old_ts = read_table(spark, tbl, as_of_timestamp=pre_ts)
+    assert old_ts.filter("v = -1").count() == 0
+    # the head still serves the merged state
+    assert read_table(spark, tbl).filter("v = -1").count() == 50
+
+    # default table: same merge sweeps the candidates at commit
+    plain = _seed(spark, tmp_path, retain=False)
+    pv = table_history(spark, plain)[-1]["version"]
+    pre_files = _data_files(plain)
+    merge_into(spark, src, plain, keys=["k"], keep_versions=10)
+    assert not (pre_files <= _data_files(plain))  # something was swept
+    with pytest.raises(Exception):
+        read_table(spark, plain, version=pv).filter("v = -1").count()
+
+
+def test_default_marker_wire_shape_unchanged(spark, tmp_path):
+    """Zero-retention tables keep the legacy bare-path pending list in
+    their commit markers (old readers and the two-process script parse
+    it), and never stamp the retain flag."""
+    plain = _seed(spark, tmp_path, retain=False)
+    merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        plain,
+        keys=["k"],
+        keep_versions=10,
+    )
+    mdir = os.path.join(plain, "_stats_manifest")
+    head = max(
+        int(d[1:]) for d in os.listdir(mdir) if d.startswith("v")
+    )
+    marker = json.loads(
+        open(os.path.join(mdir, f"v{head}", "_COMMIT")).read()
+    )
+    assert "retain" not in marker
+    assert all(isinstance(e, str) for e in marker.get("pending", []))
+
+
+def test_restore_across_rewrite_readds_and_unpends(spark, tmp_path):
+    """RESTORE to a pre-rewrite snapshot on a retention table: the
+    replaced files still exist, the restore re-adds them, and they
+    LEAVE the sweep backlog — later maintenance must not reclaim files
+    the restored head references."""
+    tbl = _seed(spark, tmp_path, retain=True)
+    pre_v = table_history(spark, tbl)[-1]["version"]
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], keep_versions=10)
+
+    led = restore_table(spark, tbl, version=pre_v, keep_versions=10)
+    assert led["files_readded"] >= 1
+    assert read_table(spark, tbl).filter("v = -1").count() == 0
+    # maintenance after the restore must not eat the re-added files
+    vacuum_table(spark, tbl)
+    append_files(
+        spark,
+        spark.range(200, 210).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).coalesce(1),
+        tbl,
+        keep_versions=10,
+    )
+    t = read_table(spark, tbl)
+    assert t.count() == 210 and t.filter("v = -1").count() == 0
+
+
+def test_retention_reclaims_past_the_floor(spark, tmp_path):
+    """Retention is bounded by keep_versions: once the pre-rewrite
+    snapshot falls out of the retained window the next sweep reclaims
+    the replaced files, and travel to it refuses (the manifest chain
+    itself is gone)."""
+    tbl = _seed(spark, tmp_path, retain=True, keep_versions=2)
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    led = merge_into(spark, src, tbl, keys=["k"], keep_versions=2)
+    rewrite_v = led["version"]
+    n_after_merge = len(_data_files(tbl))
+    # push the floor past the rewrite version
+    for lo in (300, 400):
+        append_files(
+            spark,
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1),
+            tbl,
+            keep_versions=2,
+        )
+    vacuum_table(spark, tbl)
+    # the replaced files are gone: merge added 1 file and swept >=1,
+    # the two appends added one each
+    assert len(_data_files(tbl)) < n_after_merge + 2
+    with pytest.raises(Exception):
+        read_table(spark, tbl, version=rewrite_v - 1).count()
+    # the head is intact
+    assert read_table(spark, tbl).count() == 220
