@@ -3275,6 +3275,135 @@ GROUP BY snapshot, event_type
 """
 
 
+def _lake_constraint_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_constraint_gate``: a table with a CHECK
+    constraint takes (1) a clean base append, (2) a VIOLATING append —
+    must refuse whole, (3) a clean extra append — must land, (4) a
+    VIOLATING merge — must refuse whole.  The serve leg's oracle
+    recomputes the final state from ONLY the clean batches, so a
+    constraint that filtered instead of refusing, enforced partially,
+    or leaked temp files into the table fails the value hash.
+    Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import (
+        ConstraintViolation,
+        add_table_constraint,
+        append_files,
+        merge_into,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakecons",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_cons") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(  # v0: clean base
+            spark,
+            ev.repartitionByRange(4, "event_id"),
+            tbl,
+            cols=["event_id"],
+            keep_versions=10,
+        )
+        add_table_constraint(
+            spark, tbl, "evt_ok", "event_type <> 'bad_evt'"
+        )
+        bad = ev.filter(F.col("event_id") % 10 == 4).select(
+            (F.col("event_id") + 2_000_000_000).alias("event_id"),
+            "user_id",
+            F.lit("bad_evt").alias("event_type"),
+            "value",
+        )
+        try:
+            append_files(spark, bad, tbl, keep_versions=10)
+            raise AssertionError("violating append was not refused")
+        except ConstraintViolation:
+            pass
+        append_files(  # clean extra batch lands
+            spark,
+            ev.filter(F.col("event_id") % 10 == 6).select(
+                (F.col("event_id") + 3_000_000_000).alias("event_id"),
+                "user_id",
+                F.lit("extra_evt").alias("event_type"),
+                (F.col("value") + 25.0).alias("value"),
+            ),
+            tbl,
+            keep_versions=10,
+        )
+        try:
+            merge_into(
+                spark, bad.limit(50), tbl, keys=["event_id"],
+                keep_versions=10,
+            )
+            raise AssertionError("violating merge was not refused")
+        except ConstraintViolation:
+            pass
+        _BUILD_DONE["lake_cons"] = base
+    return tbl
+
+
+def lake_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints through the snapshot log
+    (``add_table_constraint`` — Delta's ALTER TABLE ADD CONSTRAINT):
+    violation counts ride each write job's own CollectMetrics (zero
+    extra scans) and a violating transaction — append OR keyed merge —
+    is refused WHOLE before its commit point.  The build leg drives a
+    clean append, a refused append, a clean append, and a refused
+    merge; the serve leg rolls the table up and the oracle recomputes
+    it from only the clean batches — rows from a refused transaction
+    leaking in (or clean rows lost to a spurious refusal) fail the
+    value hash every round.
+
+    At 100 TB this is the data-contract gate at the door: malformed
+    producer batches bounce atomically instead of poisoning a petabyte
+    table, at no added scan cost per commit."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_constraint_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_CONSTRAINT_GATE_SQL = """
+WITH good AS (
+  SELECT event_id + 3000000000 AS event_id, user_id,
+         'extra_evt' AS event_type, value + 25.0 AS value
+  FROM events WHERE event_id % 10 = 6
+), all_rows AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type, value FROM good
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR)
+    AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM all_rows
+GROUP BY event_type
+"""
+
+
 def _lake_cdc_build(spark: SparkSession, sf_dir: str) -> str:
     """Build leg for ``lake_cdc_feed``: a CDF-enabled table takes an
     append (v1), a copy-on-write merge with updates AND inserts (v2),
@@ -3578,6 +3707,7 @@ QUERIES = {
     "inv_lake_cluster_skip": lake_cluster_skip,
     "inv_lake_restore": lake_restore,
     "inv_lake_timetravel": lake_timetravel,
+    "inv_lake_constraint_gate": lake_constraint_gate,
 }
 
 ORACLES = {
@@ -3634,4 +3764,5 @@ ORACLES = {
     "inv_lake_cluster_skip": LAKE_CLUSTER_SKIP_SQL,
     "inv_lake_restore": LAKE_RESTORE_SQL,
     "inv_lake_timetravel": LAKE_TIMETRAVEL_SQL,
+    "inv_lake_constraint_gate": LAKE_CONSTRAINT_GATE_SQL,
 }

@@ -1870,6 +1870,42 @@ class SnapshotConflict(RuntimeError):
     bounded-retry wrapper)."""
 
 
+class ConstraintViolation(ValueError):
+    """A write would land rows that fail one of the table's CHECK
+    constraints (``add_table_constraint``) — the WHOLE transaction is
+    refused before its commit point: temp files are deleted, nothing
+    moved in, no snapshot advanced (Delta's InvariantViolationException
+    contract: a constraint rejects the batch, it never filters it)."""
+
+
+def _constraint_metrics(constraints: dict[str, str]) -> list["F.Column"]:
+    """One violation-count aggregate per CHECK constraint, to ride a
+    write job's Observation (CollectMetrics) — enforcement costs zero
+    extra scans.  ANSI CHECK semantics: a row violates only when the
+    expression is FALSE; NULL/UNKNOWN passes (enforce presence with an
+    explicit ``col IS NOT NULL`` constraint)."""
+    return [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).alias(f"_viol_{i}")
+        for i, (_n, e) in enumerate(sorted(constraints.items()))
+    ]
+
+
+def _raise_constraint_violations(
+    vals, constraints: dict[str, str], ctx: str
+) -> None:
+    """Check the observed violation counts; raise on the first hit
+    (the caller deletes its temp output first — nothing is committed)."""
+    for i, (name, e) in enumerate(sorted(constraints.items())):
+        n = int(vals[f"_viol_{i}"] or 0)
+        if n > 0:
+            raise ConstraintViolation(
+                f"{ctx}: CHECK constraint {name!r} ({e}) violated by "
+                f"{n} row(s) — transaction refused, nothing committed"
+            )
+
+
 import threading as _threading
 
 _LOG_LOCKS: dict[str, "_threading.Lock"] = {}
@@ -2013,6 +2049,7 @@ def _commit_manifest_unleased(
     restore_manifest: DataFrame | None = None,
     dvs_replace: Sequence[dict] | None = None,
     retain: bool | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2096,6 +2133,10 @@ def _commit_manifest_unleased(
             cdf_flag = bool(prev.get("cdf", False))
         if retain is None:
             retain_flag = bool(prev.get("retain", False))
+        if constraints is None:
+            # the CHECK-constraint map rides every commit once stamped
+            # (None = carry; an explicit {} drops the last one)
+            constraints = prev.get("constraints")
         dvs = list(prev.get("dvs", []))
         stats_cols = prev.get("stats_cols")
         base_prev = (
@@ -2293,6 +2334,8 @@ def _commit_manifest_unleased(
         payload["schema"] = schema_json
     if pby is not None:
         payload["partition_by"] = pby
+    if constraints:
+        payload["constraints"] = dict(constraints)
     if cdf_flag:
         payload["cdf"] = True
     if retain_flag:
@@ -2864,13 +2907,31 @@ def _txn_rewrite_unlocked(
         )
     out = rewrite(touched_obs, hit).select(*[f.name for f in schema.fields])
     obs_out = Observation()
-    out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
+    # CHECK constraints verify the rewritten content in the same
+    # CollectMetrics as the ledger counts (an update_where SET can
+    # introduce violations; deletes/re-layouts re-verify free)
+    cons = (
+        dict(_commit_info(spark, mdir, snap_v).get("constraints") or {})
+        if snap_v is not None
+        else {}
+    )
+    out = out.observe(
+        obs_out, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
+    )
 
     tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
     writer = _with_blooms(out.write.mode("overwrite"), bloom_cols, bloom_ndv)
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
+    if cons:
+        try:
+            _raise_constraint_violations(
+                obs_out.get, cons, f"rewrite of {path}"
+            )
+        except ConstraintViolation:
+            fs.delete(hp(tmp), True)
+            raise
     if obs_in is not None:
         rows_before = int(obs_in.get["n"])
         rows_matched = (
@@ -3479,7 +3540,12 @@ def _append_files_unlocked(
         # micro-batch fans into one file per shuffle task per value
         # and every later metadata cost is O(that file count)
         df = df.repartition(*list(partition_by))
-    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    # CHECK-constraint violation counts ride the same CollectMetrics
+    # as the row ledger — enforcement costs zero extra scans
+    cons = dict(head.get("constraints") or {})
+    df = df.observe(
+        obs, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
+    )
     writer = df.write.mode("overwrite")
     if partition_by:
         # hive-encode the batch; the move-in preserves the partition
@@ -3491,6 +3557,16 @@ def _append_files_unlocked(
     # and an EMPTY batch no longer trips schema inference on a
     # file-less temp dir
     rows = int(obs.get["n"])
+    if cons:
+        try:
+            _raise_constraint_violations(
+                obs.get, cons, f"append_files into {path}"
+            )
+        except ConstraintViolation:
+            # refuse BEFORE the _TXN intent: temp files gone, no
+            # snapshot reader ever saw anything
+            fs.delete(hp(tmp), True)
+            raise
 
     planned = [
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
@@ -3887,8 +3963,12 @@ def _merge_into_unlocked(
 
         tmp = path.rstrip("/") + f"._merge_{uuid.uuid4().hex[:8]}"
         obs = Observation()
+        # CHECK constraints ride the write metrics: in copy-on-write
+        # the full rewritten content is checked (survivors re-verify
+        # free), in merge-on-read exactly the landing source rows
+        cons = dict(head.get("constraints") or {})
         final = out.select(*[f.name for f in evolved.fields]).observe(
-            obs, F.count(F.lit(1)).alias("n")
+            obs, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
         )
         writer = final.write.mode("overwrite")
         if pcols:
@@ -3897,6 +3977,14 @@ def _merge_into_unlocked(
         # row counts ride the write itself (CollectMetrics) — no
         # read-back scan of the temp output, no candidate pre-count
         rows_after = int(obs.get["n"])
+        if cons:
+            try:
+                _raise_constraint_violations(
+                    obs.get, cons, f"merge_into {path}"
+                )
+            except ConstraintViolation:
+                fs.delete(hp(tmp), True)
+                raise
         if obs_in is not None:
             rows_before = int(obs_in.get["n"])
         if mode == "ignore" and rows_after == 0:
@@ -4526,6 +4614,111 @@ def restore_table(
             "files_removed": len(removed),
             "files_readded": len(readded),
         }
+
+
+def table_constraints(
+    spark: SparkSession, path: str, manifest_path: str | None = None
+) -> dict[str, str]:
+    """The table's CHECK-constraint map (name → SQL boolean expr) as
+    stamped into the current commit — carried forward by every
+    transaction, enforced on every write path (append / merge both
+    strategies / rewrite)."""
+    mdir = _manifest_dir(path, manifest_path)
+    v = manifest_version(spark, mdir)
+    if v is None:
+        return {}
+    return dict(_commit_info(spark, mdir, v).get("constraints") or {})
+
+
+def add_table_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    manifest_path: str | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """ALTER TABLE ... ADD CONSTRAINT ``name`` CHECK (``expr``) on a
+    manifest-tracked table (Delta's CHECK constraints): validates the
+    EXISTING rows first (one filtered scan through ``read_table`` —
+    adding a constraint the data already violates refuses, like
+    Delta), then commits the constraint map as a metadata-only
+    snapshot transaction; every later write verifies its rows in the
+    write job's own CollectMetrics (zero extra scans) and refuses the
+    WHOLE transaction on violation.  ANSI semantics: a row violates
+    only when the expression is FALSE — enforce presence with an
+    explicit ``col IS NOT NULL``.  Returns a ledger: version,
+    constraints."""
+    mdir = _manifest_dir(path, manifest_path)
+    with _log_lock(mdir):
+        _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
+        snap_v = manifest_version(spark, mdir)
+        if snap_v is None:
+            raise ValueError(
+                f"no committed snapshot at {mdir} — create the table "
+                "with append_files first"
+            )
+        cons = dict(
+            _commit_info(spark, mdir, snap_v).get("constraints") or {}
+        )
+        if name in cons and cons[name] != expr:
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                f"expression ({cons[name]!r}) — drop it first"
+            )
+        bad = (
+            read_table(spark, path, manifest_path=manifest_path)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add CHECK constraint {name!r} ({expr}) to "
+                f"{path}: existing rows violate it"
+            )
+        cons[name] = expr
+        version = _commit_manifest(
+            spark, mdir, None, removed=[],
+            expected_version=snap_v + 1,
+            keep_versions=keep_versions,
+            constraints=cons,
+        )
+        return {"version": int(version), "constraints": cons}
+
+
+def drop_table_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    manifest_path: str | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """ALTER TABLE ... DROP CONSTRAINT: removes ``name`` from the
+    carried constraint map as a metadata-only commit (missing name is
+    a no-op commit-free return, mirroring IF EXISTS)."""
+    mdir = _manifest_dir(path, manifest_path)
+    with _log_lock(mdir):
+        _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
+        snap_v = manifest_version(spark, mdir)
+        if snap_v is None:
+            raise ValueError(f"no committed snapshot at {mdir}")
+        cons = dict(
+            _commit_info(spark, mdir, snap_v).get("constraints") or {}
+        )
+        if name not in cons:
+            return {"version": int(snap_v), "constraints": cons}
+        del cons[name]
+        version = _commit_manifest(
+            spark, mdir, None, removed=[],
+            expected_version=snap_v + 1,
+            keep_versions=keep_versions,
+            # an explicit {} (vs None = carry) drops the last one
+            constraints=cons,
+        )
+        return {"version": int(version), "constraints": cons}
 
 
 def table_history(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[dict]:

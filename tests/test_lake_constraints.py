@@ -1,0 +1,128 @@
+"""Write-time CHECK constraints on the snapshot log
+(``add_table_constraint`` / ``drop_table_constraint`` — Delta's ALTER
+TABLE ADD CONSTRAINT): the map rides every commit, every write path
+verifies its rows inside the write job's own CollectMetrics (zero
+extra scans), and a violating transaction is refused WHOLE — temp
+files deleted, no snapshot advanced, nothing partially visible."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark.sinks import (
+    ConstraintViolation,
+    add_table_constraint,
+    append_files,
+    drop_table_constraint,
+    merge_into,
+    read_table,
+    table_constraints,
+    table_history,
+    update_where,
+)
+
+
+def _seed(spark, tmp_path) -> str:
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(spark, df.coalesce(1), tbl, cols=["k"], keep_versions=10)
+    return tbl
+
+
+def test_add_validates_existing_and_enforces_appends(spark, tmp_path):
+    """Adding a constraint existing rows violate refuses; once added,
+    a violating append is rejected whole (row count and snapshot
+    unchanged) while a clean append lands."""
+    tbl = _seed(spark, tmp_path)
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        add_table_constraint(spark, tbl, "v_big", "v >= 100")
+    led = add_table_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    assert table_constraints(spark, tbl) == {"v_nonneg": "v >= 0"}
+    v_before = led["version"]
+
+    bad = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(-5).cast("long").alias("v")
+    )
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        append_files(spark, bad.coalesce(1), tbl, keep_versions=10)
+    assert read_table(spark, tbl).count() == 100
+    assert table_history(spark, tbl)[-1]["version"] == v_before
+
+    good = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(spark, good.coalesce(1), tbl, keep_versions=10)
+    assert read_table(spark, tbl).count() == 110
+
+
+def test_merge_both_strategies_enforce(spark, tmp_path):
+    """A merge whose source violates the constraint is refused under
+    copy-on-write AND merge-on-read, leaving the table untouched; the
+    same merge with clean values lands."""
+    tbl = _seed(spark, tmp_path)
+    add_table_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    src_bad = spark.range(50, 60).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    for strategy in ("copy-on-write", "merge-on-read"):
+        with pytest.raises(ConstraintViolation, match="v_nonneg"):
+            merge_into(
+                spark, src_bad, tbl, keys=["k"], keep_versions=10,
+                strategy=strategy,
+            )
+        t = read_table(spark, tbl)
+        assert t.count() == 100 and t.filter("v < 0").count() == 0
+    src_ok = spark.range(50, 60).select(
+        F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+    )
+    merge_into(spark, src_ok, tbl, keys=["k"], keep_versions=10)
+    assert read_table(spark, tbl).filter("v = 7").count() == 10
+
+
+def test_update_where_enforces_and_null_passes(spark, tmp_path):
+    """An update_where SET that would break the constraint is refused
+    (ANSI: only FALSE violates — NULL passes, presence needs an
+    explicit IS NOT NULL constraint)."""
+    tbl = _seed(spark, tmp_path)
+    add_table_constraint(spark, tbl, "v_cap", "v <= 2000")
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        update_where(
+            spark, tbl, None, {"k": (0, 10)}, {"v": F.lit(9999)},
+        )
+    assert read_table(spark, tbl).filter("v = 9999").count() == 0
+    # NULL result of the check expr passes (ANSI CHECK)
+    update_where(
+        spark, tbl, None, {"k": (0, 0)},
+        {"v": F.lit(None).cast("long")},
+    )
+    assert read_table(spark, tbl).filter("v is null").count() == 1
+
+
+def test_drop_constraint_and_carry(spark, tmp_path):
+    """The map carries across unrelated commits; dropping the last
+    constraint stops enforcement."""
+    tbl = _seed(spark, tmp_path)
+    add_table_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    append_files(
+        spark,
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).coalesce(1),
+        tbl,
+        keep_versions=10,
+    )
+    assert table_constraints(spark, tbl) == {"v_nonneg": "v >= 0"}
+    drop_table_constraint(spark, tbl, "v_nonneg")
+    assert table_constraints(spark, tbl) == {}
+    neg = spark.range(200, 205).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    append_files(spark, neg.coalesce(1), tbl, keep_versions=10)
+    assert read_table(spark, tbl).filter("v < 0").count() == 5
+    # idempotent drop is a commit-free no-op
+    head = table_history(spark, tbl)[-1]["version"]
+    drop_table_constraint(spark, tbl, "v_nonneg")
+    assert table_history(spark, tbl)[-1]["version"] == head
