@@ -3213,13 +3213,17 @@ def lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs: "rebuild the corpus exactly as it was when run X sampled
     it" is one O(metadata) snapshot resolution, not a table copy —
     while rewrites keep landing on the head."""
+    import os
     from functools import reduce
 
-    from ..sinks import read_table, table_history
+    from ..sinks import _commit_wall_ts, read_table
 
     tbl = _lake_timetravel_build(spark, sf_dir)
-    hist = table_history(spark, tbl)
-    ts_v1 = next(h["ts"] for h in hist if h["version"] == 1)
+    # v1's commit instant from ONE marker read — table_history would
+    # reconstruct + aggregate every retained manifest just for this
+    ts_v1 = _commit_wall_ts(
+        spark, os.path.join(tbl, "_stats_manifest"), 1
+    )
 
     def leg(label: str, **kw) -> DataFrame:
         return (
