@@ -2050,6 +2050,7 @@ def _commit_manifest_unleased(
     dvs_replace: Sequence[dict] | None = None,
     retain: bool | None = None,
     constraints: dict[str, str] | None = None,
+    op: str | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2334,6 +2335,10 @@ def _commit_manifest_unleased(
         payload["schema"] = schema_json
     if pby is not None:
         payload["partition_by"] = pby
+    if op is not None:
+        # the operation label (DESCRIBE HISTORY's operation column) —
+        # pure observability, never read back by the engine
+        payload["op"] = op
     if constraints:
         payload["constraints"] = dict(constraints)
     if cdf_flag:
@@ -2760,6 +2765,7 @@ def _txn_rewrite(
     bloom_cols: Sequence[str] | None = None,
     bloom_ndv: int = 1_000_000,
     observe_input: bool = True,
+    op: str | None = None,
 ) -> dict:
     """Per-table-serialized entry to ``_txn_rewrite_unlocked`` (see
     ``_log_lock`` for the writer-concurrency contract)."""
@@ -2769,7 +2775,7 @@ def _txn_rewrite(
             count_matched=count_matched, candidates=candidates,
             keep_versions=keep_versions, txn=txn, changes_fn=changes_fn,
             bloom_cols=bloom_cols, bloom_ndv=bloom_ndv,
-            observe_input=observe_input,
+            observe_input=observe_input, op=op,
         )
 
 
@@ -2788,6 +2794,7 @@ def _txn_rewrite_unlocked(
     bloom_cols: Sequence[str] | None = None,
     bloom_ndv: int = 1_000_000,
     observe_input: bool = True,
+    op: str | None = None,
 ) -> dict:
     """The snapshot-committed candidate-file rewrite engine shared by
     ``delete_where`` and ``update_where``: prune candidate files
@@ -3015,6 +3022,7 @@ def _txn_rewrite_unlocked(
             keep_versions=keep_versions, partition_by=pcols, txn=txn,
             added_files=added, changes=changes_files,
             added_rows=delta_rows, stats_schema=delta_schema,
+            op=op,
         )
     except SnapshotConflict:
         _rollback_conflict(spark, mdir, added + list(changes_files or []))
@@ -3088,6 +3096,7 @@ def delete_where(
         changes_fn=lambda touched, hit: touched.filter(hit).withColumn(
             "_change_type", F.lit("delete")
         ),
+        op="delete",
     )
     rb, ra = ledger.pop("rows_before"), ledger.pop("rows_after")
     ledger.pop("rows_matched", None)
@@ -3168,6 +3177,7 @@ def update_where(
         spark, path, manifest_path, predicates, _apply, cols,
         count_matched=True, keep_versions=keep_versions, txn=txn,
         changes_fn=_cdc,
+        op="update",
     )
     ledger["rows_updated"] = ledger.pop("rows_matched") or 0
     return ledger
@@ -3244,6 +3254,7 @@ def _update_stats_index_unlocked(
             keep_versions=keep_versions,
             partition_by=_detect_pcols(spark, path, mdir),
             added_files=current,
+            op="update-stats-index",
         )
         return {
             "files_total": len(current),
@@ -3276,6 +3287,7 @@ def _update_stats_index_unlocked(
         keep_versions=keep_versions,
         partition_by=_detect_pcols(spark, path, mdir),
         added_files=new, force_checkpoint=True,
+        op="update-stats-index",
     )
     return {
         "files_total": len(current),
@@ -3638,6 +3650,7 @@ def _append_files_unlocked(
             added_rows=delta_rows,
             stats_schema=delta_schema,
             changes=changes_files,
+            op="append",
         )
     except SnapshotConflict:
         # lost the optimistic race AFTER moving files in: undo them so
@@ -4077,6 +4090,7 @@ def _merge_into_unlocked(
                 changes=changes_files,
                 added_rows=delta_rows,
                 stats_schema=delta_schema,
+                op=f"merge ({mode}, {strategy})",
             )
         except SnapshotConflict:
             _rollback_conflict(
@@ -4209,6 +4223,7 @@ def compact_table(
         cols,
         candidates=small,
         keep_versions=keep_versions,
+        op="compact",
     )
     ledger.pop("rows_matched", None)
     ledger["n_target_files"] = int(n_out)
@@ -4314,6 +4329,7 @@ def cluster_table(
         # the range partitioner's sampling pass re-executes the input
         # subtree — an input-side Observation would double-count
         observe_input=False,
+        op="cluster",
     )
     ledger.pop("rows_matched", None)
     ledger.update(
@@ -4424,6 +4440,7 @@ def _materialize_deletes_unlocked(
             spark, mdir, None, removed=[], expected_version=expected,
             keep_versions=keep_versions, dvs_clear=True,
             changes=[] if _table_cdf(spark, mdir) else None,
+            op="materialize-deletes",
         )
         _post_commit_sweep(spark, mdir)
         ledger.update(
@@ -4499,6 +4516,7 @@ def _materialize_deletes_unlocked(
             added_files=added, dvs_clear=True,
             changes=[] if _table_cdf(spark, mdir) else None,
             added_rows=delta_rows, stats_schema=delta_schema,
+            op="materialize-deletes",
         )
     except SnapshotConflict:
         _rollback_conflict(spark, mdir, added)
@@ -4606,6 +4624,7 @@ def restore_table(
             force_checkpoint=True,
             restore_manifest=target,
             dvs_replace=list(target_marker.get("dvs", [])),
+            op=f"restore (to v{version})",
         )
         _post_commit_sweep(spark, mdir)
         return {
@@ -4684,6 +4703,7 @@ def add_table_constraint(
             expected_version=snap_v + 1,
             keep_versions=keep_versions,
             constraints=cons,
+            op=f"add-constraint ({name})",
         )
         return {"version": int(version), "constraints": cons}
 
@@ -4717,6 +4737,7 @@ def drop_table_constraint(
             keep_versions=keep_versions,
             # an explicit {} (vs None = carry) drops the last one
             constraints=cons,
+            op=f"drop-constraint ({name})",
         )
         return {"version": int(version), "constraints": cons}
 
@@ -4742,6 +4763,7 @@ def table_history(spark: SparkSession, path: str, manifest_path: str | None = No
             {
                 "version": v,
                 "ts": _commit_wall_ts(spark, mdir, v, marker=commit),
+                "op": commit.get("op"),
                 "kind": commit.get("kind", "checkpoint"),
                 "files": int(agg["files"]),
                 "rows": int(agg["rows"] or 0),
@@ -4829,9 +4851,10 @@ def _cdf_schema(schema: T.StructType) -> T.StructType:
 def table_changes(
     spark: SparkSession,
     path: str,
-    since_version: int,
+    since_version: int | None = None,
     manifest_path: str | None = None,
     change_feed: bool = False,
+    since_timestamp: float | None = None,
 ) -> DataFrame:
     """Incremental read: what changed AFTER retained snapshot
     ``since_version`` — what a downstream consumer processes per poll
@@ -4857,9 +4880,21 @@ def table_changes(
     raise when a rewrite commit in the span predates the flag.
 
     ``since_version`` must still be retained (``keep_versions``).
-    Rows come back under the CURRENT committed schema (evolved columns
-    null-fill for pre-evolution files)."""
+    ``since_timestamp`` (epoch seconds; exactly one of the two) is the
+    CDF startingTimestamp form — resolved via ``version_at_timestamp``
+    to the snapshot current at that instant, i.e. changes strictly
+    AFTER it.  Rows come back under the CURRENT committed schema
+    (evolved columns null-fill for pre-evolution files)."""
     mdir = _manifest_dir(path, manifest_path)
+    if (since_version is None) == (since_timestamp is None):
+        raise ValueError(
+            "table_changes: exactly one of since_version / "
+            "since_timestamp is required"
+        )
+    if since_timestamp is not None:
+        since_version = version_at_timestamp(
+            spark, path, since_timestamp, manifest_path
+        )
     versions = _committed_versions(spark, mdir)
     if since_version not in versions:
         raise ValueError(

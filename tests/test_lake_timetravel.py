@@ -16,8 +16,11 @@ from pyspark.sql import functions as F
 
 from evmtrace_etl_spark.sinks import (
     append_files,
+    delete_where,
+    merge_into,
     read_table,
     restore_table,
+    table_changes,
     table_history,
     version_at_timestamp,
 )
@@ -85,6 +88,50 @@ def test_restore_timestamp_as_of(spark, tmp_path):
         restore_table(spark, tbl)
     with pytest.raises(ValueError, match="exactly one"):
         restore_table(spark, tbl, version=1, as_of_timestamp=ts_v1)
+
+
+def test_history_operation_labels(spark, tmp_path):
+    """DESCRIBE HISTORY's operation column: every commit carries the
+    op that made it (pure observability — the engine never reads it
+    back)."""
+    tbl = _three_commits(spark, tmp_path)
+    merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        tbl,
+        keys=["k"],
+        keep_versions=10,
+    )
+    delete_where(spark, tbl, None, {"k": (290, 299)}, keep_versions=10)
+    ops = [h["op"] for h in table_history(spark, tbl)]
+    assert ops == [
+        "append",
+        "append",
+        "append",
+        "merge (update, copy-on-write)",
+        "delete",
+    ]
+
+
+def test_table_changes_since_timestamp(spark, tmp_path):
+    """CDF startingTimestamp: since_timestamp resolves to the snapshot
+    current at that instant and serves exactly the changes AFTER it —
+    identical to the since_version form; exactly one of the two is
+    required."""
+    tbl = _three_commits(spark, tmp_path)
+    ts_v0 = table_history(spark, tbl)[0]["ts"]
+    by_v = table_changes(spark, tbl, 0)
+    by_ts = table_changes(spark, tbl, since_timestamp=ts_v0)
+    assert by_v.count() == by_ts.count() == 200
+    assert sorted(r["k"] for r in by_ts.collect()) == sorted(
+        r["k"] for r in by_v.collect()
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        table_changes(spark, tbl)
+    with pytest.raises(ValueError, match="exactly one"):
+        table_changes(spark, tbl, 0, since_timestamp=ts_v0)
 
 
 def test_legacy_marker_mtime_fallback(spark, tmp_path):
