@@ -279,9 +279,25 @@ def lake_changes_stream(
     manifest_path: str | None = None,
     change_feed: bool = False,
     starting_version: int = 0,
+    starting_timestamp: float | None = None,
 ) -> DataFrame:
     """A streaming DataFrame over the table's commit log (see module
-    docstring).  Registers the data source once per session."""
+    docstring).  Registers the data source once per session.
+    ``starting_timestamp`` (epoch seconds — Delta's startingTimestamp
+    stream option) resolves on the driver to the snapshot current at
+    that instant and streams the commits strictly AFTER it — the same
+    contract as ``table_changes(since_timestamp=…)``; it overrides
+    ``starting_version`` and raises if the instant predates the oldest
+    retained commit."""
+    if starting_timestamp is not None:
+        from ..sinks import version_at_timestamp
+
+        starting_version = (
+            version_at_timestamp(
+                spark, path, starting_timestamp, manifest_path
+            )
+            + 1
+        )
     if not getattr(spark, "_lake_changes_registered", False):
         spark.dataSource.register(LakeChangesDataSource)
         spark._lake_changes_registered = True
@@ -305,6 +321,7 @@ def start_lake_changes_stream(
     change_feed: bool = False,
     starting_version: int = 0,
     available_now: bool = True,
+    starting_timestamp: float | None = None,
 ):
     """Poll the table's retained versions and feed each span to
     ``process(batch_df, batch_id)`` through a checkpointed
@@ -318,6 +335,7 @@ def start_lake_changes_stream(
         manifest_path=manifest_path,
         change_feed=change_feed,
         starting_version=starting_version,
+        starting_timestamp=starting_timestamp,
     )
     writer = (
         stream.writeStream.foreachBatch(process)

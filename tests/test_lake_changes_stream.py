@@ -182,3 +182,31 @@ def test_stream_over_partitioned_table_keeps_partition_values(
     q.awaitTermination(120)
     assert len(rows) == 30
     assert all(p == k % 3 for k, p in rows)
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """Delta's startingTimestamp stream option: the stream starts
+    strictly AFTER the snapshot current at the instant — v0's commit
+    time serves commits 1..head; an instant before the first retained
+    commit refuses (same contract as table_changes(since_timestamp))."""
+    src = _src(spark, tmp_path)  # v0, v1, v2
+    ts_v0 = sinks.table_history(spark, src)[0]["ts"]
+    dst = str(tmp_path / "dst_ts")
+    ckpt = str(tmp_path / "ckpt_ts")
+
+    def proc(batch, bid):
+        append_files(
+            batch.sparkSession, batch, dst, cols=["k"],
+            txn=("ts_repl", int(bid)),
+        )
+
+    q = start_lake_changes_stream(
+        spark, src, proc, ckpt, starting_timestamp=ts_v0
+    )
+    q.awaitTermination(120)
+    t = read_table(spark, dst)
+    # v0's 10 rows excluded; v1+v2's 20 served
+    assert t.count() == 20
+    assert t.agg(F.min("k")).collect()[0][0] == 10
+    with pytest.raises(ValueError, match="predates"):
+        lake_changes_stream(spark, src, starting_timestamp=ts_v0 - 10.0)
