@@ -3213,17 +3213,14 @@ def lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs: "rebuild the corpus exactly as it was when run X sampled
     it" is one O(metadata) snapshot resolution, not a table copy —
     while rewrites keep landing on the head."""
-    import os
     from functools import reduce
 
-    from ..sinks import _commit_wall_ts, read_table
+    from ..sinks import commit_timestamp, read_table
 
     tbl = _lake_timetravel_build(spark, sf_dir)
     # v1's commit instant from ONE marker read — table_history would
     # reconstruct + aggregate every retained manifest just for this
-    ts_v1 = _commit_wall_ts(
-        spark, os.path.join(tbl, "_stats_manifest"), 1
-    )
+    ts_v1 = commit_timestamp(spark, tbl, 1)
 
     def leg(label: str, **kw) -> DataFrame:
         return (

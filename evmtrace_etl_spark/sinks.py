@@ -1695,6 +1695,21 @@ def _commit_wall_ts(
     return st.getModificationTime() / 1000.0
 
 
+def commit_timestamp(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    manifest_path: str | None = None,
+) -> float:
+    """A committed version's wall-clock time (epoch seconds) from ONE
+    marker read — the lightweight inverse of ``version_at_timestamp``
+    (``table_history`` reports the same ``ts`` but reconstructs and
+    aggregates every retained manifest)."""
+    return _commit_wall_ts(
+        spark, _manifest_dir(path, manifest_path), version
+    )
+
+
 def version_at_timestamp(
     spark: SparkSession,
     path: str,
@@ -1713,6 +1728,14 @@ def version_at_timestamp(
     versions = _committed_versions(spark, mdir)
     if not versions:
         raise ValueError(f"no committed snapshot at {mdir}")
+    head = _commit_info(spark, mdir, versions[-1])
+    if head.get("retain"):
+        # version dirs BELOW the head's stamped retention floor may
+        # survive as checkpoint-chain links, but the sweep has already
+        # reclaimed files they removed — resolving to one would serve
+        # a snapshot with missing files; refuse instead
+        floor = int(head.get("floor", versions[0]))
+        versions = [v for v in versions if v >= floor]
     best: int | None = None
     running = 0.0
     for v in versions:
@@ -2033,7 +2056,7 @@ def _commit_manifest_unleased(
     added_stats: DataFrame | None,
     removed: Sequence[str],
     expected_version: int | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = 2,
     txn: tuple[str, int] | None = None,
     table_schema: dict | None = None,
     partition_by: Sequence[str] | None = None,
@@ -2134,6 +2157,11 @@ def _commit_manifest_unleased(
             cdf_flag = bool(prev.get("cdf", False))
         if retain is None:
             retain_flag = bool(prev.get("retain", False))
+        if keep_versions is None:
+            # None = carry the table's stamped retention window — a
+            # metadata-only DDL or an unparameterized write must not
+            # collapse a deep keep_versions history to the default
+            keep_versions = int(prev.get("keep", 2))
         if constraints is None:
             # the CHECK-constraint map rides every commit once stamped
             # (None = carry; an explicit {} drops the last one)
@@ -2147,6 +2175,8 @@ def _commit_manifest_unleased(
         )
     else:
         stats_cols = None
+    if keep_versions is None:  # first commit with the carry default
+        keep_versions = 2
     if txn is not None:
         txns[str(txn[0])] = int(txn[1])
     retired: list[str] = list(extra_pending or [])
@@ -2345,6 +2375,9 @@ def _commit_manifest_unleased(
         payload["cdf"] = True
     if retain_flag:
         payload["retain"] = True
+        # the retention window rides the commit so later writers and
+        # metadata-only DDL can carry it (keep_versions=None)
+        payload["keep"] = max(1, int(keep_versions))
         # the retention floor: the oldest version inside THIS commit's
         # keep_versions window (housekeeping's oldest_wanted).  The
         # sweep compares pending rm_v stamps against it — version DIRS
@@ -2881,9 +2914,14 @@ def _txn_rewrite_unlocked(
     # hive partition columns: stamped in the commit, else probed once
     pcols = _detect_pcols(spark, path, mdir)
 
-    schema = committed_schema(spark, mdir)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
+    # ONE head-marker read serves schema AND constraints
+    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    sj = head.get("schema")
+    schema = (
+        T.StructType.fromJson(sj)
+        if sj is not None
+        else spark.read.parquet(path).schema
+    )
     touched = (
         spark.read.option("basePath", path).schema(schema).parquet(*cand)
     )
@@ -2917,11 +2955,7 @@ def _txn_rewrite_unlocked(
     # CHECK constraints verify the rewritten content in the same
     # CollectMetrics as the ledger counts (an update_where SET can
     # introduce violations; deletes/re-layouts re-verify free)
-    cons = (
-        dict(_commit_info(spark, mdir, snap_v).get("constraints") or {})
-        if snap_v is not None
-        else {}
-    )
+    cons = dict(head.get("constraints") or {})
     out = out.observe(
         obs_out, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
     )
@@ -3217,9 +3251,12 @@ def _update_stats_index_unlocked(
     an O(files) metadata listing — a continuously-ingesting lake
     appends a few files per trigger, and re-footer-reading a
     million-file table each batch would defeat the manifest's purpose.
-    Interrupted ``delete_where`` transactions are recovered first, so
-    the "unknown file on disk == new ingest" rule never resurrects
-    half-deleted data.
+    Interrupted ``delete_where`` transactions are recovered first, and
+    files in the head commit's pending-removal backlog are EXCLUDED
+    from adoption (on a ``retain_removed`` table a rewrite's replaced
+    files legitimately stay on disk for time travel — they are
+    known-removed history, not new ingest), so the "unknown file on
+    disk == new ingest" rule never resurrects deleted data.
 
     ``manifest_path`` None uses the in-table default
     (``<path>/_stats_manifest``); a legacy flat manifest at the given
@@ -3269,7 +3306,15 @@ def _update_stats_index_unlocked(
     # O(files) driver set — the same bound as prune_files' planner list
     old_files = {r["file"] for r in old.select("file").collect()}
     cur_set = set(current)
-    new = sorted(cur_set - old_files)
+    # retained-removed history (the pending backlog a retention table
+    # keeps on disk for time travel) is known-REMOVED, never new ingest
+    # — adopting it would resurrect deleted/pre-merge rows into the
+    # head and (via the re-add backlog pop) orphan it from the sweep
+    head_marker = (
+        _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    )
+    pending_disk = {e["file"] for e in _pending_entries(head_marker)}
+    new = sorted(cur_set - old_files - pending_disk)
     gone = sorted(old_files - cur_set)
 
     # the rebuild is the maintenance path, so it materializes a full
@@ -3464,8 +3509,12 @@ def _append_files_unlocked(
     disk until their snapshot falls out of ``keep_versions`` — the
     retention knob that makes time travel and RESTORE work ACROSS
     rewrite commits (see ``_sweep_removed``), trading disk for
-    history exactly like Delta's VACUUM retention window.  Returns a
-    ledger: rows, files_added, version, skipped.
+    history exactly like Delta's VACUUM retention window.  Only True
+    enables — False is treated as "unspecified": a write must never
+    silently strip an established retention flag (that would flatten
+    the pending backlog's rm_v stamps and let the next sweep delete
+    every retained history file under still-live snapshot dirs).
+    Returns a ledger: rows, files_added, version, skipped.
     """
     import uuid
 
@@ -3646,7 +3695,7 @@ def _append_files_unlocked(
             partition_by=pcols_commit,
             added_files=added,
             cdf=enable_cdf,
-            retain=retain_removed,
+            retain=retain_removed or None,
             added_rows=delta_rows,
             stats_schema=delta_schema,
             changes=changes_files,
@@ -4655,7 +4704,7 @@ def add_table_constraint(
     name: str,
     expr: str,
     manifest_path: str | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
 ) -> dict:
     """ALTER TABLE ... ADD CONSTRAINT ``name`` CHECK (``expr``) on a
     manifest-tracked table (Delta's CHECK constraints): validates the
@@ -4713,7 +4762,7 @@ def drop_table_constraint(
     path: str,
     name: str,
     manifest_path: str | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
 ) -> dict:
     """ALTER TABLE ... DROP CONSTRAINT: removes ``name`` from the
     carried constraint map as a metadata-only commit (missing name is

@@ -17,11 +17,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from evmtrace_etl_spark.sinks import (
+    add_table_constraint,
     append_files,
+    commit_timestamp,
     merge_into,
     read_table,
     restore_table,
     table_history,
+    update_stats_index,
     vacuum_table,
     version_at_timestamp,
 )
@@ -136,6 +139,91 @@ def test_restore_across_rewrite_readds_and_unpends(spark, tmp_path):
     )
     t = read_table(spark, tbl)
     assert t.count() == 210 and t.filter("v = -1").count() == 0
+
+
+def test_stats_index_does_not_adopt_retained_history(spark, tmp_path):
+    """The maintenance rebuild's "unknown file on disk == new ingest"
+    rule must NOT adopt a retention table's pending backlog — those
+    files are known-removed history kept for time travel, and
+    re-adopting them would resurrect pre-merge rows into the head."""
+    tbl = _seed(spark, tmp_path, retain=True)
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], keep_versions=10)
+    before = read_table(spark, tbl)
+    assert before.count() == 200 and before.filter("v = -1").count() == 50
+
+    led = update_stats_index(spark, tbl, keep_versions=10)
+    assert led["files_new"] == 0  # the retained file is NOT new ingest
+    after = read_table(spark, tbl)
+    assert after.count() == 200
+    assert after.filter("v = -1").count() == 50  # nothing resurrected
+
+
+def test_version_at_timestamp_respects_retention_floor(spark, tmp_path):
+    """Chain-link version dirs below the stamped retention floor are
+    not servable snapshots (their removed files were reclaimed) —
+    timestamp resolution refuses them instead of resolving to a
+    snapshot that would die mid-read."""
+    tbl = _seed(spark, tmp_path, retain=True, keep_versions=2)
+    ts_v1 = commit_timestamp(spark, tbl, 1)
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], keep_versions=2)  # v2
+    for lo in (300, 400):  # advance the floor past the rewrite
+        append_files(
+            spark,
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1),
+            tbl,
+            keep_versions=2,
+        )
+    vacuum_table(spark, tbl)
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(spark, tbl, ts_v1)
+
+
+def test_metadata_ddl_carries_retention_window(spark, tmp_path):
+    """A metadata-only DDL (add_table_constraint) with no explicit
+    keep_versions carries the table's stamped window instead of
+    collapsing it to the default — retained history survives."""
+    tbl = _seed(spark, tmp_path, retain=True, keep_versions=10)
+    pre_v = table_history(spark, tbl)[-1]["version"]
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], keep_versions=10)
+    add_table_constraint(spark, tbl, "v_any", "v IS NOT NULL OR v IS NULL")
+    vacuum_table(spark, tbl)
+    old = read_table(spark, tbl, version=pre_v)
+    assert old.count() == 200 and old.filter("v = -1").count() == 0
+
+
+def test_retain_false_is_unspecified(spark, tmp_path):
+    """retain_removed=False on a later append must NOT strip the
+    table's retention flag (or flatten the backlog's rm_v stamps) —
+    only True enables, anything else carries."""
+    tbl = _seed(spark, tmp_path, retain=True)
+    append_files(
+        spark,
+        spark.range(500, 510).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).coalesce(1),
+        tbl,
+        keep_versions=10,
+        retain_removed=False,
+    )
+    pre_v = table_history(spark, tbl)[-1]["version"]
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_into(spark, src, tbl, keys=["k"], keep_versions=10)
+    # the rewrite's replaced files were retained: pre-merge still reads
+    old = read_table(spark, tbl, version=pre_v)
+    assert old.count() == 210 and old.filter("v = -1").count() == 0
 
 
 def test_retention_reclaims_past_the_floor(spark, tmp_path):
