@@ -1989,12 +1989,38 @@ class _CommitLease:
     which also makes the marker-less-vdir crash cleanup safe: while
     holding the lease, a v<N> without ``_COMMIT`` can only be a dead
     writer's leftovers.  A lease older than ``_LEASE_TTL_S`` is broken
-    as crashed."""
+    as crashed.
+
+    The lease file carries an OWNERSHIP TOKEN: release deletes the
+    lock only when the token is still ours, so a slow holder whose
+    lease was staleness-broken cannot delete the usurper's lease on
+    exit (which would admit a third writer), and breaking a stale
+    lease re-reads the token right before the delete so two breakers
+    racing the same stale lock cannot cascade into deleting a freshly
+    acquired one.  True compare-and-swap needs a LogStore (conditional
+    PUT / DynamoDB) — this is the documented Delta-on-S3 granularity."""
 
     def __init__(self, spark: SparkSession, manifest_path: str):
+        import uuid as _uuid
+
         self._spark = spark
         self._mdir = manifest_path
         self._path = f"{manifest_path}/_LOCK"
+        self._token = _uuid.uuid4().hex
+
+    def _read_token(self, fs, hp) -> str | None:
+        try:
+            stream = fs.open(hp(self._path))
+            try:
+                jvm = self._spark._jvm
+                raw = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            return json.loads(raw.decode()).get("token")
+        except Exception:
+            return None  # empty/vanished/partial — unknown owner
 
     def __enter__(self):
         import time as _time
@@ -2006,17 +2032,38 @@ class _CommitLease:
         while True:
             try:
                 if fs.createNewFile(lock):
+                    # stamp ownership (resets mtime — the lease clock)
+                    out = fs.create(lock, True)
+                    out.write(
+                        bytearray(
+                            json.dumps({"token": self._token}).encode()
+                        )
+                    )
+                    out.close()
                     return self
             except Exception:  # pragma: no cover - racing mkdirs
                 pass
             try:
+                st = fs.getFileStatus(lock)
                 age_ms = (
                     jvm.java.lang.System.currentTimeMillis()
-                    - fs.getFileStatus(lock).getModificationTime()
+                    - st.getModificationTime()
                 )
                 if age_ms > _LEASE_TTL_S * 1000:
-                    # stale: the holder died mid-commit — break it
-                    fs.delete(lock, False)
+                    # stale: the holder died mid-commit.  Re-read the
+                    # token right before deleting — if it changed, a
+                    # racing breaker already took the lease over
+                    tok0 = self._read_token(fs, hp)
+                    try:
+                        st2 = fs.getFileStatus(lock)
+                        if (
+                            st2.getModificationTime()
+                            == st.getModificationTime()
+                            and self._read_token(fs, hp) == tok0
+                        ):
+                            fs.delete(lock, False)
+                    except Exception:
+                        pass  # vanished — retry acquisition
                     continue
             except Exception:
                 continue  # vanished between create and stat — retry
@@ -2030,7 +2077,14 @@ class _CommitLease:
 
     def __exit__(self, *exc):
         jvm, hp, fs = _fs_for(self._spark, self._mdir)
-        fs.delete(hp(self._path), False)
+        # release ONLY our own lease: if ours was staleness-broken and
+        # re-acquired by another writer, deleting here would admit a
+        # third writer into their commit window
+        if self._read_token(fs, hp) == self._token:
+            try:
+                fs.delete(hp(self._path), False)
+            except Exception:  # pragma: no cover - racing break
+                pass
         return False
 
 
@@ -2310,6 +2364,13 @@ def _commit_manifest_unleased(
         _write_parquet_local(spark, added_rows, stats_schema, tmpdir)
     else:
         out_df.write.mode("overwrite").parquet(tmpdir)
+    # attempt token: verified again right before the marker write — a
+    # staleness-broken lease lets another driver replace a marker-less
+    # vdir mid-window, and committing OUR marker over THEIR parquet
+    # would corrupt the snapshot (underscore-prefixed: parquet readers
+    # and the part-file lister both skip it)
+    attempt = _uuid.uuid4().hex
+    _write_json_marker(spark, tmpdir, "_ATTEMPT", {"token": attempt})
     if fs.exists(hp(vdir)):
         if fs.exists(hp(f"{vdir}/_COMMIT")):
             # another writer committed this version while we wrote the
@@ -2329,6 +2390,22 @@ def _commit_manifest_unleased(
         raise SnapshotConflict(
             f"manifest at {manifest_path}: v{nxt} appeared while "
             "committing — another writer won; retry from a fresh snapshot"
+        )
+    # re-verify the attempt token AFTER the rename and right before the
+    # commit point: if a lease-breaking writer replaced the vdir in the
+    # window, our marker must not land on top of their parquet
+    try:
+        mine = (
+            _read_json_marker(spark, f"{vdir}/_ATTEMPT").get("token")
+            == attempt
+        )
+    except Exception:
+        mine = False
+    if not mine:
+        raise SnapshotConflict(
+            f"manifest at {manifest_path}: v{nxt}'s directory was "
+            "replaced by another writer mid-commit (stale-lease break) "
+            "— retry from a fresh snapshot"
         )
     # the stats column set rides the marker too — writers resolve it
     # from one JSON read instead of reconstructing the manifest just
@@ -2712,10 +2789,15 @@ def _dv_suppress(
     file→added_version map is manifest-metadata-sized (broadcast), and
     the scan itself stays one pass — no shuffle enters the plan.
 
-    File provenance rides ``input_file_name()`` (scheme-stripped to
-    match the manifest's URI form); rows from files the manifest does
-    not know (legacy/pre-DV) conservatively count as oldest, so
-    tombstones apply to them."""
+    File provenance rides ``input_file_name()``, normalized to the
+    manifest's URI form: the scheme prefix strips and the URL
+    percent-encoding decodes (``input_file_name`` returns the ENCODED
+    URI — a hive partition value with a space reads back as ``%20``,
+    which would miss the manifest join and mis-date every row in that
+    partition as oldest; literal ``+`` is protected from
+    ``url_decode``'s form-decoding first).  Rows from files the
+    manifest does not know (legacy/pre-DV) conservatively count as
+    oldest, so tombstones apply to them."""
     dvs = list(dvs)
     if not dvs:
         return df
@@ -2746,7 +2828,13 @@ def _dv_suppress(
     return (
         df.withColumn(
             "__dv_file",
-            F.regexp_replace(F.input_file_name(), r"^file:/+", "/"),
+            F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(F.input_file_name(), r"^file:/+", "/"),
+                    r"\+",
+                    "%2B",
+                )
+            ),
         )
         .join(F.broadcast(fmap), on="__dv_file", how="left")
         .join(F.broadcast(tmax), on=keys, how="left")
@@ -2756,6 +2844,24 @@ def _dv_suppress(
         )
         .drop("__dv_file", "__dv_av", "__dv_v")
     )
+
+
+def _sidecar_files(fs, hp, dirpath: str) -> list[str]:
+    """Non-hidden files directly inside a sidecar dir, in the URI form
+    the commit markers store (decoded path for the local FS, qualified
+    URI otherwise) — ONE normalization shared by the tombstone writer,
+    the change-data writer, and the vacuum sweep, so a URI-form fix
+    can never diverge between them."""
+    out = []
+    for st in fs.listStatus(hp(dirpath)):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            q = st.getPath()
+            uri = q.toString()
+            if uri.startswith("file:"):
+                uri = q.toUri().getPath()
+            out.append(uri)
+    return sorted(out)
 
 
 def _write_changes(
@@ -2771,16 +2877,7 @@ def _write_changes(
     cdir = path.rstrip("/") + f"/_changes/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(cdir)
     jvm, hp, fs = _fs_for(spark, path)
-    out = []
-    for st in fs.listStatus(hp(cdir)):
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith(("_", ".")):
-            q = st.getPath()
-            uri = q.toString()
-            if uri.startswith("file:"):
-                uri = q.toUri().getPath()
-            out.append(uri)
-    return sorted(out)
+    return _sidecar_files(fs, hp, cdir)
 
 
 def _txn_rewrite(
@@ -3074,6 +3171,11 @@ def _txn_rewrite_unlocked(
             "rows_after": int(rows_after),
             "partitioned": bool(pcols),
             "version": int(version),
+            # row-preserving rewrites (compact/cluster) on a DV table
+            # ALSO materialize the touched files' tombstone
+            # suppression — callers use this to explain a physical
+            # rows_before > rows_after that changed no visible row
+            "dvs_active": bool(dvs),
         }
     )
     return ledger
@@ -3405,6 +3507,12 @@ def read_table(
         version = version_at_timestamp(
             spark, path, as_of_timestamp, manifest_path
         )
+    if version is None:
+        # pin ONE committed snapshot for the whole read — resolving
+        # manifest/schema/deletion-vectors independently would let a
+        # concurrent merge-on-read commit land between them and apply
+        # NEWER tombstones against the OLDER file list (keys vanish)
+        version = manifest_version(spark, mdir)
     manifest = current_manifest(spark, mdir, version=version)
     if manifest is None:
         return spark.read.parquet(path).filter(cond)
@@ -3936,6 +4044,7 @@ def _merge_into_unlocked(
         changes_df: DataFrame | None = None
         rows_before: int | None = None
         obs_in = None
+        touched_base: DataFrame | None = None
         if mor:
             # merge-on-read: NO candidate file is read or rewritten —
             # the source rows land as new files, the source keys as a
@@ -3945,6 +4054,14 @@ def _merge_into_unlocked(
             removed = []
         else:
             touched = _scan_touched()
+            if cdf_on and mode == "update":
+                # ONE suppressed candidate scan serves BOTH the rewrite
+                # and the CDC preimages below — without the cache the
+                # preimage build re-reads (and re-DV-suppresses) every
+                # candidate file a second time per merge
+                touched = touched.persist(StorageLevel.MEMORY_AND_DISK)
+                caches.append(touched)
+            touched_base = touched
             # ignore mode never rewrites candidates, so their row count
             # is ledger-irrelevant; in update mode it rides the write
             # job as CollectMetrics — no separate candidate pre-count
@@ -3974,11 +4091,12 @@ def _merge_into_unlocked(
                     )
         if cdf_on and mode == "update":
             # row-level CDC for the upsert: preimages are the CURRENT
-            # visible rows for matched keys (one candidate scan — the
-            # only read a merge-on-read commit pays, and only with the
-            # feed enabled), postimages/inserts split the source by
-            # matched key
-            pre = _scan_touched().join(
+            # visible rows for matched keys (merge-on-read pays this
+            # one candidate scan only with the feed enabled; the
+            # copy-on-write path reuses the rewrite's cached scan)
+            pre = (
+                touched_base if touched_base is not None else _scan_touched()
+            ).join(
                 src.select(*keys), on=keys, how="leftsemi"
             ).persist(StorageLevel.MEMORY_AND_DISK)
             caches.append(pre)
@@ -4068,14 +4186,7 @@ def _merge_into_unlocked(
             src.select(*keys).coalesce(1).write.mode("overwrite").parquet(
                 ddir
             )
-            for st in fs.listStatus(hp(ddir)):
-                name = st.getPath().getName()
-                if st.isFile() and not name.startswith(("_", ".")):
-                    q = st.getPath()
-                    uri = q.toString()
-                    if uri.startswith("file:"):
-                        uri = q.toUri().getPath()
-                    dv_files.append(uri)
+            dv_files.extend(_sidecar_files(fs, hp, ddir))
 
         changes_files: list[str] | None = None
         if cdf_on:
@@ -4307,12 +4418,18 @@ def cluster_table(
     this is the difference between scanning the table and scanning
     the slice, re-established periodically as ingest un-sorts it.
 
-    Rows are never changed (``rows_before == rows_after`` in the
-    ledger; a CDF table records the explicit empty change set, like
-    compaction).  The z-order quantile probe runs against the CURRENT
-    snapshot before the transaction pins candidates — cut points are
-    a layout heuristic, not a correctness input.  Returns the rewrite
-    ledger plus the clustering spec."""
+    VISIBLE rows are never changed.  On a table with active deletion
+    vectors the re-layout also MATERIALIZES the touched files'
+    tombstone suppression (the rewritten files get a newer
+    added_version than every tombstone), so the ledger's physical
+    counts differ by exactly that: ``rows_suppressed_materialized =
+    rows_before − rows_after`` (0 on a DV-free table, where
+    ``rows_before == rows_after`` holds as before).  A CDF table
+    records the explicit empty change set, like compaction.  The
+    z-order quantile probe runs against the CURRENT snapshot before
+    the transaction pins candidates — cut points are a layout
+    heuristic, not a correctness input.  Returns the rewrite ledger
+    plus the clustering spec."""
     keys = list(keys)
     mdir = _manifest_dir(path, manifest_path)
     manifest = current_manifest(spark, mdir)
@@ -4387,6 +4504,12 @@ def cluster_table(
             "zorder": bool(zorder),
             "n_target_files": int(n_out),
             "bytes_in": int(bytes_in),
+            "rows_suppressed_materialized": (
+                int(ledger["rows_before"] - ledger["rows_after"])
+                if ledger.pop("dvs_active", False)
+                and ledger.get("rows_before") is not None
+                else 0
+            ),
         }
     )
     return ledger
@@ -4826,7 +4949,12 @@ def table_history(spark: SparkSession, path: str, manifest_path: str | None = No
     return out
 
 
-def vacuum_table(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[str]:
+def vacuum_table(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None = None,
+    min_age_s: float | None = None,
+) -> list[str]:
     """Sweep the table's leftover transaction debris: sibling temp
     directories (``<path>._append_*`` / ``._rewrite_*`` / ``._delete_*``)
     whose transactions are not in flight — a crash between the temp
@@ -4834,53 +4962,82 @@ def vacuum_table(spark: SparkSession, path: str, manifest_path: str | None = Non
     can't know about it: nothing was logged yet), invisible to every
     reader but holding disk.  Also runs ``_recover_txn`` +
     ``_sweep_removed`` so one call returns the table to a fully clean
-    state.  Returns the removed paths.  Takes the table's write lock:
-    recovery rolling back an uncommitted ``_TXN`` must never race a
-    same-driver writer that is between intent and commit."""
+    state.  Returns the removed paths.
+
+    Concurrency: the WHOLE sweep holds the table's write lock — every
+    same-driver writer runs its full temp-write → sidecar → intent →
+    commit window under the same lock, so vacuum can never eat a live
+    transaction's temp dir or its not-yet-committed deletion-vector /
+    change-data sidecars.  Files a live ``_TXN`` intent references are
+    excluded explicitly, and anything younger than ``min_age_s``
+    (default: the cross-process commit lease TTL) is left alone — a
+    writer in ANOTHER process may be mid-transaction; its debris
+    becomes sweepable after the TTL, the same staleness rule the lease
+    itself uses.  Pass ``min_age_s=0`` only when no other process can
+    be writing (Delta's RETAIN 0 HOURS caveat)."""
+    import time as _time
+
     mdir = _manifest_dir(path, manifest_path)
+    age_floor_ms = (
+        _LEASE_TTL_S if min_age_s is None else float(min_age_s)
+    ) * 1000.0
+    removed: list[str] = []
     with _log_lock(mdir):
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
-    jvm, hp, fs = _fs_for(spark, path)
-    parent = hp(path).getParent()
-    base = hp(path).getName()
-    removed = []
-    for st in fs.listStatus(parent):
-        name = st.getPath().getName()
-        if st.isDirectory() and (
-            name.startswith(base + "._append_")
-            or name.startswith(base + "._rewrite_")
-            or name.startswith(base + "._delete_")
-            or name.startswith(base + "._merge_")
-        ):
-            fs.delete(st.getPath(), True)
-            removed.append(st.getPath().toUri().getPath())
-    # sidecar orphans: _deletes/_changes files no retained commit
-    # references (a crash between the sidecar write and the _TXN
-    # intent leaves them — invisible to readers, holding disk)
-    live: set[str] = set()
-    for v in _committed_versions(spark, mdir):
-        commit = _commit_info(spark, mdir, v)
-        live.update(d["file"] for d in commit.get("dvs", []))
-        live.update(commit.get("changes", []) or [])
-    for sub in ("_deletes", "_changes"):
-        sdir = hp(path.rstrip("/") + "/" + sub)
-        if not fs.exists(sdir):
-            continue
-        for st in fs.listStatus(sdir):
-            refd = False
-            for leaf in (
-                fs.listStatus(st.getPath()) if st.isDirectory() else [st]
+        jvm, hp, fs = _fs_for(spark, path)
+        now_ms = _time.time() * 1000.0
+        young = lambda st: (now_ms - st.getModificationTime()) < age_floor_ms
+        parent = hp(path).getParent()
+        base = hp(path).getName()
+        for st in fs.listStatus(parent):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and not young(st)
+                and (
+                    name.startswith(base + "._append_")
+                    or name.startswith(base + "._rewrite_")
+                    or name.startswith(base + "._delete_")
+                    or name.startswith(base + "._merge_")
+                )
             ):
-                q = leaf.getPath()
-                uri = q.toString()
-                if uri.startswith("file:"):
-                    uri = q.toUri().getPath()
-                if uri in live:
-                    refd = True
-            if not refd:
                 fs.delete(st.getPath(), True)
                 removed.append(st.getPath().toUri().getPath())
+        # sidecar orphans: _deletes/_changes files no retained commit
+        # (and no in-flight _TXN intent) references — a crash between
+        # the sidecar write and the _TXN intent leaves them, invisible
+        # to readers, holding disk
+        live: set[str] = set()
+        for v in _committed_versions(spark, mdir):
+            commit = _commit_info(spark, mdir, v)
+            live.update(d["file"] for d in commit.get("dvs", []))
+            live.update(commit.get("changes", []) or [])
+        tpath = hp(f"{mdir}/_TXN")
+        if fs.exists(tpath):
+            live.update(
+                _read_json_marker(spark, f"{mdir}/_TXN").get("added", [])
+            )
+        for sub in ("_deletes", "_changes"):
+            sdir = hp(path.rstrip("/") + "/" + sub)
+            if not fs.exists(sdir):
+                continue
+            for st in fs.listStatus(sdir):
+                refd = False
+                fresh = young(st)
+                for leaf in (
+                    fs.listStatus(st.getPath()) if st.isDirectory() else [st]
+                ):
+                    fresh = fresh or young(leaf)
+                    q = leaf.getPath()
+                    uri = q.toString()
+                    if uri.startswith("file:"):
+                        uri = q.toUri().getPath()
+                    if uri in live:
+                        refd = True
+                if not refd and not fresh:
+                    fs.delete(st.getPath(), True)
+                    removed.append(st.getPath().toUri().getPath())
     return removed
 
 
@@ -4952,7 +5109,10 @@ def table_changes(
             "deeper incremental history"
         )
     head = versions[-1]
-    schema = committed_schema(spark, mdir)
+    # every per-version read below pins to `head` (the listing's
+    # snapshot) — resolving "current" again mid-function would race a
+    # concurrent commit
+    schema = committed_schema(spark, mdir, version=head)
     if schema is None:
         schema = spark.read.parquet(path).schema
 
@@ -5004,10 +5164,12 @@ def table_changes(
     }
     head_files = {
         r["file"]
-        for r in current_manifest(spark, mdir).select("file").collect()
+        for r in current_manifest(spark, mdir, version=head)
+        .select("file")
+        .collect()
     }
     rewritten = base_files - head_files
-    dv_now = {d["file"] for d in _active_dvs(spark, mdir)}
+    dv_now = {d["file"] for d in _active_dvs(spark, mdir, version=head)}
     dv_then = {d["file"] for d in _active_dvs(spark, mdir, since_version)}
     if rewritten or dv_now != dv_then:
         raise ValueError(

@@ -158,23 +158,29 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 )
             m = _marker(self._mdir, v)
             changes = m.get("changes")
-            if changes is not None:
-                if not self._cdf:
-                    raise ValueError(
-                        f"commit v{v} rewrote rows — restart the stream "
-                        "with change_feed=true to consume row-level CDC"
-                    )
+            if self._cdf and changes is not None:
                 parts += [
                     LakeChangesPartition(_local_path(f), "change", v)
                     for f in changes
                 ]
                 continue
+            # plain mode: a pure append serves its added files even on
+            # a CDF table (whose appends ALWAYS carry change sidecars —
+            # raising on `changes` alone would make a CDF table
+            # unstreamable in plain mode); only a genuine rewrite or a
+            # deletion-vector visibility change is unservable here
             if m.get("removed") or m.get("dvs_delta"):
                 raise ValueError(
                     f"commit v{v} rewrote files or changed deletion "
-                    "vectors without change-data files — enable the "
-                    "change-data feed (append_files(enable_cdf=True)) "
-                    "before rewrites to stream across them"
+                    "vectors — "
+                    + (
+                        "enable the change-data feed "
+                        "(append_files(enable_cdf=True)) before rewrites "
+                        "to stream across them"
+                        if not self._cdf
+                        else "the commit carries no change-data files "
+                        "(it predates the table's CDF flag)"
+                    )
                 )
             parts += [
                 LakeChangesPartition(_local_path(f), "data", v)
@@ -211,13 +217,21 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 if raw is None:
                     cols.append(pa.nulls(n, type=field.type))
                 else:
-                    py = (
-                        int(raw)
-                        if pa.types.is_integer(field.type)
-                        else float(raw)
-                        if pa.types.is_floating(field.type)
-                        else raw
-                    )
+                    # hive dir values are strings; decode per the
+                    # declared type (mirrors sinks._py_cast — bool and
+                    # date partitions must not reach pa.array as str)
+                    if pa.types.is_integer(field.type):
+                        py = int(raw)
+                    elif pa.types.is_floating(field.type):
+                        py = float(raw)
+                    elif pa.types.is_boolean(field.type):
+                        py = str(raw).lower() == "true"
+                    elif pa.types.is_date(field.type):
+                        import datetime
+
+                        py = datetime.date.fromisoformat(str(raw))
+                    else:
+                        py = raw
                     cols.append(pa.array([py] * n, type=field.type))
             else:  # add-only evolution: older files NULL-fill
                 cols.append(pa.nulls(n, type=field.type))

@@ -717,7 +717,7 @@ def test_history_and_vacuum(spark, tmp_path):
     stale = dst + "._append_deadbeef"
     os.makedirs(stale)
     open(stale + "/part-zzz.parquet", "wb").write(b"x")
-    removed = vacuum_table(spark, dst)
+    removed = vacuum_table(spark, dst, min_age_s=0)
     assert any("_append_deadbeef" in p for p in removed)
     assert not os.path.exists(stale)
     # data untouched

@@ -210,3 +210,46 @@ def test_stream_starting_timestamp(spark, tmp_path):
     assert t.agg(F.min("k")).collect()[0][0] == 10
     with pytest.raises(ValueError, match="predates"):
         lake_changes_stream(spark, src, starting_timestamp=ts_v0 - 10.0)
+
+
+def test_plain_stream_serves_cdf_table_appends(spark, tmp_path):
+    """A CDF-enabled table's appends ALWAYS carry change sidecars — a
+    plain (non-CDF) stream must still serve the appended data files
+    instead of raising on the mere presence of a changes list; it
+    raises only on a genuine rewrite / deletion-vector change."""
+    src = str(tmp_path / "cdfsrc")
+    for i in range(3):
+        append_files(
+            spark,
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k"), F.lit(i).cast("long").alias("b")
+            ),
+            src,
+            cols=["k"],
+            enable_cdf=True,
+        )
+    dst = str(tmp_path / "cdfdst")
+    ckpt = str(tmp_path / "cdfckpt")
+
+    def proc(batch, bid):
+        append_files(
+            batch.sparkSession, batch, dst, cols=["k"],
+            txn=("cdfp", int(bid)),
+        )
+
+    q = start_lake_changes_stream(spark, src, proc, ckpt)  # plain mode
+    q.awaitTermination(120)
+    assert read_table(spark, dst).count() == 30
+    # a rewrite still refuses in plain mode
+    merge_into(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("b")
+        ),
+        src,
+        keys=["k"],
+    )
+    q2 = start_lake_changes_stream(spark, src, proc, ckpt)
+    with pytest.raises(Exception, match="rewrote|deletion"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()

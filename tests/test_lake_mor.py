@@ -330,7 +330,7 @@ def test_mor_crash_before_commit_rolls_back_tombstone(
     # recovery (at the head of the retried merge) removed the crashed
     # attempt's orphan tombstone FILE; vacuum clears its empty dir
     assert len(glob.glob(tbl + "/_deletes/*/*.parquet")) == 1
-    sinks.vacuum_table(spark, tbl)
+    sinks.vacuum_table(spark, tbl, min_age_s=0)
     assert len(glob.glob(tbl + "/_deletes/*")) == 1
     t2 = read_table(spark, tbl)
     assert t2.count() == 200 and t2.filter("v = -9").count() == 20
@@ -765,8 +765,43 @@ def test_vacuum_sweeps_orphan_sidecars(spark, tmp_path):
     open(tbl + "/_deletes/v99-orphan/part-0.parquet", "w").close()
     os.makedirs(tbl + "/_changes/v99-orphan")
     open(tbl + "/_changes/v99-orphan/part-0.parquet", "w").close()
-    removed = sinks.vacuum_table(spark, tbl)
+    removed = sinks.vacuum_table(spark, tbl, min_age_s=0)
     assert any("v99-orphan" in r for r in removed)
     assert glob.glob(tbl + "/_deletes/*") == live  # referenced one kept
     assert glob.glob(tbl + "/_changes/*") == []
     assert read_table(spark, tbl).filter("v = -1").count() == 5
+
+
+def test_mor_suppression_survives_encoded_partition_values(
+    spark, tmp_path
+):
+    """input_file_name() returns the URL-ENCODED URI — on a table
+    hive-partitioned by a string value containing a space, the
+    provenance join must still match the manifest's decoded path form,
+    or every row in that partition mis-dates as oldest and the MOR
+    commit's own new rows get suppressed (silent data loss)."""
+    tbl = str(tmp_path / "enc")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.when(F.col("id") % 2 == 0, "a b").otherwise("c+d").alias("p"),
+    )
+    append_files(
+        spark, df, tbl, cols=["k"], partition_by=["p"], keep_versions=10
+    )
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+        F.when(F.col("id") % 2 == 0, "a b").otherwise("c+d").alias("p"),
+    )
+    led = merge_into(
+        spark, src, tbl, keys=["k"], strategy="merge-on-read",
+        keep_versions=10,
+    )
+    assert led["files_rewritten"] == 0 and led["dv_files"] == 1
+    t = read_table(spark, tbl)
+    # the merge's own rows survive the suppression...
+    assert t.filter("v = -1").count() == 10
+    # ...the replaced versions are gone, everything else intact
+    assert t.count() == 40
+    assert t.filter("k < 10 and v <> -1").count() == 0
