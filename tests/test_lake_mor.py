@@ -805,3 +805,37 @@ def test_mor_suppression_survives_encoded_partition_values(
     # ...the replaced versions are gone, everything else intact
     assert t.count() == 40
     assert t.filter("k < 10 and v <> -1").count() == 0
+
+
+def test_lease_release_only_deletes_own_token(spark, tmp_path):
+    """The commit lease's ownership token: a slow holder whose stale
+    lease was broken and re-acquired by another writer must NOT delete
+    the usurper's lease on exit (that would admit a third writer into
+    the commit window)."""
+    import json as _json
+    import os as _os
+
+    mdir = str(tmp_path / "m")
+    a = sinks._CommitLease(spark, mdir)
+    a.__enter__()
+    lock = _os.path.join(mdir, "_LOCK")
+    assert _json.loads(open(lock).read())["token"] == a._token
+
+    # simulate A going stale: backdate the lock past the TTL, then B
+    # breaks it and acquires its own lease
+    old = _os.path.getmtime(lock) - (sinks._LEASE_TTL_S + 5)
+    _os.utime(lock, (old, old))
+    crc = _os.path.join(mdir, "._LOCK.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    b = sinks._CommitLease(spark, mdir)
+    b.__enter__()
+    assert _json.loads(open(lock).read())["token"] == b._token
+
+    # A's release must leave B's lease in place...
+    a.__exit__(None, None, None)
+    assert _os.path.exists(lock)
+    assert _json.loads(open(lock).read())["token"] == b._token
+    # ...and B's own release removes it
+    b.__exit__(None, None, None)
+    assert not _os.path.exists(lock)
