@@ -502,22 +502,9 @@ class LakeUpsertSink:
                 spark, df, path, cols=stats, partition_by=pcols or None
             )
             return
-        # same guard as ParquetUpsertSink: a batch omitting the
-        # table's partition column must not silently degrade into a
-        # null-partition rewrite
-        stored = committed_schema(spark, _manifest_dir(path, None))
-        if stored is not None:
-            stored_names = {f.name for f in stored.fields}
-            missing_p = [
-                c
-                for c in self.partition_cols
-                if c in stored_names and c not in df.columns
-            ]
-            if missing_p:
-                raise ValueError(
-                    f"upsert into {table!r}: batch omits partition "
-                    f"column(s) {missing_p} the table is partitioned by"
-                )
+        # a batch omitting the table's partition column fails loudly
+        # inside merge_into itself (_guard_partition_cols — hoisted to
+        # every lake write entry, so the sink needs no duplicate check)
         merge_into(
             spark, df, path, keys=list(keys), mode=mode,
             # insert-if-absent must scan for existence either way;
@@ -1225,23 +1212,7 @@ def parquet_stats_index(
                         rec[f"{c}_min"] = v
                         rec[f"{c}_max"] = v
                         continue
-                    lo = hi = None
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx[c]).statistics
-                        try:
-                            ok = st is not None and st.has_min_max
-                            smin = st.min if ok else None
-                            smax = st.max if ok else None
-                        except Exception:
-                            # pyarrow cannot extract stats for some
-                            # physical types (e.g. decimals) — NULL
-                            # stats mean "may match": conservative
-                            ok = False
-                        if not ok:
-                            lo = hi = None
-                            break  # one stats-less group poisons the file
-                        lo = smin if lo is None else min(lo, smin)
-                        hi = smax if hi is None else max(hi, smax)
+                    lo, hi = _footer_col_span(md, idx[c])
                     rec[f"{c}_min"] = lo
                     rec[f"{c}_max"] = hi
                 rows.append(rec)
@@ -1259,6 +1230,30 @@ def parquet_stats_index(
         out = out.withColumn(f"{c}_min", F.col(f"{c}_min").cast(dt))
         out = out.withColumn(f"{c}_max", F.col(f"{c}_max").cast(dt))
     return out
+
+
+def _footer_col_span(md, col_idx: int) -> tuple:
+    """One column's [min, max] across a parquet file's row groups from
+    footer statistics — (None, None) when ANY group lacks usable stats
+    (one stats-less group poisons the file: NULL stats mean "may
+    match", conservative, never wrong; pyarrow also cannot extract
+    stats for some physical types, e.g. decimals).  Shared by the
+    distributed builder and the driver-side O(batch) twin so stats
+    semantics can never diverge between them."""
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        try:
+            ok = st is not None and st.has_min_max
+            smin = st.min if ok else None
+            smax = st.max if ok else None
+        except Exception:
+            ok = False
+        if not ok:
+            return None, None
+        lo = smin if lo is None else min(lo, smin)
+        hi = smax if hi is None else max(hi, smax)
+    return lo, hi
 
 
 def _py_cast(v, dt: T.DataType):
@@ -1339,23 +1334,7 @@ def _local_stats_rows(
                 rec[f"{c}_min"] = v
                 rec[f"{c}_max"] = v
                 continue
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[c]).statistics
-                try:
-                    ok = st is not None and st.has_min_max
-                    smin = st.min if ok else None
-                    smax = st.max if ok else None
-                except Exception:
-                    # pyarrow cannot extract stats for some physical
-                    # types (e.g. decimals) — NULL stats mean "may
-                    # match": conservative, never wrong
-                    ok = False
-                if not ok:
-                    lo = hi = None
-                    break  # one stats-less group poisons the file
-                lo = smin if lo is None else min(lo, smin)
-                hi = smax if hi is None else max(hi, smax)
+            lo, hi = _footer_col_span(md, idx[c])
             rec[f"{c}_min"] = lo
             rec[f"{c}_max"] = hi
         rows.append(rec)
@@ -2030,8 +2009,13 @@ class _CommitLease:
         lock = hp(self._path)
         deadline = _time.monotonic() + 2 * _LEASE_TTL_S
         while True:
+            created = False
             try:
-                if fs.createNewFile(lock):
+                created = bool(fs.createNewFile(lock))
+            except Exception:  # pragma: no cover - racing mkdirs
+                created = False
+            if created:
+                try:
                     # stamp ownership (resets mtime — the lease clock)
                     out = fs.create(lock, True)
                     out.write(
@@ -2041,8 +2025,15 @@ class _CommitLease:
                     )
                     out.close()
                     return self
-            except Exception:  # pragma: no cover - racing mkdirs
-                pass
+                except Exception:  # pragma: no cover - transient FS
+                    # we hold an UNSTAMPED lock we can no longer prove
+                    # ours — delete it and retry, rather than orphaning
+                    # it and stalling every writer for a full TTL
+                    try:
+                        fs.delete(lock, False)
+                    except Exception:
+                        pass
+                    continue
             try:
                 st = fs.getFileStatus(lock)
                 age_ms = (
@@ -2889,7 +2880,7 @@ def _txn_rewrite(
     cols: Sequence[str] | None,
     count_matched: bool = False,
     candidates: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     txn: tuple[str, int] | None = None,
     changes_fn: Callable[[DataFrame, "F.Column"], DataFrame] | None = None,
     bloom_cols: Sequence[str] | None = None,
@@ -2918,7 +2909,7 @@ def _txn_rewrite_unlocked(
     cols: Sequence[str] | None,
     count_matched: bool = False,
     candidates: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     txn: tuple[str, int] | None = None,
     changes_fn: Callable[[DataFrame, "F.Column"], DataFrame] | None = None,
     bloom_cols: Sequence[str] | None = None,
@@ -3028,6 +3019,12 @@ def _txn_rewrite_unlocked(
     # their suppression is MATERIALIZED here for the touched files
     dvs = _active_dvs(spark, mdir, version=snap_v)
     touched = _dv_suppress(spark, touched, manifest, dvs)
+    cdf_on = bool(head.get("cdf", False))
+    if cdf_on and changes_fn is not None:
+        # the change-data build below re-executes this subtree (the
+        # update path even twice — preimage ∪ postimage); ONE cached
+        # suppressed candidate scan serves the rewrite AND the feed
+        touched = touched.persist(StorageLevel.MEMORY_AND_DISK)
 
     from pyspark.sql import Observation
 
@@ -3098,7 +3095,7 @@ def _txn_rewrite_unlocked(
     # computed by the operation (delete/update know their own change
     # rows; compaction's is the explicit empty set)
     changes_files: list[str] | None = None
-    if _table_cdf(spark, mdir):
+    if cdf_on:  # pinned to the snapshot's head marker (one read)
         cdc = changes_fn(touched, hit) if changes_fn is not None else None
         changes_files = (
             _write_changes(
@@ -3156,10 +3153,14 @@ def _txn_rewrite_unlocked(
             op=op,
         )
     except SnapshotConflict:
+        if cdf_on and changes_fn is not None:
+            touched.unpersist()
         _rollback_conflict(spark, mdir, added + list(changes_files or []))
         raise
     _post_commit_sweep(spark, mdir)
     fs.delete(hp(f"{mdir}/_TXN"), False)
+    if cdf_on and changes_fn is not None:
+        touched.unpersist()
     ledger.update(
         {
             "files_rewritten": len(cand),
@@ -3187,7 +3188,7 @@ def delete_where(
     manifest_path: str | None,
     predicates: dict[str, tuple],
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     txn: tuple[str, int] | None = None,
 ) -> dict:
     """Row-level delete over a bare-parquet dataset — flat OR
@@ -3253,7 +3254,7 @@ def update_where(
     predicates: dict[str, tuple],
     set_exprs: dict[str, "F.Column | str"],
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     txn: tuple[str, int] | None = None,
 ) -> dict:
     """Row-level UPDATE over a bare-parquet dataset — the lakehouse
@@ -3324,7 +3325,7 @@ def update_stats_index(
     path: str,
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
 ) -> dict:
     """Per-table-serialized entry to ``_update_stats_index_unlocked``
     (see ``_log_lock`` for the writer-concurrency contract)."""
@@ -3340,7 +3341,7 @@ def _update_stats_index_unlocked(
     path: str,
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
 ) -> dict:
     """Incrementally maintain the persisted stats manifest for the
     dataset at ``path``: footer-read ONLY files not yet in the
@@ -3563,7 +3564,7 @@ def append_files(
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     partition_by: Sequence[str] | None = None,
     enable_cdf: bool | None = None,
     retain_removed: bool | None = None,
@@ -3585,7 +3586,7 @@ def _append_files_unlocked(
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     partition_by: Sequence[str] | None = None,
     enable_cdf: bool | None = None,
     retain_removed: bool | None = None,
@@ -3801,8 +3802,11 @@ def _append_files_unlocked(
             txn=txn, keep_versions=keep_versions,
             table_schema=evolved.jsonValue(),
             partition_by=pcols_commit,
-            added_files=added,
-            cdf=enable_cdf,
+            # like retain_removed, only True enables — an explicit
+            # False must not silently strip the carried CDF flag while
+            # this very commit still wrote insert sidecars (the feed
+            # would break at the NEXT rewrite with no signal here)
+            cdf=enable_cdf or None,
             retain=retain_removed or None,
             added_rows=delta_rows,
             stats_schema=delta_schema,
@@ -3833,7 +3837,7 @@ def merge_into(
     mode: str = "update",
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     target_bytes: int = 128 * 1024 * 1024,
     strategy: str = "copy-on-write",
 ) -> dict:
@@ -3856,7 +3860,7 @@ def _merge_into_unlocked(
     mode: str = "update",
     cols: Sequence[str] | None = None,
     txn: tuple[str, int] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     target_bytes: int = 128 * 1024 * 1024,
     strategy: str = "copy-on-write",
 ) -> dict:
@@ -4318,7 +4322,7 @@ def compact_table(
     target_bytes: int = 128 * 1024 * 1024,
     small_bytes: int | None = None,
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
 ) -> dict:
     """OPTIMIZE through the log: small-file compaction of a
     manifest-tracked table as ONE snapshot transaction — the
@@ -4403,7 +4407,7 @@ def cluster_table(
     bloom_cols: Sequence[str] | None = None,
     bloom_ndv: int = 1_000_000,
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
 ) -> dict:
     """OPTIMIZE ORDER/ZORDER BY through the log: re-layout a
     manifest-tracked table CLUSTERED on ``keys`` as ONE snapshot
@@ -4520,7 +4524,7 @@ def materialize_deletes(
     path: str,
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     target_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Per-table-serialized entry to ``_materialize_deletes_unlocked``
@@ -4537,7 +4541,7 @@ def _materialize_deletes_unlocked(
     path: str,
     manifest_path: str | None = None,
     cols: Sequence[str] | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     target_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Fold the active deletion vectors back into the data files — the
@@ -4712,7 +4716,7 @@ def restore_table(
     path: str,
     version: int | None = None,
     manifest_path: str | None = None,
-    keep_versions: int = 2,
+    keep_versions: int | None = None,
     as_of_timestamp: float | None = None,
 ) -> dict:
     """RESTORE the table to retained snapshot ``version`` as a NEW

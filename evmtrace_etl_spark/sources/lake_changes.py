@@ -69,7 +69,12 @@ def _local_path(p: str) -> str:
 
 def _mdir(options: dict) -> str:
     path = _local_path(options["path"])
-    return options.get("manifest") or (path.rstrip("/") + "/_stats_manifest")
+    override = options.get("manifest")
+    if override:
+        # the sinks API accepts file:-scheme manifest paths — strip the
+        # scheme the same way the table path is stripped
+        return _local_path(override)
+    return path.rstrip("/") + "/_stats_manifest"
 
 
 def _committed_versions(mdir: str) -> list[int]:
@@ -136,8 +141,12 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         return {"version": self._start - 1}
 
     def latestOffset(self) -> dict:
+        # clamped to the requested start: a head BELOW starting_version
+        # must not regress the checkpointed offset, or the skipped span
+        # would flow downstream once those versions commit
         vs = _committed_versions(self._mdir)
-        return {"version": vs[-1] if vs else self._start - 1}
+        head = vs[-1] if vs else self._start - 1
+        return {"version": max(head, self._start - 1)}
 
     def commit(self, end: dict) -> None:  # log retention is the knob
         return
