@@ -1989,15 +1989,7 @@ class _CommitLease:
 
     def _read_token(self, fs, hp) -> str | None:
         try:
-            stream = fs.open(hp(self._path))
-            try:
-                jvm = self._spark._jvm
-                raw = bytes(
-                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                )
-            finally:
-                stream.close()
-            return json.loads(raw.decode()).get("token")
+            return _read_json_marker(self._spark, self._path).get("token")
         except Exception:
             return None  # empty/vanished/partial — unknown owner
 
@@ -2441,11 +2433,14 @@ def _commit_manifest_unleased(
         payload["constraints"] = dict(constraints)
     if cdf_flag:
         payload["cdf"] = True
+    # the retention window rides EVERY commit so later writers and
+    # metadata-only DDL can carry it (keep_versions=None) — stamping
+    # it only on retain tables would collapse a non-retain table's
+    # explicit deep window (manifest-chain/time-travel depth) back to
+    # the default on the first unparameterized op
+    payload["keep"] = max(1, int(keep_versions))
     if retain_flag:
         payload["retain"] = True
-        # the retention window rides the commit so later writers and
-        # metadata-only DDL can carry it (keep_versions=None)
-        payload["keep"] = max(1, int(keep_versions))
         # the retention floor: the oldest version inside THIS commit's
         # keep_versions window (housekeeping's oldest_wanted).  The
         # sweep compares pending rm_v stamps against it — version DIRS
@@ -3065,6 +3060,8 @@ def _txn_rewrite_unlocked(
                 obs_out.get, cons, f"rewrite of {path}"
             )
         except ConstraintViolation:
+            if cdf_on and changes_fn is not None:
+                touched.unpersist()
             fs.delete(hp(tmp), True)
             raise
     if obs_in is not None:
@@ -3237,6 +3234,7 @@ def delete_where(
     )
     rb, ra = ledger.pop("rows_before"), ledger.pop("rows_after")
     ledger.pop("rows_matched", None)
+    ledger.pop("dvs_active", None)  # engine-internal bookkeeping
     ledger.update(
         {
             "rows_deleted": int(rb - ra) if rb is not None else 0,
@@ -3317,6 +3315,7 @@ def update_where(
         op="update",
     )
     ledger["rows_updated"] = ledger.pop("rows_matched") or 0
+    ledger.pop("dvs_active", None)  # engine-internal bookkeeping
     return ledger
 
 
@@ -4390,6 +4389,14 @@ def compact_table(
         op="compact",
     )
     ledger.pop("rows_matched", None)
+    # like cluster_table: a row-preserving re-pack on a DV table also
+    # materializes the touched files' suppression — surface the count
+    ledger["rows_suppressed_materialized"] = (
+        int(ledger["rows_before"] - ledger["rows_after"])
+        if ledger.pop("dvs_active", False)
+        and ledger.get("rows_before") is not None
+        else 0
+    )
     ledger["n_target_files"] = int(n_out)
     ledger["bytes_in"] = int(bytes_in)
     return ledger
@@ -4987,24 +4994,44 @@ def vacuum_table(
     ) * 1000.0
     removed: list[str] = []
     with _log_lock(mdir):
-        _recover_txn(spark, mdir)
-        _sweep_removed(spark, mdir)
         jvm, hp, fs = _fs_for(spark, path)
         now_ms = _time.time() * 1000.0
         young = lambda st: (now_ms - st.getModificationTime()) < age_floor_ms
+
+        def _fresh_tree(st) -> bool:
+            # a dir's OWN mtime freezes while a cross-process write
+            # streams part files in underneath — any young descendant
+            # keeps the whole tree alive (early exit on the first)
+            if young(st):
+                return True
+            if st.isDirectory():
+                for child in fs.listStatus(st.getPath()):
+                    if _fresh_tree(child):
+                        return True
+            return False
+
+        # intent recovery is age-guarded too: a LIVE other-process
+        # writer sits between its _TXN intent and its commit — rolling
+        # that back would delete its just-moved-in files and let its
+        # commit reference nothing.  Recovery of a genuinely dead
+        # writer happens once the marker crosses the age floor.
+        tpath = hp(f"{mdir}/_TXN")
+        if not fs.exists(tpath) or not young(fs.getFileStatus(tpath)):
+            _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
         parent = hp(path).getParent()
         base = hp(path).getName()
         for st in fs.listStatus(parent):
             name = st.getPath().getName()
             if (
                 st.isDirectory()
-                and not young(st)
                 and (
                     name.startswith(base + "._append_")
                     or name.startswith(base + "._rewrite_")
                     or name.startswith(base + "._delete_")
                     or name.startswith(base + "._merge_")
                 )
+                and not _fresh_tree(st)
             ):
                 fs.delete(st.getPath(), True)
                 removed.append(st.getPath().toUri().getPath())
