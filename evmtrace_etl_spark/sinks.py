@@ -1715,6 +1715,17 @@ def version_at_timestamp(
         # a snapshot with missing files; refuse instead
         floor = int(head.get("floor", versions[0]))
         versions = [v for v in versions if v >= floor]
+    else:
+        # same refusal on a DEFAULT (zero-retention) table: version
+        # dirs below the keep window survive only as checkpoint-chain
+        # links, and a rewrite in between already swept the files they
+        # referenced — resolving there would die mid-scan with an
+        # opaque missing-path error instead of this ValueError.  (A
+        # rewrite INSIDE the keep window on a zero-retention table
+        # still sweeps at commit; read_table's version= docstring
+        # carries that caveat — this floor closes the sub-window leg.)
+        keep = max(1, int(head.get("keep", 2)))
+        versions = versions[max(0, len(versions) - keep):]
     best: int | None = None
     running = 0.0
     for v in versions:
@@ -1973,11 +1984,16 @@ class _CommitLease:
     The lease file carries an OWNERSHIP TOKEN: release deletes the
     lock only when the token is still ours, so a slow holder whose
     lease was staleness-broken cannot delete the usurper's lease on
-    exit (which would admit a third writer), and breaking a stale
-    lease re-reads the token right before the delete so two breakers
-    racing the same stale lock cannot cascade into deleting a freshly
-    acquired one.  True compare-and-swap needs a LogStore (conditional
-    PUT / DynamoDB) — this is the documented Delta-on-S3 granularity."""
+    exit (which would admit a third writer).  Breaking a stale lease
+    de-synchronizes racing breakers (token-derived jitter) and
+    re-reads the token right before the delete — this NARROWS the
+    breaker-vs-fresh-acquirer window but does not close it (a breaker
+    whose re-read raced the delete can still remove a just-stamped
+    lease); the commit-side ``_ATTEMPT`` token catches the resulting
+    double-admission as a ``SnapshotConflict`` retry, never data
+    loss.  True closure needs compare-and-swap — a LogStore
+    (conditional PUT / DynamoDB), the documented Delta-on-S3
+    granularity."""
 
     def __init__(self, spark: SparkSession, manifest_path: str):
         import uuid as _uuid
@@ -2033,9 +2049,17 @@ class _CommitLease:
                     - st.getModificationTime()
                 )
                 if age_ms > _LEASE_TTL_S * 1000:
-                    # stale: the holder died mid-commit.  Re-read the
-                    # token right before deleting — if it changed, a
-                    # racing breaker already took the lease over
+                    # stale: the holder died mid-commit.  De-sync
+                    # racing breakers first (token-derived jitter —
+                    # two processes that both saw the lease go stale
+                    # in the same tick spread out, so usually only
+                    # one reaches the delete), then re-read the token
+                    # right before deleting — if it changed, a racing
+                    # breaker already took the lease over.  The window
+                    # is narrowed, not closed (see class docstring).
+                    _time.sleep(
+                        0.01 + (int(self._token[:4], 16) % 64) / 500.0
+                    )
                     tok0 = self._read_token(fs, hp)
                     try:
                         st2 = fs.getFileStatus(lock)
@@ -3015,168 +3039,169 @@ def _txn_rewrite_unlocked(
     dvs = _active_dvs(spark, mdir, version=snap_v)
     touched = _dv_suppress(spark, touched, manifest, dvs)
     cdf_on = bool(head.get("cdf", False))
+    cached = None
     if cdf_on and changes_fn is not None:
         # the change-data build below re-executes this subtree (the
         # update path even twice — preimage ∪ postimage); ONE cached
-        # suppressed candidate scan serves the rewrite AND the feed
+        # suppressed candidate scan serves the rewrite AND the feed;
+        # released in the finally below on EVERY exit (a write-job or
+        # observation failure must not leak the session cache)
         touched = touched.persist(StorageLevel.MEMORY_AND_DISK)
-
-    from pyspark.sql import Observation
-
-    # every ledger count rides the ONE write job as CollectMetrics —
-    # no pre-count of the candidates, no read-back of the temp output
-    # (three saved jobs per transaction).  observe_input=False is for
-    # rewrites whose plan re-executes the input subtree (a
-    # repartitionByRange re-layout runs the range-sampling pass over
-    # it first, which would double-count the metric); those take
-    # rows_before from the manifest's per-file row counts instead.
-    obs_in: "Observation | None" = None
-    touched_obs = touched
-    if observe_input:
-        obs_in = Observation()
-        touched_obs = touched.observe(
-            obs_in,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(hit, 1).otherwise(0)).alias("m"),
-        )
-    out = rewrite(touched_obs, hit).select(*[f.name for f in schema.fields])
-    obs_out = Observation()
-    # CHECK constraints verify the rewritten content in the same
-    # CollectMetrics as the ledger counts (an update_where SET can
-    # introduce violations; deletes/re-layouts re-verify free)
-    cons = dict(head.get("constraints") or {})
-    out = out.observe(
-        obs_out, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
-    )
-
-    tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
-    writer = _with_blooms(out.write.mode("overwrite"), bloom_cols, bloom_ndv)
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(tmp)
-    if cons:
-        try:
-            _raise_constraint_violations(
-                obs_out.get, cons, f"rewrite of {path}"
-            )
-        except ConstraintViolation:
-            if cdf_on and changes_fn is not None:
-                touched.unpersist()
-            fs.delete(hp(tmp), True)
-            raise
-    if obs_in is not None:
-        rows_before = int(obs_in.get["n"])
-        rows_matched = (
-            int(obs_in.get["m"] or 0) if count_matched else None
-        )
-    else:
-        # the manifest already tracks per-file counts — exact for the
-        # candidate set (per-suppression on DV tables: a re-layout
-        # also materializes tombstones, and the delta shows here)
-        cand_df2 = spark.createDataFrame(
-            [(f,) for f in cand], "file string"
-        )
-        rows_before = int(
-            manifest.join(F.broadcast(cand_df2), on="file", how="leftsemi")
-            .agg(F.sum("n_rows"))
-            .collect()[0][0]
-            or 0
-        )
-        rows_matched = None
-    rows_after = int(obs_out.get["n"])
-
-    expected = (snap_v if snap_v is not None else -1) + 1
-
-    # change-data feed: when the table's cdf flag is set, this commit's
-    # row-level changes land as sidecar files table_changes serves —
-    # computed by the operation (delete/update know their own change
-    # rows; compaction's is the explicit empty set)
-    changes_files: list[str] | None = None
-    if cdf_on:  # pinned to the snapshot's head marker (one read)
-        cdc = changes_fn(touched, hit) if changes_fn is not None else None
-        changes_files = (
-            _write_changes(
-                spark,
-                cdc.withColumn(
-                    "_commit_version", F.lit(expected).cast("long")
-                ),
-                path,
-                expected,
-            )
-            if cdc is not None
-            else []
-        )
-
-    # plan final resting places, log the intent, THEN move
-    planned = [
-        (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
-        for rel, _ln in _leaf_files(spark, tmp)
-    ]
-    _write_json_marker(
-        spark,
-        mdir,
-        "_TXN",
-        {
-            "expected_version": expected,
-            "added": [dst for _src, dst in planned]
-            + list(changes_files or []),
-            "removed": list(cand),
-        },
-    )
-    added = _move_files_in(fs, hp, planned)
-    fs.delete(hp(tmp), True)
-
-    if cols is None:
-        cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
-    # O(batch) commit: only the new files' stats rows are written; the
-    # rewritten candidates ride the marker's removed list and fall out
-    # of the snapshot at reconstruction (materialized at the next
-    # checkpoint) — driver-side footer reads for batch-sized adds
-    delta_df = None
-    delta_rows = delta_schema = None
-    if len(added) <= _LOCAL_STATS_MAX:
-        delta_rows, delta_schema = _local_stats_rows(
-            added, list(cols), schema, pcols
-        )
-    else:
-        delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
+        cached = touched
     try:
-        version = _commit_manifest(
-            spark, mdir, delta_df,
-            removed=cand, expected_version=expected,
-            keep_versions=keep_versions, partition_by=pcols, txn=txn,
-            added_files=added, changes=changes_files,
-            added_rows=delta_rows, stats_schema=delta_schema,
-            op=op,
+        from pyspark.sql import Observation
+
+        # every ledger count rides the ONE write job as CollectMetrics —
+        # no pre-count of the candidates, no read-back of the temp output
+        # (three saved jobs per transaction).  observe_input=False is for
+        # rewrites whose plan re-executes the input subtree (a
+        # repartitionByRange re-layout runs the range-sampling pass over
+        # it first, which would double-count the metric); those take
+        # rows_before from the manifest's per-file row counts instead.
+        obs_in: "Observation | None" = None
+        touched_obs = touched
+        if observe_input:
+            obs_in = Observation()
+            touched_obs = touched.observe(
+                obs_in,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(hit, 1).otherwise(0)).alias("m"),
+            )
+        out = rewrite(touched_obs, hit).select(*[f.name for f in schema.fields])
+        obs_out = Observation()
+        # CHECK constraints verify the rewritten content in the same
+        # CollectMetrics as the ledger counts (an update_where SET can
+        # introduce violations; deletes/re-layouts re-verify free)
+        cons = dict(head.get("constraints") or {})
+        out = out.observe(
+            obs_out, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
         )
-    except SnapshotConflict:
-        if cdf_on and changes_fn is not None:
-            touched.unpersist()
-        _rollback_conflict(spark, mdir, added + list(changes_files or []))
-        raise
-    _post_commit_sweep(spark, mdir)
-    fs.delete(hp(f"{mdir}/_TXN"), False)
-    if cdf_on and changes_fn is not None:
-        touched.unpersist()
-    ledger.update(
-        {
-            "files_rewritten": len(cand),
-            "files_added": len(added),
-            "rows_matched": (
-                int(rows_matched) if rows_matched is not None else None
-            ),
-            "rows_before": int(rows_before),
-            "rows_after": int(rows_after),
-            "partitioned": bool(pcols),
-            "version": int(version),
-            # row-preserving rewrites (compact/cluster) on a DV table
-            # ALSO materialize the touched files' tombstone
-            # suppression — callers use this to explain a physical
-            # rows_before > rows_after that changed no visible row
-            "dvs_active": bool(dvs),
-        }
-    )
-    return ledger
+
+        tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
+        writer = _with_blooms(out.write.mode("overwrite"), bloom_cols, bloom_ndv)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(tmp)
+        if cons:
+            try:
+                _raise_constraint_violations(
+                    obs_out.get, cons, f"rewrite of {path}"
+                )
+            except ConstraintViolation:
+                fs.delete(hp(tmp), True)
+                raise
+        if obs_in is not None:
+            rows_before = int(obs_in.get["n"])
+            rows_matched = (
+                int(obs_in.get["m"] or 0) if count_matched else None
+            )
+        else:
+            # the manifest already tracks per-file counts — exact for the
+            # candidate set (per-suppression on DV tables: a re-layout
+            # also materializes tombstones, and the delta shows here)
+            cand_df2 = spark.createDataFrame(
+                [(f,) for f in cand], "file string"
+            )
+            rows_before = int(
+                manifest.join(F.broadcast(cand_df2), on="file", how="leftsemi")
+                .agg(F.sum("n_rows"))
+                .collect()[0][0]
+                or 0
+            )
+            rows_matched = None
+        rows_after = int(obs_out.get["n"])
+
+        expected = (snap_v if snap_v is not None else -1) + 1
+
+        # change-data feed: when the table's cdf flag is set, this commit's
+        # row-level changes land as sidecar files table_changes serves —
+        # computed by the operation (delete/update know their own change
+        # rows; compaction's is the explicit empty set)
+        changes_files: list[str] | None = None
+        if cdf_on:  # pinned to the snapshot's head marker (one read)
+            cdc = changes_fn(touched, hit) if changes_fn is not None else None
+            changes_files = (
+                _write_changes(
+                    spark,
+                    cdc.withColumn(
+                        "_commit_version", F.lit(expected).cast("long")
+                    ),
+                    path,
+                    expected,
+                )
+                if cdc is not None
+                else []
+            )
+
+        # plan final resting places, log the intent, THEN move
+        planned = [
+            (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
+            for rel, _ln in _leaf_files(spark, tmp)
+        ]
+        _write_json_marker(
+            spark,
+            mdir,
+            "_TXN",
+            {
+                "expected_version": expected,
+                "added": [dst for _src, dst in planned]
+                + list(changes_files or []),
+                "removed": list(cand),
+            },
+        )
+        added = _move_files_in(fs, hp, planned)
+        fs.delete(hp(tmp), True)
+
+        if cols is None:
+            cols = [c[:-4] for c in manifest.columns if c.endswith("_min")]
+        # O(batch) commit: only the new files' stats rows are written; the
+        # rewritten candidates ride the marker's removed list and fall out
+        # of the snapshot at reconstruction (materialized at the next
+        # checkpoint) — driver-side footer reads for batch-sized adds
+        delta_df = None
+        delta_rows = delta_schema = None
+        if len(added) <= _LOCAL_STATS_MAX:
+            delta_rows, delta_schema = _local_stats_rows(
+                added, list(cols), schema, pcols
+            )
+        else:
+            delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
+        try:
+            version = _commit_manifest(
+                spark, mdir, delta_df,
+                removed=cand, expected_version=expected,
+                keep_versions=keep_versions, partition_by=pcols, txn=txn,
+                added_files=added, changes=changes_files,
+                added_rows=delta_rows, stats_schema=delta_schema,
+                op=op,
+            )
+        except SnapshotConflict:
+            _rollback_conflict(spark, mdir, added + list(changes_files or []))
+            raise
+        _post_commit_sweep(spark, mdir)
+        fs.delete(hp(f"{mdir}/_TXN"), False)
+        ledger.update(
+            {
+                "files_rewritten": len(cand),
+                "files_added": len(added),
+                "rows_matched": (
+                    int(rows_matched) if rows_matched is not None else None
+                ),
+                "rows_before": int(rows_before),
+                "rows_after": int(rows_after),
+                "partitioned": bool(pcols),
+                "version": int(version),
+                # row-preserving rewrites (compact/cluster) on a DV table
+                # ALSO materialize the touched files' tombstone
+                # suppression — callers use this to explain a physical
+                # rows_before > rows_after that changed no visible row
+                "dvs_active": bool(dvs),
+            }
+        )
+        return ledger
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def delete_where(

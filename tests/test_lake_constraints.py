@@ -126,3 +126,27 @@ def test_drop_constraint_and_carry(spark, tmp_path):
     head = table_history(spark, tbl)[-1]["version"]
     drop_table_constraint(spark, tbl, "v_nonneg")
     assert table_history(spark, tbl)[-1]["version"] == head
+
+
+def test_constraint_on_column_omitted_by_batch_null_passes(spark, tmp_path):
+    """ANSI CHECK semantics when a batch legitimately OMITS an older
+    constrained column (add-only evolution null-fills it): NULL is
+    UNKNOWN, UNKNOWN passes — the append must land, not die on an
+    unresolved-column AnalysisException, because every write path
+    aligns the batch to the full stored schema (``_aligned``) BEFORE
+    the constraint observation attaches.  Presence is enforced with an
+    explicit IS NOT NULL constraint — second leg."""
+    tbl = _seed(spark, tmp_path)
+    add_table_constraint(spark, tbl, "v_nonneg", "v >= 0")
+
+    # batch omits v entirely — null-filled, NULL passes the CHECK
+    only_k = spark.range(100, 105).select(F.col("id").alias("k"))
+    led = append_files(spark, only_k.coalesce(1), tbl, keep_versions=10)
+    assert led["rows"] == 5
+    got = read_table(spark, tbl)
+    assert got.count() == 105
+    assert got.filter("v IS NULL").count() == 5
+
+    # explicit presence constraint: now an omitting batch is refused
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        add_table_constraint(spark, tbl, "v_present", "v IS NOT NULL")
