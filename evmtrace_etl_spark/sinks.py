@@ -1707,7 +1707,8 @@ def version_at_timestamp(
     versions = _committed_versions(spark, mdir)
     if not versions:
         raise ValueError(f"no committed snapshot at {mdir}")
-    head = _commit_info(spark, mdir, versions[-1])
+    markers = {v: _commit_info(spark, mdir, v) for v in versions}
+    head = markers[versions[-1]]
     if head.get("retain"):
         # version dirs BELOW the head's stamped retention floor may
         # survive as checkpoint-chain links, but the sweep has already
@@ -1716,20 +1717,24 @@ def version_at_timestamp(
         floor = int(head.get("floor", versions[0]))
         versions = [v for v in versions if v >= floor]
     else:
-        # same refusal on a DEFAULT (zero-retention) table: version
-        # dirs below the keep window survive only as checkpoint-chain
-        # links, and a rewrite in between already swept the files they
-        # referenced — resolving there would die mid-scan with an
-        # opaque missing-path error instead of this ValueError.  (A
-        # rewrite INSIDE the keep window on a zero-retention table
-        # still sweeps at commit; read_table's version= docstring
-        # carries that caveat — this floor closes the sub-window leg.)
-        keep = max(1, int(head.get("keep", 2)))
-        versions = versions[max(0, len(versions) - keep):]
+        # same refusal on a DEFAULT (zero-retention) table: a commit
+        # that removed/retired files swept them at its OWN commit, so
+        # every snapshot BELOW it references missing files — resolving
+        # there would die mid-scan with an opaque missing-path error
+        # instead of this ValueError.  Pure-append history below the
+        # keep window stays resolvable (reconstruction raises its own
+        # clear chain-lost error if housekeeping pruned the dirs).
+        floor = versions[0]
+        for v in versions:
+            if _pending_entries(markers[v]):
+                floor = v
+        versions = [v for v in versions if v >= floor]
     best: int | None = None
     running = 0.0
     for v in versions:
-        running = max(running, _commit_wall_ts(spark, mdir, v))
+        running = max(
+            running, _commit_wall_ts(spark, mdir, v, marker=markers[v])
+        )
         if running <= float(ts):
             best = v
         else:

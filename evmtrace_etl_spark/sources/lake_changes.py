@@ -102,6 +102,42 @@ def _dir_value(fpath: str, col: str) -> str | None:
     return None
 
 
+def _fsize(p: str) -> int:
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
+
+# ---------------------------------------------------------------------------
+# Offset coordinates.  Wire shapes:
+#   {"version": v}             — commits <= v fully consumed (the legacy
+#                                form; still emitted whenever the position
+#                                sits on a commit boundary, so pre-existing
+#                                checkpoints keep byte-identical offsets)
+#   {"version": v, "index": i} — commits < v fully consumed plus the first
+#                                i files of commit v (an over-budget commit
+#                                split mid-way by admission control)
+# Internally both normalize to the linear position (next_version,
+# files_already_consumed_of_it) so spans compare lexicographically.
+# ---------------------------------------------------------------------------
+
+
+def _norm_pos(off: dict) -> tuple[int, int]:
+    v = int(off["version"])
+    i = off.get("index")
+    if i is not None:
+        return (v, int(i))
+    return (v + 1, 0)
+
+
+def _emit_pos(pos: tuple[int, int]) -> dict:
+    v, consumed = pos
+    if consumed == 0:
+        return {"version": v - 1}
+    return {"version": v, "index": int(consumed)}
+
+
 # ---------------------------------------------------------------------------
 # The data source
 # ---------------------------------------------------------------------------
@@ -135,66 +171,179 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         )
         self._start = int(self._options.get("starting_version", 0))
         self._pcols = self._options.get("partition_cols", "")
+        # admission control (Delta's maxFilesPerTrigger /
+        # maxBytesPerTrigger): <=0 disables that budget
+        self._max_files = int(
+            self._options.get("max_files_per_trigger", 1000) or 0
+        )
+        self._max_bytes = int(
+            self._options.get("max_bytes_per_trigger", 0) or 0
+        )
+        #: the reader's linear position — the end offset it last planned
+        #: or served.  None until primed (initialOffset, a checkpoint
+        #: recovery, or the first partitions() call after a restart).
+        self._pos: tuple[int, int] | None = None
+
+    # -- span enumeration ---------------------------------------------------
+    def _commit_files(self, v: int) -> list[tuple[str, str]]:
+        """One commit's servable files as ``(path, kind)`` in marker
+        order — the SINGLE enumeration both ``latestOffset``'s budget
+        walk and ``partitions`` use, so a split offset's file index
+        can never disagree between planning and execution."""
+        m = _marker(self._mdir, v)
+        changes = m.get("changes")
+        if self._cdf and changes is not None:
+            return [(_local_path(f), "change") for f in changes]
+        # plain mode: a pure append serves its added files even on
+        # a CDF table (whose appends ALWAYS carry change sidecars —
+        # raising on `changes` alone would make a CDF table
+        # unstreamable in plain mode); only a genuine rewrite or a
+        # deletion-vector visibility change is unservable here
+        if m.get("removed") or m.get("dvs_delta"):
+            if not self._cdf and changes is not None:
+                # the table's feed is already on and THIS commit carries
+                # change files — only the reader is in plain mode
+                raise ValueError(
+                    f"commit v{v} rewrote files or changed deletion "
+                    "vectors and carries row-level change files — "
+                    "restart the stream with change_feed=true to "
+                    "consume the rewrite as CDC rows"
+                )
+            raise ValueError(
+                f"commit v{v} rewrote files or changed deletion "
+                "vectors — "
+                + (
+                    "enable the change-data feed "
+                    "(append_files(enable_cdf=True)) before rewrites "
+                    "to stream across them"
+                    if not self._cdf
+                    else "the commit carries no change-data files "
+                    "(it predates the table's CDF flag)"
+                )
+            )
+        return [(_local_path(f), "data") for f in m.get("added", [])]
+
+    def _recover_pos(self) -> tuple[int, int] | None:
+        """Recover the stream's position from Spark's own offset log
+        (the ``checkpoint_location`` option names it — wired by
+        ``start_lake_changes_stream``): the highest planned batch's
+        offset for this source.  A fresh checkpoint == the initial
+        offset.  Without the hint the position is unknowable here and
+        the caller falls back to an unbounded first batch."""
+        ck = self._options.get("checkpoint_location")
+        if not ck:
+            return None
+        odir = os.path.join(_local_path(ck), "offsets")
+        if not os.path.isdir(odir):
+            return (self._start, 0)  # fresh checkpoint → initialOffset
+        batches = sorted(
+            (int(n) for n in os.listdir(odir) if n.isdigit()),
+            reverse=True,
+        )
+        for b in batches:
+            try:
+                with open(os.path.join(odir, str(b))) as f:
+                    lines = [ln.strip() for ln in f if ln.strip()]
+                # offset-log format: "v1", the batch metadata JSON,
+                # then one serialized offset per source
+                for ln in lines[2:]:
+                    off = json.loads(ln)
+                    if isinstance(off, str):
+                        off = json.loads(off)
+                    if isinstance(off, dict) and "version" in off:
+                        return _norm_pos(off)
+            except Exception:
+                continue
+        return (self._start, 0)
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
+        self._pos = (self._start, 0)
         return {"version": self._start - 1}
 
     def latestOffset(self) -> dict:
-        # clamped to the requested start: a head BELOW starting_version
-        # must not regress the checkpointed offset, or the skipped span
-        # would flow downstream once those versions commit
-        vs = _committed_versions(self._mdir)
-        head = vs[-1] if vs else self._start - 1
-        return {"version": max(head, self._start - 1)}
+        committed = _committed_versions(self._mdir)
+        pos = self._pos
+        if pos is None:
+            pos = self._recover_pos()
+        if pos is None:
+            # position unknown (reader attached to an existing
+            # checkpoint without the checkpoint_location hint): the
+            # only regression-safe end is the head — returning a
+            # bounded guess BEHIND the checkpointed offset would plan
+            # a backwards batch and re-serve consumed commits.  The
+            # first batch is unbounded; every later one is budgeted.
+            head = committed[-1] if committed else self._start - 1
+            off = {"version": max(head, self._start - 1)}
+            self._pos = _norm_pos(off)
+            return off
+        cs = set(committed)
+        head_pos = (
+            (committed[-1] + 1, 0) if committed else (self._start, 0)
+        )
+        if self._max_files <= 0 and self._max_bytes <= 0:
+            end = max(pos, head_pos)
+            self._pos = end
+            return _emit_pos(end)
+        if pos < head_pos and pos[0] not in cs:
+            # the resume point itself fell out of retention — return
+            # the head so partitions() raises the actionable
+            # raise-keep_versions error instead of silently stalling
+            self._pos = head_pos
+            return _emit_pos(head_pos)
+        v, consumed = pos
+        nf = nb = 0
+        while (v, consumed) < head_pos and v in cs:
+            files = self._commit_files(v)
+            for i in range(consumed, len(files)):
+                size = _fsize(files[i][0]) if self._max_bytes > 0 else 0
+                over = (
+                    self._max_files > 0 and nf + 1 > self._max_files
+                ) or (self._max_bytes > 0 and nb + size > self._max_bytes)
+                if over and nf > 0:  # always admit at least one file
+                    self._pos = (v, i)
+                    return _emit_pos(self._pos)
+                nf += 1
+                nb += size
+                consumed = i + 1
+            v, consumed = v + 1, 0  # commit fully admitted
+            if (self._max_files > 0 and nf >= self._max_files) or (
+                self._max_bytes > 0 and nb >= self._max_bytes
+            ):
+                break
+        end = max((v, consumed), pos)
+        self._pos = end
+        return _emit_pos(end)
 
     def commit(self, end: dict) -> None:  # log retention is the knob
-        return
+        p = _norm_pos(end)
+        if self._pos is None or p > self._pos:
+            self._pos = p
 
     # -- planning ----------------------------------------------------------
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[LakeChangesPartition]:
-        lo, hi = int(start["version"]), int(end["version"])
+        s, e = _norm_pos(start), _norm_pos(end)
+        if self._pos is None or e > self._pos:
+            # restart replay: Spark re-plans the logged batch before
+            # any latestOffset call — prime the position from it
+            self._pos = e
         committed = set(_committed_versions(self._mdir))
         parts: list[LakeChangesPartition] = []
-        for v in range(lo + 1, hi + 1):
+        v, skip = s
+        while (v, skip) < e:
             if v not in committed:
                 raise ValueError(
                     f"commit v{v} is no longer retained at {self._mdir} — "
                     "raise keep_versions on the table's writers to hold "
                     "the stream's replay window"
                 )
-            m = _marker(self._mdir, v)
-            changes = m.get("changes")
-            if self._cdf and changes is not None:
-                parts += [
-                    LakeChangesPartition(_local_path(f), "change", v)
-                    for f in changes
-                ]
-                continue
-            # plain mode: a pure append serves its added files even on
-            # a CDF table (whose appends ALWAYS carry change sidecars —
-            # raising on `changes` alone would make a CDF table
-            # unstreamable in plain mode); only a genuine rewrite or a
-            # deletion-vector visibility change is unservable here
-            if m.get("removed") or m.get("dvs_delta"):
-                raise ValueError(
-                    f"commit v{v} rewrote files or changed deletion "
-                    "vectors — "
-                    + (
-                        "enable the change-data feed "
-                        "(append_files(enable_cdf=True)) before rewrites "
-                        "to stream across them"
-                        if not self._cdf
-                        else "the commit carries no change-data files "
-                        "(it predates the table's CDF flag)"
-                    )
-                )
-            parts += [
-                LakeChangesPartition(_local_path(f), "data", v)
-                for f in m.get("added", [])
-            ]
+            files = self._commit_files(v)
+            hi = e[1] if v == e[0] else len(files)
+            for f, kind in files[skip:hi]:
+                parts.append(LakeChangesPartition(f, kind, v))
+            v, skip = v + 1, 0
         return parts
 
     # -- execution ---------------------------------------------------------
@@ -303,6 +452,9 @@ def lake_changes_stream(
     change_feed: bool = False,
     starting_version: int = 0,
     starting_timestamp: float | None = None,
+    max_files_per_trigger: int = 1000,
+    max_bytes_per_trigger: int | None = None,
+    checkpoint_location: str | None = None,
 ) -> DataFrame:
     """A streaming DataFrame over the table's commit log (see module
     docstring).  Registers the data source once per session.
@@ -311,7 +463,22 @@ def lake_changes_stream(
     that instant and streams the commits strictly AFTER it — the same
     contract as ``table_changes(since_timestamp=…)``; it overrides
     ``starting_version`` and raises if the instant predates the oldest
-    retained commit."""
+    retained commit.
+
+    Admission control (Delta's stream-source defaults): each
+    micro-batch admits at most ``max_files_per_trigger`` files
+    (default 1000; <=0 disables) and, when ``max_bytes_per_trigger``
+    is set, stops at the file that would cross the byte budget —
+    always at least one file, and an over-budget single commit splits
+    across batches on a ``(version, index)`` offset.  A consumer
+    catching up after downtime therefore drains the backlog as a
+    SEQUENCE of bounded, individually-retryable micro-batches instead
+    of one batch the size of the outage.  Pass ``checkpoint_location``
+    (the stream's own checkpoint dir — ``start_lake_changes_stream``
+    wires it automatically) so the budget applies from the FIRST
+    trigger after a restart; without it the reader cannot see the
+    checkpointed position before Spark asks for the latest offset, and
+    the first catch-up batch is unbounded (later ones are budgeted)."""
     if starting_timestamp is not None:
         from ..sinks import version_at_timestamp
 
@@ -329,7 +496,14 @@ def lake_changes_stream(
         .option("path", path)
         .option("starting_version", str(int(starting_version)))
         .option("change_feed", "true" if change_feed else "false")
+        .option("max_files_per_trigger", str(int(max_files_per_trigger)))
     )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option(
+            "max_bytes_per_trigger", str(int(max_bytes_per_trigger))
+        )
+    if checkpoint_location is not None:
+        reader = reader.option("checkpoint_location", checkpoint_location)
     if manifest_path is not None:
         reader = reader.option("manifest", manifest_path)
     return reader.load()
@@ -345,13 +519,21 @@ def start_lake_changes_stream(
     starting_version: int = 0,
     available_now: bool = True,
     starting_timestamp: float | None = None,
+    max_files_per_trigger: int = 1000,
+    max_bytes_per_trigger: int | None = None,
 ):
     """Poll the table's retained versions and feed each span to
     ``process(batch_df, batch_id)`` through a checkpointed
     ``foreachBatch`` — the downstream half writes through txn-stamped
     lake commits (``append_files(txn=…)``) and the pipeline is
     exactly-once across restarts: offsets ride the stream checkpoint,
-    replays short-circuit on the txn map."""
+    replays short-circuit on the txn map.  The checkpoint dir doubles
+    as the admission-control position hint, so a catch-up after
+    downtime is budgeted from the first trigger (see
+    ``lake_changes_stream``); note ``availableNow`` runs stop at the
+    offset captured when the run STARTS — under a budget that is one
+    bounded batch per run, and a backlog drains across successive
+    runs (or a processing-time trigger)."""
     stream = lake_changes_stream(
         spark,
         path,
@@ -359,6 +541,9 @@ def start_lake_changes_stream(
         change_feed=change_feed,
         starting_version=starting_version,
         starting_timestamp=starting_timestamp,
+        max_files_per_trigger=max_files_per_trigger,
+        max_bytes_per_trigger=max_bytes_per_trigger,
+        checkpoint_location=checkpoint_dir,
     )
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -253,3 +253,124 @@ def test_plain_stream_serves_cdf_table_appends(spark, tmp_path):
     with pytest.raises(Exception, match="rewrote|deletion"):
         q2.awaitTermination(120)
         q2.processAllAvailable()
+
+
+def _drain_runs(spark, src, dst, ckpt, app, max_runs=10, **opts):
+    """Run availableNow passes until a run delivers nothing; each run
+    is ONE budgeted micro-batch (the availableNow wrapper stops at the
+    offset captured when the run starts).  Returns [(batch_id, rows)]
+    for every non-empty batch, in delivery order."""
+    batches: list[tuple[int, int]] = []
+
+    def proc(batch, bid):
+        n = batch.count()
+        if n:
+            batches.append((int(bid), n))
+        append_files(
+            batch.sparkSession, batch, dst, cols=["k"],
+            txn=(app, int(bid)),
+        )
+
+    for _run in range(max_runs):
+        before = len(batches)
+        q = start_lake_changes_stream(spark, src, proc, ckpt, **opts)
+        q.awaitTermination(120)
+        if len(batches) == before:  # caught up — no data moved
+            break
+    return batches
+
+
+def test_backlog_drains_in_bounded_micro_batches(spark, tmp_path):
+    """Admission control (maxFilesPerTrigger): a 5-commit backlog with
+    a 2-file budget drains as >=3 bounded micro-batches — never one
+    batch the size of the outage — and the drained table is still
+    exactly-once (every row once, txn stamps intact)."""
+    src = str(tmp_path / "src")
+    for i in range(5):  # one file per commit
+        batch = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), F.lit(i).cast("long").alias("b")
+        )
+        append_files(spark, batch.coalesce(1), src, cols=["k"])
+    dst = str(tmp_path / "dst")
+    batches = _drain_runs(
+        spark, src, dst, str(tmp_path / "ck"), "bk",
+        max_files_per_trigger=2,
+    )
+    # 5 files / budget 2 -> 2+2+1: three bounded batches
+    assert [n for _b, n in batches] == [20, 20, 10]
+    t = read_table(spark, dst)
+    assert t.count() == 50
+    assert t.select("k").distinct().count() == 50  # exactly-once
+
+
+def test_over_budget_single_commit_splits_on_file_index(spark, tmp_path):
+    """A single commit larger than the budget splits MID-COMMIT on a
+    (version, index) offset: 6 files in one commit, budget 2 -> three
+    batches, and the checkpointed offsets carry the index form."""
+    src = str(tmp_path / "src")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("b")
+    )
+    append_files(spark, df.repartition(6), src, cols=["k"])
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+    batches = _drain_runs(
+        spark, src, dst, ckpt, "sp", max_files_per_trigger=2
+    )
+    # three 2-file batches (row counts vary with round-robin skew)
+    assert len(batches) == 3 and sum(n for _b, n in batches) == 60
+    assert max(n for _b, n in batches) <= 25  # never >2 files' worth
+    assert read_table(spark, dst).select("k").distinct().count() == 60
+    # the intermediate offsets split v0 on a file index
+    import json as _json
+
+    offs = []
+    for f in sorted(glob.glob(os.path.join(ckpt, "offsets", "*"))):
+        if os.path.basename(f).isdigit():
+            with open(f) as fh:
+                lines = [ln.strip() for ln in fh if ln.strip()]
+            offs += [
+                _json.loads(ln) for ln in lines[2:] if ln.startswith("{")
+            ]
+    assert any("index" in o for o in offs), offs
+    # the final offset lands back on the boundary (legacy shape)
+    assert {"version": 0} in offs
+
+
+def test_bytes_budget_admits_at_least_one_file(spark, tmp_path):
+    """maxBytesPerTrigger smaller than any file still makes progress —
+    one file per batch, never a stall."""
+    src = str(tmp_path / "src")
+    for i in range(3):  # one file per commit
+        batch = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), F.lit(i).cast("long").alias("b")
+        )
+        append_files(spark, batch.coalesce(1), src, cols=["k"])
+    dst = str(tmp_path / "dst")
+    batches = _drain_runs(
+        spark, src, dst, str(tmp_path / "ck"), "by",
+        max_bytes_per_trigger=1, max_files_per_trigger=0,
+    )
+    # every batch carries exactly one file's rows
+    assert [n for _b, n in batches] == [10, 10, 10]
+    assert read_table(spark, dst).select("k").distinct().count() == 30
+
+
+def test_offset_wire_shapes_round_trip():
+    """Legacy {'version': v} offsets normalize and re-emit
+    byte-identically (existing checkpoints keep working); split
+    offsets round-trip through the linear position."""
+    from evmtrace_etl_spark.sources.lake_changes import (
+        _emit_pos,
+        _norm_pos,
+    )
+
+    assert _emit_pos(_norm_pos({"version": 2})) == {"version": 2}
+    assert _norm_pos({"version": 2}) == (3, 0)
+    assert _emit_pos(_norm_pos({"version": 3, "index": 4})) == {
+        "version": 3,
+        "index": 4,
+    }
+    assert _norm_pos({"version": 0, "index": 1}) < _norm_pos(
+        {"version": 0, "index": 2}
+    ) < _norm_pos({"version": 0}) == (1, 0)
