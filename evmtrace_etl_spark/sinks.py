@@ -3586,6 +3586,81 @@ def last_committed_txn(
     return int(got) if got is not None else None
 
 
+def _rebase_append(
+    spark: SparkSession,
+    mdir: str,
+    txn: tuple[str, int] | None,
+    planned_cdf: bool,
+    our_schema: T.StructType,
+    checked_constraints: dict[str, str],
+    our_pcols: Sequence[str] | None,
+    our_files: Sequence[str],
+) -> "tuple[int, T.StructType] | str | None":
+    """Logical conflict detection for a PURE APPEND that lost the
+    optimistic-concurrency race AFTER moving its files in (Delta's
+    conflict-checker shape): two appends never logically conflict —
+    the loser's files are new, it removed nothing, and no winner can
+    reference them — so instead of rolling the data files back and
+    re-running the whole batch write, the loser re-commits the
+    already-moved-in files at the next version.  Returns
+    ``(new_expected_version, merged_schema)`` when the re-commit is
+    safe, the string ``"skip"`` when a winner already committed this
+    transaction's batch id (exactly-once: the batch is durable, we
+    must not double-land it), or None when only a full retry is sound:
+
+    - the winner changed the CHECK-constraint map (our rows were
+      verified against the old one);
+    - the winner turned the change-data feed on and we wrote no
+      insert sidecars (the feed would silently skip our commit);
+    - the winner changed the partition-column stamp (our files'
+      directory layout no longer matches the table's);
+    - the schemas no longer merge add-only (type clash);
+    - any of OUR moved-in files is gone — a cross-process writer's
+      head-of-op intent recovery rolled our in-flight attempt back as
+      crashed (the documented single-maintenance-actor granularity);
+      re-committing would reference deleted files, so the loser
+      re-runs the batch instead.  O(batch) existence probes.
+
+    The merged schema is the winner's stamped schema evolved with
+    ours (add-only union), so re-committing cannot un-stamp columns
+    the winner added."""
+    snap = manifest_version(spark, mdir)
+    if snap is None:  # the whole log vanished — full retry
+        return None
+    jvm, hp, fs = _fs_for(spark, mdir)
+    for f in our_files:
+        if not fs.exists(hp(f)):
+            return None
+    head = _commit_info(spark, mdir, snap)
+    if txn is not None:
+        seen = head.get("txns", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return "skip"
+    if dict(head.get("constraints") or {}) != dict(
+        checked_constraints or {}
+    ):
+        return None
+    if bool(head.get("cdf", False)) and not planned_cdf:
+        return None
+    head_pby = head.get("partition_by")
+    if (
+        head_pby is not None
+        and our_pcols is not None
+        and list(head_pby) != list(our_pcols)
+    ):
+        return None
+    sj = head.get("schema")
+    merged = our_schema
+    if sj is not None:
+        try:
+            merged = _evolved_schema(
+                T.StructType.fromJson(sj), our_schema, "append rebase"
+            )
+        except ValueError:
+            return None
+    return (snap + 1, merged)
+
+
 def append_files(
     spark: SparkSession,
     df: DataFrame,
@@ -3652,7 +3727,20 @@ def _append_files_unlocked(
     silently strip an established retention flag (that would flatten
     the pending backlog's rm_v stamps and let the next sweep delete
     every retained history file under still-live snapshot dirs).
-    Returns a ledger: rows, files_added, version, skipped.
+
+    Losing the optimistic-concurrency race does NOT re-run the batch:
+    two pure appends never logically conflict, so the loser re-commits
+    its already-moved-in files at the next version
+    (``_rebase_append`` — Delta's conflict-checker shape), restamping
+    only the batch-sized CDC sidecar when the feed is on.  Full
+    rollback-and-``SnapshotConflict`` remains for the cases the
+    rebase cannot prove safe (constraint map changed, CDF flag
+    flipped on, partition stamp changed, schema type clash, or a
+    cross-process recovery rolled this attempt back), and a winner
+    that already committed this txn's batch id turns the loser into
+    an exactly-once no-op.  Returns a ledger: rows, files_added,
+    version, skipped, rebased (commit re-attempts that reused the
+    written files).
     """
     import uuid
 
@@ -3825,35 +3913,93 @@ def _append_files_unlocked(
         )
     else:
         delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
-    try:
-        version = _commit_manifest(
-            spark, mdir, delta_df, removed=[], expected_version=expected,
-            txn=txn, keep_versions=keep_versions,
-            table_schema=evolved.jsonValue(),
-            partition_by=pcols_commit,
-            # like retain_removed, only True enables — an explicit
-            # False must not silently strip the carried CDF flag while
-            # this very commit still wrote insert sidecars (the feed
-            # would break at the NEXT rewrite with no signal here)
-            cdf=enable_cdf or None,
-            retain=retain_removed or None,
-            added_rows=delta_rows,
-            stats_schema=delta_schema,
-            changes=changes_files,
-            op="append",
-        )
-    except SnapshotConflict:
-        # lost the optimistic race AFTER moving files in: undo them so
-        # a retry from a fresh snapshot (retry_on_conflict) starts
-        # clean and maintenance can't adopt the orphans
-        _rollback_conflict(spark, mdir, added + list(changes_files or []))
-        raise
+    planned_cdf = bool(head.get("cdf", False)) or bool(enable_cdf)
+    rebased = 0
+    while True:
+        try:
+            version = _commit_manifest(
+                spark, mdir, delta_df, removed=[], expected_version=expected,
+                txn=txn, keep_versions=keep_versions,
+                table_schema=evolved.jsonValue(),
+                partition_by=pcols_commit,
+                # like retain_removed, only True enables — an explicit
+                # False must not silently strip the carried CDF flag while
+                # this very commit still wrote insert sidecars (the feed
+                # would break at the NEXT rewrite with no signal here)
+                cdf=enable_cdf or None,
+                retain=retain_removed or None,
+                added_rows=delta_rows,
+                stats_schema=delta_schema,
+                changes=changes_files,
+                op="append",
+            )
+            break
+        except SnapshotConflict:
+            # logical conflict detection: two pure appends never
+            # conflict — re-commit the ALREADY-MOVED-IN files at the
+            # next version instead of rolling them back and re-running
+            # the batch write (Delta re-attempts only the commit).
+            # _rebase_append names the cases that DO need a full retry.
+            rb = (
+                _rebase_append(
+                    spark, mdir, txn, planned_cdf, evolved, cons,
+                    pcols_commit, added + list(changes_files or []),
+                )
+                if rebased < 20
+                else None
+            )
+            if rb is None or rb == "skip":
+                # full retry (retry_on_conflict) — or a winner already
+                # committed this txn's batch id (the batch is durable;
+                # landing ours too would double it)
+                _rollback_conflict(
+                    spark, mdir, added + list(changes_files or [])
+                )
+                if rb == "skip":
+                    return {
+                        "rows": 0,
+                        "files_added": 0,
+                        "version": manifest_version(spark, mdir),
+                        "skipped": True,
+                    }
+                raise
+            expected, evolved = rb
+            rebased += 1
+            if changes_files:
+                # CDC rows carry the commit version INSIDE the sidecar
+                # parquet — restamp them for the new version (a
+                # batch-sized read/write, never the data files) and
+                # drop the orphaned originals
+                old_changes = list(changes_files)
+                changes_files = _write_changes(
+                    spark,
+                    spark.read.parquet(*old_changes).withColumn(
+                        "_commit_version", F.lit(expected).cast("long")
+                    ),
+                    path,
+                    expected,
+                )
+                for d in {os.path.dirname(f) for f in old_changes}:
+                    fs.delete(hp(d), True)
+            # refresh the intent marker so crash recovery rolls this
+            # attempt forward/back against the version it now targets
+            _write_json_marker(
+                spark,
+                mdir,
+                "_TXN",
+                {
+                    "expected_version": expected,
+                    "added": added + list(changes_files or []),
+                    "removed": [],
+                },
+            )
     fs.delete(hp(f"{mdir}/_TXN"), False)
     return {
         "rows": int(rows),
         "files_added": len(added),
         "version": int(version),
         "skipped": False,
+        "rebased": rebased,
     }
 
 

@@ -32,7 +32,11 @@ def main() -> None:
         led = retry_on_conflict(
             lambda: append_files(spark, batch, tbl), attempts=10
         )
-        print(f"CHILD_COMMIT v{led['version']} rows={led['rows']}", flush=True)
+        print(
+            f"CHILD_COMMIT v{led['version']} rows={led['rows']} "
+            f"files={led['files_added']} rebased={led.get('rebased', 0)}",
+            flush=True,
+        )
     spark.stop()
     print("CHILD_DONE", flush=True)
 

@@ -208,13 +208,17 @@ def test_conflict_after_move_in_rolls_back_cleanly(
     spark, tmp_path, monkeypatch
 ):
     """A writer that loses the optimistic race AFTER moving its files
-    in must roll them back: the table's leaf files return to the
-    pre-attempt set, no _TXN marker lingers, and a later
-    update_stats_index adopts nothing."""
+    in: against a PURE-METADATA winner the append re-commits its
+    already-moved files at the next version (logical conflict
+    detection — no rollback, no batch re-run); against a winner that
+    changed the CHECK-constraint map it must roll back cleanly — the
+    table's leaf files return to the pre-attempt set, no _TXN marker
+    lingers, a later update_stats_index adopts nothing, and
+    retry_on_conflict drives the op through."""
     tbl = _seed(spark, tmp_path, n=100, files=2)
     mdir = tbl + "/_stats_manifest"
     real_marker = sinks._write_json_marker
-    state = {"fired": False}
+    state = {"fired": False, "constraints": None}
 
     def interloping_marker(spark_, dirpath, name, payload, **kw):
         # as the victim writes its _TXN intent, an out-of-process
@@ -224,17 +228,34 @@ def test_conflict_after_move_in_rolls_back_cleanly(
             real_marker(spark_, dirpath, name, payload, **kw)
             m = sinks.current_manifest(spark, mdir)
             # an empty delta — commits carry only what THEY add
-            sinks._commit_manifest(spark, mdir, m.limit(0), removed=[])
+            sinks._commit_manifest(
+                spark, mdir, m.limit(0), removed=[],
+                constraints=state["constraints"],
+            )
             return
         real_marker(spark_, dirpath, name, payload, **kw)
 
-    files_before = sorted(glob.glob(tbl + "/*.parquet"))
-    monkeypatch.setattr(sinks, "_write_json_marker", interloping_marker)
     src = spark.range(500, 560).select(
         F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
     )
+
+    # leg 1: pure-metadata winner — the append rebases and lands
+    monkeypatch.setattr(sinks, "_write_json_marker", interloping_marker)
+    led = append_files(spark, src, tbl)
+    monkeypatch.undo()
+    assert led["rebased"] == 1 and led["rows"] == 60
+    assert read_table(spark, tbl).count() == 160
+    assert not os.path.exists(mdir + "/_TXN")
+
+    # leg 2: the winner changed the constraint map — full rollback
+    files_before = sorted(glob.glob(tbl + "/*.parquet"))
+    state.update(fired=False, constraints={"v_ok": "v >= -100"})
+    src2 = spark.range(700, 760).select(
+        F.col("id").alias("k"), F.lit(2).cast("long").alias("v")
+    )
+    monkeypatch.setattr(sinks, "_write_json_marker", interloping_marker)
     with pytest.raises(sinks.SnapshotConflict):
-        append_files(spark, src, tbl)
+        append_files(spark, src2, tbl)
     monkeypatch.undo()
 
     assert sorted(glob.glob(tbl + "/*.parquet")) == files_before
@@ -242,12 +263,12 @@ def test_conflict_after_move_in_rolls_back_cleanly(
     led = sinks.update_stats_index(spark, tbl, None)
     assert led["files_new"] == 0  # no orphans adopted
     # and retry_on_conflict drives the same op through on a retry
-    state["fired"] = False
+    state.update(fired=False, constraints=None)
     monkeypatch.setattr(sinks, "_write_json_marker", interloping_marker)
-    led2 = retry_on_conflict(lambda: append_files(spark, src, tbl))
+    led2 = retry_on_conflict(lambda: append_files(spark, src2, tbl))
     monkeypatch.undo()
     assert led2["rows"] == 60
-    assert read_table(spark, tbl).count() == 160
+    assert read_table(spark, tbl).count() == 220
 
 
 def test_two_writers_both_land(spark, tmp_path):

@@ -722,15 +722,17 @@ def test_two_processes_both_land(spark, tmp_path):
         cwd=repo,
         env=env,
     )
+    parent_files = 0
     try:
         for b in range(3):  # parent's writes race the child's
             batch = spark.range(20000 + b * 100, 20000 + b * 100 + 100).select(
                 F.col("id").alias("k"),
                 F.lit(-1).cast("long").alias("v"),
             )
-            retry_on_conflict(
+            led = retry_on_conflict(
                 lambda: append_files(spark, batch, tbl), attempts=10
             )
+            parent_files += led["files_added"]
         out, _ = child.communicate(timeout=180)
     finally:
         if child.poll() is None:
@@ -745,6 +747,19 @@ def test_two_processes_both_land(spark, tmp_path):
     mdir = tbl + "/_stats_manifest"
     assert sinks.manifest_version(spark, mdir) == 1 + 6
     assert not os.path.exists(mdir + "/_LOCK")  # lease released
+    # a collided append never rewrites or duplicates its data files:
+    # the table holds EXACTLY the files each batch's final ledger
+    # reported — a loser that re-ran its write after a rebase (or a
+    # rollback that missed files) would break this count
+    child_files = sum(
+        int(ln.split("files=")[1].split()[0])
+        for ln in out.splitlines()
+        if "CHILD_COMMIT" in ln
+    )
+    on_disk = len(glob.glob(tbl + "/*.parquet"))
+    assert on_disk == 2 + parent_files + child_files  # 2 = seed
+    m = sinks.current_manifest(spark, mdir)
+    assert m.count() == on_disk  # every file committed, none orphaned
 
 
 def test_vacuum_sweeps_orphan_sidecars(spark, tmp_path):
