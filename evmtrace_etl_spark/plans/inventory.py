@@ -3654,6 +3654,114 @@ GROUP BY event_type
 """
 
 
+def _lake_delete_mor_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_delete_mor``: seed an event_id-clustered
+    lake table, then purge a USER-ID slice — a predicate that cuts
+    ACROSS the clustering, matching a handful of rows in every file
+    (the right-to-erasure shape) — through
+    ``delete_where(strategy='merge-on-read')``.  The build asserts the
+    scattered delete rewrote ZERO data files (every seed parquet keeps
+    its path and mtime; ``files_added == files_rewritten == 0``) and
+    that a replayed txn batch id is a no-op; the table is served
+    WITHOUT materializing, so the oracle checks the tombstone
+    suppression join itself.  Memoized per sf_dir."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..sinks import append_files, delete_where
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakedelmor",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_delete_mor") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(
+            spark,
+            ev.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )
+        before = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        led = delete_where(
+            spark, tbl, None, {"user_id": (1, 50)},
+            strategy="merge-on-read", keys=["event_id"],
+            txn=("inv_delmor", 1),
+        )
+        assert led["files_rewritten"] == 0 and led["files_added"] == 0
+        assert led["dv_files"] == 1 and led["rows_deleted"] > 0
+        after = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        assert after == before  # zero write amplification
+        # exactly-once: the replayed batch id short-circuits
+        assert delete_where(
+            spark, tbl, None, {"user_id": (1, 50)},
+            strategy="merge-on-read", keys=["event_id"],
+            txn=("inv_delmor", 1),
+        )["skipped"]
+        _BUILD_DONE["lake_delete_mor"] = base
+    return tbl
+
+
+def lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level DELETE
+    (``sinks.delete_where(strategy='merge-on-read')``): the build leg
+    purges every event of a user-id slice from an event_id-clustered
+    lake table as ONE key-tombstone commit — zero data files rewritten
+    (build-asserted on paths AND mtimes), which at 100 TB is the
+    GDPR/right-to-erasure case where the predicate cuts across the
+    clustering and copy-on-write would rewrite the whole table.  The
+    serve leg aggregates THROUGH the tombstone suppression; the oracle
+    recomputes the surviving rows from the raw events — a resurrected
+    deleted row, an over-deleted key, or a double-applied replay fails
+    the value hash every round.  ``materialize_deletes`` round-trip
+    equivalence is pinned by ``tests/test_lake_mor.py``."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_delete_mor_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_DELETE_MOR_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE user_id NOT BETWEEN 1 AND 50
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -3709,6 +3817,7 @@ QUERIES = {
     "inv_lake_restore": lake_restore,
     "inv_lake_timetravel": lake_timetravel,
     "inv_lake_constraint_gate": lake_constraint_gate,
+    "inv_lake_delete_mor": lake_delete_mor,
 }
 
 ORACLES = {
@@ -3766,4 +3875,5 @@ ORACLES = {
     "inv_lake_restore": LAKE_RESTORE_SQL,
     "inv_lake_timetravel": LAKE_TIMETRAVEL_SQL,
     "inv_lake_constraint_gate": LAKE_CONSTRAINT_GATE_SQL,
+    "inv_lake_delete_mor": LAKE_DELETE_MOR_SQL,
 }

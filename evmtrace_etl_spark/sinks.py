@@ -3209,6 +3209,179 @@ def _txn_rewrite_unlocked(
             cached.unpersist()
 
 
+def _delete_mor_unlocked(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None,
+    predicates: dict[str, tuple],
+    keys: Sequence[str],
+    keep_versions: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Merge-on-read row-level DELETE: the matched rows' KEYS land as
+    a deletion-vector tombstone sidecar recorded in the commit — NO
+    data file is rewritten (``files_rewritten == files_added == 0``),
+    and ``read_table`` suppresses the rows at serve time exactly like
+    a merge-on-read upsert's.  This is the scattered-delete primitive:
+    a right-to-erasure purge keyed on ``user_id`` over a ts-clustered
+    100 TB table matches a handful of rows in EVERY file — copy-on-
+    write would rewrite the table; here the write cost is O(matched
+    rows) and ``materialize_deletes`` folds the suppression back into
+    the data files during maintenance (Delta's DV delete shape).
+
+    ``keys`` must uniquely identify visible rows (the same contract as
+    ``merge_into`` — these are keyed tables): a tombstone suppresses
+    EVERY visible row of its key, so on a non-unique key a partial
+    match would over-delete.  Matching keys are found with ONE
+    manifest-pruned scan of the candidate files (the minimum to know
+    what to delete); on a CDF table the same cached scan feeds the
+    delete change rows."""
+    import uuid
+
+    mdir = _manifest_dir(path, manifest_path)
+    jvm, hp, fs = _fs_for(spark, path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
+
+    snap_v = manifest_version(spark, mdir)
+    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+
+    if txn is not None:
+        seen = head.get("txns", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return {
+                "files_total": None,
+                "files_rewritten": 0,
+                "files_added": 0,
+                "dv_files": 0,
+                "rows_deleted": 0,
+                "version": snap_v,
+                "skipped": True,
+                "strategy": "merge-on-read",
+            }
+
+    manifest = current_manifest(spark, mdir)
+    if manifest is None:
+        raise ValueError(
+            f"no stats manifest at {mdir} — build one with "
+            "update_stats_index first"
+        )
+    dvs = list(head.get("dvs", []))
+    keys = list(keys)
+    if dvs and list(dvs[0]["keys"]) != keys:
+        raise ValueError(
+            f"table has active deletion vectors keyed on "
+            f"{list(dvs[0]['keys'])} but this delete uses {keys} — "
+            "materialize_deletes before deleting on a different key"
+        )
+    ranges, hit = _pred_parts(predicates)
+    cand, files_total = _prune_files_with_total(manifest, ranges)
+    ledger = {
+        "files_total": int(files_total),
+        "files_rewritten": 0,
+        "files_added": 0,
+        "dv_files": 0,
+        "rows_deleted": 0,
+        "version": snap_v,
+        "skipped": False,
+        "strategy": "merge-on-read",
+    }
+    if not cand:
+        return ledger
+
+    sj = head.get("schema")
+    schema = (
+        T.StructType.fromJson(sj)
+        if sj is not None
+        else spark.read.parquet(path).schema
+    )
+    missing = [k for k in keys if k not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(f"delete keys {missing} are not table columns")
+    touched = (
+        spark.read.option("basePath", path).schema(schema).parquet(*cand)
+    )
+    # suppress already-tombstoned rows first: a key whose every LIVE
+    # row misses the predicate must not re-match through a stale one
+    matched = _dv_suppress(spark, touched, manifest, dvs).filter(hit)
+    cdf_on = bool(head.get("cdf", False))
+    if cdf_on:
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        from pyspark.sql import Observation
+
+        expected = (snap_v if snap_v is not None else -1) + 1
+        obs = Observation()
+        tomb = (
+            matched.observe(obs, F.count(F.lit(1)).alias("n"))
+            .select(*keys)
+            .dropDuplicates(keys)
+        )
+        ddir = (
+            path.rstrip("/")
+            + f"/_deletes/v{expected}-{uuid.uuid4().hex[:8]}"
+        )
+        tomb.coalesce(1).write.mode("overwrite").parquet(ddir)
+        rows_matched = int(obs.get["n"])
+        if rows_matched == 0:
+            # nothing to delete: no commit needed (a txn replay
+            # re-derives the same no-op — still exactly-once)
+            fs.delete(hp(ddir), True)
+            return ledger
+        dv_files = _sidecar_files(fs, hp, ddir)
+
+        changes_files: list[str] | None = None
+        if cdf_on:
+            changes_files = _write_changes(
+                spark,
+                matched.withColumn("_change_type", F.lit("delete"))
+                .withColumn(
+                    "_commit_version", F.lit(expected).cast("long")
+                ),
+                path,
+                expected,
+            )
+        _write_json_marker(
+            spark,
+            mdir,
+            "_TXN",
+            {
+                "expected_version": expected,
+                "added": dv_files + list(changes_files or []),
+                "removed": [],
+            },
+        )
+        try:
+            version = _commit_manifest(
+                spark, mdir, None, removed=[],
+                expected_version=expected, txn=txn,
+                keep_versions=keep_versions,
+                dvs_add=[
+                    {"file": f, "version": expected, "keys": keys}
+                    for f in dv_files
+                ],
+                changes=changes_files,
+                op="delete (merge-on-read)",
+            )
+        except SnapshotConflict:
+            _rollback_conflict(
+                spark, mdir, dv_files + list(changes_files or [])
+            )
+            raise
+        fs.delete(hp(f"{mdir}/_TXN"), False)
+        ledger.update(
+            {
+                "dv_files": len(dv_files),
+                "rows_deleted": rows_matched,
+                "version": int(version),
+            }
+        )
+        return ledger
+    finally:
+        if cdf_on:
+            matched.unpersist()
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -3217,6 +3390,8 @@ def delete_where(
     cols: Sequence[str] | None = None,
     keep_versions: int | None = None,
     txn: tuple[str, int] | None = None,
+    strategy: str = "copy-on-write",
+    keys: Sequence[str] | None = None,
 ) -> dict:
     """Row-level delete over a bare-parquet dataset — flat OR
     hive-partitioned — manifest-pruned and SNAPSHOT-COMMITTED: remove
@@ -3245,7 +3420,29 @@ def delete_where(
     columns.  Returns the ledger: files_total, files_rewritten,
     files_added, rows_deleted, rows_before, rows_after, partitioned,
     version.
+
+    ``strategy='merge-on-read'`` (requires ``keys`` — unique-row keys,
+    the ``merge_into`` contract) removes the write amplification for
+    SCATTERED deletes: the matched keys land as a deletion-vector
+    tombstone and ZERO data files are rewritten — the
+    right-to-erasure shape when the predicate cuts across the
+    clustering (a user-id purge over a ts-clustered table).  See
+    ``_delete_mor_unlocked``; ``materialize_deletes`` folds the
+    suppression back in.
     """
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
+    if strategy == "merge-on-read":
+        if not keys:
+            raise ValueError(
+                "delete_where(strategy='merge-on-read') needs keys — "
+                "the tombstone suppresses rows BY KEY"
+            )
+        with _log_lock(_manifest_dir(path, manifest_path)):
+            return _delete_mor_unlocked(
+                spark, path, manifest_path, predicates, keys,
+                keep_versions=keep_versions, txn=txn,
+            )
     ledger = _txn_rewrite(
         spark,
         path,

@@ -854,3 +854,167 @@ def test_lease_release_only_deletes_own_token(spark, tmp_path):
     # ...and B's own release removes it
     b.__exit__(None, None, None)
     assert not _os.path.exists(lock)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE (delete_where strategy='merge-on-read')
+# ---------------------------------------------------------------------------
+
+
+def _seed_scattered(spark, tmp_path, n: int = 1000, files: int = 8) -> str:
+    """k-clustered table with a column u = k % 7 that cuts ACROSS the
+    clustering — a predicate on u matches a handful of rows in every
+    file (the scattered-delete shape)."""
+    tbl = str(tmp_path / "scat")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 7).alias("u"),
+    )
+    step = n // files
+    for i in range(files):
+        p = df.filter(
+            (F.col("k") >= i * step) & (F.col("k") < (i + 1) * step)
+        )
+        append_files(spark, p.coalesce(1), tbl, cols=["k"])
+    return tbl
+
+
+def test_mor_delete_rewrites_zero_files(spark, tmp_path):
+    """A scattered delete (predicate across the clustering) through
+    merge-on-read: ZERO data files rewritten — every seed file keeps
+    its inode and mtime — the matched keys land as one tombstone, the
+    serve path excludes exactly the matched rows, and a txn replay is
+    a no-op."""
+    tbl = _seed_scattered(spark, tmp_path)
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(tbl + "/*.parquet")
+    }
+    led = delete_where(
+        spark, tbl, None, {"u": 3}, strategy="merge-on-read",
+        keys=["k"], txn=("gdpr", 1),
+    )
+    assert led["files_rewritten"] == 0 and led["files_added"] == 0
+    assert led["dv_files"] == 1
+    assert led["rows_deleted"] == 143  # ceil(1000/7) for residue 3
+    after = {
+        p: os.path.getmtime(p) for p in glob.glob(tbl + "/*.parquet")
+    }
+    assert after == before  # byte-untouched data files
+    t = read_table(spark, tbl)
+    assert t.count() == 1000 - 143
+    assert t.filter("u = 3").count() == 0
+    assert t.filter("u = 4").count() == 143
+    # exactly-once: the replayed batch id short-circuits
+    led2 = delete_where(
+        spark, tbl, None, {"u": 3}, strategy="merge-on-read",
+        keys=["k"], txn=("gdpr", 1),
+    )
+    assert led2["skipped"] is True
+    assert read_table(spark, tbl).count() == 1000 - 143
+
+
+def test_mor_delete_materialize_round_trip(spark, tmp_path):
+    """materialize_deletes folds the delete tombstone into the data
+    files: identical visible content, deletion vectors cleared, and
+    the tombstone sidecar retired."""
+    tbl = _seed_scattered(spark, tmp_path, n=200, files=4)
+    delete_where(
+        spark, tbl, None, {"u": 5}, strategy="merge-on-read", keys=["k"]
+    )
+    want = sorted(
+        tuple(r) for r in read_table(spark, tbl).collect()
+    )
+    led = materialize_deletes(spark, tbl)
+    assert led["rows_suppressed"] == len([k for k in range(200) if k % 7 == 5])
+    got = sorted(tuple(r) for r in read_table(spark, tbl).collect())
+    assert got == want
+    assert not _markers(tbl)[max(_markers(tbl))].get("dvs")
+
+
+def test_mor_delete_writes_cdc_delete_rows(spark, tmp_path):
+    """On a CDF table the merge-on-read delete writes row-level delete
+    change rows — the feed serves them across the metadata-only
+    commit, and the plain append-span read refuses the span (a DV
+    visibility change is not reconstructible from file arithmetic)."""
+    tbl = str(tmp_path / "cdf")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("u"),
+    )
+    append_files(spark, df.coalesce(1), tbl, cols=["k"], enable_cdf=True)
+    led = delete_where(
+        spark, tbl, None, {"u": 2}, strategy="merge-on-read", keys=["k"]
+    )
+    assert led["rows_deleted"] == 20 and led["files_added"] == 0
+    feed = table_changes(spark, tbl, 0, change_feed=True)
+    dels = feed.filter("_change_type = 'delete'")
+    assert dels.count() == 20
+    assert dels.filter("u <> 2").count() == 0
+    assert {r["_commit_version"] for r in dels.collect()} == {1}
+    with pytest.raises(ValueError, match="deletion"):
+        table_changes(spark, tbl, 0).count()
+
+
+def test_mor_delete_then_reinsert_key_survives(spark, tmp_path):
+    """The tombstone suppresses only rows OLDER than it: a later
+    append re-inserting a deleted key is visible (same stacking rule
+    as merge-on-read upserts), and a later MOR upsert of a deleted
+    key resurrects it with the new values."""
+    tbl = _seed_scattered(spark, tmp_path, n=100, files=2)
+    delete_where(
+        spark, tbl, None, {"u": 1}, strategy="merge-on-read", keys=["k"]
+    )
+    assert read_table(spark, tbl).filter("k = 1").count() == 0
+    append_files(
+        spark,
+        spark.range(1, 2).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("v"),
+            F.lit(1).cast("long").alias("u"),
+        ),
+        tbl,
+    )
+    got = read_table(spark, tbl).filter("k = 1").collect()
+    assert len(got) == 1 and got[0]["v"] == -1
+    # and a MOR merge over another deleted key resurrects it too
+    merge_into(
+        spark,
+        spark.range(8, 9).select(
+            F.col("id").alias("k"),
+            F.lit(-2).cast("long").alias("v"),
+            F.lit(1).cast("long").alias("u"),
+        ),
+        tbl, keys=["k"], strategy="merge-on-read",
+    )
+    got = read_table(spark, tbl).filter("k = 8").collect()
+    assert len(got) == 1 and got[0]["v"] == -2
+
+
+def test_mor_delete_guards(spark, tmp_path):
+    """Key-set consistency with active DVs, missing keys, and unknown
+    strategies all refuse loudly."""
+    tbl = _seed_scattered(spark, tmp_path, n=100, files=2)
+    with pytest.raises(ValueError, match="needs keys"):
+        delete_where(spark, tbl, None, {"u": 1}, strategy="merge-on-read")
+    with pytest.raises(ValueError, match="strategy"):
+        delete_where(spark, tbl, None, {"u": 1}, strategy="bogus")
+    with pytest.raises(ValueError, match="not table columns"):
+        delete_where(
+            spark, tbl, None, {"u": 1}, strategy="merge-on-read",
+            keys=["nope"],
+        )
+    merge_into(
+        spark,
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("v"),
+            F.lit(0).cast("long").alias("u"),
+        ),
+        tbl, keys=["k"], strategy="merge-on-read",
+    )
+    with pytest.raises(ValueError, match="different key"):
+        delete_where(
+            spark, tbl, None, {"u": 1}, strategy="merge-on-read",
+            keys=["k", "u"],
+        )
