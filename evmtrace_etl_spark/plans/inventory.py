@@ -3762,6 +3762,118 @@ GROUP BY event_type
 """
 
 
+def _lake_rename_build(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Build leg for ``lake_rename_evolution``: seed an
+    event_id-clustered lake table, then run the column-mapping DDL —
+    rename ``value`` → ``amount`` (a plain column) and ``event_id`` →
+    ``event_key`` (the file-skipping STATS column, so the
+    metadata-sized manifest rewrites once) — asserting both renames
+    touched ZERO data files (paths and mtimes stable), then append a
+    post-rename batch under the NEW names (add-only evolution on the
+    mapped schema).  Returns (table, half) where ``half`` is the
+    serve predicate's upper bound.  Memoized per sf_dir."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..sinks import append_files, rename_column
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakerename",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    half = int(ev.agg(F.max("event_id")).collect()[0][0]) // 2
+    if _BUILD_DONE.get("lake_rename") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        append_files(
+            spark,
+            ev.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )
+        before = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        rename_column(spark, tbl, "value", "amount")
+        rename_column(spark, tbl, "event_id", "event_key")
+        after = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        assert after == before  # both renames were metadata-only
+        late = ev.filter(F.col("event_id") % 10 == 0).select(
+            (F.col("event_id") + 1_000_000_000).alias("event_key"),
+            F.lit("renamed_new").alias("event_type"),
+            (F.col("value") + 1).alias("amount"),
+        )
+        append_files(spark, late, tbl)
+        _BUILD_DONE["lake_rename"] = base
+    return tbl, half
+
+
+def lake_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping — rename as a METADATA-ONLY commit
+    (``sinks.rename_column``; Delta/Iceberg's column-ID mapping on
+    this log): the build leg renames a plain column AND the
+    file-skipping stats column on an event_id-clustered lake table
+    (zero data files touched, build-asserted on paths and mtimes),
+    then appends a batch under the new names.  The serve leg
+    range-reads on the RENAMED stats column — exercising manifest
+    pruning under the new name — and aggregates the renamed value
+    column; the oracle recomputes from the raw events.  A lost
+    logical→physical projection (rows read under the old name
+    null-fill), broken pruning stats, or a post-rename append landing
+    under stale names fails the value hash every round.  At 100 TB
+    this is the "rename a column on a long-lived table without
+    rewriting it" contract — one marker write instead of a table
+    rewrite."""
+    from ..sinks import read_table
+
+    tbl, half = _lake_rename_build(spark, sf_dir)
+    return (
+        read_table(spark, tbl, predicates={"event_key": (0, half)})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("amount"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_amount"),
+            F.min("event_key").alias("min_event_key"),
+            F.max("event_key").alias("max_event_key"),
+        )
+    )
+
+
+LAKE_RENAME_EVOLUTION_SQL = """
+WITH final AS (
+  SELECT event_id AS event_key, event_type, value AS amount FROM events
+  UNION ALL
+  SELECT event_id + 1000000000, 'renamed_new', value + 1
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(amount AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_amount,
+  CAST(min(event_key) AS BIGINT) AS min_event_key,
+  CAST(max(event_key) AS BIGINT) AS max_event_key
+FROM final
+WHERE event_key >= 0
+  AND event_key <= (SELECT CAST(FLOOR(max(event_id) / 2) AS BIGINT) FROM events)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -3818,6 +3930,7 @@ QUERIES = {
     "inv_lake_timetravel": lake_timetravel,
     "inv_lake_constraint_gate": lake_constraint_gate,
     "inv_lake_delete_mor": lake_delete_mor,
+    "inv_lake_rename_evolution": lake_rename_evolution,
 }
 
 ORACLES = {
@@ -3876,4 +3989,5 @@ ORACLES = {
     "inv_lake_timetravel": LAKE_TIMETRAVEL_SQL,
     "inv_lake_constraint_gate": LAKE_CONSTRAINT_GATE_SQL,
     "inv_lake_delete_mor": LAKE_DELETE_MOR_SQL,
+    "inv_lake_rename_evolution": LAKE_RENAME_EVOLUTION_SQL,
 }

@@ -1113,6 +1113,7 @@ def parquet_stats_index(
     path: str,
     cols: Sequence[str],
     paths: Sequence[str] | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Per-FILE min/max/row-count index for ``cols``, read from parquet
     FOOTERS only — the manifest a Delta/Iceberg-style table format
@@ -1148,11 +1149,15 @@ def parquet_stats_index(
     import pandas as pd
     from urllib.parse import unquote
 
-    src_schema = spark.read.parquet(path).schema
+    # an explicit (committed) schema carries the logical->physical
+    # column mapping; without one the footers' names ARE the logical
+    # names (pre-mapping tables)
+    src_schema = schema if schema is not None else spark.read.parquet(path).schema
     by_name = {f.name: f for f in src_schema.fields}
     missing = [c for c in cols if c not in by_name]
     if missing:
         raise ValueError(f"columns not in {path}: {missing}")
+    phys_map = {c: _field_phys(by_name[c]) for c in cols}
     # hive partition columns: in the read schema but not in footers —
     # their stats come from the directory encoding, parsed per file
     dir_cols = set()
@@ -1212,7 +1217,11 @@ def parquet_stats_index(
                         rec[f"{c}_min"] = v
                         rec[f"{c}_max"] = v
                         continue
-                    lo, hi = _footer_col_span(md, idx[c])
+                    pc = phys_map[c]
+                    if pc not in idx:  # pre-evolution file: no stats
+                        rec[f"{c}_min"] = rec[f"{c}_max"] = None
+                        continue
+                    lo, hi = _footer_col_span(md, idx[pc])
                     rec[f"{c}_min"] = lo
                     rec[f"{c}_max"] = hi
                 rows.append(rec)
@@ -1323,6 +1332,8 @@ def _local_stats_rows(
                 return None if v == "__HIVE_DEFAULT_PARTITION__" else v
         return None
 
+    # mapped tables: footers store PHYSICAL names; stats stay LOGICAL
+    phys = {c: _field_phys(by_name[c]) for c in cols}
     rows: list[dict] = []
     for fpath in paths:
         md = _meta(fpath)
@@ -1334,7 +1345,10 @@ def _local_stats_rows(
                 rec[f"{c}_min"] = v
                 rec[f"{c}_max"] = v
                 continue
-            lo, hi = _footer_col_span(md, idx[c])
+            if phys[c] not in idx:  # pre-evolution file: no stats
+                rec[f"{c}_min"] = rec[f"{c}_max"] = None
+                continue
+            lo, hi = _footer_col_span(md, idx[phys[c]])
             rec[f"{c}_min"] = lo
             rec[f"{c}_max"] = hi
         rows.append(rec)
@@ -2140,6 +2154,8 @@ def _commit_manifest_unleased(
     retain: bool | None = None,
     constraints: dict[str, str] | None = None,
     op: str | None = None,
+    col_mapping: dict | None = None,
+    stats_cols_override: Sequence[str] | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2232,6 +2248,10 @@ def _commit_manifest_unleased(
             # the CHECK-constraint map rides every commit once stamped
             # (None = carry; an explicit {} drops the last one)
             constraints = prev.get("constraints")
+        if col_mapping is None:
+            # the column-mapping bookkeeping (max id + retired physical
+            # names) rides every commit once a rename/drop stamps it
+            col_mapping = prev.get("col_mapping")
         dvs = list(prev.get("dvs", []))
         stats_cols = prev.get("stats_cols")
         base_prev = (
@@ -2432,6 +2452,10 @@ def _commit_manifest_unleased(
         stats_cols = [
             c[:-4] for c in added_stats.columns if c.endswith("_min")
         ]
+    if stats_cols_override is not None:
+        # a rename/drop of a stats column restates the list (the
+        # transformed manifest's columns already match it)
+        stats_cols = list(stats_cols_override)
     payload = {
         "version": nxt,
         "kind": "checkpoint" if checkpoint else "delta",
@@ -2460,6 +2484,8 @@ def _commit_manifest_unleased(
         payload["op"] = op
     if constraints:
         payload["constraints"] = dict(constraints)
+    if col_mapping:
+        payload["col_mapping"] = dict(col_mapping)
     if cdf_flag:
         payload["cdf"] = True
     # the retention window rides EVERY commit so later writers and
@@ -2729,6 +2755,121 @@ def _aligned(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (rename/drop as metadata-only commits)
+# ---------------------------------------------------------------------------
+# Delta/Iceberg solve rename/drop with per-column IDs and PHYSICAL
+# names: data files store the physical name forever, the committed
+# schema maps logical -> physical, and a rename is one metadata commit.
+# Here the mapping rides each StructField's metadata ("lake.id",
+# "lake.phys") inside the schema the _COMMIT marker already stamps, so
+# every per-version schema carries its own mapping (time travel, CDC,
+# and the stream source inherit it for free).  Until the first
+# rename/drop no field carries metadata and every helper below is an
+# exact no-op — pre-mapping tables keep byte-identical behavior.
+
+#: StructField metadata keys for the stable column id / physical name
+_PHYS_KEY = "lake.phys"
+_ID_KEY = "lake.id"
+
+
+def _field_phys(f: T.StructField) -> str:
+    """The column name stored in data files: the stamped physical name,
+    or the logical name for unmapped fields."""
+    return (f.metadata or {}).get(_PHYS_KEY, f.name)
+
+
+def _mapping_active(schema: T.StructType) -> bool:
+    return any(_field_phys(f) != f.name for f in schema.fields)
+
+
+def _phys_schema(schema: T.StructType) -> T.StructType:
+    """The schema as data files store it: fields under their physical
+    names (types/nullability unchanged)."""
+    return T.StructType(
+        [
+            T.StructField(_field_phys(f), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_phys(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project a LOGICAL-named DataFrame (exactly ``schema``'s columns)
+    to physical names for a file write.  No-op without mapping."""
+    if not _mapping_active(schema):
+        return df
+    return df.select(
+        *[F.col(f.name).alias(_field_phys(f)) for f in schema.fields]
+    )
+
+
+def _read_files(
+    spark: SparkSession,
+    files: Sequence[str],
+    schema: T.StructType,
+    base_path: str | None = None,
+) -> DataFrame:
+    """THE file-read seam for mapped tables: read under the PHYSICAL
+    schema (old files null-fill physical names they predate — the same
+    add-only contract as before), then alias every column back to its
+    logical name.  Without mapping this is exactly the old explicit-
+    schema read."""
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    if not _mapping_active(schema):
+        return reader.schema(schema).parquet(*files)
+    out = reader.schema(_phys_schema(schema)).parquet(*files)
+    return out.select(
+        *[F.col(_field_phys(f)).alias(f.name) for f in schema.fields]
+    )
+
+
+def _ensure_mapping(
+    schema: T.StructType, mapping: dict
+) -> tuple[T.StructType, dict]:
+    """Assign ids + physical names to fields lacking them.  Existing
+    fields keep their stamped mapping; a NEW field's physical name is
+    its logical name unless that name is in use or RETIRED (a dropped
+    column's physical name — reusing it would resurrect stale data
+    from retained files), in which case it gets an opaque
+    ``col_<id>_<hex>``.  Returns the mapped schema and the updated
+    mapping dict ``{"max_id", "retired_phys"}`` for the commit."""
+    import uuid as _uuid
+
+    mapping = {
+        "max_id": int(mapping.get("max_id", 0)),
+        "retired_phys": list(mapping.get("retired_phys", [])),
+    }
+    used = set(mapping["retired_phys"])
+    for f in schema.fields:
+        md = f.metadata or {}
+        if _ID_KEY in md:
+            mapping["max_id"] = max(mapping["max_id"], int(md[_ID_KEY]))
+        if _PHYS_KEY in md:
+            used.add(md[_PHYS_KEY])
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if _ID_KEY in md and _PHYS_KEY in md:
+            fields.append(f)
+            continue
+        if _ID_KEY not in md:
+            mapping["max_id"] += 1
+            md[_ID_KEY] = mapping["max_id"]
+        if _PHYS_KEY not in md:
+            if f.name in used:
+                md[_PHYS_KEY] = (
+                    f"col_{md[_ID_KEY]}_{_uuid.uuid4().hex[:8]}"
+                )
+            else:
+                md[_PHYS_KEY] = f.name
+            used.add(md[_PHYS_KEY])
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return T.StructType(fields), mapping
+
+
 def _rollback_conflict(spark: SparkSession, manifest_path: str,
                        added: Sequence[str]) -> None:
     """Undo a transaction that lost the optimistic-concurrency race
@@ -2880,15 +3021,26 @@ def _sidecar_files(fs, hp, dirpath: str) -> list[str]:
 
 
 def _write_changes(
-    spark: SparkSession, df: DataFrame, path: str, version: int
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    version: int,
+    schema: T.StructType | None = None,
 ) -> list[str]:
     """Write one commit's change-data rows (already carrying
     ``_change_type``/``_commit_version``) under ``<path>/_changes/``
     and return the written file URIs for the commit marker.  The files
     are invisible until the marker references them; a crashed attempt's
-    files ride the ``_TXN`` added list and roll back with it."""
+    files ride the ``_TXN`` added list and roll back with it.
+    ``schema`` (the table's logical schema) converts the rows to
+    PHYSICAL column names on mapped tables so sidecars stay uniform
+    with the data files across renames; None = write as-is (the rows
+    are already physical — e.g. a rebase restamp of an existing
+    sidecar)."""
     import uuid
 
+    if schema is not None:
+        df = _to_phys(df, _cdf_schema(schema))
     cdir = path.rstrip("/") + f"/_changes/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(cdir)
     jvm, hp, fs = _fs_for(spark, path)
@@ -3034,9 +3186,7 @@ def _txn_rewrite_unlocked(
         if sj is not None
         else spark.read.parquet(path).schema
     )
-    touched = (
-        spark.read.option("basePath", path).schema(schema).parquet(*cand)
-    )
+    touched = _read_files(spark, cand, schema, base_path=path)
     # active deletion vectors apply to the candidate read: the rewrite
     # must not resurrect suppressed rows, and the rewritten files get
     # added_version = this commit (newer than every tombstone), so
@@ -3083,7 +3233,13 @@ def _txn_rewrite_unlocked(
         )
 
         tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
-        writer = _with_blooms(out.write.mode("overwrite"), bloom_cols, bloom_ndv)
+        # blooms install on the PHYSICAL parquet column names
+        phys_of = {f.name: _field_phys(f) for f in schema.fields}
+        writer = _with_blooms(
+            _to_phys(out, schema).write.mode("overwrite"),
+            [phys_of.get(c, c) for c in bloom_cols] if bloom_cols else None,
+            bloom_ndv,
+        )
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
@@ -3133,6 +3289,7 @@ def _txn_rewrite_unlocked(
                     ),
                     path,
                     expected,
+                    schema=schema,
                 )
                 if cdc is not None
                 else []
@@ -3170,7 +3327,9 @@ def _txn_rewrite_unlocked(
                 added, list(cols), schema, pcols
             )
         else:
-            delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
+            delta_df = parquet_stats_index(
+                spark, path, list(cols), paths=added, schema=schema
+            )
         try:
             version = _commit_manifest(
                 spark, mdir, delta_df,
@@ -3298,9 +3457,7 @@ def _delete_mor_unlocked(
     missing = [k for k in keys if k not in {f.name for f in schema.fields}]
     if missing:
         raise ValueError(f"delete keys {missing} are not table columns")
-    touched = (
-        spark.read.option("basePath", path).schema(schema).parquet(*cand)
-    )
+    touched = _read_files(spark, cand, schema, base_path=path)
     # suppress already-tombstoned rows first: a key whose every LIVE
     # row misses the predicate must not re-match through a stale one
     matched = _dv_suppress(spark, touched, manifest, dvs).filter(hit)
@@ -3340,6 +3497,7 @@ def _delete_mor_unlocked(
                 ),
                 path,
                 expected,
+                schema=schema,
             )
         _write_json_marker(
             spark,
@@ -3654,7 +3812,10 @@ def _update_stats_index_unlocked(
         # None (not an empty frame) when nothing is new — an empty
         # union would still stamp the bookkeeping column onto a
         # legacy manifest that migrates unchanged
-        parquet_stats_index(spark, path, list(cols), paths=new)
+        parquet_stats_index(
+            spark, path, list(cols), paths=new,
+            schema=committed_schema(spark, mdir),
+        )
         if new
         else None,
         removed=gone, expected_version=expected,
@@ -3753,11 +3914,7 @@ def read_table(
         schema = spark.read.parquet(path).schema
     if not files:
         return spark.createDataFrame([], schema).filter(cond)
-    out = (
-        spark.read.option("basePath", path)
-        .schema(schema)
-        .parquet(*files)
-    )
+    out = _read_files(spark, files, schema, base_path=path)
     dvs = _active_dvs(spark, mdir, version=version)
     if dvs:
         # the suppression joins move the merge keys to the front —
@@ -3792,6 +3949,7 @@ def _rebase_append(
     checked_constraints: dict[str, str],
     our_pcols: Sequence[str] | None,
     our_files: Sequence[str],
+    planned_cmap: dict | None = None,
 ) -> "tuple[int, T.StructType] | str | None":
     """Logical conflict detection for a PURE APPEND that lost the
     optimistic-concurrency race AFTER moving its files in (Delta's
@@ -3838,6 +3996,10 @@ def _rebase_append(
     ):
         return None
     if bool(head.get("cdf", False)) and not planned_cdf:
+        return None
+    if head.get("col_mapping") != planned_cmap:
+        # the winner renamed/dropped a column — our files were written
+        # under the mapping we planned with; re-derive from scratch
         return None
     head_pby = head.get("partition_by")
     if (
@@ -3999,6 +4161,11 @@ def _append_files_unlocked(
         evolved = _evolved_schema(
             stored, df.schema, f"append_files into {path}"
         )
+        # on a mapped table, newly-evolved columns get their id +
+        # physical name here (retired names excluded)
+        cmap = head.get("col_mapping")
+        if cmap:
+            evolved, cmap = _ensure_mapping(evolved, cmap)
         # a batch that OMITS the table's partition column must fail
         # loudly — null-filling it would land the rows in
         # __HIVE_DEFAULT_PARTITION__, silently migrating data out of
@@ -4014,6 +4181,7 @@ def _append_files_unlocked(
         df = _aligned(df, evolved)
     else:
         evolved = df.schema
+        cmap = None
 
     from pyspark.sql import Observation
 
@@ -4030,7 +4198,9 @@ def _append_files_unlocked(
     df = df.observe(
         obs, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
     )
-    writer = df.write.mode("overwrite")
+    # mapped tables write PHYSICAL column names (constraints and the
+    # observation above already evaluated on the logical projection)
+    writer = _to_phys(df, evolved).write.mode("overwrite")
     if partition_by:
         # hive-encode the batch; the move-in preserves the partition
         # directory layout and the stats index derives the partition
@@ -4081,15 +4251,14 @@ def _append_files_unlocked(
     if bool(head.get("cdf", False)) or bool(enable_cdf):
         changes_files = _write_changes(
             spark,
-            spark.read.option("basePath", path)
-            .schema(evolved)
-            .parquet(*added)
+            _read_files(spark, added, evolved, base_path=path)
             .withColumn("_change_type", F.lit("insert"))
             .withColumn(
                 "_commit_version", F.lit(expected).cast("long")
             ),
             path,
             expected,
+            schema=evolved,
         ) if added else []
 
     # O(batch) commit: only the new files' stats rows are written (the
@@ -4109,7 +4278,9 @@ def _append_files_unlocked(
             added, list(cols), evolved, pcols_commit
         )
     else:
-        delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
+        delta_df = parquet_stats_index(
+            spark, path, list(cols), paths=added, schema=evolved
+        )
     planned_cdf = bool(head.get("cdf", False)) or bool(enable_cdf)
     rebased = 0
     while True:
@@ -4119,6 +4290,7 @@ def _append_files_unlocked(
                 txn=txn, keep_versions=keep_versions,
                 table_schema=evolved.jsonValue(),
                 partition_by=pcols_commit,
+                col_mapping=cmap,
                 # like retain_removed, only True enables — an explicit
                 # False must not silently strip the carried CDF flag while
                 # this very commit still wrote insert sidecars (the feed
@@ -4141,6 +4313,7 @@ def _append_files_unlocked(
                 _rebase_append(
                     spark, mdir, txn, planned_cdf, evolved, cons,
                     pcols_commit, added + list(changes_files or []),
+                    planned_cmap=cmap,
                 )
                 if rebased < 20
                 else None
@@ -4338,6 +4511,9 @@ def _merge_into_unlocked(
         else spark.read.parquet(path).schema
     )
     evolved = _evolved_schema(stored, source.schema, f"merge_into {path}")
+    cmap = head.get("col_mapping")
+    if cmap:
+        evolved, cmap = _ensure_mapping(evolved, cmap)
     missing_keys = [k for k in keys if k not in source.columns]
     if missing_keys:
         raise ValueError(f"merge source lacks key column(s) {missing_keys}")
@@ -4407,11 +4583,7 @@ def _merge_into_unlocked(
         def _scan_touched() -> DataFrame:
             if not cand:
                 return spark.createDataFrame([], evolved)
-            raw = (
-                spark.read.option("basePath", path)
-                .schema(evolved)
-                .parquet(*cand)
-            )
+            raw = _read_files(spark, cand, evolved, base_path=path)
             # active deletion vectors apply to every candidate read —
             # the merge must neither resurrect a suppressed row
             # (update) nor count one as existing (ignore)
@@ -4526,7 +4698,7 @@ def _merge_into_unlocked(
         final = out.select(*[f.name for f in evolved.fields]).observe(
             obs, F.count(F.lit(1)).alias("n"), *_constraint_metrics(cons)
         )
-        writer = final.write.mode("overwrite")
+        writer = _to_phys(final, evolved).write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
@@ -4574,6 +4746,7 @@ def _merge_into_unlocked(
                     ),
                     path,
                     expected,
+                    schema=evolved,
                 )
                 if changes_df is not None
                 else []
@@ -4609,7 +4782,7 @@ def _merge_into_unlocked(
             )
         else:
             delta_df = parquet_stats_index(
-                spark, path, list(cols), paths=added
+                spark, path, list(cols), paths=added, schema=evolved
             )
         try:
             version = _commit_manifest(
@@ -4618,6 +4791,7 @@ def _merge_into_unlocked(
                 keep_versions=keep_versions,
                 table_schema=evolved.jsonValue(),
                 partition_by=pcols,
+                col_mapping=cmap,
                 added_files=added,
                 dvs_add=[
                     {"file": f, "version": expected, "keys": list(keys)}
@@ -5010,7 +5184,7 @@ def _materialize_deletes_unlocked(
         schema = spark.read.parquet(path).schema
     from pyspark.sql import Observation
 
-    raw = spark.read.option("basePath", path).schema(schema).parquet(*cand)
+    raw = _read_files(spark, cand, schema, base_path=path)
     obs_in = Observation()
     raw = raw.observe(obs_in, F.count(F.lit(1)).alias("n"))
     out = _dv_suppress(spark, raw, manifest, dvs).select(
@@ -5033,7 +5207,7 @@ def _materialize_deletes_unlocked(
     tmp = path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
     obs = Observation()
     final = out.observe(obs, F.count(F.lit(1)).alias("n"))
-    writer = final.write.mode("overwrite")
+    writer = _to_phys(final, schema).write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
@@ -5064,7 +5238,9 @@ def _materialize_deletes_unlocked(
             added, list(cols), schema, pcols
         )
     else:
-        delta_df = parquet_stats_index(spark, path, list(cols), paths=added)
+        delta_df = parquet_stats_index(
+            spark, path, list(cols), paths=added, schema=schema
+        )
     try:
         version = _commit_manifest(
             spark, mdir, delta_df, removed=cand, expected_version=expected,
@@ -5296,6 +5472,194 @@ def drop_table_constraint(
             op=f"drop-constraint ({name})",
         )
         return {"version": int(version), "constraints": cons}
+
+
+def _guard_mapped_ddl(head: dict, col: str, op: str) -> None:
+    """Refuse a rename/drop of a column other machinery references by
+    NAME: hive partition columns (the directory layout encodes the
+    name), active deletion-vector keys (tombstone files and the
+    carried dv list store it), and CHECK-constraint expressions (the
+    stored SQL would stop resolving).  Each refusal names the
+    unblocking op."""
+    pby = head.get("partition_by") or []
+    if col in pby:
+        raise ValueError(
+            f"cannot {op} {col!r}: it is a hive partition column — the "
+            "directory layout encodes the name; re-layout the table "
+            "first"
+        )
+    dvs = head.get("dvs") or []
+    if dvs and col in list(dvs[0].get("keys", [])):
+        raise ValueError(
+            f"cannot {op} {col!r}: it is an active deletion-vector "
+            "key — run materialize_deletes first"
+        )
+    for cname, expr in (head.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {op} {col!r}: CHECK constraint {cname!r} "
+                f"({expr}) references it — drop the constraint first"
+            )
+
+
+def rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    manifest_path: str | None = None,
+    keep_versions: int | None = None,
+) -> dict:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit (Delta/
+    Iceberg column mapping): the first rename stamps every field with
+    a stable id + physical name (= its then-current name — exactly
+    what every existing file stores), then the rename changes only the
+    LOGICAL name; the physical name, and therefore every data file,
+    change-data sidecar, and retained historical file, stays
+    byte-untouched.  Readers (``read_table`` / ``table_changes`` /
+    the ``lake_changes`` stream) project physical → logical from the
+    schema each snapshot stamps, so time travel serves every version
+    under ITS OWN column names.  On a 100 TB table this turns a rename
+    from a full rewrite into one marker write (plus a metadata-sized
+    manifest rewrite when the column carries file-skipping stats).
+
+    Renaming a partition column, an active DV key, or a constraint-
+    referenced column refuses with the unblocking op
+    (``_guard_mapped_ddl``).  Returns {version, renamed}."""
+    mdir = _manifest_dir(path, manifest_path)
+    with _log_lock(mdir):
+        _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
+        snap_v = manifest_version(spark, mdir)
+        if snap_v is None:
+            raise ValueError(
+                f"no committed snapshot at {mdir} — create the table "
+                "with append_files first"
+            )
+        head = _commit_info(spark, mdir, snap_v)
+        sj = head.get("schema")
+        if sj is None:
+            raise ValueError(
+                "rename_column needs a schema-stamped table — commit "
+                "once through append_files/merge_into first"
+            )
+        schema = T.StructType.fromJson(sj)
+        names = {f.name for f in schema.fields}
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {path}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists in {path}")
+        _guard_mapped_ddl(head, old, "rename")
+        mapped, cmap = _ensure_mapping(
+            schema, head.get("col_mapping") or {}
+        )
+        renamed = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in mapped.fields
+            ]
+        )
+        stats_cols = list(head.get("stats_cols") or [])
+        restore = None
+        stats_override = None
+        if old in stats_cols:
+            # the manifest's stats columns are LOGICAL — rewrite the
+            # (metadata-sized) manifest once so pruning keeps working
+            # under the new name
+            restore = (
+                current_manifest(spark, mdir)
+                .withColumnRenamed(f"{old}_min", f"{new}_min")
+                .withColumnRenamed(f"{old}_max", f"{new}_max")
+            )
+            stats_override = [new if c == old else c for c in stats_cols]
+        version = _commit_manifest(
+            spark, mdir, None, removed=[],
+            expected_version=snap_v + 1,
+            keep_versions=keep_versions,
+            table_schema=renamed.jsonValue(),
+            col_mapping=cmap,
+            restore_manifest=restore,
+            stats_cols_override=stats_override,
+            op=f"rename column ({old} -> {new})",
+        )
+        return {"version": int(version), "renamed": [old, new]}
+
+
+def drop_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    manifest_path: str | None = None,
+    keep_versions: int | None = None,
+) -> dict:
+    """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: the
+    field leaves the committed schema and its PHYSICAL name is
+    RETIRED (recorded in the carried column-mapping bookkeeping), so
+    no data file is touched and a later re-add of the same logical
+    name gets a fresh physical name — old files' stale values can
+    never resurrect under the new column.  Time travel still serves
+    pre-drop snapshots WITH the column (their stamped schemas keep
+    it).  Same guards as ``rename_column``.  Returns
+    {version, dropped}."""
+    mdir = _manifest_dir(path, manifest_path)
+    with _log_lock(mdir):
+        _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
+        snap_v = manifest_version(spark, mdir)
+        if snap_v is None:
+            raise ValueError(
+                f"no committed snapshot at {mdir} — create the table "
+                "with append_files first"
+            )
+        head = _commit_info(spark, mdir, snap_v)
+        sj = head.get("schema")
+        if sj is None:
+            raise ValueError(
+                "drop_column needs a schema-stamped table — commit "
+                "once through append_files/merge_into first"
+            )
+        schema = T.StructType.fromJson(sj)
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {path}")
+        if len(names) == 1:
+            raise ValueError("cannot drop a table's only column")
+        _guard_mapped_ddl(head, name, "drop")
+        mapped, cmap = _ensure_mapping(
+            schema, head.get("col_mapping") or {}
+        )
+        dropped_field = next(f for f in mapped.fields if f.name == name)
+        cmap["retired_phys"] = sorted(
+            set(cmap.get("retired_phys", []))
+            | {_field_phys(dropped_field)}
+        )
+        remaining = T.StructType(
+            [f for f in mapped.fields if f.name != name]
+        )
+        stats_cols = list(head.get("stats_cols") or [])
+        restore = None
+        stats_override = None
+        if name in stats_cols:
+            restore = current_manifest(spark, mdir).drop(
+                f"{name}_min", f"{name}_max"
+            )
+            stats_override = [c for c in stats_cols if c != name]
+        version = _commit_manifest(
+            spark, mdir, None, removed=[],
+            expected_version=snap_v + 1,
+            keep_versions=keep_versions,
+            table_schema=remaining.jsonValue(),
+            col_mapping=cmap,
+            restore_manifest=restore,
+            stats_cols_override=stats_override,
+            op=f"drop column ({name})",
+        )
+        return {"version": int(version), "dropped": name}
 
 
 def table_history(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[dict]:
@@ -5532,7 +5896,7 @@ def table_changes(
                 # (possibly the explicit empty set — compaction)
                 if changes:
                     parts.append(
-                        spark.read.schema(cdf_schema).parquet(*changes)
+                        _read_files(spark, changes, cdf_schema)
                     )
                 continue
             if commit.get("removed") or commit.get("dvs_delta"):
@@ -5545,9 +5909,7 @@ def table_changes(
             added = commit.get("added", [])
             if added:
                 parts.append(
-                    spark.read.option("basePath", path)
-                    .schema(schema)
-                    .parquet(*added)
+                    _read_files(spark, added, schema, base_path=path)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn(
                         "_commit_version", F.lit(v).cast("long")
@@ -5587,9 +5949,7 @@ def table_changes(
     new_files = sorted(head_files - base_files)
     if not new_files:
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.option("basePath", path).schema(schema).parquet(*new_files)
-    )
+    return _read_files(spark, new_files, schema, base_path=path)
 
 
 def start_lake_merge_stream(

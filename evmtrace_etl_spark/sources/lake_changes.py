@@ -358,17 +358,25 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         n = table.num_rows
         have = {f.lower(): i for i, f in enumerate(table.column_names)}
         pcols = {c for c in self._pcols.split(",") if c}
+        # column mapping (rename/drop DDL): files store PHYSICAL names;
+        # the committed schema's field metadata maps logical -> phys
+        # (identity for unmapped tables)
+        phys_by_name = {
+            f.name: (f.metadata or {}).get("lake.phys", f.name)
+            for f in self._schema.fields
+        }
         for field in target:
             name = field.name
+            phys = phys_by_name.get(name, name)
             if name == "_change_type" and partition.kind == "data":
                 cols.append(pa.array(["insert"] * n, type=field.type))
             elif name == "_commit_version" and partition.kind == "data":
                 cols.append(
                     pa.array([partition.version] * n, type=field.type)
                 )
-            elif name.lower() in have:
+            elif phys.lower() in have:
                 cols.append(
-                    table.column(have[name.lower()]).cast(field.type)
+                    table.column(have[phys.lower()]).cast(field.type)
                 )
             elif name in pcols:
                 raw = _dir_value(partition.file, name)
