@@ -2156,6 +2156,7 @@ def _commit_manifest_unleased(
     op: str | None = None,
     col_mapping: dict | None = None,
     stats_cols_override: Sequence[str] | None = None,
+    metrics: dict | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2482,6 +2483,12 @@ def _commit_manifest_unleased(
         # the operation label (DESCRIBE HISTORY's operation column) —
         # pure observability, never read back by the engine
         payload["op"] = op
+    if metrics:
+        # per-operation metrics (DESCRIBE HISTORY's operationMetrics)
+        # — observability only, never read back by the engine
+        payload["metrics"] = {
+            k: v for k, v in metrics.items() if v is not None
+        }
     if constraints:
         payload["constraints"] = dict(constraints)
     if col_mapping:
@@ -2563,7 +2570,9 @@ def _pending_entries(commit: dict) -> list[dict]:
     return out
 
 
-def _sweep_removed(spark: SparkSession, manifest_path: str) -> list[str]:
+def _sweep_removed(
+    spark: SparkSession, manifest_path: str, dry_run: bool = False
+) -> list[str]:
     """Physically delete data files whose removal the CURRENT manifest
     version committed — the ``pending`` backlog (this commit's logical
     removals plus any predecessor removals never swept; legacy markers
@@ -2592,7 +2601,8 @@ def _sweep_removed(spark: SparkSession, manifest_path: str) -> list[str]:
     for e in entries:
         f = e["file"]
         if fs.exists(hp(f)):
-            fs.delete(hp(f), False)
+            if not dry_run:
+                fs.delete(hp(f), False)
             deleted.append(f)
     return deleted
 
@@ -3338,6 +3348,11 @@ def _txn_rewrite_unlocked(
                 added_files=added, changes=changes_files,
                 added_rows=delta_rows, stats_schema=delta_schema,
                 op=op,
+                metrics={
+                    "rows_written": int(rows_after),
+                    "files_added": len(added),
+                    "files_removed": len(cand),
+                },
             )
         except SnapshotConflict:
             _rollback_conflict(spark, mdir, added + list(changes_files or []))
@@ -3520,6 +3535,10 @@ def _delete_mor_unlocked(
                 ],
                 changes=changes_files,
                 op="delete (merge-on-read)",
+                metrics={
+                    "rows_deleted": int(rows_matched),
+                    "dv_files": len(dv_files),
+                },
             )
         except SnapshotConflict:
             _rollback_conflict(
@@ -3823,6 +3842,7 @@ def _update_stats_index_unlocked(
         partition_by=_detect_pcols(spark, path, mdir),
         added_files=new, force_checkpoint=True,
         op="update-stats-index",
+        metrics={"files_new": len(new), "files_removed": len(gone)},
     )
     return {
         "files_total": len(current),
@@ -4301,6 +4321,10 @@ def _append_files_unlocked(
                 stats_schema=delta_schema,
                 changes=changes_files,
                 op="append",
+                metrics={
+                    "rows_written": int(rows),
+                    "files_added": len(added),
+                },
             )
             break
         except SnapshotConflict:
@@ -4801,6 +4825,12 @@ def _merge_into_unlocked(
                 added_rows=delta_rows,
                 stats_schema=delta_schema,
                 op=f"merge ({mode}, {strategy})",
+                metrics={
+                    "rows_source": int(n_src),
+                    "rows_written": int(rows_after),
+                    "files_added": len(added),
+                    "files_removed": len(removed),
+                },
             )
         except SnapshotConflict:
             _rollback_conflict(
@@ -5249,6 +5279,11 @@ def _materialize_deletes_unlocked(
             changes=[] if _table_cdf(spark, mdir) else None,
             added_rows=delta_rows, stats_schema=delta_schema,
             op="materialize-deletes",
+            metrics={
+                "files_added": len(added),
+                "files_removed": len(cand),
+                "dv_files_removed": len(dv_files),
+            },
         )
     except SnapshotConflict:
         _rollback_conflict(spark, mdir, added)
@@ -5692,6 +5727,7 @@ def table_history(spark: SparkSession, path: str, manifest_path: str | None = No
                     commit.get("pending", commit.get("removed", []))
                 ),
                 "txns": commit.get("txns", {}),
+                "metrics": commit.get("metrics", {}),
             }
         )
     return out
@@ -5702,6 +5738,7 @@ def vacuum_table(
     path: str,
     manifest_path: str | None = None,
     min_age_s: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Sweep the table's leftover transaction debris: sibling temp
     directories (``<path>._append_*`` / ``._rewrite_*`` / ``._delete_*``)
@@ -5722,7 +5759,13 @@ def vacuum_table(
     writer in ANOTHER process may be mid-transaction; its debris
     becomes sweepable after the TTL, the same staleness rule the lease
     itself uses.  Pass ``min_age_s=0`` only when no other process can
-    be writing (Delta's RETAIN 0 HOURS caveat)."""
+    be writing (Delta's RETAIN 0 HOURS caveat).
+
+    ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the paths
+    the same call would delete — the due pending-removal backlog,
+    stale temp siblings, orphaned sidecars — WITHOUT deleting
+    anything, and without running intent recovery (recovery mutates;
+    a dry run must be a pure listing)."""
     import time as _time
 
     mdir = _manifest_dir(path, manifest_path)
@@ -5753,9 +5796,11 @@ def vacuum_table(
         # commit reference nothing.  Recovery of a genuinely dead
         # writer happens once the marker crosses the age floor.
         tpath = hp(f"{mdir}/_TXN")
-        if not fs.exists(tpath) or not young(fs.getFileStatus(tpath)):
+        if not dry_run and (
+            not fs.exists(tpath) or not young(fs.getFileStatus(tpath))
+        ):
             _recover_txn(spark, mdir)
-        _sweep_removed(spark, mdir)
+        removed += _sweep_removed(spark, mdir, dry_run=dry_run)
         parent = hp(path).getParent()
         base = hp(path).getName()
         for st in fs.listStatus(parent):
@@ -5770,7 +5815,8 @@ def vacuum_table(
                 )
                 and not _fresh_tree(st)
             ):
-                fs.delete(st.getPath(), True)
+                if not dry_run:
+                    fs.delete(st.getPath(), True)
                 removed.append(st.getPath().toUri().getPath())
         # sidecar orphans: _deletes/_changes files no retained commit
         # (and no in-flight _TXN intent) references — a crash between
@@ -5804,7 +5850,8 @@ def vacuum_table(
                     if uri in live:
                         refd = True
                 if not refd and not fresh:
-                    fs.delete(st.getPath(), True)
+                    if not dry_run:
+                        fs.delete(st.getPath(), True)
                     removed.append(st.getPath().toUri().getPath())
     return removed
 

@@ -256,3 +256,78 @@ def test_retention_reclaims_past_the_floor(spark, tmp_path):
         read_table(spark, tbl, version=rewrite_v - 1).count()
     # the head is intact
     assert read_table(spark, tbl).count() == 220
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN: the dry run returns exactly the paths the real
+    vacuum then deletes — stale temp siblings, orphan sidecars, and
+    the due pending backlog — while touching nothing itself (no
+    deletes, no intent recovery)."""
+    import glob as _glob
+
+    from evmtrace_etl_spark.sinks import merge_into
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(spark, df.coalesce(1), tbl, cols=["k"], keep_versions=10)
+    # debris: a crashed pre-intent temp sibling + an orphan sidecar
+    stale = tbl + "._append_deadbeef"
+    os.makedirs(stale)
+    open(stale + "/part-zzz.parquet", "wb").write(b"x")
+    os.makedirs(tbl + "/_deletes/v99-orphan")
+    open(tbl + "/_deletes/v99-orphan/part-0.parquet", "w").close()
+
+    files_before = set(_glob.glob(tbl + "*/**/*", recursive=True))
+    listed = vacuum_table(spark, tbl, min_age_s=0, dry_run=True)
+    assert any("_append_deadbeef" in p for p in listed)
+    assert any("v99-orphan" in p for p in listed)
+    # nothing moved: dry run is a pure listing
+    assert set(_glob.glob(tbl + "*/**/*", recursive=True)) == files_before
+    assert os.path.exists(stale)
+
+    deleted = vacuum_table(spark, tbl, min_age_s=0)
+    assert set(listed) == set(deleted)
+    assert not os.path.exists(stale)
+    # and a second dry run is now clean
+    assert vacuum_table(spark, tbl, min_age_s=0, dry_run=True) == []
+    # read path unaffected throughout
+    assert read_table(spark, tbl).count() == 100
+    # keep merge_into imported-use explicit for flake tools
+    assert callable(merge_into)
+
+
+def test_history_rows_carry_operation_metrics(spark, tmp_path):
+    """DESCRIBE HISTORY's operationMetrics analog: every write op
+    stamps its ledger-grade counts into the commit marker and
+    table_history surfaces them."""
+    from evmtrace_etl_spark.sinks import (
+        delete_where,
+        merge_into,
+        table_history,
+    )
+
+    tbl = str(tmp_path / "m")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(spark, df.coalesce(1), tbl, cols=["k"], keep_versions=10)
+    merge_into(
+        spark,
+        spark.range(50, 120).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        tbl, keys=["k"], keep_versions=10,
+    )
+    delete_where(
+        spark, tbl, None, {"v": -1}, strategy="merge-on-read",
+        keys=["k"], keep_versions=10,
+    )
+    hist = {h["op"]: h["metrics"] for h in table_history(spark, tbl)}
+    assert hist["append"] == {"rows_written": 100, "files_added": 1}
+    m = hist["merge (update, copy-on-write)"]
+    assert m["rows_source"] == 70 and m["files_removed"] == 1
+    assert m["rows_written"] == 120
+    d = hist["delete (merge-on-read)"]
+    assert d == {"rows_deleted": 70, "dv_files": 1}
