@@ -3874,6 +3874,115 @@ GROUP BY event_type
 """
 
 
+def _lake_backlog_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_stream_backlog``: land the events table as
+    FIVE separate commits (one file each) on a source lake table, then
+    replicate it through the ``lake_changes`` stream source with a
+    2-FILE admission budget (``max_files_per_trigger=2``) — the
+    5-commit backlog must drain as THREE bounded micro-batches (2+2+1
+    files; each availableNow run stops at the offset captured at
+    start), build-asserted, with txn-stamped downstream appends
+    keeping the replication exactly-once.  Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from ..sinks import append_files
+    from ..sources.lake_changes import start_lake_changes_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakebacklog",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    if _BUILD_DONE.get("lake_backlog") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for i in range(5):  # one commit (one file) per residue class
+            append_files(
+                spark,
+                ev.filter(F.col("event_id") % 5 == i).coalesce(1),
+                src,
+                cols=["event_id"] if i == 0 else None,
+            )
+        batches: list[int] = []
+
+        def _proc(batch, bid):
+            n = batch.count()
+            if n:
+                batches.append(n)
+            append_files(
+                batch.sparkSession, batch, dst,
+                cols=["event_id"], txn=("backlog", int(bid)),
+            )
+
+        runs = 0
+        for _ in range(8):
+            before = len(batches)
+            q = start_lake_changes_stream(
+                spark, src, _proc, os.path.join(base, "ck"),
+                max_files_per_trigger=2,
+            )
+            q.awaitTermination(300)
+            if len(batches) == before:
+                break
+            runs += 1
+        # the 5-file backlog drained as >=3 BOUNDED batches, never one
+        assert runs >= 3, batches
+        assert len(batches) >= 3, batches
+        _BUILD_DONE["lake_backlog"] = base
+    return dst
+
+
+def lake_stream_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control on the commit-log stream source
+    (``lake_changes`` ``max_files_per_trigger`` /
+    ``max_bytes_per_trigger`` — Delta's stream-source rate limits):
+    the build leg replicates a 5-commit source backlog through a
+    2-file-per-trigger budget — build-asserted to drain as >=3
+    bounded micro-batches instead of one batch the size of the outage
+    — into a downstream lake table via txn-stamped exactly-once
+    appends.  The serve leg aggregates the REPLICATED table; the
+    oracle recomputes from the raw events — a dropped batch, a
+    double-served split offset, or a replayed txn landing twice fails
+    the value hash every round.  At 100 TB this is the
+    weekend-outage catch-up contract: bounded driver memory, bounded
+    retry units, steady progress."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_backlog_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_STREAM_BACKLOG_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -3931,6 +4040,7 @@ QUERIES = {
     "inv_lake_constraint_gate": lake_constraint_gate,
     "inv_lake_delete_mor": lake_delete_mor,
     "inv_lake_rename_evolution": lake_rename_evolution,
+    "inv_lake_stream_backlog": lake_stream_backlog,
 }
 
 ORACLES = {
@@ -3990,4 +4100,5 @@ ORACLES = {
     "inv_lake_constraint_gate": LAKE_CONSTRAINT_GATE_SQL,
     "inv_lake_delete_mor": LAKE_DELETE_MOR_SQL,
     "inv_lake_rename_evolution": LAKE_RENAME_EVOLUTION_SQL,
+    "inv_lake_stream_backlog": LAKE_STREAM_BACKLOG_SQL,
 }
