@@ -1721,33 +1721,27 @@ def version_at_timestamp(
     versions = _committed_versions(spark, mdir)
     if not versions:
         raise ValueError(f"no committed snapshot at {mdir}")
-    markers = {v: _commit_info(spark, mdir, v) for v in versions}
-    head = markers[versions[-1]]
-    if head.get("retain"):
+    cache: dict[int, dict] = {}
+
+    def marker(v: int) -> dict:
+        if v not in cache:
+            cache[v] = _commit_info(spark, mdir, v)
+        return cache[v]
+
+    head = marker(versions[-1])
+    retain = bool(head.get("retain"))
+    if retain:
         # version dirs BELOW the head's stamped retention floor may
         # survive as checkpoint-chain links, but the sweep has already
         # reclaimed files they removed — resolving to one would serve
         # a snapshot with missing files; refuse instead
         floor = int(head.get("floor", versions[0]))
         versions = [v for v in versions if v >= floor]
-    else:
-        # same refusal on a DEFAULT (zero-retention) table: a commit
-        # that removed/retired files swept them at its OWN commit, so
-        # every snapshot BELOW it references missing files — resolving
-        # there would die mid-scan with an opaque missing-path error
-        # instead of this ValueError.  Pure-append history below the
-        # keep window stays resolvable (reconstruction raises its own
-        # clear chain-lost error if housekeeping pruned the dirs).
-        floor = versions[0]
-        for v in versions:
-            if _pending_entries(markers[v]):
-                floor = v
-        versions = [v for v in versions if v >= floor]
     best: int | None = None
     running = 0.0
     for v in versions:
         running = max(
-            running, _commit_wall_ts(spark, mdir, v, marker=markers[v])
+            running, _commit_wall_ts(spark, mdir, v, marker=marker(v))
         )
         if running <= float(ts):
             best = v
@@ -1759,6 +1753,24 @@ def version_at_timestamp(
             f"(v{versions[0]}) at {mdir} — raise keep_versions to "
             "retain deeper history"
         )
+    if not retain:
+        # same refusal on a DEFAULT (zero-retention) table: a LATER
+        # commit that removed/retired files swept them at its OWN
+        # commit, so the resolved snapshot references missing files —
+        # raising here beats dying mid-scan on an opaque missing-path
+        # error.  Pure-append history stays resolvable, and the scan
+        # touches only the markers ABOVE the resolution point (the
+        # common recent-timestamp case reads nothing extra).
+        for v in versions:
+            if v > best and _pending_entries(marker(v)):
+                raise ValueError(
+                    f"timestamp {ts} resolves to v{best} at {mdir}, "
+                    f"but commit v{v} later removed files that a "
+                    "zero-retention sweep reclaimed — that snapshot "
+                    "is no longer serveable; create the table with "
+                    "retain_removed=True to keep history across "
+                    "rewrites"
+                )
     return best
 
 
