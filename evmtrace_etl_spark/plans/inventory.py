@@ -3983,6 +3983,125 @@ GROUP BY event_type
 """
 
 
+def _lake_widen_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_widen_evolution``: seed the lake table with
+    ``event_id``/``user_id`` stored as INT (asserting the raw ids fit),
+    then append a batch whose ids are LONG — shifted beyond int range,
+    so the widening is load-bearing, not cosmetic.  The append widens
+    the stored type as part of its own commit (Delta's type-widening
+    lattice); the build asserts the seed files kept their mtimes (old
+    int-typed files upcast at read — zero rewrites) and the committed
+    schema now stamps long.  Memoized per sf_dir."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from pyspark.sql import types as _T
+
+    from ..sinks import append_files, committed_schema
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakewiden",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_widen") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        hi = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+        assert max(int(hi[0]), int(hi[1])) < 2**31  # int seed is exact
+        seed = ev.select(
+            F.col("event_id").cast("int").alias("event_id"),
+            F.col("user_id").cast("int").alias("user_id"),
+            "event_type",
+            "value",
+        )
+        append_files(
+            spark,
+            seed.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )
+        before = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        late = ev.filter(F.col("event_id") % 10 == 4).select(
+            (F.col("event_id") + 3_000_000_000).alias("event_id"),
+            (F.col("user_id") + 3_000_000_000).alias("user_id"),
+            F.lit("widened_new").alias("event_type"),
+            (F.col("value") + 2).alias("value"),
+        )
+        append_files(spark, late, tbl)
+        after = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        for p, mt in before.items():
+            assert after[p] == mt  # seed files byte-untouched
+        schema = committed_schema(spark, tbl + "/_stats_manifest")
+        assert schema["event_id"].dataType == _T.LongType()
+        assert schema["user_id"].dataType == _T.LongType()
+        _BUILD_DONE["lake_widen"] = base
+    return tbl
+
+
+def lake_widen_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution (``sinks._evolved_schema`` +
+    ``_widens_to`` — Delta's type widening on this log): the build leg
+    seeds the table with INT ids, then a batch with LONG ids beyond
+    int range widens the stored type in its own commit — zero data
+    files rewritten (build-asserted on mtimes), old files upcast under
+    the explicit wider schema at read time.  The serve leg aggregates
+    the mixed-width table through the snapshot read; the oracle
+    recomputes from the raw events — a truncated upcast, a dropped
+    pre-widening row, or a narrow-typed stats manifest mispruning the
+    wide rows fails the value hash every round.  At 100 TB this is
+    the "ids outgrew int" day: one commit, no rewrite."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_widen_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_WIDEN_EVOLUTION_SQL = """
+WITH final AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id + 3000000000, user_id + 3000000000, 'widened_new',
+         value + 2
+  FROM events WHERE event_id % 10 = 4
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM final
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -4041,6 +4160,7 @@ QUERIES = {
     "inv_lake_delete_mor": lake_delete_mor,
     "inv_lake_rename_evolution": lake_rename_evolution,
     "inv_lake_stream_backlog": lake_stream_backlog,
+    "inv_lake_widen_evolution": lake_widen_evolution,
 }
 
 ORACLES = {
@@ -4101,4 +4221,5 @@ ORACLES = {
     "inv_lake_delete_mor": LAKE_DELETE_MOR_SQL,
     "inv_lake_rename_evolution": LAKE_RENAME_EVOLUTION_SQL,
     "inv_lake_stream_backlog": LAKE_STREAM_BACKLOG_SQL,
+    "inv_lake_widen_evolution": LAKE_WIDEN_EVOLUTION_SQL,
 }

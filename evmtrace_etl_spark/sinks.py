@@ -2731,50 +2731,92 @@ def _guard_partition_cols(
         )
 
 
+def _widens_to(a: T.DataType, b: T.DataType) -> bool:
+    """Whether ``a`` widens LOSSLESSLY to ``b`` — Delta's type-widening
+    lattice: byte → short → int → long, float → double, and decimal
+    precision growth at the same scale.  Spark 4's parquet reader
+    upcasts these under an explicit wider schema, so files written at
+    the narrow type stay readable forever (probed in
+    tests/test_lake_widening.py)."""
+    ints = (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType())
+    if a in ints and b in ints:
+        return ints.index(a) < ints.index(b)
+    if isinstance(a, T.FloatType) and isinstance(b, T.DoubleType):
+        return True
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        return b.scale == a.scale and b.precision > a.precision
+    return False
+
+
 def _evolved_schema(
     table_schema: T.StructType, batch_schema: T.StructType, ctx: str
 ) -> T.StructType:
-    """ADD-ONLY schema evolution (the same contract as
-    ``ParquetUpsertSink``, sinks.py:139): the batch may ADD columns
-    (appended, nullable — old files read back NULL through the stored
-    schema) or OMIT columns (null-filled for its rows); a TYPE change
-    on a shared column raises — silently widening would leave old
-    files unreadable under the evolved schema.  Returns the evolved
-    table schema: stored fields in their original order, then new
+    """ADD-ONLY + WIDENING schema evolution (the add/omit contract of
+    ``ParquetUpsertSink``, sinks.py:139, plus Delta's type widening):
+    the batch may ADD columns (appended, nullable — old files read
+    back NULL through the stored schema), OMIT columns (null-filled
+    for its rows), arrive NARROWER on a shared column (cast up to the
+    stored type at write — ``_aligned``), or arrive WIDER along the
+    lossless lattice (``_widens_to`` — the stored type widens; old
+    files upcast under the explicit evolved schema, zero rewrites).
+    Any other type change raises.  Returns the evolved table schema:
+    stored fields in their original order (metadata — column mapping
+    ids/physical names — preserved through a widening), then new
     batch-only fields in batch order."""
     table_types = {f.name: _denulled(f.dataType) for f in table_schema.fields}
-    clash = [
-        f"{f.name} (table {table_types[f.name].simpleString()}"
-        f" vs batch {f.dataType.simpleString()})"
-        for f in batch_schema.fields
-        if f.name in table_types
-        and _denulled(f.dataType) != table_types[f.name]
-    ]
+    batch_types = {f.name: _denulled(f.dataType) for f in batch_schema.fields}
+    clash = []
+    widened: dict[str, T.DataType] = {}
+    for name, bt in batch_types.items():
+        tt = table_types.get(name)
+        if tt is None or bt == tt:
+            continue
+        if _widens_to(tt, bt):
+            widened[name] = bt  # stored type widens to the batch's
+        elif _widens_to(bt, tt):
+            pass  # narrower batch: _aligned casts it up at write
+        else:
+            clash.append(
+                f"{name} (table {tt.simpleString()}"
+                f" vs batch {bt.simpleString()})"
+            )
     if clash:
         raise ValueError(
             f"{ctx}: column type changed for " + ", ".join(clash)
-            + " — schema evolution is add-only"
+            + " — schema evolution is add-only plus lossless widening "
+            "(byte/short/int -> long, float -> double, decimal "
+            "precision growth)"
         )
+    stored_fields = [
+        T.StructField(f.name, widened[f.name], True, f.metadata)
+        if f.name in widened
+        else f
+        for f in table_schema.fields
+    ]
     new_fields = [
         T.StructField(f.name, f.dataType, True)
         for f in batch_schema.fields
         if f.name not in table_types
     ]
-    return T.StructType(list(table_schema.fields) + new_fields)
+    return T.StructType(stored_fields + new_fields)
 
 
 def _aligned(df: DataFrame, schema: T.StructType) -> DataFrame:
     """``df`` projected to ``schema``'s column order, null-filling
-    omitted columns — the write shape after add-only evolution."""
-    have = set(df.columns)
-    return df.select(
-        *[
-            F.col(f.name)
-            if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-    )
+    omitted columns and CASTING type-mismatched ones to the stored
+    type — the write shape after add-only + widening evolution (a
+    narrower batch lands at the table's wider type; `_evolved_schema`
+    has already rejected anything lossy)."""
+    have = {f.name: _denulled(f.dataType) for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name] != _denulled(f.dataType):
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
 
 
 # ---------------------------------------------------------------------------
