@@ -4102,6 +4102,96 @@ GROUP BY event_type
 """
 
 
+def lake_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level UPDATE
+    (``sinks.update_where(strategy='merge-on-read')``): the build leg
+    doubles the value of one USER-ID slice — a predicate that cuts
+    ACROSS the event_id clustering — as ONE tombstone-plus-new-rows
+    commit: zero candidate files rewritten (build-asserted on paths
+    and mtimes), cardinality preserved, SET evaluated against the
+    original row.  The serve leg aggregates THROUGH the suppression;
+    the oracle recomputes the update as a CASE over the raw events
+    (value * 2.0 is exponent-exact in IEEE 754).  At 100 TB this is
+    scattered rectification: a user-keyed backfill over a
+    ts-clustered table writes O(matched rows), not the touched
+    files."""
+    import glob as _glob
+    import tempfile
+
+    from ..sinks import append_files, read_table, update_where
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakeupdmor",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_update_mor") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(
+            spark,
+            ev.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )
+        before = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        led = update_where(
+            spark, tbl, None, {"user_id": (1, 50)},
+            {"value": "value * 2.0"},
+            strategy="merge-on-read", keys=["event_id"],
+            txn=("inv_updmor", 1),
+        )
+        assert led["files_rewritten"] == 0 and led["dv_files"] == 1
+        assert led["rows_updated"] > 0
+        after = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        for p, mt in before.items():
+            assert after[p] == mt  # candidates byte-untouched
+        assert update_where(
+            spark, tbl, None, {"user_id": (1, 50)},
+            {"value": "value * 2.0"},
+            strategy="merge-on-read", keys=["event_id"],
+            txn=("inv_updmor", 1),
+        )["skipped"]
+        _BUILD_DONE["lake_update_mor"] = base
+    return (
+        read_table(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+LAKE_UPDATE_MOR_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(
+    CASE WHEN user_id BETWEEN 1 AND 50 THEN value * 2.0 ELSE value END
+    AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -4161,6 +4251,7 @@ QUERIES = {
     "inv_lake_rename_evolution": lake_rename_evolution,
     "inv_lake_stream_backlog": lake_stream_backlog,
     "inv_lake_widen_evolution": lake_widen_evolution,
+    "inv_lake_update_mor": lake_update_mor,
 }
 
 ORACLES = {
@@ -4222,4 +4313,5 @@ ORACLES = {
     "inv_lake_rename_evolution": LAKE_RENAME_EVOLUTION_SQL,
     "inv_lake_stream_backlog": LAKE_STREAM_BACKLOG_SQL,
     "inv_lake_widen_evolution": LAKE_WIDEN_EVOLUTION_SQL,
+    "inv_lake_update_mor": LAKE_UPDATE_MOR_SQL,
 }

@@ -3703,6 +3703,95 @@ def delete_where(
     return ledger
 
 
+def _update_mor_unlocked(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None,
+    predicates: dict[str, tuple],
+    resolved: dict[str, "F.Column"],
+    keys: Sequence[str],
+    keep_versions: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Merge-on-read row-level UPDATE: the matched rows with their SET
+    expressions applied land as NEW files and their keys as a
+    deletion-vector tombstone — NO candidate file is rewritten — by
+    delegating to the merge-on-read merge engine with the updated rows
+    as the source (an UPDATE on a keyed table IS a self-merge).  The
+    scattered-rectification shape: a user-keyed backfill over a
+    ts-clustered 100 TB table writes O(matched rows), not the touched
+    files.  Same key-uniqueness contract as ``merge_into``; CDC tables
+    get update pre/postimages from the merge engine."""
+    mdir = _manifest_dir(path, manifest_path)
+    _recover_txn(spark, mdir)
+    _sweep_removed(spark, mdir)
+    snap_v = manifest_version(spark, mdir)
+    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    skipped_ledger = {
+        "files_total": None,
+        "files_rewritten": 0,
+        "files_added": 0,
+        "dv_files": 0,
+        "rows_updated": 0,
+        "version": snap_v,
+        "skipped": True,
+        "strategy": "merge-on-read",
+    }
+    if txn is not None:
+        seen = head.get("txns", {}).get(str(txn[0]))
+        if seen is not None and int(txn[1]) <= int(seen):
+            return skipped_ledger
+    manifest = current_manifest(spark, mdir)
+    if manifest is None:
+        raise ValueError(
+            f"no stats manifest at {mdir} — build one with "
+            "update_stats_index first"
+        )
+    keys = list(keys)
+    dvs = list(head.get("dvs", []))
+    if dvs and list(dvs[0]["keys"]) != keys:
+        raise ValueError(
+            f"table has active deletion vectors keyed on "
+            f"{list(dvs[0]['keys'])} but this update uses {keys} — "
+            "materialize_deletes before updating on a different key"
+        )
+    ranges, hit = _pred_parts(predicates)
+    cand, files_total = _prune_files_with_total(manifest, ranges)
+    if not cand:
+        return {**skipped_ledger, "files_total": int(files_total), "skipped": False}
+    sj = head.get("schema")
+    schema = (
+        T.StructType.fromJson(sj)
+        if sj is not None
+        else spark.read.parquet(path).schema
+    )
+    touched = _read_files(spark, cand, schema, base_path=path)
+    matched = _dv_suppress(spark, touched, manifest, dvs).filter(hit)
+    # SET expressions evaluate against the ORIGINAL row (SQL UPDATE
+    # semantics — one withColumns call), pinned to the stored types
+    src = matched.withColumns(
+        {
+            c: expr.cast(schema[c].dataType)
+            for c, expr in resolved.items()
+        }
+    )
+    led = _merge_into_unlocked(
+        spark, src, path, keys, manifest_path=manifest_path,
+        mode="update", txn=txn, keep_versions=keep_versions,
+        strategy="merge-on-read", op="update (merge-on-read)",
+    )
+    return {
+        "files_total": int(files_total),
+        "files_rewritten": 0,
+        "files_added": int(led["files_added"]),
+        "dv_files": int(led.get("dv_files", 0) or 0),
+        "rows_updated": int(led["rows_source"]),
+        "version": led["version"],
+        "skipped": bool(led.get("skipped", False)),
+        "strategy": "merge-on-read",
+    }
+
+
 def update_where(
     spark: SparkSession,
     path: str,
@@ -3712,6 +3801,8 @@ def update_where(
     cols: Sequence[str] | None = None,
     keep_versions: int | None = None,
     txn: tuple[str, int] | None = None,
+    strategy: str = "copy-on-write",
+    keys: Sequence[str] | None = None,
 ) -> dict:
     """Row-level UPDATE over a bare-parquet dataset — the lakehouse
     ``UPDATE t SET c = expr WHERE …`` — manifest-pruned and
@@ -3736,6 +3827,22 @@ def update_where(
         c: (F.expr(e) if isinstance(e, str) else e)
         for c, e in set_exprs.items()
     }
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown update strategy {strategy!r}")
+    if strategy == "merge-on-read":
+        # scattered rectification: matched rows land as new files +
+        # key tombstones, zero candidate rewrites (see
+        # _update_mor_unlocked) — requires unique-row keys
+        if not keys:
+            raise ValueError(
+                "update_where(strategy='merge-on-read') needs keys — "
+                "the updated rows re-land BY KEY over a tombstone"
+            )
+        with _log_lock(_manifest_dir(path, manifest_path)):
+            return _update_mor_unlocked(
+                spark, path, manifest_path, predicates, resolved, keys,
+                keep_versions=keep_versions, txn=txn,
+            )
 
     def _apply(touched: DataFrame, hit) -> DataFrame:
         # ONE withColumns call: every SET expression evaluates against
@@ -4486,6 +4593,7 @@ def _merge_into_unlocked(
     keep_versions: int | None = None,
     target_bytes: int = 128 * 1024 * 1024,
     strategy: str = "copy-on-write",
+    op: str | None = None,
 ) -> dict:
     """Keyed MERGE INTO a manifest-tracked table as ONE snapshot
     transaction — the lakehouse ``MERGE INTO t USING s ON t.k = s.k
@@ -4878,7 +4986,7 @@ def _merge_into_unlocked(
                 changes=changes_files,
                 added_rows=delta_rows,
                 stats_schema=delta_schema,
-                op=f"merge ({mode}, {strategy})",
+                op=op or f"merge ({mode}, {strategy})",
                 metrics={
                     "rows_source": int(n_src),
                     "rows_written": int(rows_after),

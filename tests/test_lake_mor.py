@@ -1018,3 +1018,80 @@ def test_mor_delete_guards(spark, tmp_path):
             spark, tbl, None, {"u": 1}, strategy="merge-on-read",
             keys=["k", "u"],
         )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read UPDATE (update_where strategy='merge-on-read')
+# ---------------------------------------------------------------------------
+
+
+def test_mor_update_rewrites_zero_files(spark, tmp_path):
+    """A scattered UPDATE through merge-on-read: the matched rows with
+    SET applied land as new files + key tombstones, every candidate
+    file keeps its inode/mtime, cardinality is preserved, and a txn
+    replay is a no-op."""
+    tbl = _seed_scattered(spark, tmp_path)  # u = k % 7 across files
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(tbl + "/*.parquet")
+    }
+    led = update_where(
+        spark, tbl, None, {"u": 2}, {"v": "v + 1000000"},
+        strategy="merge-on-read", keys=["k"], txn=("rect", 1),
+    )
+    assert led["files_rewritten"] == 0 and led["dv_files"] == 1
+    assert led["rows_updated"] == 143  # residue-2 count in 0..999
+    assert led["files_added"] >= 1  # updated rows re-land
+    after = {
+        p: os.path.getmtime(p) for p in glob.glob(tbl + "/*.parquet")
+    }
+    for p, mt in before.items():  # candidates byte-untouched
+        assert after[p] == mt
+    t = read_table(spark, tbl)
+    assert t.count() == 1000  # cardinality preserved
+    # SET evaluated against the original row: v was k*10
+    got = t.filter("u = 2 AND k = 2").collect()
+    assert got[0]["v"] == 2 * 10 + 1_000_000
+    assert t.filter("v >= 1000000").count() == 143
+    # replay short-circuits before any scan
+    led2 = update_where(
+        spark, tbl, None, {"u": 2}, {"v": "v + 1000000"},
+        strategy="merge-on-read", keys=["k"], txn=("rect", 1),
+    )
+    assert led2["skipped"] is True
+    assert read_table(spark, tbl).filter("v >= 2000000").count() == 0
+
+
+def test_mor_update_cdc_and_materialize(spark, tmp_path):
+    """On a CDF table the MOR update writes update pre/postimages; the
+    suppression materializes away round-trip-identical."""
+    tbl = str(tmp_path / "cdf")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("u"),
+        (F.col("id") * 10).alias("v"),
+    )
+    append_files(spark, df.coalesce(1), tbl, cols=["k"], enable_cdf=True)
+    update_where(
+        spark, tbl, None, {"u": 3}, {"v": "v * -1"},
+        strategy="merge-on-read", keys=["k"],
+    )
+    feed = table_changes(spark, tbl, 0, change_feed=True)
+    by = {r["_change_type"]: r["count"] for r in feed.groupBy(
+        "_change_type").count().collect()}
+    assert by["update_preimage"] == 20 and by["update_postimage"] == 20
+    want = sorted(tuple(r) for r in read_table(spark, tbl).collect())
+    materialize_deletes(spark, tbl)
+    got = sorted(tuple(r) for r in read_table(spark, tbl).collect())
+    assert got == want
+    assert read_table(spark, tbl).filter("v < 0").count() == 20
+
+
+def test_mor_update_guards(spark, tmp_path):
+    tbl = _seed_scattered(spark, tmp_path, n=100, files=2)
+    with pytest.raises(ValueError, match="needs keys"):
+        update_where(
+            spark, tbl, None, {"u": 1}, {"v": "0"},
+            strategy="merge-on-read",
+        )
+    with pytest.raises(ValueError, match="strategy"):
+        update_where(spark, tbl, None, {"u": 1}, {"v": "0"}, strategy="x")
