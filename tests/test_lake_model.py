@@ -1,0 +1,138 @@
+"""Model-based differential test of the whole lake tier: seeded random
+PROGRAMS of mixed operations (appends, copy-on-write and merge-on-read
+merges/deletes/updates, compaction, materialize, column rename) run
+against both the snapshot-logged table and a plain Python dict model —
+after EVERY operation the visible table must equal the model exactly.
+This is the catch-all for cross-feature interactions no single-feature
+test enumerates (a tombstone surviving a compaction, a rename breaking
+DV suppression, a merge resurrecting a deleted key, ...)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark import sinks
+from evmtrace_etl_spark.sinks import (
+    append_files,
+    compact_table,
+    delete_where,
+    materialize_deletes,
+    merge_into,
+    read_table,
+    rename_column,
+    update_where,
+)
+
+
+def _df(spark, rows, val_col="v"):
+    return spark.createDataFrame(
+        [(k, u, v) for k, (u, v) in sorted(rows.items())],
+        f"k long, u long, {val_col} long",
+    )
+
+
+def _check(spark, tbl, model, val_col):
+    got = sorted(
+        (r["k"], r["u"], r[val_col])
+        for r in read_table(spark, tbl).collect()
+    )
+    want = sorted((k, u, v) for k, (u, v) in model.items())
+    assert got == want, (len(got), len(want))
+
+
+def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
+    rng = random.Random(seed)
+    tbl = str(tmp_path / f"t{seed}")
+    val_col = "v"
+    model: dict[int, tuple[int, int]] = {
+        k: (k % 7, k * 10) for k in range(100)
+    }
+    append_files(
+        spark, _df(spark, model).coalesce(2), tbl, cols=["k"],
+        keep_versions=10,
+    )
+    next_k = 100
+    trace = []
+    ops = [
+        "append", "merge_cow", "merge_mor", "delete_mor", "update_mor",
+        "delete_cow", "update_cow", "compact", "materialize", "rename",
+    ]
+    renamed = False
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(op)
+        if op == "append":  # fresh keys only (keyed-table contract)
+            n = rng.randint(1, 20)
+            fresh = {
+                k: (k % 7, k * 10) for k in range(next_k, next_k + n)
+            }
+            next_k += n
+            append_files(spark, _df(spark, fresh, val_col).coalesce(1), tbl)
+            model.update(fresh)
+        elif op in ("merge_cow", "merge_mor"):
+            keys = rng.sample(sorted(model), min(len(model), 15)) + list(
+                range(next_k, next_k + rng.randint(0, 5))
+            )
+            next_k += 5
+            rows = {k: (k % 7, rng.randint(-999, 999)) for k in keys}
+            merge_into(
+                spark, _df(spark, rows, val_col), tbl, keys=["k"],
+                strategy=(
+                    "merge-on-read" if op == "merge_mor" else "copy-on-write"
+                ),
+            )
+            model.update(rows)
+        elif op == "delete_mor":
+            r = rng.randint(0, 6)
+            delete_where(
+                spark, tbl, None, {"u": r}, strategy="merge-on-read",
+                keys=["k"],
+            )
+            model = {k: t for k, t in model.items() if t[0] != r}
+        elif op == "delete_cow":
+            lo = rng.randint(0, next_k)
+            hi = lo + rng.randint(0, 50)
+            delete_where(spark, tbl, None, {"k": (lo, hi)})
+            model = {k: t for k, t in model.items() if not lo <= k <= hi}
+        elif op == "update_mor":
+            r = rng.randint(0, 6)
+            d = rng.randint(1, 1000)
+            update_where(
+                spark, tbl, None, {"u": r}, {val_col: f"{val_col} + {d}"},
+                strategy="merge-on-read", keys=["k"],
+            )
+            model = {
+                k: (u, v + d if u == r else v)
+                for k, (u, v) in model.items()
+            }
+        elif op == "update_cow":
+            lo = rng.randint(0, next_k)
+            hi = lo + rng.randint(0, 50)
+            d = rng.randint(1, 1000)
+            update_where(
+                spark, tbl, None, {"k": (lo, hi)},
+                {val_col: f"{val_col} + {d}"},
+            )
+            model = {
+                k: (u, v + d if lo <= k <= hi else v)
+                for k, (u, v) in model.items()
+            }
+        elif op == "compact":
+            compact_table(spark, tbl, target_bytes=1 << 20)
+        elif op == "materialize":
+            materialize_deletes(spark, tbl)
+        elif op == "rename" and not renamed:
+            rename_column(spark, tbl, val_col, "val")
+            val_col = "val"
+            renamed = True
+        _check(spark, tbl, model, val_col)
+    return trace
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_random_lake_program_matches_model(spark, tmp_path, seed):
+    trace = _run_program(spark, tmp_path, seed)
+    assert len(trace) == 12
