@@ -1922,6 +1922,29 @@ class ConstraintViolation(ValueError):
     contract: a constraint rejects the batch, it never filters it)."""
 
 
+def _obs_result(obs) -> dict:
+    """``Observation.get`` hardened against AQE empty-relation
+    propagation: when the observed subtree produced ZERO rows into a
+    shuffle, AQE can replace the whole stage — CollectMetrics node
+    included — with an empty relation, and the JVM-side metrics row
+    comes back schema-less (``toPyRow`` assertion; reproduced on
+    Spark 4.1 with a parquet scan + no-match filter + observe +
+    dropDuplicates + write).  The metrics are lost ONLY when the
+    subtree had no rows, so every count is exactly zero by
+    construction — return a zero-defaulting mapping instead of
+    crashing the transaction.  Anything else re-raises."""
+    from collections import defaultdict
+
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        return obs.get
+    except Py4JJavaError as e:
+        if "assertion failed" in str(e) or "toPyRow" in str(e):
+            return defaultdict(lambda: 0)
+        raise
+
+
 def _constraint_metrics(constraints: dict[str, str]) -> list["F.Column"]:
     """One violation-count aggregate per CHECK constraint, to ride a
     write job's Observation (CollectMetrics) — enforcement costs zero
@@ -3310,15 +3333,16 @@ def _txn_rewrite_unlocked(
         if cons:
             try:
                 _raise_constraint_violations(
-                    obs_out.get, cons, f"rewrite of {path}"
+                    _obs_result(obs_out), cons, f"rewrite of {path}"
                 )
             except ConstraintViolation:
                 fs.delete(hp(tmp), True)
                 raise
         if obs_in is not None:
-            rows_before = int(obs_in.get["n"])
+            vals_in = _obs_result(obs_in)
+            rows_before = int(vals_in["n"] or 0)
             rows_matched = (
-                int(obs_in.get["m"] or 0) if count_matched else None
+                int(vals_in["m"] or 0) if count_matched else None
             )
         else:
             # the manifest already tracks per-file counts — exact for the
@@ -3334,7 +3358,7 @@ def _txn_rewrite_unlocked(
                 or 0
             )
             rows_matched = None
-        rows_after = int(obs_out.get["n"])
+        rows_after = int(_obs_result(obs_out)["n"] or 0)
 
         expected = (snap_v if snap_v is not None else -1) + 1
 
@@ -3538,17 +3562,17 @@ def _delete_mor_unlocked(
 
         expected = (snap_v if snap_v is not None else -1) + 1
         obs = Observation()
-        tomb = (
-            matched.observe(obs, F.count(F.lit(1)).alias("n"))
-            .select(*keys)
-            .dropDuplicates(keys)
-        )
+        # keys are unique per visible row (the merge contract) and
+        # _dv_suppress aggregates per key anyway — no dedup shuffle
+        tomb = matched.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).select(*keys)
         ddir = (
             path.rstrip("/")
             + f"/_deletes/v{expected}-{uuid.uuid4().hex[:8]}"
         )
         tomb.coalesce(1).write.mode("overwrite").parquet(ddir)
-        rows_matched = int(obs.get["n"])
+        rows_matched = int(_obs_result(obs)["n"] or 0)
         if rows_matched == 0:
             # nothing to delete: no commit needed (a txn replay
             # re-derives the same no-op — still exactly-once)
@@ -4391,11 +4415,11 @@ def _append_files_unlocked(
     # row count rides the write (CollectMetrics) — no read-back scan,
     # and an EMPTY batch no longer trips schema inference on a
     # file-less temp dir
-    rows = int(obs.get["n"])
+    rows = int(_obs_result(obs)["n"] or 0)
     if cons:
         try:
             _raise_constraint_violations(
-                obs.get, cons, f"append_files into {path}"
+                _obs_result(obs), cons, f"append_files into {path}"
             )
         except ConstraintViolation:
             # refuse BEFORE the _TXN intent: temp files gone, no
@@ -4890,17 +4914,17 @@ def _merge_into_unlocked(
         writer.parquet(tmp)
         # row counts ride the write itself (CollectMetrics) — no
         # read-back scan of the temp output, no candidate pre-count
-        rows_after = int(obs.get["n"])
+        rows_after = int(_obs_result(obs)["n"] or 0)
         if cons:
             try:
                 _raise_constraint_violations(
-                    obs.get, cons, f"merge_into {path}"
+                    _obs_result(obs), cons, f"merge_into {path}"
                 )
             except ConstraintViolation:
                 fs.delete(hp(tmp), True)
                 raise
         if obs_in is not None:
-            rows_before = int(obs_in.get["n"])
+            rows_before = int(_obs_result(obs_in)["n"] or 0)
         if mode == "ignore" and rows_after == 0:
             # every source key already exists: nothing to add, nothing
             # to rewrite — no commit needed (a replay re-derives the
@@ -5403,8 +5427,8 @@ def _materialize_deletes_unlocked(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
-    rows_before = int(obs_in.get["n"])
-    rows_after = int(obs.get["n"])
+    rows_before = int(_obs_result(obs_in)["n"] or 0)
+    rows_after = int(_obs_result(obs)["n"] or 0)
 
     planned = [
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)

@@ -1095,3 +1095,55 @@ def test_mor_update_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="strategy"):
         update_where(spark, tbl, None, {"u": 1}, {"v": "0"}, strategy="x")
+
+
+def test_zero_match_mor_ops_are_clean_noops(spark, tmp_path):
+    """A merge-on-read delete/update whose predicate matches NOTHING:
+    AQE replaces the empty shuffle stage (CollectMetrics included)
+    with an empty relation — the hardened observation read must treat
+    the lost metrics as the zeros they are, refuse to commit, and
+    leave the table untouched (found by the model-based random
+    programs: the same residue deleted twice)."""
+    tbl = _seed_scattered(spark, tmp_path, n=100, files=2)
+    head = sinks.manifest_version(spark, tbl + "/_stats_manifest")
+    led = delete_where(
+        spark, tbl, None, {"u": 99}, strategy="merge-on-read", keys=["k"]
+    )
+    assert led["rows_deleted"] == 0 and led["dv_files"] == 0
+    assert sinks.manifest_version(spark, tbl + "/_stats_manifest") == head
+    led = update_where(
+        spark, tbl, None, {"u": 99}, {"v": "v + 1"},
+        strategy="merge-on-read", keys=["k"],
+    )
+    assert led["rows_updated"] == 0
+    t = read_table(spark, tbl)
+    assert t.count() == 100 and t.filter("v > 100000").count() == 0
+    # deleting a residue TWICE: the second pass matches nothing
+    delete_where(
+        spark, tbl, None, {"u": 3}, strategy="merge-on-read", keys=["k"]
+    )
+    led = delete_where(
+        spark, tbl, None, {"u": 3}, strategy="merge-on-read", keys=["k"]
+    )
+    assert led["rows_deleted"] == 0
+    assert read_table(spark, tbl).filter("u = 3").count() == 0
+
+
+def test_empty_batch_append_to_partitioned_table(spark, tmp_path):
+    """An EMPTY micro-batch into a hive-partitioned table: the
+    partition repartition is a shuffle, so AQE empty-propagation can
+    eat the row-count observation — the append must still commit a
+    clean zero-row batch (streaming triggers deliver empty batches
+    routinely)."""
+    tbl = str(tmp_path / "p")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+    )
+    append_files(spark, df, tbl, cols=["k"], partition_by=["p"])
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), F.lit(0).cast("int").alias("p")
+    )
+    led = append_files(spark, empty, tbl, txn=("e", 1))
+    assert led["rows"] == 0
+    assert read_table(spark, tbl).count() == 30
