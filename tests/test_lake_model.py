@@ -27,10 +27,10 @@ from evmtrace_etl_spark.sinks import (
 )
 
 
-def _df(spark, rows, val_col="v"):
+def _df(spark, rows, val_col="v", val_type="int"):
     return spark.createDataFrame(
         [(k, u, v) for k, (u, v) in sorted(rows.items())],
-        f"k long, u long, {val_col} long",
+        f"k long, u long, {val_col} {val_type}",
     )
 
 
@@ -47,6 +47,7 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
     rng = random.Random(seed)
     tbl = str(tmp_path / f"t{seed}")
     val_col = "v"
+    val_type = "int"  # widened to long mid-program by the widen op
     model: dict[int, tuple[int, int]] = {
         k: (k % 7, k * 10) for k in range(100)
     }
@@ -59,6 +60,7 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
     ops = [
         "append", "merge_cow", "merge_mor", "delete_mor", "update_mor",
         "delete_cow", "update_cow", "compact", "materialize", "rename",
+        "widen",
     ]
     renamed = False
     for step in range(n_ops):
@@ -70,7 +72,11 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
                 k: (k % 7, k * 10) for k in range(next_k, next_k + n)
             }
             next_k += n
-            append_files(spark, _df(spark, fresh, val_col).coalesce(1), tbl)
+            append_files(
+                spark,
+                _df(spark, fresh, val_col, val_type).coalesce(1),
+                tbl,
+            )
             model.update(fresh)
         elif op in ("merge_cow", "merge_mor"):
             keys = rng.sample(sorted(model), min(len(model), 15)) + list(
@@ -79,7 +85,7 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
             next_k += 5
             rows = {k: (k % 7, rng.randint(-999, 999)) for k in keys}
             merge_into(
-                spark, _df(spark, rows, val_col), tbl, keys=["k"],
+                spark, _df(spark, rows, val_col, val_type), tbl, keys=["k"],
                 strategy=(
                     "merge-on-read" if op == "merge_mor" else "copy-on-write"
                 ),
@@ -128,6 +134,22 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
             rename_column(spark, tbl, val_col, "val")
             val_col = "val"
             renamed = True
+        elif op == "widen" and val_type == "int":
+            # a batch whose values exceed int range widens the stored
+            # type in its own commit (old files upcast at read)
+            n = rng.randint(1, 5)
+            fresh = {
+                k: (k % 7, 5_000_000_000 + k)
+                for k in range(next_k, next_k + n)
+            }
+            next_k += n
+            append_files(
+                spark,
+                _df(spark, fresh, val_col, "long").coalesce(1),
+                tbl,
+            )
+            model.update(fresh)
+            val_type = "long"
         _check(spark, tbl, model, val_col)
     return trace
 
