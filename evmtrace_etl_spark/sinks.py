@@ -1760,9 +1760,23 @@ def version_at_timestamp(
         # raising here beats dying mid-scan on an opaque missing-path
         # error.  Pure-append history stays resolvable, and the scan
         # touches only the markers ABOVE the resolution point (the
-        # common recent-timestamp case reads nothing extra).
+        # common recent-timestamp case reads nothing extra).  Only
+        # removals NEW at a commit ABOVE the resolution point count:
+        # a marker's pending backlog also carries forward
+        # predecessors' unswept removals (a crash between commit and
+        # sweep), and a file removed AT OR BEFORE v{best} was never
+        # referenced by best's snapshot — refusing on the carried
+        # entries would make a perfectly serveable snapshot
+        # unreachable by timestamp.  Fresh-at-v is the backlog
+        # set-difference against the PREDECESSOR's backlog (the
+        # zero-retention wire shape stamps no usable rm_v).
+        prev_files = {e["file"] for e in _pending_entries(marker(best))}
         for v in versions:
-            if v > best and _pending_entries(marker(v)):
+            if v <= best:
+                continue
+            entries = _pending_entries(marker(v))
+            fresh = [e for e in entries if e["file"] not in prev_files]
+            if fresh:
                 raise ValueError(
                     f"timestamp {ts} resolves to v{best} at {mdir}, "
                     f"but commit v{v} later removed files that a "
@@ -1771,6 +1785,7 @@ def version_at_timestamp(
                     "retain_removed=True to keep history across "
                     "rewrites"
                 )
+            prev_files = {e["file"] for e in entries}
     return best
 
 
@@ -1914,6 +1929,79 @@ class SnapshotConflict(RuntimeError):
     bounded-retry wrapper)."""
 
 
+#: Engine feature levels THIS build understands (Delta's protocol
+#: action re-expressed on the marker).  Level 1 = the base table
+#: protocol: schema/stats stamps, txn map, retention, CDF, plain
+#: per-commit deletion vectors.  Level 2 adds the features an OLDER
+#: build would silently MISREAD rather than fail on: column mapping
+#: (files store physical names), type widening (files store narrower
+#: types than the schema), and consolidated per-row deletion vectors
+#: (sidecars carry their own __dv_v column).
+_SUPPORTED_READER = 2
+_SUPPORTED_WRITER = 2
+
+#: feature name -> the reader/writer level it requires
+_FEATURE_LEVELS = {
+    "column-mapping": 2,
+    "type-widening": 2,
+    "dv-per-row": 2,
+}
+
+
+class ProtocolUnsupported(RuntimeError):
+    """The table's commit marker requires a newer engine feature level
+    than this build supports.  Raised on every read/write entry point
+    instead of proceeding: an older build reading a column-mapped or
+    widened table would misresolve physical names / narrow types
+    SILENTLY — refusing with the feature list is the only safe answer
+    (Delta's InvalidProtocolVersionException contract)."""
+
+
+def _check_protocol(head: dict, action: str, ctx: str) -> None:
+    """Refuse when the committed snapshot's stamped protocol exceeds
+    this build's supported feature level.  Writers must satisfy BOTH
+    levels (a writer also reads).  Markers without a protocol stamp
+    are level 1 by definition — every pre-stamp table keeps working."""
+    proto = head.get("protocol") or {}
+    need_r = int(proto.get("min_reader", 1))
+    need_w = int(proto.get("min_writer", 1))
+    if action == "read":
+        if need_r > _SUPPORTED_READER:
+            raise ProtocolUnsupported(
+                f"{ctx}: table requires reader feature level {need_r} "
+                f"(features: {head.get('features')}) but this build "
+                f"supports {_SUPPORTED_READER} — upgrade the engine "
+                "before reading this table"
+            )
+        return
+    if need_w > _SUPPORTED_WRITER or need_r > _SUPPORTED_READER:
+        raise ProtocolUnsupported(
+            f"{ctx}: table requires writer feature level {need_w} / "
+            f"reader level {need_r} (features: {head.get('features')}) "
+            f"but this build supports {_SUPPORTED_WRITER}/"
+            f"{_SUPPORTED_READER} — upgrade the engine before writing "
+            "to this table"
+        )
+
+
+def _schema_widened(prev_sj: dict | None, new_sj: dict | None) -> bool:
+    """Whether the new committed schema CHANGES an existing field's
+    type (the add-only evolution contract means any such change is a
+    lossless widening — ``_widens_to``): old data files then store
+    NARROWER types than the schema and a pre-widening reader would
+    fail or misread the upcast, so the commit must bump the protocol."""
+    if not prev_sj or not new_sj:
+        return False
+    prev_types = {
+        f["name"]: f["type"] for f in prev_sj.get("fields", [])
+    }
+    for f in new_sj.get("fields", []):
+        t = prev_types.get(f["name"])
+        if t is not None and t != f["type"]:
+            return True
+    return False
+
+
 class ConstraintViolation(ValueError):
     """A write would land rows that fail one of the table's CHECK
     constraints (``add_table_constraint``) — the WHOLE transaction is
@@ -1922,17 +2010,52 @@ class ConstraintViolation(ValueError):
     contract: a constraint rejects the batch, it never filters it)."""
 
 
-def _obs_result(obs) -> dict:
+def _dir_footer_rows(spark: SparkSession, dirpath: str) -> int:
+    """Total row count of the parquet leaves under ``dirpath`` from
+    their FOOTERS (driver-side pyarrow metadata reads — zero Spark
+    jobs, O(files written) like ``_local_stats_rows``).  The
+    independent ground truth ``_obs_result`` uses to verify its
+    zero-row fallback premise."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for rel, _ln in _leaf_files(spark, dirpath):
+        fpath = dirpath.rstrip("/") + "/" + rel
+        if fpath.startswith("file:"):
+            fpath = re.sub(r"^file:/+", "/", fpath)
+        if "://" in fpath:  # HDFS/S3A URI — open via pyarrow fs
+            from pyarrow import fs as pafs
+
+            filesystem, rel2 = pafs.FileSystem.from_uri(fpath)
+            with filesystem.open_input_file(rel2) as f:
+                total += pq.ParquetFile(f).metadata.num_rows
+        else:
+            total += pq.ParquetFile(fpath).metadata.num_rows
+    return total
+
+
+def _obs_result(obs, verify_rows: "Callable[[], int] | None" = None) -> dict:
     """``Observation.get`` hardened against AQE empty-relation
     propagation: when the observed subtree produced ZERO rows into a
     shuffle, AQE can replace the whole stage — CollectMetrics node
     included — with an empty relation, and the JVM-side metrics row
     comes back schema-less (``toPyRow`` assertion; reproduced on
     Spark 4.1 with a parquet scan + no-match filter + observe +
-    dropDuplicates + write).  The metrics are lost ONLY when the
-    subtree had no rows, so every count is exactly zero by
-    construction — return a zero-defaulting mapping instead of
-    crashing the transaction.  Anything else re-raises."""
+    dropDuplicates + write).  When the subtree truly had no rows every
+    count is exactly zero by construction — return a zero-defaulting
+    mapping instead of crashing the transaction.  Anything else
+    re-raises.
+
+    The zero-row premise is VERIFIED, not assumed, whenever the caller
+    can supply ground truth: ``verify_rows`` (a zero-arg callable —
+    typically the written temp output's parquet footer row counts via
+    ``_dir_footer_rows``) is consulted before defaulting, and a
+    non-zero actual row count re-raises the original error instead —
+    the same Observation carries CHECK-constraint violation counts, so
+    substituting zeros while rows actually landed would let a
+    constraint-violating batch commit silently.  Every fallback logs a
+    warning either way."""
+    import logging
     from collections import defaultdict
 
     from py4j.protocol import Py4JJavaError
@@ -1940,9 +2063,25 @@ def _obs_result(obs) -> dict:
     try:
         return obs.get
     except Py4JJavaError as e:
-        if "assertion failed" in str(e) or "toPyRow" in str(e):
-            return defaultdict(lambda: 0)
-        raise
+        if "assertion failed" not in str(e) and "toPyRow" not in str(e):
+            raise
+        if verify_rows is not None:
+            try:
+                actual = int(verify_rows())
+            except Exception:
+                actual = -1  # ground truth unavailable — keep fallback
+            if actual > 0:
+                # rows landed but the metrics row is gone: the
+                # empty-relation premise does NOT hold — refusing is
+                # the only safe answer (constraint counts unknowable)
+                raise
+        logging.getLogger(__name__).warning(
+            "Observation metrics lost to an AQE empty-relation "
+            "collapse — defaulting all counts to zero (verified "
+            "against written footers: %s)",
+            "yes" if verify_rows is not None else "no ground truth",
+        )
+        return defaultdict(lambda: 0)
 
 
 def _constraint_metrics(constraints: dict[str, str]) -> list["F.Column"]:
@@ -2253,8 +2392,18 @@ def _commit_manifest_unleased(
     base_prev: int | None = None
     prev_ts: float = 0.0
     pending_entries: list[dict] = []
+    prev_features: list[str] = []
+    prev_proto: dict = {}
+    prev_schema_json: dict | None = None
     if committed:
         prev = _commit_info(spark, manifest_path, committed[-1])
+        # the ONE choke point every write path commits through: refuse
+        # before touching the log when the table's stamped protocol
+        # exceeds this build's feature level
+        _check_protocol(prev, "write", f"commit into {manifest_path}")
+        prev_features = list(prev.get("features", []))
+        prev_proto = dict(prev.get("protocol", {}))
+        prev_schema_json = prev.get("schema")
         prev_ts = float(prev.get("ts", 0.0) or 0.0)
         pending_entries = [
             e
@@ -2313,6 +2462,24 @@ def _commit_manifest_unleased(
         keep_files = {d["file"] for d in dvs_replace}
         retired += [d["file"] for d in dvs if d["file"] not in keep_files]
         dvs = [dict(d) for d in dvs_replace]
+    checkpoint = (
+        force_checkpoint
+        or not committed
+        or bool(flat)
+        or (nxt - (base_prev if base_prev is not None else nxt))
+        >= _CHECKPOINT_EVERY
+    )
+    if checkpoint and len(dvs) > 1 and dvs_replace is None:
+        # checkpoint commits also CONSOLIDATE the deletion-vector debt:
+        # without this, every MOR commit adds one sidecar scan + union
+        # branch to every read plan until a manual materialize_deletes
+        # — unbounded growth under a steady delete/update trickle.
+        # Skipped on RESTORE (dvs_replace pins the target snapshot's
+        # exact entries).  Visibility is UNCHANGED by construction
+        # (keep-last max-version fold = what every read aggregates),
+        # so this does NOT set dvs_delta and streams cross it freely.
+        dvs, retired_dv = _consolidate_dvs(spark, dvs, nxt)
+        retired += retired_dv
     removed_now = sorted(set(removed))
     if added_files is None:
         if added_rows is not None:
@@ -2341,14 +2508,6 @@ def _commit_manifest_unleased(
         pending_struct
         if retain_flag
         else [e["file"] for e in pending_struct]
-    )
-
-    checkpoint = (
-        force_checkpoint
-        or not committed
-        or bool(flat)
-        or (nxt - (base_prev if base_prev is not None else nxt))
-        >= _CHECKPOINT_EVERY
     )
 
     # stamp the delta rows with the version that adds them — deletion
@@ -2549,6 +2708,27 @@ def _commit_manifest_unleased(
         ]
     if dvs:
         payload["dvs"] = dvs
+    # protocol stamp (Delta's protocol action): the FEATURES this
+    # snapshot uses, and the min reader/writer levels they require —
+    # monotone (never downgrades; a feature once used may live in
+    # retained history even after a drop).  Level-1 tables stamp
+    # nothing, keeping the pre-protocol wire shape byte-stable.
+    features = set(prev_features)
+    if payload.get("col_mapping"):
+        features.add("column-mapping")
+    if any(d.get("per_row") for d in dvs):
+        features.add("dv-per-row")
+    if table_schema is not None and _schema_widened(
+        prev_schema_json, table_schema
+    ):
+        features.add("type-widening")
+    lvl = max([1] + [_FEATURE_LEVELS.get(f, 1) for f in features])
+    min_r = max(lvl, int(prev_proto.get("min_reader", 1)))
+    min_w = max(lvl, int(prev_proto.get("min_writer", 1)))
+    if features:
+        payload["features"] = sorted(features)
+    if min_r > 1 or min_w > 1:
+        payload["protocol"] = {"min_reader": min_r, "min_writer": min_w}
     if dvs_add or dvs_clear or (dvs_replace is not None and retired):
         # row visibility changed without file removal — append-span CDC
         # must refuse this span unless change-data files serve it
@@ -3017,6 +3197,42 @@ def _table_cdf(spark: SparkSession, manifest_path: str) -> bool:
     return bool(_commit_info(spark, manifest_path, v).get("cdf", False))
 
 
+def _dv_frame(spark: SparkSession, d: dict, keys: Sequence[str]) -> DataFrame:
+    """One deletion-vector entry as ``keys + __dv_v`` rows.  A plain
+    per-commit tombstone sidecar stamps the entry's single commit
+    version on every row; a CONSOLIDATED sidecar (``per_row`` —
+    written by the checkpoint fold, see ``_consolidate_dvs``) already
+    stores each tombstone's own ``__dv_v`` column, preserving exact
+    per-key suppression boundaries across the fold."""
+    t = spark.read.parquet(d["file"])
+    if d.get("per_row"):
+        return t.select(*keys, F.col("__dv_v").cast("long"))
+    return t.select(*keys).withColumn(
+        "__dv_v", F.lit(int(d["version"])).cast("long")
+    )
+
+
+def _footer_num_rows(path: str) -> int | None:
+    """A single parquet file's footer row count (driver-side pyarrow
+    read), or None when unreadable — sized like one metadata HTTP
+    range request on object storage."""
+    import pyarrow.parquet as pq
+
+    fpath = path
+    if fpath.startswith("file:"):
+        fpath = re.sub(r"^file:/+", "/", fpath)
+    try:
+        if "://" in fpath:
+            from pyarrow import fs as pafs
+
+            filesystem, rel = pafs.FileSystem.from_uri(fpath)
+            with filesystem.open_input_file(rel) as f:
+                return int(pq.ParquetFile(f).metadata.num_rows)
+        return int(pq.ParquetFile(fpath).metadata.num_rows)
+    except Exception:
+        return None
+
+
 def _dv_suppress(
     spark: SparkSession,
     df: DataFrame,
@@ -3054,11 +3270,7 @@ def _dv_suppress(
             )
     tomb: DataFrame | None = None
     for d in dvs:
-        t = (
-            spark.read.parquet(d["file"])
-            .select(*keys)
-            .withColumn("__dv_v", F.lit(int(d["version"])).cast("long"))
-        )
+        t = _dv_frame(spark, d, keys)
         tomb = t if tomb is None else tomb.unionByName(t)
     tmax = tomb.groupBy(*keys).agg(F.max("__dv_v").alias("__dv_v"))
     if "added_version" in manifest.columns:
@@ -3087,6 +3299,69 @@ def _dv_suppress(
         )
         .drop("__dv_file", "__dv_av", "__dv_v")
     )
+
+
+def _consolidate_dvs(
+    spark: SparkSession, dvs: Sequence[dict], nxt: int
+) -> tuple[list[dict], list[str]]:
+    """Fold ALL active deletion-vector sidecars keep-last into ONE
+    consolidated sidecar (per key, the max tombstone version — exactly
+    the aggregate ``_dv_suppress`` computes at every read), so a table
+    under a steady merge-on-read workload reads with O(1) tombstone
+    scans instead of one per MOR commit since the last
+    ``materialize_deletes``.  Delta bounds the same debt by
+    consolidating per-file DV bitmaps at checkpoints; here the fold
+    runs at the manifest's every-``_CHECKPOINT_EVERY`` checkpoint
+    commit (``_commit_manifest_unleased``), which already pays a full
+    manifest materialization, so the added cost is one distributed
+    pass over the tombstone bytes — amortized O(debt / 10) per commit.
+
+    The consolidated file stores ``keys + __dv_v`` (per-ROW versions,
+    ``per_row`` on the entry), preserving each tombstone's own
+    suppression boundary: a key deleted at v5 must keep suppressing
+    only files added before v5 even when the fold itself commits at
+    v12.  Output is sized at one file per ~128 MB of source sidecar
+    bytes.  Returns ``(new_dv_entries, retired_old_sidecar_files)`` —
+    the retired files enter the pending sweep backlog (kept while any
+    retained snapshot references them, exactly like replaced data
+    files).  Crash-safe: written before the commit marker; an
+    uncommitted consolidated dir is an orphan ``vacuum_table``
+    sweeps."""
+    import uuid as _uuid
+
+    keys = list(dvs[0]["keys"])
+    tomb: DataFrame | None = None
+    for d in dvs:
+        t = _dv_frame(spark, d, keys)
+        tomb = t if tomb is None else tomb.unionByName(t)
+    folded = tomb.groupBy(*keys).agg(F.max("__dv_v").alias("__dv_v"))
+    # sidecars live in <table>/_deletes/<commit-dir>/<file> — the
+    # consolidated dir is a sibling commit-dir
+    base = os.path.dirname(os.path.dirname(dvs[0]["file"]))
+    ddir = f"{base}/consolidated-v{nxt}-{_uuid.uuid4().hex[:8]}"
+    jvm, hp, fs = _fs_for(spark, base)
+    total = 0
+    for d in dvs:
+        try:
+            total += fs.getFileStatus(hp(d["file"])).getLen()
+        except Exception:  # pragma: no cover - racing sweep
+            pass
+    folded.repartition(
+        max(1, -(-total // (128 * 1024 * 1024)))
+    ).write.mode("overwrite").parquet(ddir)
+    files = _sidecar_files(fs, hp, ddir)
+    vmax = max(int(d["version"]) for d in dvs)
+    new_dvs = [
+        {
+            "file": f,
+            "version": vmax,
+            "keys": keys,
+            "per_row": True,
+            "rows": _footer_num_rows(f),
+        }
+        for f in files
+    ]
+    return new_dvs, [d["file"] for d in dvs]
 
 
 def _sidecar_files(fs, hp, dirpath: str) -> list[str]:
@@ -3330,16 +3605,21 @@ def _txn_rewrite_unlocked(
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
+        # ground truth for the AQE zero-row fallback: the temp output's
+        # own footers (O(files written) driver-side reads, and only on
+        # the rare fallback path)
+        _verify = lambda: _dir_footer_rows(spark, tmp)  # noqa: E731
+        vals_out = _obs_result(obs_out, verify_rows=_verify)
         if cons:
             try:
                 _raise_constraint_violations(
-                    _obs_result(obs_out), cons, f"rewrite of {path}"
+                    vals_out, cons, f"rewrite of {path}"
                 )
             except ConstraintViolation:
                 fs.delete(hp(tmp), True)
                 raise
         if obs_in is not None:
-            vals_in = _obs_result(obs_in)
+            vals_in = _obs_result(obs_in, verify_rows=_verify)
             rows_before = int(vals_in["n"] or 0)
             rows_matched = (
                 int(vals_in["m"] or 0) if count_matched else None
@@ -3358,7 +3638,7 @@ def _txn_rewrite_unlocked(
                 or 0
             )
             rows_matched = None
-        rows_after = int(_obs_result(obs_out)["n"] or 0)
+        rows_after = int(vals_out["n"] or 0)
 
         expected = (snap_v if snap_v is not None else -1) + 1
 
@@ -3572,7 +3852,12 @@ def _delete_mor_unlocked(
             + f"/_deletes/v{expected}-{uuid.uuid4().hex[:8]}"
         )
         tomb.coalesce(1).write.mode("overwrite").parquet(ddir)
-        rows_matched = int(_obs_result(obs)["n"] or 0)
+        rows_matched = int(
+            _obs_result(
+                obs, verify_rows=lambda: _dir_footer_rows(spark, ddir)
+            )["n"]
+            or 0
+        )
         if rows_matched == 0:
             # nothing to delete: no commit needed (a txn replay
             # re-derives the same no-op — still exactly-once)
@@ -3592,43 +3877,100 @@ def _delete_mor_unlocked(
                 expected,
                 schema=schema,
             )
-        _write_json_marker(
-            spark,
-            mdir,
-            "_TXN",
+        # the dv entries keep the ORIGINAL version stamp (= the read
+        # snapshot + 1) even if a rebase re-commits later: suppression
+        # must apply exactly to the files the delete actually read,
+        # never to a winner append's rows (serial-order semantics)
+        dv_entries = [
+            # per-entry row counts feed the dv-debt metrics in
+            # table_history without re-reading sidecar footers
             {
-                "expected_version": expected,
-                "added": dv_files + list(changes_files or []),
-                "removed": [],
-            },
-        )
-        try:
-            version = _commit_manifest(
-                spark, mdir, None, removed=[],
-                expected_version=expected, txn=txn,
-                keep_versions=keep_versions,
-                dvs_add=[
-                    {"file": f, "version": expected, "keys": keys}
-                    for f in dv_files
-                ],
-                changes=changes_files,
-                op="delete (merge-on-read)",
-                metrics={
-                    "rows_deleted": int(rows_matched),
-                    "dv_files": len(dv_files),
+                "file": f,
+                "version": expected,
+                "keys": keys,
+                "rows": _footer_num_rows(f),
+            }
+            for f in dv_files
+        ]
+        commit_v = expected
+        rebased = 0
+        while True:
+            _write_json_marker(
+                spark,
+                mdir,
+                "_TXN",
+                {
+                    "expected_version": commit_v,
+                    "added": dv_files + list(changes_files or []),
+                    "removed": [],
                 },
             )
-        except SnapshotConflict:
-            _rollback_conflict(
-                spark, mdir, dv_files + list(changes_files or [])
-            )
-            raise
+            try:
+                version = _commit_manifest(
+                    spark, mdir, None, removed=[],
+                    expected_version=commit_v, txn=txn,
+                    keep_versions=keep_versions,
+                    dvs_add=dv_entries,
+                    changes=changes_files,
+                    op="delete (merge-on-read)",
+                    metrics={
+                        "rows_deleted": int(rows_matched),
+                        "dv_files": len(dv_files),
+                    },
+                )
+                break
+            except SnapshotConflict:
+                # logical conflict detection: a tombstone-only commit
+                # never conflicts with PURE-APPEND winners — re-commit
+                # the already-written sidecar at the next version
+                # instead of re-running the candidate scan
+                # (_rebase_tombstone names the cases needing a retry)
+                rb = (
+                    _rebase_tombstone(
+                        spark, mdir, txn, cdf_on, schema,
+                        dict(head.get("constraints") or {}), None,
+                        dv_files + list(changes_files or []),
+                        head.get("col_mapping"),
+                        snap_v if snap_v is not None else -1,
+                    )
+                    if rebased < 20
+                    else None
+                )
+                if rb is None or rb == "skip":
+                    _rollback_conflict(
+                        spark, mdir, dv_files + list(changes_files or [])
+                    )
+                    if rb == "skip":
+                        return {
+                            **ledger,
+                            "skipped": True,
+                            "version": manifest_version(spark, mdir),
+                        }
+                    raise
+                commit_v = rb[0]
+                rebased += 1
+                if changes_files:
+                    # CDC rows carry the commit version inside the
+                    # sidecar parquet — restamp for the new version
+                    old_changes = list(changes_files)
+                    changes_files = _write_changes(
+                        spark,
+                        spark.read.parquet(*old_changes).withColumn(
+                            "_commit_version",
+                            F.lit(commit_v).cast("long"),
+                        ),
+                        path,
+                        commit_v,
+                    )
+                    for d in {os.path.dirname(f) for f in old_changes}:
+                        fs.delete(hp(d), True)
         fs.delete(hp(f"{mdir}/_TXN"), False)
         ledger.update(
             {
                 "dv_files": len(dv_files),
                 "rows_deleted": rows_matched,
                 "version": int(version),
+                "rebased": rebased,
             }
         )
         return ledger
@@ -4106,6 +4448,19 @@ def read_table(
         # concurrent merge-on-read commit land between them and apply
         # NEWER tombstones against the OLDER file list (keys vanish)
         version = manifest_version(spark, mdir)
+    if version is not None:
+        # refuse snapshots whose stamped protocol exceeds this build's
+        # feature level — misresolving a mapped/widened table is worse
+        # than failing (the resolved VERSION's marker governs: time
+        # travel to a pre-feature snapshot keeps working).  An invalid
+        # version falls through to current_manifest's actionable
+        # not-committed/retained error.
+        try:
+            head = _commit_info(spark, mdir, version)
+        except Exception:
+            head = None
+        if head is not None:
+            _check_protocol(head, "read", f"read_table {path}")
     manifest = current_manifest(spark, mdir, version=version)
     if manifest is None:
         return spark.read.parquet(path).filter(cond)
@@ -4223,6 +4578,58 @@ def _rebase_append(
         except ValueError:
             return None
     return (snap + 1, merged)
+
+
+def _rebase_tombstone(
+    spark: SparkSession,
+    mdir: str,
+    txn: tuple[str, int] | None,
+    planned_cdf: bool,
+    our_schema: T.StructType,
+    checked_constraints: dict[str, str],
+    our_pcols: Sequence[str] | None,
+    our_files: Sequence[str],
+    planned_cmap: dict | None,
+    read_snap: int,
+) -> "tuple[int, T.StructType] | str | None":
+    """Logical conflict detection for a MERGE-ON-READ commit (a
+    ``delete_where``/``update_where``/``merge_into`` tombstone, plus
+    the update/merge path's new data files) that lost the optimistic
+    race: when every winner in ``(read_snap, head]`` is a PURE APPEND,
+    the loser's tombstone + already-moved-in files re-commit at the
+    next version instead of re-running the whole scan/write —
+    semantics are EXACTLY serial order because the dv entry keeps its
+    ORIGINAL ``version`` stamp (= read_snap + 1): suppression applies
+    only to files added at or before the snapshot the delete actually
+    read, so a winner append's rows (added_version >= that stamp)
+    survive even when they carry a tombstoned key, and the loser's own
+    new files (stamped at the re-commit version) survive too.
+
+    Returns the same contract as ``_rebase_append`` (which performs
+    the head-state checks: txn skip, constraints, cdf, mapping,
+    partition stamp, schema merge, file existence) — plus the span
+    check unique to tombstones: a winner that REMOVED files
+    (rewrite/compaction/materialize) re-homed our matched rows into
+    files whose added_version postdates the tombstone, silently
+    exempting them from suppression; a winner that changed deletion-
+    vector visibility (``dvs_delta``) may have folded or re-keyed the
+    dv set out from under us.  Either forces the full retry
+    (``retry_on_conflict``), same as Delta's ConcurrentDeleteRead /
+    ConcurrentAppend split under WriteSerializable."""
+    snap = manifest_version(spark, mdir)
+    if snap is None:
+        return None
+    for v in range(read_snap + 1, snap + 1):
+        try:
+            m = _commit_info(spark, mdir, v)
+        except Exception:
+            return None  # span fell out of retention — full retry
+        if m.get("removed") or m.get("dvs_delta"):
+            return None
+    return _rebase_append(
+        spark, mdir, txn, planned_cdf, our_schema, checked_constraints,
+        our_pcols, our_files, planned_cmap=planned_cmap,
+    )
 
 
 def append_files(
@@ -4414,12 +4821,16 @@ def _append_files_unlocked(
     writer.parquet(tmp)
     # row count rides the write (CollectMetrics) — no read-back scan,
     # and an EMPTY batch no longer trips schema inference on a
-    # file-less temp dir
-    rows = int(_obs_result(obs)["n"] or 0)
+    # file-less temp dir; the AQE zero-row fallback is verified
+    # against the temp output's own footers
+    vals = _obs_result(
+        obs, verify_rows=lambda: _dir_footer_rows(spark, tmp)
+    )
+    rows = int(vals["n"] or 0)
     if cons:
         try:
             _raise_constraint_violations(
-                _obs_result(obs), cons, f"append_files into {path}"
+                vals, cons, f"append_files into {path}"
             )
         except ConstraintViolation:
             # refuse BEFORE the _TXN intent: temp files gone, no
@@ -4913,18 +5324,23 @@ def _merge_into_unlocked(
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
         # row counts ride the write itself (CollectMetrics) — no
-        # read-back scan of the temp output, no candidate pre-count
-        rows_after = int(_obs_result(obs)["n"] or 0)
+        # read-back scan of the temp output, no candidate pre-count;
+        # the AQE zero-row fallback verifies against the temp footers
+        _verify = lambda: _dir_footer_rows(spark, tmp)  # noqa: E731
+        vals = _obs_result(obs, verify_rows=_verify)
+        rows_after = int(vals["n"] or 0)
         if cons:
             try:
                 _raise_constraint_violations(
-                    _obs_result(obs), cons, f"merge_into {path}"
+                    vals, cons, f"merge_into {path}"
                 )
             except ConstraintViolation:
                 fs.delete(hp(tmp), True)
                 raise
         if obs_in is not None:
-            rows_before = int(_obs_result(obs_in)["n"] or 0)
+            rows_before = int(
+                _obs_result(obs_in, verify_rows=_verify)["n"] or 0
+            )
         if mode == "ignore" and rows_after == 0:
             # every source key already exists: nothing to add, nothing
             # to rewrite — no commit needed (a replay re-derives the
@@ -4994,35 +5410,98 @@ def _merge_into_unlocked(
             delta_df = parquet_stats_index(
                 spark, path, list(cols), paths=added, schema=evolved
             )
-        try:
-            version = _commit_manifest(
-                spark, mdir, delta_df, removed=removed,
-                expected_version=expected, txn=txn,
-                keep_versions=keep_versions,
-                table_schema=evolved.jsonValue(),
-                partition_by=pcols,
-                col_mapping=cmap,
-                added_files=added,
-                dvs_add=[
-                    {"file": f, "version": expected, "keys": list(keys)}
-                    for f in dv_files
-                ],
-                changes=changes_files,
-                added_rows=delta_rows,
-                stats_schema=delta_schema,
-                op=op or f"merge ({mode}, {strategy})",
-                metrics={
-                    "rows_source": int(n_src),
-                    "rows_written": int(rows_after),
-                    "files_added": len(added),
-                    "files_removed": len(removed),
-                },
-            )
-        except SnapshotConflict:
-            _rollback_conflict(
-                spark, mdir, added + dv_files + list(changes_files or [])
-            )
-            raise
+        # dv entries keep the ORIGINAL version stamp even across a
+        # rebase re-commit — suppression applies exactly to the files
+        # the merge actually read (see _rebase_tombstone)
+        dv_entries = [
+            {
+                "file": f,
+                "version": expected,
+                "keys": list(keys),
+                "rows": _footer_num_rows(f),
+            }
+            for f in dv_files
+        ]
+        commit_v = expected
+        rebased = 0
+        while True:
+            try:
+                version = _commit_manifest(
+                    spark, mdir, delta_df, removed=removed,
+                    expected_version=commit_v, txn=txn,
+                    keep_versions=keep_versions,
+                    table_schema=evolved.jsonValue(),
+                    partition_by=pcols,
+                    col_mapping=cmap,
+                    added_files=added,
+                    dvs_add=dv_entries,
+                    changes=changes_files,
+                    added_rows=delta_rows,
+                    stats_schema=delta_schema,
+                    op=op or f"merge ({mode}, {strategy})",
+                    metrics={
+                        "rows_source": int(n_src),
+                        "rows_written": int(rows_after),
+                        "files_added": len(added),
+                        "files_removed": len(removed),
+                    },
+                )
+                break
+            except SnapshotConflict:
+                # a merge-on-read loser (tombstone + fresh files, zero
+                # removals) re-commits over pure-append winners instead
+                # of re-running its scan and write; copy-on-write
+                # merges removed candidate files, so only the full
+                # retry is sound for them
+                rb = (
+                    _rebase_tombstone(
+                        spark, mdir, txn, cdf_on, evolved,
+                        dict(head.get("constraints") or {}), pcols,
+                        added + dv_files + list(changes_files or []),
+                        cmap, snap_v if snap_v is not None else -1,
+                    )
+                    if mor and rebased < 20
+                    else None
+                )
+                if rb is None or rb == "skip":
+                    _rollback_conflict(
+                        spark, mdir,
+                        added + dv_files + list(changes_files or []),
+                    )
+                    if rb == "skip":
+                        return {
+                            **ledger,
+                            "version": manifest_version(spark, mdir),
+                            "skipped": True,
+                        }
+                    raise
+                commit_v, evolved = rb
+                rebased += 1
+                if changes_files:
+                    old_changes = list(changes_files)
+                    changes_files = _write_changes(
+                        spark,
+                        spark.read.parquet(*old_changes).withColumn(
+                            "_commit_version",
+                            F.lit(commit_v).cast("long"),
+                        ),
+                        path,
+                        commit_v,
+                    )
+                    for d in {os.path.dirname(f) for f in old_changes}:
+                        fs.delete(hp(d), True)
+                _write_json_marker(
+                    spark,
+                    mdir,
+                    "_TXN",
+                    {
+                        "expected_version": commit_v,
+                        "added": added
+                        + dv_files
+                        + list(changes_files or []),
+                        "removed": removed,
+                    },
+                )
         _post_commit_sweep(spark, mdir)
         fs.delete(hp(f"{mdir}/_TXN"), False)
 
@@ -5036,6 +5515,7 @@ def _merge_into_unlocked(
             rows_updated = 0
         ledger.update(
             {
+                "rebased": rebased,
                 "files_rewritten": len(removed),
                 "files_added": len(added),
                 "rows_updated": rows_updated,
@@ -5427,8 +5907,9 @@ def _materialize_deletes_unlocked(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(tmp)
-    rows_before = int(_obs_result(obs_in)["n"] or 0)
-    rows_after = int(_obs_result(obs)["n"] or 0)
+    _verify = lambda: _dir_footer_rows(spark, tmp)  # noqa: E731
+    rows_before = int(_obs_result(obs_in, verify_rows=_verify)["n"] or 0)
+    rows_after = int(_obs_result(obs, verify_rows=_verify)["n"] or 0)
 
     planned = [
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
@@ -5695,12 +6176,52 @@ def drop_table_constraint(
         return {"version": int(version), "constraints": cons}
 
 
-def _guard_mapped_ddl(head: dict, col: str, op: str) -> None:
+def _constraint_references(
+    spark: SparkSession, expr: str, schema: T.StructType, col: str
+) -> bool:
+    """Whether a stored CHECK-constraint expression genuinely
+    REFERENCES column ``col`` of ``schema`` — resolved STRUCTURALLY by
+    Spark's own SQL parser/analyzer, not a text regex: the expression
+    is analyzed against an empty frame with the column removed; if it
+    still resolves, every token that merely LOOKS like the name (a
+    string literal ``'status = \"v\"'``, a word inside a comment) was
+    not a reference.  A cheap word-boundary prefilter keeps the common
+    no-match case free of analyzer round-trips.  When the expression
+    fails to analyze even against the FULL schema (a constraint stored
+    before a column it names was dropped by other means), the answer
+    falls back to the conservative textual match."""
+    if not re.search(rf"(?i)\b{re.escape(col)}\b", expr):
+        return False  # not even a token shaped like the name
+    low = col.lower()
+    without = T.StructType(
+        [f for f in schema.fields if f.name.lower() != low]
+    )
+    try:
+        spark.createDataFrame([], without).select(F.expr(expr))
+        return False  # analyzes WITHOUT the column → not a reference
+    except Exception:
+        pass
+    try:
+        spark.createDataFrame([], schema).select(F.expr(expr))
+        return True  # only resolvable WITH it → a genuine reference
+    except Exception:
+        return True  # unanalyzable either way → conservative textual
+
+
+def _guard_mapped_ddl(
+    spark: SparkSession,
+    head: dict,
+    schema: T.StructType,
+    col: str,
+    op: str,
+) -> None:
     """Refuse a rename/drop of a column other machinery references by
     NAME: hive partition columns (the directory layout encodes the
     name), active deletion-vector keys (tombstone files and the
     carried dv list store it), and CHECK-constraint expressions (the
-    stored SQL would stop resolving).  Each refusal names the
+    stored SQL would stop resolving — references resolved by the SQL
+    analyzer via ``_constraint_references``, so a name inside a string
+    literal does not block a legal rename).  Each refusal names the
     unblocking op."""
     pby = head.get("partition_by") or []
     if col in pby:
@@ -5716,10 +6237,11 @@ def _guard_mapped_ddl(head: dict, col: str, op: str) -> None:
             "key — run materialize_deletes first"
         )
     for cname, expr in (head.get("constraints") or {}).items():
-        if re.search(rf"\b{re.escape(col)}\b", expr):
+        if _constraint_references(spark, expr, schema, col):
             raise ValueError(
                 f"cannot {op} {col!r}: CHECK constraint {cname!r} "
-                f"({expr}) references it — drop the constraint first"
+                f"({expr}) references it (resolved by the SQL "
+                "analyzer) — drop the constraint first"
             )
 
 
@@ -5770,7 +6292,7 @@ def rename_column(
             raise ValueError(f"no column {old!r} in {path}")
         if new in names:
             raise ValueError(f"column {new!r} already exists in {path}")
-        _guard_mapped_ddl(head, old, "rename")
+        _guard_mapped_ddl(spark, head, schema, old, "rename")
         mapped, cmap = _ensure_mapping(
             schema, head.get("col_mapping") or {}
         )
@@ -5850,7 +6372,7 @@ def drop_column(
             raise ValueError(f"no column {name!r} in {path}")
         if len(names) == 1:
             raise ValueError("cannot drop a table's only column")
-        _guard_mapped_ddl(head, name, "drop")
+        _guard_mapped_ddl(spark, head, schema, name, "drop")
         mapped, cmap = _ensure_mapping(
             schema, head.get("col_mapping") or {}
         )
@@ -5900,6 +6422,20 @@ def table_history(spark: SparkSession, path: str, manifest_path: str | None = No
         agg = m.agg(
             F.count(F.lit(1)).alias("files"), F.sum("n_rows").alias("rows")
         ).collect()[0]
+        # deletion-vector DEBT as of this snapshot: sidecar count (one
+        # extra scan branch per read until consolidated/materialized)
+        # and total tombstone rows — entries stamp their own row counts
+        # at commit; pre-stamp entries fall back to one footer read
+        dvs = commit.get("dvs", [])
+        dv_rows: int | None = 0
+        for d in dvs:
+            r = d.get("rows")
+            if r is None:
+                r = _footer_num_rows(d["file"])
+            if r is None:
+                dv_rows = None
+                break
+            dv_rows += int(r)
         out.append(
             {
                 "version": v,
@@ -5912,6 +6448,8 @@ def table_history(spark: SparkSession, path: str, manifest_path: str | None = No
                 "removed_pending": len(
                     commit.get("pending", commit.get("removed", []))
                 ),
+                "dv_files": len(dvs),
+                "dv_rows": dv_rows,
                 "txns": commit.get("txns", {}),
                 "metrics": commit.get("metrics", {}),
             }
@@ -6113,6 +6651,9 @@ def table_changes(
     # every per-version read below pins to `head` (the listing's
     # snapshot) — resolving "current" again mid-function would race a
     # concurrent commit
+    _check_protocol(
+        _commit_info(spark, mdir, head), "read", f"table_changes {path}"
+    )
     schema = committed_schema(spark, mdir, version=head)
     if schema is None:
         schema = spark.read.parquet(path).schema

@@ -240,6 +240,12 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             (int(n) for n in os.listdir(odir) if n.isdigit()),
             reverse=True,
         )
+        if not batches:
+            # Spark pre-creates the (empty) offsets dir before the
+            # first latestOffset call — no batch was ever planned, so
+            # this is still the genuinely-fresh case and the budget
+            # must apply from the FIRST trigger
+            return (self._start, 0)
         for b in batches:
             try:
                 with open(os.path.join(odir, str(b))) as f:
@@ -254,7 +260,17 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                         return _norm_pos(off)
             except Exception:
                 continue
-        return (self._start, 0)
+        # batch offset files EXIST but none parsed (corrupt/in-flight
+        # file, or a checkpoint_location that isn't this query's real
+        # checkpoint): the stream's true position is unknown but
+        # almost certainly AHEAD of the initial offset — returning
+        # (start, 0) here would emit a latestOffset BEHIND the
+        # checkpointed position and re-serve consumed commits as
+        # duplicates under new batch ids.  None = the documented
+        # regression-safe unbounded-first-batch fallback; (start, 0)
+        # is reserved for the fresh no-dir / planned-nothing cases
+        # above.
+        return None
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -426,6 +442,12 @@ class LakeChangesDataSource(DataSource):
                 "with append_files first"
             )
         m = _marker(mdir, vs[-1])
+        # protocol gate: refuse to stream a table whose stamped feature
+        # level exceeds this build's (lazy import — this module must
+        # stay importable on executors without the sinks module loaded)
+        from ..sinks import _check_protocol
+
+        _check_protocol(m, "read", f"lake_changes stream over {mdir}")
         sj = m.get("schema")
         if sj is None:
             raise ValueError(

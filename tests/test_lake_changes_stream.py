@@ -374,3 +374,60 @@ def test_offset_wire_shapes_round_trip():
     assert _norm_pos({"version": 0, "index": 1}) < _norm_pos(
         {"version": 0, "index": 2}
     ) < _norm_pos({"version": 0}) == (1, 0)
+
+
+def test_recover_pos_corrupt_offsets_falls_back_to_none(tmp_path):
+    """An offsets dir that EXISTS but yields no parseable offset
+    (corrupt/in-flight file, or a checkpoint_location that is not this
+    query's checkpoint) recovers to None — the regression-safe
+    unbounded-first-batch fallback — NOT to (start, 0), which would
+    emit a latestOffset BEHIND the checkpointed position and re-serve
+    consumed commits as duplicates.  (start, 0) is reserved for the
+    genuinely-fresh no-offsets-dir checkpoint."""
+    from pyspark.sql import types as T
+
+    from evmtrace_etl_spark.sources.lake_changes import (
+        LakeChangesStreamReader,
+    )
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+
+    ck = tmp_path / "ck"
+    (ck / "offsets").mkdir(parents=True)
+    (ck / "offsets" / "0").write_text("v1\n{}\nnot json at all\n")
+    rdr = LakeChangesStreamReader(
+        schema,
+        {
+            "path": str(tmp_path / "tbl"),
+            "checkpoint_location": str(ck),
+            "starting_version": "0",
+        },
+    )
+    assert rdr._recover_pos() is None
+
+    ck2 = tmp_path / "ck2"
+    ck2.mkdir()
+    rdr2 = LakeChangesStreamReader(
+        schema,
+        {
+            "path": str(tmp_path / "tbl"),
+            "checkpoint_location": str(ck2),
+            "starting_version": "0",
+        },
+    )
+    assert rdr2._recover_pos() == (0, 0)
+
+    # Spark pre-creates an EMPTY offsets dir before the first
+    # latestOffset — still genuinely fresh: the admission budget must
+    # apply from the very first trigger
+    ck3 = tmp_path / "ck3"
+    (ck3 / "offsets").mkdir(parents=True)
+    rdr3 = LakeChangesStreamReader(
+        schema,
+        {
+            "path": str(tmp_path / "tbl"),
+            "checkpoint_location": str(ck3),
+            "starting_version": "0",
+        },
+    )
+    assert rdr3._recover_pos() == (0, 0)

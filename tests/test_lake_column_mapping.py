@@ -249,3 +249,35 @@ def test_merge_and_mor_delete_on_mapped_table(spark, tmp_path):
     t = read_table(spark, tbl)
     assert t.columns == ["k", "val", "tag"]
     assert t.filter("tag = 'x'").count() == 10
+
+
+def test_constraint_guard_resolves_structurally(spark, tmp_path):
+    """The rename/drop constraint guard resolves column references
+    through the SQL analyzer, not a text regex: a column name that
+    appears only INSIDE A STRING LITERAL of a constraint expression
+    does not block a legal rename, while genuine references — plain,
+    backquoted, or merely case-different — still refuse."""
+    tbl = str(tmp_path / "structguard")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.lit("open").alias("status"),
+        (F.col("id") * 10).alias("v"),
+    )
+    append_files(spark, df, tbl, cols=["k"], keep_versions=10)
+    # the literal contains the TOKEN v (and the word status) — the old
+    # regex guard would have blocked renaming v
+    sinks.add_table_constraint(
+        spark, tbl, "status_known", "status IN ('open', 'v closed')"
+    )
+    got = rename_column(spark, tbl, "v", "amount")  # legal: not referenced
+    assert got["renamed"] == ["v", "amount"]
+    with pytest.raises(ValueError, match="constraint"):
+        rename_column(spark, tbl, "status", "state")  # genuine reference
+    sinks.drop_table_constraint(spark, tbl, "status_known")
+    # backquoted reference is still a reference
+    sinks.add_table_constraint(spark, tbl, "amt_ok", "`amount` >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(spark, tbl, "amount")
+    # and an unreferenced column drops fine under the same constraint
+    drop_column(spark, tbl, "status")
+    assert read_table(spark, tbl).columns == ["k", "amount"]

@@ -150,3 +150,49 @@ def test_constraint_on_column_omitted_by_batch_null_passes(spark, tmp_path):
     # explicit presence constraint: now an omitting batch is refused
     with pytest.raises(ConstraintViolation, match="existing rows"):
         add_table_constraint(spark, tbl, "v_present", "v IS NOT NULL")
+
+
+def test_obs_result_verifies_zero_row_premise():
+    """The AQE empty-relation fallback in ``_obs_result`` substitutes
+    zero metrics ONLY when the written output really has zero rows:
+    with footer ground truth showing landed rows, the original error
+    re-raises (the same Observation carries constraint-violation
+    counts — fabricated zeros would commit a violating batch
+    silently).  Matching errors without ground truth keep the
+    documented zero fallback; non-matching errors always re-raise."""
+    from py4j.protocol import Py4JJavaError
+
+    from evmtrace_etl_spark.sinks import _obs_result
+
+    class _FakeJavaErr(Py4JJavaError):
+        def __init__(self, msg):
+            Exception.__init__(self, msg)
+            self._msg = msg
+
+        def __str__(self):
+            return self._msg
+
+    class _Obs:
+        def __init__(self, msg):
+            self._msg = msg
+
+        @property
+        def get(self):
+            raise _FakeJavaErr(self._msg)
+
+    # premise violated: rows landed -> re-raise
+    import pytest as _pytest
+
+    with _pytest.raises(Py4JJavaError):
+        _obs_result(_Obs("assertion failed"), verify_rows=lambda: 7)
+    # premise verified: zero rows -> zero-defaulting mapping
+    vals = _obs_result(_Obs("assertion failed"), verify_rows=lambda: 0)
+    assert vals["n"] == 0 and vals["_viol_0"] == 0
+    # ground truth unavailable (probe raises) -> keep the fallback
+    def _boom():
+        raise OSError("gone")
+
+    assert _obs_result(_Obs("toPyRow"), verify_rows=_boom)["n"] == 0
+    # a non-matching JVM error is never swallowed
+    with _pytest.raises(Py4JJavaError):
+        _obs_result(_Obs("OutOfMemoryError"), verify_rows=lambda: 0)

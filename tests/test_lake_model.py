@@ -158,3 +158,20 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
 def test_random_lake_program_matches_model(spark, tmp_path, seed):
     trace = _run_program(spark, tmp_path, seed)
     assert len(trace) == 12
+
+
+def test_long_lake_program_crosses_dv_consolidation(spark, tmp_path):
+    """A 24-op program (seed chosen so the random walk stacks enough
+    merge-on-read commits to cross the every-10-commits checkpoint
+    with >1 active deletion vector) drives the model-based check
+    ACROSS the checkpoint DV fold: the consolidated per-row sidecar
+    must serve byte-identical visibility to the per-commit sidecars
+    it replaced, through every later op of the program."""
+    import glob
+
+    trace = _run_program(spark, tmp_path, seed=101, n_ops=24)
+    assert len(trace) == 24
+    tbl = str(tmp_path / "t101")
+    # the program really crossed the fold (seed-pinned — revisit the
+    # seed if the op mix ever changes)
+    assert glob.glob(tbl + "/_deletes/consolidated-*")

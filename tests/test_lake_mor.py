@@ -1147,3 +1147,111 @@ def test_empty_batch_append_to_partitioned_table(spark, tmp_path):
     led = append_files(spark, empty, tbl, txn=("e", 1))
     assert led["rows"] == 0
     assert read_table(spark, tbl).count() == 30
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector debt consolidation at checkpoint commits
+# ---------------------------------------------------------------------------
+
+
+def test_dv_debt_consolidates_at_checkpoint(spark, tmp_path):
+    """A steady merge-on-read workload must NOT grow one sidecar scan
+    per commit in every read plan forever: checkpoint commits (every
+    ``_CHECKPOINT_EVERY``) fold the active tombstone sidecars
+    keep-last into ONE consolidated per-row-versioned sidecar.  This
+    pins: (a) the active dv list collapses to 1 at the checkpoint and
+    stays bounded after, (b) the read plan scans exactly the
+    consolidated sidecar(s), (c) suppression results are IDENTICAL
+    across the fold — including the per-key version boundary: a key
+    re-inserted after its delete survives, (d) table_history reports
+    the debt, (e) the retired sidecars sweep."""
+    tbl = _seed(spark, tmp_path, n=200, files=4)  # v0..v3
+    # v4..v9: six scattered MOR deletes, one key each
+    for i, k in enumerate(range(10, 16)):
+        delete_where(
+            spark, tbl, None, {"k": (k, k)},
+            strategy="merge-on-read", keys=["k"],
+            txn=("dvck", i),
+        )
+    # v9 was not yet a checkpoint; debt = 6 sidecars
+    mdir = tbl + "/_stats_manifest"
+    assert len(sinks._active_dvs(spark, mdir)) == 6
+    # re-insert one deleted key: its NEW row postdates the tombstone
+    # and must survive the fold
+    append_files(
+        spark,
+        spark.range(12, 13).select(
+            F.col("id").alias("k"), F.lit(-777).cast("long").alias("v")
+        ).coalesce(1),
+        tbl,
+    )  # v10 — the checkpoint commit; consolidation runs HERE
+    dvs = sinks._active_dvs(spark, mdir)
+    assert len(dvs) == 1 and dvs[0].get("per_row") is True
+    assert "consolidated-v10" in dvs[0]["file"]
+    assert int(dvs[0]["rows"]) == 6  # keep-last fold of 6 single-key dvs
+
+    t = read_table(spark, tbl)
+    # deleted keys gone, the re-inserted key serves its new row
+    assert t.filter(F.col("k").between(10, 15)).count() == 1
+    assert t.filter("k = 12").collect()[0]["v"] == -777
+    assert t.count() == 200 - 6 + 1
+    # the plan reads exactly ONE _deletes sidecar file (plan-asserted
+    # through the scan's own input-file list)
+    scans = [f for f in t.inputFiles() if "/_deletes/" in f]
+    assert len(scans) == 1 and "consolidated-v10" in scans[0]
+
+    # more MOR commits after the fold stack on top of it, bounded by
+    # the checkpoint cadence
+    delete_where(
+        spark, tbl, None, {"k": (20, 20)},
+        strategy="merge-on-read", keys=["k"],
+    )  # v11
+    assert len(sinks._active_dvs(spark, mdir)) == 2
+    t2 = read_table(spark, tbl)
+    assert t2.count() == 200 - 7 + 1 and t2.filter("k = 12").count() == 1
+
+    # history surfaces the debt per snapshot
+    hist = {h["version"]: h for h in sinks.table_history(spark, tbl)}
+    assert hist[11]["dv_files"] == 2 and hist[11]["dv_rows"] == 7
+
+    # retired pre-fold sidecars are sweepable debris, not leaks
+    sinks.vacuum_table(spark, tbl, min_age_s=0)
+    on_disk = {
+        p
+        for p in glob.glob(tbl + "/_deletes/*/*.parquet")
+    }
+    live = {d["file"] for d in sinks._active_dvs(spark, mdir)}
+    assert on_disk == live
+
+    # materialize_deletes still folds everything back into data files
+    led = materialize_deletes(spark, tbl)
+    assert led["dv_files_removed"] == 2
+    t3 = read_table(spark, tbl)
+    assert t3.count() == 194 and t3.filter("k = 12").collect()[0]["v"] == -777
+    assert sinks._active_dvs(spark, mdir) == []
+
+
+def test_dv_consolidation_preserves_time_travel_on_retain(spark, tmp_path):
+    """On a RETENTION table the fold retires the old sidecars into the
+    pending backlog instead of deleting them, so time travel to a
+    pre-fold snapshot still serves its own dv set."""
+    tbl = str(tmp_path / "ret")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(
+        spark, df.coalesce(1), tbl, cols=["k"],
+        retain_removed=True, keep_versions=30,
+    )  # v0
+    for i in range(10):  # v1..v10 — v10 checkpoints + consolidates
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    mdir = tbl + "/_stats_manifest"
+    assert len(sinks._active_dvs(spark, mdir)) == 1
+    assert len(sinks._active_dvs(spark, mdir, version=9)) == 9
+    # head = fold applied; v9 = pre-fold sidecars still on disk
+    assert read_table(spark, tbl).count() == 90
+    assert read_table(spark, tbl, version=9).count() == 91
+    assert read_table(spark, tbl, version=5).count() == 95

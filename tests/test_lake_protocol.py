@@ -1,0 +1,166 @@
+"""Protocol feature-level stamps on the commit marker (Delta's
+protocol action re-expressed): commits that first use column mapping,
+type widening, or consolidated per-row deletion vectors stamp
+``features`` + ``protocol`` (min_reader/min_writer), the stamp carries
+forward monotonically, and every read/write entry point REFUSES a
+table stamped above this build's supported level instead of silently
+misreading physical names / narrow types / per-row tombstones."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evmtrace_etl_spark import sinks
+from evmtrace_etl_spark.sinks import (
+    ProtocolUnsupported,
+    append_files,
+    delete_where,
+    merge_into,
+    read_table,
+    rename_column,
+    table_changes,
+)
+
+
+def _seed(spark, tmp_path, name="tbl") -> str:
+    tbl = str(tmp_path / name)
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("int").alias("v")
+    )
+    append_files(spark, df.coalesce(1), tbl, cols=["k"], keep_versions=10)
+    return tbl
+
+
+def _head_marker(tbl: str) -> dict:
+    mdir = tbl + "/_stats_manifest"
+    vs = sorted(
+        int(n[1:])
+        for n in os.listdir(mdir)
+        if n.startswith("v")
+        and os.path.exists(os.path.join(mdir, n, "_COMMIT"))
+    )
+    with open(os.path.join(mdir, f"v{vs[-1]}", "_COMMIT")) as f:
+        return json.load(f)
+
+
+def _stamp_protocol(tbl: str, min_reader: int, min_writer: int) -> None:
+    """Hand-edit the head marker to a future protocol level — the
+    older-build-meets-newer-table simulation."""
+    mdir = tbl + "/_stats_manifest"
+    m = _head_marker(tbl)
+    vdir = os.path.join(mdir, f"v{m['version']}")
+    m["protocol"] = {"min_reader": min_reader, "min_writer": min_writer}
+    m["features"] = ["from-the-future"]
+    with open(os.path.join(vdir, "_COMMIT"), "w") as f:
+        f.write(json.dumps(m))
+    crc = os.path.join(vdir, "._COMMIT.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_plain_table_stamps_no_protocol(spark, tmp_path):
+    """Level-1 tables keep the pre-protocol wire shape byte-stable:
+    no ``protocol``/``features`` keys at all."""
+    tbl = _seed(spark, tmp_path)
+    m = _head_marker(tbl)
+    assert "protocol" not in m and "features" not in m
+
+
+def test_feature_commits_stamp_and_carry_protocol(spark, tmp_path):
+    """Column mapping and type widening each bump the stamp, the
+    feature set accumulates, and a later plain append CARRIES it —
+    protocol never downgrades."""
+    tbl = _seed(spark, tmp_path)
+    rename_column(spark, tbl, "v", "amount")
+    m = _head_marker(tbl)
+    assert m["protocol"] == {"min_reader": 2, "min_writer": 2}
+    assert m["features"] == ["column-mapping"]
+    # widening append: int -> long
+    append_files(
+        spark,
+        spark.range(100, 103).select(
+            F.col("id").alias("k"),
+            (F.lit(5_000_000_000) + F.col("id")).alias("amount"),
+        ).coalesce(1),
+        tbl,
+    )
+    m = _head_marker(tbl)
+    assert set(m["features"]) == {"column-mapping", "type-widening"}
+    # plain append afterwards: stamp carries forward unchanged
+    append_files(
+        spark,
+        spark.range(200, 203).select(
+            F.col("id").alias("k"), F.col("id").cast("long").alias("amount")
+        ).coalesce(1),
+        tbl,
+    )
+    m = _head_marker(tbl)
+    assert m["protocol"] == {"min_reader": 2, "min_writer": 2}
+    assert set(m["features"]) == {"column-mapping", "type-widening"}
+    # the table still reads fine at this build's level
+    assert read_table(spark, tbl).count() == 56
+
+
+def test_dv_consolidation_stamps_per_row_feature(spark, tmp_path):
+    """The checkpoint DV fold writes per-row-versioned sidecars — a
+    pre-fold build would ignore __dv_v — so the folding commit stamps
+    the dv-per-row feature."""
+    tbl = _seed(spark, tmp_path)
+    for i in range(10):  # v1..v10; v10 checkpoints + consolidates
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    m = _head_marker(tbl)
+    assert any(d.get("per_row") for d in m["dvs"])
+    assert "dv-per-row" in m["features"]
+    assert m["protocol"]["min_reader"] == 2
+
+
+def test_future_protocol_refuses_reads_and_writes(spark, tmp_path):
+    """A marker stamped above this build's level raises a NAMED error
+    on every entry point — read_table, table_changes, the lake_changes
+    stream source, and (through the one commit choke point) every
+    write path."""
+    tbl = _seed(spark, tmp_path)
+    _stamp_protocol(tbl, min_reader=99, min_writer=99)
+    with pytest.raises(ProtocolUnsupported, match="reader feature level"):
+        read_table(spark, tbl)
+    with pytest.raises(ProtocolUnsupported, match="reader feature level"):
+        table_changes(spark, tbl, since_version=0).collect()
+    from evmtrace_etl_spark.sources.lake_changes import lake_changes_stream
+
+    with pytest.raises(Exception, match="feature level"):
+        lake_changes_stream(spark, tbl).schema
+    batch = spark.range(500, 510).select(
+        F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+    )
+    with pytest.raises(ProtocolUnsupported, match="writer feature level"):
+        append_files(spark, batch.coalesce(1), tbl)
+    with pytest.raises(ProtocolUnsupported, match="writer feature level"):
+        merge_into(spark, batch, tbl, keys=["k"])
+    with pytest.raises(ProtocolUnsupported, match="writer feature level"):
+        delete_where(spark, tbl, None, {"k": (0, 5)})
+    with pytest.raises(ProtocolUnsupported, match="writer feature level"):
+        rename_column(spark, tbl, "v", "vv")
+
+
+def test_writer_only_future_level_still_reads(spark, tmp_path):
+    """min_writer above the build with min_reader within it: reads
+    keep working (forward-compatible readers — Delta's split levels),
+    writes refuse."""
+    tbl = _seed(spark, tmp_path)
+    _stamp_protocol(tbl, min_reader=1, min_writer=99)
+    assert read_table(spark, tbl).count() == 50
+    with pytest.raises(ProtocolUnsupported, match="writer feature level"):
+        append_files(
+            spark,
+            spark.range(2).select(
+                F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+            ).coalesce(1),
+            tbl,
+        )

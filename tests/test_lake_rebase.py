@@ -285,3 +285,143 @@ def test_winner_recovery_rolled_us_back_forces_full_retry(
     )
     assert led["rows"] == 50
     assert read_table(spark, tbl).count() == 200
+
+
+# ---------------------------------------------------------------------------
+# Tombstone-only (merge-on-read) commit rebase
+# ---------------------------------------------------------------------------
+
+
+def test_collided_mor_delete_recommits_without_rescanning(
+    spark, tmp_path, monkeypatch
+):
+    """A merge-on-read DELETE that loses the race to a PURE APPEND
+    re-commits its already-written tombstone at the next version —
+    no candidate re-scan, no sidecar rewrite (path AND mtime stable) —
+    and the result is EXACTLY serial order: the winner's appended rows
+    survive even where they carry tombstoned keys (the dv entry keeps
+    its original version stamp), while every pre-delete row of those
+    keys disappears."""
+    tbl = _seed(spark, tmp_path)
+
+    def competitor():
+        # the winner re-inserts five keys the victim's delete matched —
+        # serial order (delete THEN append) must keep these rows
+        sinks._append_files_unlocked(
+            spark, _batch(spark, 0, 5, -2).coalesce(1), tbl
+        )
+
+    state = _interleave_commit(monkeypatch, spark, tbl, competitor)
+    led = sinks.delete_where(
+        spark, tbl, None, {"k": (0, 9)},
+        strategy="merge-on-read", keys=["k"],
+    )
+    assert led["rebased"] == 1 and led["rows_deleted"] == 10
+    assert led["files_rewritten"] == 0 and led["files_added"] == 0
+    assert led["version"] == 2  # seed v0, winner v1, victim v2
+    # every file present at the victim's first attempt — its tombstone
+    # sidecar included — survives byte-untouched
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+        if "_stats_manifest" not in p
+    }
+    probe_side = {
+        p: mt
+        for p, mt in {
+            p: os.path.getmtime(p)
+            for p in glob.glob(tbl + "/_deletes/**/*.parquet", recursive=True)
+        }.items()
+    }
+    assert probe_side  # the tombstone existed before the re-commit…
+    for p, mt in state["probe"].items():
+        assert p in after and after[p] == mt, p
+    # serial-order semantics
+    t = read_table(spark, tbl)
+    assert t.count() == 100 - 10 + 5
+    assert t.filter("k < 5").count() == 5
+    assert {r["v"] for r in t.filter("k < 5").collect()} == {-2}
+    assert t.filter("k >= 5 and k <= 9").count() == 0
+    # the dv entry kept the ORIGINAL read-snapshot stamp, not the
+    # rebased commit version
+    dvs = sinks._active_dvs(spark, tbl + "/_stats_manifest")
+    assert [int(d["version"]) for d in dvs] == [1]
+    assert not os.path.exists(tbl + "/_stats_manifest/_TXN")
+
+
+def test_collided_mor_update_recommits_over_pure_append(
+    spark, tmp_path, monkeypatch
+):
+    """The merge-on-read UPDATE (self-merge) path rebases too: new
+    postimage files + tombstone re-commit at the next version, zero
+    extra write amplification, and its txn stamp stays exactly-once."""
+    tbl = _seed(spark, tmp_path)
+
+    def competitor():
+        sinks._append_files_unlocked(
+            spark, _batch(spark, 500, 520, -2).coalesce(1), tbl
+        )
+
+    state = _interleave_commit(monkeypatch, spark, tbl, competitor)
+    led = sinks.update_where(
+        spark, tbl, None, {"k": (0, 9)}, {"v": "v + 100000"},
+        strategy="merge-on-read", keys=["k"], txn=("morreb", 1),
+    )
+    assert led["rows_updated"] == 10 and led["files_rewritten"] == 0
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+        if "_stats_manifest" not in p
+    }
+    for p, mt in state["probe"].items():
+        assert p in after and after[p] == mt, p
+    t = read_table(spark, tbl)
+    assert t.count() == 120
+    assert t.filter("v >= 100000").count() == 10
+    assert t.filter("v = -2").count() == 20
+    # exactly-once across the rebase: the replay short-circuits
+    assert sinks.update_where(
+        spark, tbl, None, {"k": (0, 9)}, {"v": "v + 100000"},
+        strategy="merge-on-read", keys=["k"], txn=("morreb", 1),
+    )["skipped"]
+
+
+def test_mor_delete_vs_rewrite_winner_full_retries(
+    spark, tmp_path, monkeypatch
+):
+    """A winner that REMOVED files (copy-on-write delete re-homing
+    rows into fresh files) invalidates the tombstone's version-based
+    suppression boundary — the loser must full-retry, and the retried
+    delete sees the winner's state (Delta's ConcurrentDeleteRead
+    split)."""
+    tbl = _seed(spark, tmp_path)
+
+    # copy-on-write delete of a DIFFERENT slice: rewrites the one seed
+    # file, re-homing every surviving row into a fresh file.  The
+    # public delete_where takes the table lock the victim holds — run
+    # the competitor through the unlocked rewrite entry instead.
+    def competitor_unlocked():
+        sinks._txn_rewrite_unlocked(
+            spark, tbl, None, {"k": (90, 99)},
+            lambda touched, hit: touched.filter(~hit),
+            None, op="delete",
+        )
+
+    _interleave_commit(monkeypatch, spark, tbl, competitor_unlocked)
+    with pytest.raises(SnapshotConflict):
+        sinks.delete_where(
+            spark, tbl, None, {"k": (0, 9)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    # rollback left no tombstone and no intent
+    assert sinks._active_dvs(spark, tbl + "/_stats_manifest") == []
+    assert not os.path.exists(tbl + "/_stats_manifest/_TXN")
+    # the bounded retry lands against the fresh snapshot
+    led = sinks.retry_on_conflict(
+        lambda: sinks.delete_where(
+            spark, tbl, None, {"k": (0, 9)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    )
+    assert led["rows_deleted"] == 10
+    assert read_table(spark, tbl).count() == 80

@@ -331,3 +331,171 @@ def test_history_rows_carry_operation_metrics(spark, tmp_path):
     assert m["rows_written"] == 120
     d = hist["delete (merge-on-read)"]
     assert d == {"rows_deleted": 70, "dv_files": 1}
+
+
+# ---------------------------------------------------------------------------
+# Sidecar (deletion-vector / change-data) retention audit
+# ---------------------------------------------------------------------------
+
+
+def test_sidecar_census_matches_retained_ledger(spark, tmp_path):
+    """Disk census after a rewrite + vacuum cycle: the tombstone and
+    change-data sidecar files on disk are EXACTLY the union referenced
+    by the retained commit markers — sidecars referenced only by swept
+    snapshots are reclaimed, sidecars any retained version references
+    are kept (time travel to those versions keeps serving)."""
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import delete_where, materialize_deletes
+
+    tbl = str(tmp_path / "census")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(
+        spark, df.coalesce(2), tbl, cols=["k"],
+        retain_removed=True, keep_versions=4, enable_cdf=True,
+    )  # v0
+    # MOR deletes -> dv sidecars + delete change files (v1..v3)
+    for i in range(3):
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    # fold everything back -> dv sidecars retire into the backlog (v4)
+    materialize_deletes(spark, tbl)
+    mdir = tbl + "/_stats_manifest"
+    assert sinks._active_dvs(spark, mdir) == []
+    # the retired sidecars are still referenced by retained v1..v3 —
+    # vacuum must NOT reclaim them yet, and travel still serves
+    vacuum_table(spark, tbl, min_age_s=0)
+    assert read_table(spark, tbl, version=2).count() == 198
+    def _census():
+        return {
+            p
+            for sub in ("_deletes", "_changes")
+            for p in glob.glob(
+                os.path.join(tbl, sub, "**", "*.parquet"), recursive=True
+            )
+        }
+    def _referenced():
+        live: set[str] = set()
+        for mp in glob.glob(mdir + "/v*/_COMMIT"):
+            m = json.load(open(mp))
+            live.update(d["file"] for d in m.get("dvs", []))
+            live.update(m.get("changes", []) or [])
+        return live
+    assert _census() == _referenced() and _census()
+    pre_fold_dvs = {
+        d["file"]
+        for d in sinks._commit_info(spark, mdir, 3).get("dvs", [])
+    }
+    assert pre_fold_dvs <= _census()
+
+    # push v1..v4 out of the keep_versions=4 window (v5..v8), then
+    # vacuum: the retired dv sidecars' rm_v stamp is now at or below
+    # the retention floor — the backlog sweep reclaims THEM, while
+    # change files stay as long as an on-disk marker (retained window
+    # OR checkpoint-chain link) references them
+    for lo in (1000, 2000, 3000, 4000):
+        append_files(
+            spark,
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1),
+            tbl,
+        )
+    vacuum_table(spark, tbl, min_age_s=0)
+    census = _census()
+    # (a) the retired tombstones are reclaimed — the unbounded-growth
+    #     path is closed
+    assert not (pre_fold_dvs & census)
+    # (b) no orphan leak: everything on disk is referenced by some
+    #     on-disk marker...
+    assert census <= _referenced()
+    # (c) ...and no over-delete: everything the RETAINED window (>=
+    #     the head's floor) references is on disk
+    versions = sinks._committed_versions(spark, mdir)
+    head = sinks._commit_info(spark, mdir, versions[-1])
+    floor = int(head.get("floor", versions[0]))
+    window: set[str] = set()
+    for v in versions:
+        if v < floor:
+            continue
+        m = sinks._commit_info(spark, mdir, v)
+        window.update(d["file"] for d in m.get("dvs", []))
+        window.update(m.get("changes", []) or [])
+    assert window <= census
+
+    # advance past the next CHECKPOINT so housekeeping prunes the old
+    # marker-chain links; their change files become orphans and the
+    # next vacuum closes the full cycle: disk == referenced, exactly
+    for lo in (5000, 6000, 7000, 8000, 9000, 10000):
+        append_files(
+            spark,
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1),
+            tbl,
+        )
+    vacuum_table(spark, tbl, min_age_s=0)
+    assert _census() == _referenced()
+
+
+def test_vacuum_reclaims_crash_orphan_sidecars_only(spark, tmp_path):
+    """Crash leg: a sidecar dir left by a crash BETWEEN the sidecar
+    write and the ``_TXN`` intent (nothing logged — recovery cannot
+    know it) is invisible debris vacuum reclaims once it crosses the
+    age floor; a YOUNG sidecar written by a possibly-live writer in
+    another process survives the same sweep (the lease-TTL staleness
+    rule), as does everything a committed marker references."""
+    import shutil
+    import time as _time
+
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import delete_where
+
+    tbl = str(tmp_path / "orphans")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(spark, df.coalesce(1), tbl, cols=["k"], keep_versions=10)
+    delete_where(
+        spark, tbl, None, {"k": (0, 0)},
+        strategy="merge-on-read", keys=["k"],
+    )
+    mdir = tbl + "/_stats_manifest"
+    live_dv = sinks._active_dvs(spark, mdir)[0]["file"]
+    # forge STALE crash debris: an unreferenced sidecar dir backdated
+    # past the age floor (crash happened long ago)
+    orphan_dir = os.path.join(tbl, "_deletes", "v99-deadbeef")
+    shutil.copytree(os.path.dirname(live_dv), orphan_dir)
+    old = _time.time() - 3600
+    for p in [orphan_dir] + glob.glob(orphan_dir + "/*"):
+        os.utime(p, (old, old))
+    orphan_file = glob.glob(orphan_dir + "/*.parquet")[0]
+    # ...and FRESH debris: another process may be mid-transaction
+    # between its sidecar write and its intent — must survive
+    fresh_dir = os.path.join(tbl, "_deletes", "v98-cafebabe")
+    shutil.copytree(os.path.dirname(live_dv), fresh_dir)
+    fresh_file = glob.glob(fresh_dir + "/*.parquet")[0]
+
+    removed = vacuum_table(spark, tbl)  # default age floor (lease TTL)
+    assert any("v99-deadbeef" in p for p in removed)
+    assert not os.path.exists(orphan_file)
+    assert os.path.exists(fresh_file)  # young: possibly live — kept
+    assert os.path.exists(live_dv)     # committed: kept
+    assert read_table(spark, tbl).count() == 49
+
+    # a stale _TXN intent IS a crashed writer: min_age_s=0 (the
+    # no-other-writers assertion) rolls it back — its referenced
+    # files go too, and the table serves unchanged
+    with open(os.path.join(mdir, "_TXN"), "w") as f:
+        json.dump(
+            {"expected_version": 99, "added": [fresh_file], "removed": []},
+            f,
+        )
+    vacuum_table(spark, tbl, min_age_s=0)
+    assert not os.path.exists(fresh_file)
+    assert not os.path.exists(os.path.join(mdir, "_TXN"))
+    assert os.path.exists(live_dv)
+    assert read_table(spark, tbl).count() == 49

@@ -158,3 +158,53 @@ def test_legacy_marker_mtime_fallback(spark, tmp_path):
     # and history still reports a time for every version
     ts = [h["ts"] for h in table_history(spark, tbl)]
     assert len(ts) == 3 and all(t > 1.5e9 for t in ts)
+
+
+def test_timestamp_resolves_across_carried_backlog(
+    spark, tmp_path, monkeypatch
+):
+    """A crash between a rewrite's commit and its sweep leaves the
+    removal in every LATER commit's carried pending backlog (the
+    backlog rides forward until a sweep reclaims the files).  On a
+    zero-retention table, resolving a timestamp to one of those later
+    snapshots must NOT spuriously refuse: the carried entries were
+    removed AT OR BEFORE the resolution point, so the resolved
+    snapshot never referenced them.  Only removals NEW above the
+    resolution point make it unserveable."""
+    import evmtrace_etl_spark.sinks as sinks
+
+    tbl = str(tmp_path / "carry")
+    df0 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    append_files(spark, df0.coalesce(1), tbl, cols=["k"], keep_versions=10)
+
+    # disable BOTH sweep halves so v1's removal carries forward in the
+    # v2/v3 markers exactly like a crashed-then-busy table
+    monkeypatch.setattr(sinks, "_post_commit_sweep", lambda *a, **kw: [])
+    monkeypatch.setattr(sinks, "_sweep_removed", lambda *a, **kw: [])
+    delete_where(spark, tbl, None, {"k": (0, 9)}, keep_versions=10)  # v1
+    for lo in (1000, 2000):  # v2, v3 — pure appends carrying the backlog
+        df = spark.range(lo, lo + 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        append_files(spark, df.coalesce(1), tbl, cols=["k"], keep_versions=10)
+    monkeypatch.undo()
+
+    hist = {h["version"]: h["ts"] for h in table_history(spark, tbl)}
+    # v3's marker really does carry v1's removal (the scenario exists)
+    marker = json.loads(
+        open(os.path.join(tbl, "_stats_manifest", "v3", "_COMMIT")).read()
+    )
+    assert marker.get("pending"), "backlog should carry into v3"
+
+    # the fix: v2/v3 resolve fine (their snapshots never referenced
+    # the files v1 removed) and the data serves
+    assert version_at_timestamp(spark, tbl, hist[2]) == 2
+    assert version_at_timestamp(spark, tbl, hist[3] + 3600) == 3
+    assert (
+        read_table(spark, tbl, as_of_timestamp=hist[2]).count() == 140
+    )
+    # the genuine refusal is intact: v0 predates v1's FRESH removal
+    with pytest.raises(ValueError, match="no longer serveable"):
+        version_at_timestamp(spark, tbl, hist[0])
