@@ -41,3 +41,67 @@ def test_non_monotonic_curve_fails():
 def test_collapsed_throughput_fails_floor():
     g = curve_shape_gate(_pts(300, 900, 2500))
     assert not g["last_point_ok"] and not g["pass"]
+
+
+# ---------------------------------------------------------------------------
+# Self-defending re-probe (pure logic)
+# ---------------------------------------------------------------------------
+
+from bench import reprobe_curve, suspect_points
+
+
+def test_suspect_points_identifies_the_stall():
+    # a stalled MIDDLE point (the BENCH_r12 shape) implicates itself
+    assert suspect_points(_pts(3801, 2334, 7112)) == [1]
+    # a stalled TAIL implicates the endpoints (scaling + floor)
+    assert suspect_points(_pts(3000, 7000, 3500)) == [0, 2]
+    # healthy curves implicate nothing
+    assert suspect_points(_pts(3000, 7600, 13500)) == []
+
+
+def test_reprobe_rescues_a_host_stall():
+    """The r12 artifact case: one stalled middle point on healthy
+    pacing.  The re-probe returns the clean measurement; the gate
+    passes and records BOTH measurements."""
+    stalled = _pts(3801, 2334, 7112)
+    clean = {"files_per_trigger": 8, "rows_per_sec": 6575, "seconds": 1.0}
+    final, gate = reprobe_curve(stalled, lambda fpt: dict(clean))
+    assert gate["pass"]
+    assert final[1]["rows_per_sec"] == 6575
+    assert gate["first_attempt"]["pass"] is False
+    assert gate["retries"]["8"]["first"]["rows_per_sec"] == 2334
+    assert gate["retries"]["8"]["reprobe"]["rows_per_sec"] == 6575
+
+
+def test_reprobe_confirms_a_real_regression():
+    """A genuinely flat curve re-probes to the same flat numbers — the
+    gate still fails, with both measurements on record."""
+    flat = _pts(6000, 6500, 7000)
+
+    def same(fpt):
+        return next(p for p in flat if p["files_per_trigger"] == fpt)
+
+    final, gate = reprobe_curve(flat, same)
+    assert not gate["pass"]
+    assert gate["retries"]  # the re-probe happened and is recorded
+
+
+def test_reprobe_never_slows_a_point():
+    """Host noise only ever SLOWS a drain — a re-probe that lands
+    slower than the first measurement must not replace it."""
+    pts = _pts(3801, 2334, 7112)
+    worse = {"files_per_trigger": 8, "rows_per_sec": 1500}
+    final, gate = reprobe_curve(pts, lambda fpt: dict(worse))
+    assert final[1]["rows_per_sec"] == 2334  # first kept
+    assert not gate["pass"]  # still honestly failing
+
+
+def test_passing_curve_skips_the_reprobe():
+    calls = []
+
+    def boom(fpt):
+        calls.append(fpt)
+        raise AssertionError("must not re-probe a passing curve")
+
+    final, gate = reprobe_curve(_pts(3000, 7600, 13500), boom)
+    assert gate["pass"] and calls == [] and "retries" not in gate
