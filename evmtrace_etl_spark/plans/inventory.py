@@ -4192,6 +4192,296 @@ GROUP BY event_type
 """
 
 
+def _lake_dv_checkpoint_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_dv_checkpoint``: seed an event_id-clustered
+    lake table, then run ELEVEN scattered merge-on-read deletes (one
+    user-id slice each — v1..v11) so the every-10-commits checkpoint
+    fires with 10 active tombstone sidecars.  The build asserts the
+    fold: at the checkpoint the active deletion-vector list collapses
+    to ONE consolidated per-row-versioned sidecar (plus the one
+    post-fold delete), the read plan's input files contain exactly
+    those sidecars — ≤2 tombstone scans after 11 MOR commits, NOT 11 —
+    and zero data files were rewritten anywhere (paths and mtimes
+    stable).  This is the debt bound that keeps a steady
+    delete/update trickle from growing one scan branch per commit in
+    every read plan on a 100 TB corpus table.  Memoized per sf_dir."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from .. import sinks
+    from ..sinks import append_files, delete_where
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakedvck",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_dv_checkpoint") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(
+            spark,
+            ev.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )
+        before = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        for i in range(11):  # v1..v11; v10 checkpoints + consolidates
+            led = delete_where(
+                spark, tbl, None, {"user_id": (i + 1, i + 1)},
+                strategy="merge-on-read", keys=["event_id"],
+                txn=("inv_dvck", i),
+            )
+            assert led["files_rewritten"] == 0 and led["files_added"] == 0
+            assert led["rows_deleted"] > 0  # each slice must commit
+        after = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/*.parquet")
+        }
+        assert after == before  # zero write amplification through it all
+        mdir = tbl + "/_stats_manifest"
+        dvs = sinks._active_dvs(spark, mdir)
+        # 10 pre-checkpoint sidecars folded to 1 consolidated (per-row
+        # versions) + the post-fold v11 sidecar
+        assert len(dvs) == 2, dvs
+        assert dvs[0].get("per_row") is True and "consolidated" in dvs[0]["file"]
+        scans = [
+            f
+            for f in sinks.read_table(spark, tbl).inputFiles()
+            if "/_deletes/" in f
+        ]
+        assert len(scans) == 2, scans  # plan-asserted debt bound
+        # the fold stamped the protocol feature
+        head = sinks._commit_info(
+            spark, mdir, sinks.manifest_version(spark, mdir)
+        )
+        assert "dv-per-row" in head.get("features", [])
+        _BUILD_DONE["lake_dv_checkpoint"] = base
+    return tbl
+
+
+def lake_dv_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector debt consolidation at checkpoint commits
+    (``sinks._consolidate_dvs`` — Delta's checkpoint-consolidated DV
+    bitmaps on this log): the build leg issues 11 scattered
+    merge-on-read deletes across the every-10-commits checkpoint and
+    asserts the active sidecar list folds keep-last into ONE
+    consolidated per-row-versioned sidecar (read plans scan ≤2
+    tombstone files, not 11 — plan-asserted on inputFiles), zero data
+    files rewritten.  The serve leg aggregates THROUGH the folded
+    suppression; the oracle recomputes the surviving rows from the raw
+    events — a key lost or resurrected by the fold, or a suppression
+    boundary shifted by the consolidated stamps, fails the value hash
+    every round."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_dv_checkpoint_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_DV_CHECKPOINT_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE user_id NOT BETWEEN 1 AND 11
+GROUP BY event_type
+"""
+
+
+def _lake_mor_rebase_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_mor_rebase``: a merge-on-read DELETE
+    collides with a PURE-APPEND winner (the winner commits between the
+    loser's tombstone write and its manifest commit — forced by a
+    one-shot hook on ``_commit_manifest``) and must RE-COMMIT its
+    already-written sidecar at the next version instead of re-running
+    the scan/write (``_rebase_tombstone``).  Build-asserted: ledger
+    ``rebased == 1``, zero files rewritten, every pre-collision file —
+    the tombstone sidecar included — keeps its path AND mtime, and the
+    result is exactly serial order: the winner's appended rows survive
+    even where they carry tombstoned keys (the dv entry keeps its
+    original read-snapshot version stamp).  Memoized per sf_dir."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from .. import sinks
+    from ..sinks import append_files, delete_where
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakemorreb",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_mor_rebase") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        append_files(
+            spark,
+            ev.repartitionByRange(6, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            tbl,
+            cols=["event_id"],
+        )  # v0
+        # the winner re-inserts (new event_ids) rows of a USER SLICE
+        # the loser's delete matches — serial order (delete THEN
+        # append) must keep exactly these rows for that slice
+        winner = ev.filter(
+            (F.col("user_id") >= 1) & (F.col("user_id") <= 50)
+            & (F.col("event_id") % 10 == 3)
+        ).select(
+            (F.col("event_id") + 1_000_000_000).alias("event_id"),
+            "user_id",
+            F.lit("rebased_new").alias("event_type"),
+            "value",
+        )
+        real_commit = sinks._commit_manifest
+        real_recover = sinks._recover_txn
+        state = {"armed": True, "files": {}}
+
+        def hook(spark_, mdir_, *a, **kw):
+            if state["armed"]:
+                state["armed"] = False
+                state["files"] = {
+                    p: os.path.getmtime(p)
+                    for p in _glob.glob(
+                        tbl + "/**/*.parquet", recursive=True
+                    )
+                    if "_stats_manifest" not in p
+                }
+                # model the COMMON cross-process interleave: the
+                # winner's head-of-op intent recovery ran BEFORE the
+                # loser wrote its intent (same shape as
+                # tests/test_lake_rebase._interleave_commit) — a
+                # winner whose recovery instead rolls the live intent
+                # back is the other, full-retry leg, tested there
+                sinks._recover_txn = lambda *_a, **_k: None
+                try:
+                    sinks._append_files_unlocked(
+                        spark_, winner.coalesce(1), tbl
+                    )  # v1 — the pure-append winner
+                finally:
+                    sinks._recover_txn = real_recover
+            return real_commit(spark_, mdir_, *a, **kw)
+
+        sinks._commit_manifest = hook
+        try:
+            led = delete_where(
+                spark, tbl, None, {"user_id": (1, 50)},
+                strategy="merge-on-read", keys=["event_id"],
+                txn=("inv_morreb", 1),
+            )  # loser: collides at v1, re-commits at v2
+        finally:
+            sinks._commit_manifest = real_commit
+        assert led["rebased"] == 1 and led["version"] == 2, led
+        assert led["files_rewritten"] == 0 and led["files_added"] == 0
+        after = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(tbl + "/**/*.parquet", recursive=True)
+            if "_stats_manifest" not in p
+        }
+        for p, mt in state["files"].items():
+            # every pre-collision file (winner's data files AND the
+            # loser's tombstone sidecar) survived byte-untouched — the
+            # re-commit reused them, no scan or write re-ran
+            assert p in after and after[p] == mt, p
+        # the dv entry kept the ORIGINAL read-snapshot stamp (v1), so
+        # the winner's rows (added_version 1) survive the suppression
+        dvs = sinks._active_dvs(spark, tbl + "/_stats_manifest")
+        assert [int(d["version"]) for d in dvs] == [1], dvs
+        # exactly-once across the rebase
+        assert delete_where(
+            spark, tbl, None, {"user_id": (1, 50)},
+            strategy="merge-on-read", keys=["event_id"],
+            txn=("inv_morreb", 1),
+        )["skipped"]
+        _BUILD_DONE["lake_mor_rebase"] = base
+    return tbl
+
+
+def lake_mor_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-commit rebase under writer collision
+    (``sinks._rebase_tombstone`` — Delta's ConcurrentAppend-vs-delete
+    split under WriteSerializable): the build leg forces a
+    merge-on-read delete to lose the optimistic race to a pure-append
+    winner that RE-INSERTS rows of the very slice being deleted; the
+    loser re-commits its already-written tombstone (zero re-scans,
+    paths and mtimes build-asserted) and the dv keeps its original
+    version stamp, so the outcome is exactly serial delete-then-append
+    order.  The serve leg aggregates the final table; the oracle
+    recomputes it from the raw events — an over-suppressed winner row,
+    a surviving pre-delete row, or a double-applied replay fails the
+    value hash every round."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_mor_rebase_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_MOR_REBASE_SQL = """
+WITH final AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE user_id NOT BETWEEN 1 AND 50
+  UNION ALL
+  SELECT event_id + 1000000000, user_id, 'rebased_new', value
+  FROM events
+  WHERE user_id BETWEEN 1 AND 50 AND event_id % 10 = 3
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM final
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "inv_pricing_summary": pricing_summary,
     "inv_top_revenue_orders": top_revenue_orders,
@@ -4252,6 +4542,8 @@ QUERIES = {
     "inv_lake_stream_backlog": lake_stream_backlog,
     "inv_lake_widen_evolution": lake_widen_evolution,
     "inv_lake_update_mor": lake_update_mor,
+    "inv_lake_dv_checkpoint": lake_dv_checkpoint,
+    "inv_lake_mor_rebase": lake_mor_rebase,
 }
 
 ORACLES = {
@@ -4314,4 +4606,6 @@ ORACLES = {
     "inv_lake_stream_backlog": LAKE_STREAM_BACKLOG_SQL,
     "inv_lake_widen_evolution": LAKE_WIDEN_EVOLUTION_SQL,
     "inv_lake_update_mor": LAKE_UPDATE_MOR_SQL,
+    "inv_lake_dv_checkpoint": LAKE_DV_CHECKPOINT_SQL,
+    "inv_lake_mor_rebase": LAKE_MOR_REBASE_SQL,
 }
