@@ -3197,6 +3197,14 @@ def _table_cdf(spark: SparkSession, manifest_path: str) -> bool:
     return bool(_commit_info(spark, manifest_path, v).get("cdf", False))
 
 
+#: Tombstone sets at or under this many keys keep the explicit
+#: broadcast hint in ``_dv_suppress``; larger (provably, via the
+#: entries' stamped row counts) sets join un-hinted so AQE sizes the
+#: physical join — a 100 TB table's consolidated erasure debt must
+#: never be FORCED into every executor's memory.
+_DV_BROADCAST_MAX_ROWS = 4_000_000
+
+
 def _dv_frame(spark: SparkSession, d: dict, keys: Sequence[str]) -> DataFrame:
     """One deletion-vector entry as ``keys + __dv_v`` rows.  A plain
     per-commit tombstone sidecar stamps the entry's single commit
@@ -3256,7 +3264,16 @@ def _dv_suppress(
     partition as oldest; literal ``+`` is protected from
     ``url_decode``'s form-decoding first).  Rows from files the
     manifest does not know (legacy/pre-DV) conservatively count as
-    oldest, so tombstones apply to them."""
+    oldest, so tombstones apply to them.
+
+    Scale guard: the tombstone join is HINTED broadcast only while the
+    stamped per-entry row counts prove the set is broadcast-sized
+    (``_DV_BROADCAST_MAX_ROWS``); a consolidated sidecar that has
+    grown past that (months of right-to-erasure trickle on a 100 TB
+    table) joins un-hinted instead — AQE picks the physical strategy
+    from real runtime stats rather than an OOM-forcing hint.  Entries
+    without a row stamp (pre-r13 markers) keep the broadcast hint —
+    they are per-commit batch-sized by construction."""
     dvs = list(dvs)
     if not dvs:
         return df
@@ -3269,10 +3286,21 @@ def _dv_suppress(
                 "before merging on a different key set"
             )
     tomb: DataFrame | None = None
+    total_rows = 0
+    rows_known = True
     for d in dvs:
         t = _dv_frame(spark, d, keys)
         tomb = t if tomb is None else tomb.unionByName(t)
+        r = d.get("rows")
+        if r is None:
+            rows_known = False
+        else:
+            total_rows += int(r)
     tmax = tomb.groupBy(*keys).agg(F.max("__dv_v").alias("__dv_v"))
+    if rows_known and total_rows > _DV_BROADCAST_MAX_ROWS:
+        tmax_side = tmax  # too big to hint — AQE decides from stats
+    else:
+        tmax_side = F.broadcast(tmax)
     if "added_version" in manifest.columns:
         av = F.coalesce(F.col("added_version"), F.lit(-1)).cast("long")
     else:  # legacy manifest rows: every file predates every tombstone
@@ -3292,7 +3320,7 @@ def _dv_suppress(
             ),
         )
         .join(F.broadcast(fmap), on="__dv_file", how="left")
-        .join(F.broadcast(tmax), on=keys, how="left")
+        .join(tmax_side, on=keys, how="left")
         .filter(
             F.col("__dv_v").isNull()
             | (F.col("__dv_v") <= F.coalesce(F.col("__dv_av"), F.lit(-1)))

@@ -1255,3 +1255,54 @@ def test_dv_consolidation_preserves_time_travel_on_retain(spark, tmp_path):
     assert read_table(spark, tbl).count() == 90
     assert read_table(spark, tbl, version=9).count() == 91
     assert read_table(spark, tbl, version=5).count() == 95
+
+
+def test_dv_suppression_broadcast_hint_is_size_gated(
+    spark, tmp_path, monkeypatch
+):
+    """The tombstone join is broadcast-HINTED only while the stamped
+    row counts prove the set is broadcast-sized: past the threshold
+    the join goes un-hinted (AQE sizes it from runtime stats) — a
+    months-old consolidated erasure debt must never be FORCED into
+    every executor's memory."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    merge_into(
+        spark,
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ),
+        tbl, keys=["k"], strategy="merge-on-read",
+    )
+
+    def _hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "UnresolvedHint broadcast"
+        ) + df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint (strategy=broadcast)"
+        )
+
+    # batch-sized debt: tombstone + file-map both hinted
+    assert _hints(read_table(spark, tbl)) == 2
+    # provably-huge debt: only the (metadata-sized) file map stays
+    # hinted; results identical either way
+    monkeypatch.setattr(sinks, "_DV_BROADCAST_MAX_ROWS", 1)
+    t = read_table(spark, tbl)
+    assert _hints(t) == 1
+    assert t.count() == 100 and t.filter("v = -1").count() == 10
+    monkeypatch.undo()
+    # pre-r13 entries (no row stamp) keep the hint — per-commit
+    # batch-sized by construction
+    mdir = tbl + "/_stats_manifest"
+    head_v = sinks.manifest_version(spark, mdir)
+    import json as _json
+    mp = os.path.join(mdir, f"v{head_v}", "_COMMIT")
+    m = _json.loads(open(mp).read())
+    for d in m["dvs"]:
+        d.pop("rows", None)
+    with open(mp, "w") as f:
+        f.write(_json.dumps(m))
+    crc = os.path.join(os.path.dirname(mp), "._COMMIT.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    monkeypatch.setattr(sinks, "_DV_BROADCAST_MAX_ROWS", 1)
+    assert _hints(read_table(spark, tbl)) == 2
