@@ -3960,6 +3960,7 @@ def _delete_mor_unlocked(
                         dv_files + list(changes_files or []),
                         head.get("col_mapping"),
                         snap_v if snap_v is not None else -1,
+                        dv_keys=keys, our_dv_files=dv_files,
                     )
                     if rebased < 20
                     else None
@@ -4619,6 +4620,8 @@ def _rebase_tombstone(
     our_files: Sequence[str],
     planned_cmap: dict | None,
     read_snap: int,
+    dv_keys: Sequence[str] | None = None,
+    our_dv_files: Sequence[str] | None = None,
 ) -> "tuple[int, T.StructType] | str | None":
     """Logical conflict detection for a MERGE-ON-READ commit (a
     ``delete_where``/``update_where``/``merge_into`` tombstone, plus
@@ -4636,23 +4639,75 @@ def _rebase_tombstone(
     Returns the same contract as ``_rebase_append`` (which performs
     the head-state checks: txn skip, constraints, cdf, mapping,
     partition stamp, schema merge, file existence) — plus the span
-    check unique to tombstones: a winner that REMOVED files
+    checks unique to tombstones: a winner that REMOVED files
     (rewrite/compaction/materialize) re-homed our matched rows into
     files whose added_version postdates the tombstone, silently
-    exempting them from suppression; a winner that changed deletion-
-    vector visibility (``dvs_delta``) may have folded or re-keyed the
-    dv set out from under us.  Either forces the full retry
-    (``retry_on_conflict``), same as Delta's ConcurrentDeleteRead /
-    ConcurrentAppend split under WriteSerializable."""
+    exempting them from suppression — full retry.  A winner that is
+    itself a PURE tombstone delete (two right-to-erasure purges
+    racing — the realistic concurrent-writer mix on a corpus table)
+    commutes EXACTLY when its tombstoned keys are DISJOINT from ours
+    (delete∘delete on disjoint keys is order-free; overlap would
+    double-count ledgers and emit CDC deletes for already-invisible
+    rows — full retry, Delta's ConcurrentDeleteDelete).  Disjointness
+    is one batch-sized tombstone semi-join, paid only on the conflict
+    path.  Any other visibility change (update-MOR winners whose
+    postimages our predicate never saw, materialize, restore) forces
+    the full retry — Delta's ConcurrentDeleteRead / ConcurrentAppend
+    split under WriteSerializable."""
     snap = manifest_version(spark, mdir)
     if snap is None:
         return None
+    winner_tombs: list[dict] = []
     for v in range(read_snap + 1, snap + 1):
         try:
             m = _commit_info(spark, mdir, v)
         except Exception:
             return None  # span fell out of retention — full retry
-        if m.get("removed") or m.get("dvs_delta"):
+        if m.get("removed"):
+            return None
+        if not m.get("dvs_delta"):
+            continue
+        # a visibility-changing winner is rebasable ONLY when it is a
+        # PURE tombstone delete: no data files added (an update-MOR
+        # winner's postimage rows could match our predicate — serial
+        # order would have us act on them, but our matched set
+        # predates them), the dv list GREW (a materialize/restore
+        # shrank it — our suppression boundary may be stale), and the
+        # new entries share our key columns
+        if m.get("added") or dv_keys is None or our_dv_files is None:
+            return None
+        try:
+            prev_dvs = {
+                d["file"]
+                for d in _commit_info(spark, mdir, v - 1).get("dvs", [])
+            } if v - 1 >= 0 else set()
+        except Exception:
+            return None
+        new = [
+            d for d in m.get("dvs", []) if d["file"] not in prev_dvs
+        ]
+        if not new or any(
+            list(d.get("keys", [])) != list(dv_keys) for d in new
+        ):
+            return None
+        winner_tombs.extend(new)
+    if winner_tombs:
+        # delete∘delete commutes exactly only on DISJOINT key sets:
+        # overlapping keys would double-count the ledger and emit CDC
+        # delete rows for already-invisible rows — one batch-sized
+        # semi-join decides (conflict path only, never the hot path)
+        keys = list(dv_keys)
+        ours = spark.read.parquet(*list(our_dv_files)).select(*keys)
+        wt: DataFrame | None = None
+        for d in winner_tombs:
+            t = _dv_frame(spark, d, keys).select(*keys)
+            wt = t if wt is None else wt.unionByName(t)
+        if (
+            ours.join(F.broadcast(wt), on=keys, how="leftsemi")
+            .limit(1)
+            .count()
+            > 0
+        ):
             return None
     return _rebase_append(
         spark, mdir, txn, planned_cdf, our_schema, checked_constraints,
@@ -5487,6 +5542,7 @@ def _merge_into_unlocked(
                         dict(head.get("constraints") or {}), pcols,
                         added + dv_files + list(changes_files or []),
                         cmap, snap_v if snap_v is not None else -1,
+                        dv_keys=list(keys), our_dv_files=dv_files,
                     )
                     if mor and rebased < 20
                     else None

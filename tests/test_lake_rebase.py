@@ -425,3 +425,72 @@ def test_mor_delete_vs_rewrite_winner_full_retries(
     )
     assert led["rows_deleted"] == 10
     assert read_table(spark, tbl).count() == 80
+
+
+def test_two_racing_mor_deletes_commute_when_key_disjoint(
+    spark, tmp_path, monkeypatch
+):
+    """Two right-to-erasure purges racing — the realistic concurrent
+    mix on a corpus table: when the winner is a PURE tombstone delete
+    on DISJOINT keys, the loser re-commits its already-written
+    tombstone (no re-scan, sidecar path+mtime stable) and the result
+    equals either serial order."""
+    tbl = _seed(spark, tmp_path)
+
+    def competitor():
+        sinks._delete_mor_unlocked(
+            spark, tbl, None, {"k": (50, 59)}, ["k"],
+        )
+
+    state = _interleave_commit(monkeypatch, spark, tbl, competitor)
+    led = sinks.delete_where(
+        spark, tbl, None, {"k": (0, 9)},
+        strategy="merge-on-read", keys=["k"],
+    )
+    assert led["rebased"] == 1 and led["rows_deleted"] == 10
+    assert led["version"] == 2
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+        if "_stats_manifest" not in p
+    }
+    for p, mt in state["probe"].items():
+        assert p in after and after[p] == mt, p
+    t = read_table(spark, tbl)
+    assert t.count() == 80
+    assert t.filter("k < 10 or (k >= 50 and k < 60)").count() == 0
+    # both tombstones active, each with its own read-snapshot stamp
+    dvs = sinks._active_dvs(spark, tbl + "/_stats_manifest")
+    assert sorted(int(d["version"]) for d in dvs) == [1, 1]
+
+
+def test_two_racing_mor_deletes_overlap_full_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Overlapping keys do NOT commute (double-counted ledgers, CDC
+    deletes for already-invisible rows): the loser full-retries, and
+    the retried delete — computed against the winner's snapshot —
+    reports only the rows IT deleted."""
+    tbl = _seed(spark, tmp_path)
+
+    def competitor():
+        sinks._delete_mor_unlocked(
+            spark, tbl, None, {"k": (5, 14)}, ["k"],
+        )
+
+    _interleave_commit(monkeypatch, spark, tbl, competitor)
+    with pytest.raises(SnapshotConflict):
+        sinks.delete_where(
+            spark, tbl, None, {"k": (0, 9)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    assert not os.path.exists(tbl + "/_stats_manifest/_TXN")
+    led = sinks.retry_on_conflict(
+        lambda: sinks.delete_where(
+            spark, tbl, None, {"k": (0, 9)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    )
+    # the winner already removed 5..9 — the retry deletes only 0..4
+    assert led["rows_deleted"] == 5
+    assert read_table(spark, tbl).count() == 85
