@@ -1,9 +1,16 @@
-"""Child writer for the cross-PROCESS two-writer test: its own
+"""Child writer for the cross-PROCESS two-writer tests: its own
 SparkSession (separate JVM, separate driver — the in-process _log_lock
-cannot help), appending batches to a shared lake table through the
+cannot help), racing the parent on a shared lake table through the
 snapshot log with bounded conflict retries.
 
-Usage: python lake_two_process_script.py <table> <lo> <n_batches>
+Usage: python lake_two_process_script.py <table> <lo> <n_batches> [mode]
+
+mode "append" (default): append one 100-row batch per round.
+mode "delmor": merge-on-read DELETE one 10-key slice per round,
+keys [lo + 10*b, lo + 10*b + 9] — the two-erasure-jobs-racing shape;
+a collision with the parent either rebases (disjoint tombstones /
+pure-append winners) or full-retries through retry_on_conflict — the
+exactly-once ledger is the contract either way.
 """
 
 import sys
@@ -11,11 +18,16 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from evmtrace_etl_spark.sinks import append_files, retry_on_conflict
+from evmtrace_etl_spark.sinks import (
+    append_files,
+    delete_where,
+    retry_on_conflict,
+)
 
 
 def main() -> None:
     tbl, lo, n_batches = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "append"
     spark = (
         SparkSession.builder.master("local[2]")
         .appName("lake-two-process-child")
@@ -26,17 +38,34 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for b in range(n_batches):
-        batch = spark.range(lo + b * 100, lo + b * 100 + 100).select(
-            F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")
-        )
-        led = retry_on_conflict(
-            lambda: append_files(spark, batch, tbl), attempts=10
-        )
-        print(
-            f"CHILD_COMMIT v{led['version']} rows={led['rows']} "
-            f"files={led['files_added']} rebased={led.get('rebased', 0)}",
-            flush=True,
-        )
+        if mode == "delmor":
+            slice_lo = lo + 10 * b
+            led = retry_on_conflict(
+                lambda: delete_where(
+                    spark, tbl, None,
+                    {"k": (slice_lo, slice_lo + 9)},
+                    strategy="merge-on-read", keys=["k"],
+                ),
+                attempts=10,
+            )
+            print(
+                f"CHILD_COMMIT v{led['version']} "
+                f"deleted={led['rows_deleted']} "
+                f"rebased={led.get('rebased', 0)}",
+                flush=True,
+            )
+        else:
+            batch = spark.range(lo + b * 100, lo + b * 100 + 100).select(
+                F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")
+            )
+            led = retry_on_conflict(
+                lambda: append_files(spark, batch, tbl), attempts=10
+            )
+            print(
+                f"CHILD_COMMIT v{led['version']} rows={led['rows']} "
+                f"files={led['files_added']} rebased={led.get('rebased', 0)}",
+                flush=True,
+            )
     spark.stop()
     print("CHILD_DONE", flush=True)
 

@@ -1306,3 +1306,70 @@ def test_dv_suppression_broadcast_hint_is_size_gated(
         os.remove(crc)
     monkeypatch.setattr(sinks, "_DV_BROADCAST_MAX_ROWS", 1)
     assert _hints(read_table(spark, tbl)) == 2
+
+
+def test_two_processes_racing_mor_deletes_land_exactly_once(
+    spark, tmp_path
+):
+    """Cross-PROCESS erasure race (separate JVMs, the in-process lock
+    cannot help): a child driver merge-on-read-deletes three key
+    slices while this one deletes three DISJOINT slices.  Collisions
+    resolve through the commit lease + tombstone rebase (disjoint
+    keys commute) or the bounded full retry — either way every slice
+    is deleted exactly once, the version history serializes, and the
+    suppression join serves the intersection of both erasures."""
+    import subprocess
+    import sys
+
+    from evmtrace_etl_spark.sinks import delete_where, retry_on_conflict
+
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    script = os.path.join(
+        os.path.dirname(__file__), "lake_two_process_script.py"
+    )
+    repo = os.path.dirname(os.path.dirname(__file__))
+    env = dict(
+        os.environ,
+        PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    child = subprocess.Popen(
+        [sys.executable, script, tbl, "0", "3", "delmor"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=repo,
+        env=env,
+    )
+    parent_deleted = 0
+    try:
+        for b in range(3):  # parent purges 50-59, 60-69, 70-79
+            lo = 50 + 10 * b
+            led = retry_on_conflict(
+                lambda: delete_where(
+                    spark, tbl, None, {"k": (lo, lo + 9)},
+                    strategy="merge-on-read", keys=["k"],
+                ),
+                attempts=10,
+            )
+            parent_deleted += led["rows_deleted"]
+        out, _ = child.communicate(timeout=240)
+    finally:
+        if child.poll() is None:
+            child.kill()
+    assert "CHILD_DONE" in out, out
+    assert out.count("CHILD_COMMIT") == 3
+    child_deleted = sum(
+        int(ln.split("deleted=")[1].split()[0])
+        for ln in out.splitlines()
+        if "CHILD_COMMIT" in ln
+    )
+    assert parent_deleted == 30 and child_deleted == 30
+    t = read_table(spark, tbl)
+    assert t.count() == 40
+    assert t.filter("k < 30 or (k >= 50 and k < 80)").count() == 0
+    mdir = tbl + "/_stats_manifest"
+    assert sinks.manifest_version(spark, mdir) == 1 + 6  # serialized
+    assert not os.path.exists(mdir + "/_LOCK")  # lease released
+    assert not os.path.exists(mdir + "/_TXN")
+    # zero data files were rewritten by either process's erasure
+    assert len(glob.glob(tbl + "/*.parquet")) == 2
