@@ -2331,6 +2331,7 @@ def _commit_manifest_unleased(
     col_mapping: dict | None = None,
     stats_cols_override: Sequence[str] | None = None,
     metrics: dict | None = None,
+    protocol_floor: tuple[int, int] | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2723,8 +2724,9 @@ def _commit_manifest_unleased(
     ):
         features.add("type-widening")
     lvl = max([1] + [_FEATURE_LEVELS.get(f, 1) for f in features])
-    min_r = max(lvl, int(prev_proto.get("min_reader", 1)))
-    min_w = max(lvl, int(prev_proto.get("min_writer", 1)))
+    floor_r, floor_w = protocol_floor or (1, 1)
+    min_r = max(lvl, int(prev_proto.get("min_reader", 1)), int(floor_r))
+    min_w = max(lvl, int(prev_proto.get("min_writer", 1)), int(floor_w))
     if features:
         payload["features"] = sorted(features)
     if min_r > 1 or min_w > 1:
@@ -6487,6 +6489,65 @@ def drop_column(
             op=f"drop column ({name})",
         )
         return {"version": int(version), "dropped": name}
+
+
+def upgrade_table_protocol(
+    spark: SparkSession,
+    path: str,
+    min_reader: int | None = None,
+    min_writer: int | None = None,
+    manifest_path: str | None = None,
+    keep_versions: int | None = None,
+) -> dict:
+    """Explicitly RAISE the table's protocol floor as a metadata-only
+    commit (Delta's ALTER TABLE upgrade): an operator locks older
+    builds out BEFORE a migration starts using level-N features,
+    instead of mid-migration when the first feature commit lands.
+    Levels only ever increase (requests at or below the current stamp
+    are a commit-free no-op), and a request ABOVE this build's own
+    supported level refuses — a writer must understand what it stamps.
+    Returns {version, protocol}."""
+    want_r = int(min_reader) if min_reader is not None else 1
+    want_w = int(min_writer) if min_writer is not None else 1
+    if want_r > _SUPPORTED_READER or want_w > _SUPPORTED_WRITER:
+        raise ValueError(
+            f"cannot upgrade to reader {want_r} / writer {want_w}: this "
+            f"build supports {_SUPPORTED_READER}/{_SUPPORTED_WRITER}"
+        )
+    mdir = _manifest_dir(path, manifest_path)
+    with _log_lock(mdir):
+        _recover_txn(spark, mdir)
+        _sweep_removed(spark, mdir)
+        snap_v = manifest_version(spark, mdir)
+        if snap_v is None:
+            raise ValueError(
+                f"no committed snapshot at {mdir} — create the table "
+                "with append_files first"
+            )
+        cur = dict(
+            _commit_info(spark, mdir, snap_v).get("protocol") or {}
+        )
+        cur_r = int(cur.get("min_reader", 1))
+        cur_w = int(cur.get("min_writer", 1))
+        if want_r <= cur_r and want_w <= cur_w:
+            return {
+                "version": int(snap_v),
+                "protocol": {"min_reader": cur_r, "min_writer": cur_w},
+            }
+        version = _commit_manifest(
+            spark, mdir, None, removed=[],
+            expected_version=snap_v + 1,
+            keep_versions=keep_versions,
+            protocol_floor=(want_r, want_w),
+            op=f"upgrade-protocol ({want_r}/{want_w})",
+        )
+        return {
+            "version": int(version),
+            "protocol": {
+                "min_reader": max(want_r, cur_r),
+                "min_writer": max(want_w, cur_w),
+            },
+        }
 
 
 def table_history(spark: SparkSession, path: str, manifest_path: str | None = None) -> list[dict]:

@@ -164,3 +164,36 @@ def test_writer_only_future_level_still_reads(spark, tmp_path):
             ).coalesce(1),
             tbl,
         )
+
+
+def test_explicit_protocol_upgrade(spark, tmp_path):
+    """upgrade_table_protocol raises the floor as a metadata-only
+    commit BEFORE any feature is used, carries forward, never
+    downgrades, no-ops at-or-below the current stamp, and refuses
+    levels above the build's own support."""
+    tbl = _seed(spark, tmp_path)
+    got = sinks.upgrade_table_protocol(spark, tbl, min_writer=2)
+    assert got["protocol"] == {"min_reader": 1, "min_writer": 2}
+    m = _head_marker(tbl)
+    assert m["protocol"] == {"min_reader": 1, "min_writer": 2}
+    assert m["op"].startswith("upgrade-protocol")
+    # carried by a plain append, never downgraded
+    append_files(
+        spark,
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+        ).coalesce(1),
+        tbl,
+    )
+    assert _head_marker(tbl)["protocol"] == {
+        "min_reader": 1, "min_writer": 2,
+    }
+    # at-or-below request: commit-free no-op
+    v = _head_marker(tbl)["version"]
+    got = sinks.upgrade_table_protocol(spark, tbl, min_writer=1)
+    assert got["version"] == v
+    # above the build's support: refused
+    with pytest.raises(ValueError, match="this build supports"):
+        sinks.upgrade_table_protocol(spark, tbl, min_reader=99)
+    # the table still reads and writes at this build's level
+    assert read_table(spark, tbl).count() == 53
