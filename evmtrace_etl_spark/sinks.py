@@ -6491,6 +6491,86 @@ def drop_column(
         return {"version": int(version), "dropped": name}
 
 
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    dv_files_threshold: int = 8,
+    dv_rows_threshold: int = 1_000_000,
+    compact: bool = True,
+    vacuum: bool = True,
+    min_age_s: float | None = None,
+    cols: Sequence[str] | None = None,
+    keep_versions: int | None = None,
+) -> dict:
+    """THE nightly maintenance entry point — one call composes the
+    table's upkeep in dependency order, each step its own snapshot
+    transaction (readers never pause, a crash between steps leaves a
+    clean committed state the next run resumes from):
+
+    1. **Materialize deletion-vector debt** when it crossed a policy
+       threshold — more than ``dv_files_threshold`` active sidecars
+       (read-plan branches) or ``dv_rows_threshold`` total tombstone
+       rows (suppression-join size) — folding the suppression back
+       into data files (Delta's REORG, automated the way Databricks
+       auto-compaction automates OPTIMIZE).  Below threshold the
+       checkpoint consolidation already bounds the scan count, so the
+       expensive rewrite is skipped.
+    2. **Compact small files** (< ``target_bytes``) left by streaming
+       micro-batches — already-right-sized files keep their inodes, so
+       repeated runs converge instead of rewriting the table nightly.
+    3. **Vacuum**: intent recovery, the due pending-removal backlog,
+       stale temp siblings, orphaned sidecars.
+
+    Returns an action ledger: the observed ``dv_files``/``dv_rows``
+    debt, each step's own ledger (or None where skipped/no-op).  All
+    knobs pass through to the underlying ops."""
+    mdir = _manifest_dir(path, manifest_path)
+    if manifest_version(spark, mdir) is None:
+        raise ValueError(
+            f"no committed snapshot at {mdir} — create the table with "
+            "append_files first"
+        )
+    actions: dict = {}
+    dvs = _active_dvs(spark, mdir)
+    debt_rows = 0
+    for d in dvs:
+        r = d.get("rows")
+        if r is None:
+            r = _footer_num_rows(d["file"]) or 0
+        debt_rows += int(r)
+    actions["dv_files"] = len(dvs)
+    actions["dv_rows"] = debt_rows
+    actions["materialize"] = (
+        materialize_deletes(
+            spark, path, manifest_path, cols=cols,
+            keep_versions=keep_versions, target_bytes=target_bytes,
+        )
+        if dvs
+        and (
+            len(dvs) > int(dv_files_threshold)
+            or debt_rows > int(dv_rows_threshold)
+        )
+        else None
+    )
+    actions["compact"] = (
+        compact_table(
+            spark, path, manifest_path, target_bytes=target_bytes,
+            small_bytes=target_bytes, cols=cols,
+            keep_versions=keep_versions,
+        )
+        if compact
+        else None
+    )
+    actions["vacuum"] = (
+        vacuum_table(spark, path, manifest_path, min_age_s=min_age_s)
+        if vacuum
+        else None
+    )
+    return actions
+
+
 def upgrade_table_protocol(
     spark: SparkSession,
     path: str,

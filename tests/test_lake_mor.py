@@ -1373,3 +1373,62 @@ def test_two_processes_racing_mor_deletes_land_exactly_once(
     assert not os.path.exists(mdir + "/_TXN")
     # zero data files were rewritten by either process's erasure
     assert len(glob.glob(tbl + "/*.parquet")) == 2
+
+
+def test_maintain_table_composes_upkeep(spark, tmp_path):
+    """The one-call nightly maintenance: materializes DV debt only
+    past the policy threshold, compacts streaming fragments toward
+    target size (converging — right-sized files keep inodes), vacuums
+    debris — and the table serves identical rows throughout."""
+    tbl = str(tmp_path / "mt")
+    for lo in range(0, 100, 20):  # five tiny fragment files (v0..v4)
+        append_files(
+            spark,
+            spark.range(lo, lo + 20).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1),
+            tbl,
+            cols=["k"] if lo == 0 else None,
+        )
+    for i in range(3):  # v5..v7 — three MOR deletes, below threshold
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    led = sinks.maintain_table(spark, tbl, min_age_s=0)
+    assert led["dv_files"] == 3 and led["dv_rows"] == 3
+    assert led["materialize"] is None  # below both thresholds
+    assert led["compact"]["files_rewritten"] == 5
+    assert led["compact"]["files_added"] >= 1
+    # a compaction pass over a DV table materializes the touched
+    # files' suppression as a side effect (row-preserving re-pack)
+    t = read_table(spark, tbl)
+    assert t.count() == 97 and t.filter("k < 3").count() == 0
+    # second run converges: nothing left to rewrite
+    led2 = sinks.maintain_table(spark, tbl, min_age_s=0)
+    assert led2["compact"]["files_rewritten"] == 0
+
+    # push the debt over the files threshold -> materialize fires
+    for i in range(10, 19):
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    led3 = sinks.maintain_table(
+        spark, tbl, dv_files_threshold=4, min_age_s=0
+    )
+    assert led3["dv_files"] > 4
+    assert led3["materialize"] is not None
+    assert sinks._active_dvs(spark, tbl + "/_stats_manifest") == []
+    t = read_table(spark, tbl)
+    assert t.count() == 88 and t.filter("k >= 10 and k < 19").count() == 0
+    # rows threshold leg: one fresh tombstone, tiny rows threshold
+    delete_where(
+        spark, tbl, None, {"k": (30, 34)},
+        strategy="merge-on-read", keys=["k"],
+    )
+    led4 = sinks.maintain_table(
+        spark, tbl, dv_rows_threshold=2, min_age_s=0
+    )
+    assert led4["dv_rows"] == 5 and led4["materialize"] is not None
+    assert read_table(spark, tbl).count() == 83
