@@ -4315,6 +4315,110 @@ GROUP BY event_type
 """
 
 
+def _lake_maintain_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build leg for ``lake_maintain``: seed the events table as FIVE
+    fragment commits (the streaming micro-batch shape), take three
+    scattered merge-on-read deletes, then run ONE ``maintain_table``
+    call with a debt threshold the table crosses — asserting the
+    composite did all three jobs: the deletion-vector debt
+    materialized back into data files (active dv list empty), the
+    fragments compacted toward target size (files_rewritten == the
+    fragment count, and a SECOND run converges to zero rewrites), and
+    vacuum left only referenced files.  This is the nightly-upkeep
+    contract a 100 TB deployment runs unattended.  Memoized per
+    sf_dir."""
+    import os
+    import tempfile
+
+    from .. import sinks
+    from ..sinks import append_files, delete_where
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "evmtrace_lakemaint",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    tbl = os.path.join(base, "events")
+    if _BUILD_DONE.get("lake_maintain") != base:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for i in range(5):  # five fragment commits (v0..v4)
+            append_files(
+                spark,
+                ev.filter(F.col("event_id") % 5 == i).coalesce(1),
+                tbl,
+                cols=["event_id"] if i == 0 else None,
+            )
+        for i in range(3):  # v5..v7 — scattered MOR erasures
+            led = delete_where(
+                spark, tbl, None, {"user_id": (i + 1, i + 1)},
+                strategy="merge-on-read", keys=["event_id"],
+            )
+            assert led["rows_deleted"] > 0 and led["files_rewritten"] == 0
+        led = sinks.maintain_table(
+            spark, tbl, dv_files_threshold=2, min_age_s=0
+        )
+        assert led["dv_files"] == 3 and led["materialize"] is not None
+        # the materialize step's rewrite already repacks its candidate
+        # fragments toward target size; compact then merges whatever
+        # it left (possibly nothing at small SF)
+        assert led["materialize"]["files_rewritten"] >= 1
+        assert sinks._active_dvs(spark, tbl + "/_stats_manifest") == []
+        led2 = sinks.maintain_table(
+            spark, tbl, dv_files_threshold=2, min_age_s=0
+        )
+        assert led2["compact"]["files_rewritten"] == 0  # converged
+        _BUILD_DONE["lake_maintain"] = base
+    return tbl
+
+
+def lake_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call nightly maintenance (``sinks.maintain_table`` —
+    threshold-gated REORG + converging OPTIMIZE + vacuum composed in
+    dependency order, each step its own snapshot transaction): the
+    build leg fragments the table across five streaming-shaped
+    commits, lands three scattered merge-on-read erasures, and runs
+    the composite over a crossed debt threshold — build-asserting the
+    suppression materialized, the fragments compacted, and a second
+    run converges to zero rewrites.  The serve leg aggregates the
+    maintained table; the oracle recomputes from the raw events — a
+    row lost or resurrected by any step of the composite fails the
+    value hash every round."""
+    from ..sinks import read_table
+
+    return (
+        read_table(spark, _lake_maintain_build(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value"))
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+LAKE_MAINTAIN_SQL = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE user_id NOT BETWEEN 1 AND 3
+GROUP BY event_type
+"""
+
+
 def _lake_mor_rebase_build(spark: SparkSession, sf_dir: str) -> str:
     """Build leg for ``lake_mor_rebase``: a merge-on-read DELETE
     collides with a PURE-APPEND winner (the winner commits between the
@@ -4544,6 +4648,7 @@ QUERIES = {
     "inv_lake_update_mor": lake_update_mor,
     "inv_lake_dv_checkpoint": lake_dv_checkpoint,
     "inv_lake_mor_rebase": lake_mor_rebase,
+    "inv_lake_maintain": lake_maintain,
 }
 
 ORACLES = {
@@ -4608,4 +4713,5 @@ ORACLES = {
     "inv_lake_update_mor": LAKE_UPDATE_MOR_SQL,
     "inv_lake_dv_checkpoint": LAKE_DV_CHECKPOINT_SQL,
     "inv_lake_mor_rebase": LAKE_MOR_REBASE_SQL,
+    "inv_lake_maintain": LAKE_MAINTAIN_SQL,
 }
