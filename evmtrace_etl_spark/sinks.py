@@ -6675,6 +6675,8 @@ def table_history(spark: SparkSession, path: str, manifest_path: str | None = No
                 ),
                 "dv_files": len(dvs),
                 "dv_rows": dv_rows,
+                "protocol": commit.get("protocol"),
+                "features": commit.get("features"),
                 "txns": commit.get("txns", {}),
                 "metrics": commit.get("metrics", {}),
             }

@@ -197,3 +197,7 @@ def test_explicit_protocol_upgrade(spark, tmp_path):
         sinks.upgrade_table_protocol(spark, tbl, min_reader=99)
     # the table still reads and writes at this build's level
     assert read_table(spark, tbl).count() == 53
+    # history surfaces the stamp per snapshot
+    hist = sinks.table_history(spark, tbl)
+    assert hist[-1]["protocol"] == {"min_reader": 1, "min_writer": 2}
+    assert hist[0]["protocol"] is None  # pre-upgrade snapshot
