@@ -1,8 +1,9 @@
 """Model-based differential test of the whole lake tier: seeded random
 PROGRAMS of mixed operations (appends, copy-on-write and merge-on-read
-merges/deletes/updates, compaction, materialize, column rename) run
-against both the snapshot-logged table and a plain Python dict model —
-after EVERY operation the visible table must equal the model exactly.
+merges/deletes/updates, compaction, materialize, column rename, type
+widening, the maintain_table composite, vacuum) run against both the
+snapshot-logged table and a plain Python dict model — after EVERY
+operation the visible table must equal the model exactly.
 This is the catch-all for cross-feature interactions no single-feature
 test enumerates (a tombstone surviving a compaction, a rename breaking
 DV suppression, a merge resurrecting a deleted key, ...)."""
@@ -60,7 +61,7 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
     ops = [
         "append", "merge_cow", "merge_mor", "delete_mor", "update_mor",
         "delete_cow", "update_cow", "compact", "materialize", "rename",
-        "widen",
+        "widen", "maintain", "vacuum",
     ]
     renamed = False
     for step in range(n_ops):
@@ -130,6 +131,16 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
             compact_table(spark, tbl, target_bytes=1 << 20)
         elif op == "materialize":
             materialize_deletes(spark, tbl)
+        elif op == "maintain":
+            # the one-call nightly upkeep (threshold low enough to
+            # fire its materialize leg sometimes) must NEVER change
+            # visible rows — the model stays untouched
+            sinks.maintain_table(
+                spark, tbl, target_bytes=1 << 20,
+                dv_files_threshold=2, min_age_s=0,
+            )
+        elif op == "vacuum":
+            sinks.vacuum_table(spark, tbl, min_age_s=0)
         elif op == "rename" and not renamed:
             rename_column(spark, tbl, val_col, "val")
             val_col = "val"
