@@ -1432,3 +1432,39 @@ def test_maintain_table_composes_upkeep(spark, tmp_path):
     )
     assert led4["dv_rows"] == 5 and led4["materialize"] is not None
     assert read_table(spark, tbl).count() == 83
+
+
+def test_restore_to_pre_fold_snapshot(spark, tmp_path):
+    """RESTORE across a DV consolidation on a retain table: the target
+    snapshot's own per-commit sidecars are pinned verbatim
+    (dvs_replace), the fold's consolidated entry retires, and the
+    restored table serves the target's exact visibility — with later
+    MOR deletes (and their next fold) working on top."""
+    tbl = str(tmp_path / "rtf")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    append_files(
+        spark, df.coalesce(1), tbl, cols=["k"],
+        retain_removed=True, keep_versions=30,
+    )
+    for i in range(10):  # v1..v10; fold at v10
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    mdir = tbl + "/_stats_manifest"
+    assert len(sinks._active_dvs(spark, mdir)) == 1  # folded
+    led = sinks.restore_table(spark, tbl, version=5)
+    assert led["restored_to"] == 5
+    dvs = sinks._active_dvs(spark, mdir)
+    assert len(dvs) == 5 and not any(d.get("per_row") for d in dvs)
+    t = read_table(spark, tbl)
+    assert t.count() == 95 and t.filter("k < 5").count() == 0
+    assert t.filter("k >= 5 and k < 10").count() == 5  # un-deleted
+    for i in range(20, 26):  # more deletes on the restored head
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    assert read_table(spark, tbl).count() == 89
