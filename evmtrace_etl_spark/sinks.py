@@ -6963,6 +6963,8 @@ def start_lake_merge_stream(
     cols: Sequence[str] | None = None,
     app_id: str = "lake_merge",
     available_now: bool = True,
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Streaming keyed upsert through the snapshot log — the streaming
     half of ``merge_into``, completing the unification the reference's
@@ -6977,7 +6979,12 @@ def start_lake_merge_stream(
     ``cols`` is required then, as the stats columns).  Micro-batches
     must be key-unique (Delta's MERGE contract; dedup upstream with
     keep-last — ``operators/relational.py`` D1/D3 — as the reference's
-    in-batch dedup does, etl_result.rs:205-248)."""
+    in-batch dedup does, etl_result.rs:205-248).
+
+    ``maintain_every``/``maintain_kwargs``: the in-band maintenance
+    cadence (see ``start_lake_append_stream``) — for a merge-on-read
+    stream this is also what keeps the tombstone debt materialized at
+    the thresholds instead of growing until an external REORG."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():  # e.g. a final watermark-commit batch
@@ -6994,6 +7001,10 @@ def start_lake_merge_stream(
                 sp, batch, path, keys=list(keys),
                 manifest_path=manifest_path, mode=mode, cols=cols,
                 txn=(app_id, int(batch_id)),
+            )
+        if maintain_every and (int(batch_id) + 1) % int(maintain_every) == 0:
+            maintain_table(
+                sp, path, manifest_path, **(maintain_kwargs or {})
             )
 
     writer = (
@@ -7014,6 +7025,8 @@ def start_lake_append_stream(
     cols: Sequence[str] | None = None,
     app_id: str = "lake_append",
     available_now: bool = True,
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Wire a streaming DataFrame into ``append_files`` — checkpointed
     ``foreachBatch`` where each micro-batch lands as ONE snapshot
@@ -7023,7 +7036,17 @@ def start_lake_append_stream(
     parquet any engine can read (and snapshot readers never see a
     torn batch).  This is the streaming half of the lakehouse tier:
     ingest commits through the same log the maintenance ops
-    (compaction, delete, update) commit through."""
+    (compaction, delete, update) commit through.
+
+    ``maintain_every=N`` runs ``maintain_table`` after every Nth batch
+    (Databricks auto-compaction's role): a long-running stream lands
+    one file set per trigger and fragments the table forever unless
+    someone compacts externally — the in-band cadence bounds the file
+    count while readers keep serving (each maintenance step is its own
+    snapshot transaction).  Idempotent under checkpoint replay: the
+    ingest skips on its txn stamp and a re-run maintenance pass
+    converges to a no-op.  ``maintain_kwargs`` pass through
+    (thresholds, target_bytes, min_age_s)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         append_files(
@@ -7034,6 +7057,11 @@ def start_lake_append_stream(
             cols=cols,
             txn=(app_id, int(batch_id)),
         )
+        if maintain_every and (int(batch_id) + 1) % int(maintain_every) == 0:
+            maintain_table(
+                batch.sparkSession, path, manifest_path,
+                **(maintain_kwargs or {}),
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

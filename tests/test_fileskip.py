@@ -860,3 +860,54 @@ def test_keep_versions_retains_deeper_history(spark, tmp_path):
     assert read_table(spark, dst, version=0).count() == 20_000
     assert read_table(spark, dst, version=2).count() == 20_020
     assert read_table(spark, dst, version=3).count() == 20_030
+
+
+def test_lake_append_stream_in_band_maintenance(spark, tmp_path):
+    """maintain_every=N: the streaming sink runs maintain_table after
+    every Nth batch, so a long-running ingest stream bounds its own
+    fragmentation instead of waiting for an external OPTIMIZE — and
+    the cadence composes with exactly-once (a checkpoint replay skips
+    the ingest on its txn stamp; a re-run maintenance converges)."""
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import (
+        read_table,
+        start_lake_append_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    tbl = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    for lo in range(0, 600, 100):  # six one-file arrivals
+        spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = start_lake_append_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl, ckpt, cols=["k"], app_id="maint",
+        maintain_every=3, maintain_kwargs={"min_age_s": 0},
+    )
+    q.awaitTermination(180)
+    t = read_table(spark, tbl)
+    assert t.count() == 600 and t.select("k").distinct().count() == 600
+    # six 1-file batches with a maintenance pass every 3rd batch: the
+    # table holds far fewer than 6 fragments (the last pass ran at
+    # batch 6 and merged everything standing)
+    n_files = len(glob.glob(tbl + "/*.parquet"))
+    assert n_files <= 2, n_files
+    # history shows the compact commits interleaved with the ingest
+    ops = [h["op"] for h in sinks.table_history(spark, tbl)]
+    assert "compact" in ops and "append" in ops
+    # restart over the same checkpoint: nothing re-lands, reads stable
+    q = start_lake_append_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl, ckpt, cols=["k"], app_id="maint",
+        maintain_every=3, maintain_kwargs={"min_age_s": 0},
+    )
+    q.awaitTermination(180)
+    assert read_table(spark, tbl).count() == 600
