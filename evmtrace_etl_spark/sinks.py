@@ -1984,6 +1984,24 @@ def _check_protocol(head: dict, action: str, ctx: str) -> None:
         )
 
 
+def _check_protocol_head(spark: SparkSession, mdir: str, ctx: str) -> None:
+    """Early writer-side protocol gate for the locked write/maintenance
+    entry points (right after ``_recover_txn``): without it a
+    lower-level build running a maintenance op (compact / materialize /
+    delete) on an upgraded table would scan, rewrite, and MOVE FILES IN
+    before being refused at the ``_commit_manifest`` choke point —
+    refusal still precedes the marker so nothing corrupts, but the
+    failure is late and leaves moved-in files plus a live ``_TXN``
+    intent for the next op's recovery.  Here the refusal lands before
+    any data work.  The commit-time check remains the backstop for
+    entry points that read the head themselves (they call
+    ``_check_protocol`` inline on the head they already loaded)."""
+    v = manifest_version(spark, mdir)
+    if v is None:
+        return
+    _check_protocol(_commit_info(spark, mdir, v), "write", ctx)
+
+
 def _schema_widened(prev_sj: dict | None, new_sj: dict | None) -> bool:
     """Whether the new committed schema CHANGES an existing field's
     type (the add-only evolution contract means any such change is a
@@ -3273,9 +3291,12 @@ def _dv_suppress(
     (``_DV_BROADCAST_MAX_ROWS``); a consolidated sidecar that has
     grown past that (months of right-to-erasure trickle on a 100 TB
     table) joins un-hinted instead — AQE picks the physical strategy
-    from real runtime stats rather than an OOM-forcing hint.  Entries
-    without a row stamp (pre-r13 markers) keep the broadcast hint —
-    they are per-commit batch-sized by construction."""
+    from real runtime stats rather than an OOM-forcing hint.  PLAIN
+    entries without a row stamp (pre-r13 markers) keep the broadcast
+    hint — they are per-commit batch-sized by construction — but an
+    unstamped ``per_row`` entry (a consolidated sidecar whose commit-
+    time footer read failed) is of UNKNOWN size and could carry months
+    of folded tombstones, so it disables the hint instead."""
     dvs = list(dvs)
     if not dvs:
         return df
@@ -3289,20 +3310,24 @@ def _dv_suppress(
             )
     tomb: DataFrame | None = None
     total_rows = 0
-    rows_known = True
+    hint_ok = True
     for d in dvs:
         t = _dv_frame(spark, d, keys)
         tomb = t if tomb is None else tomb.unionByName(t)
         r = d.get("rows")
-        if r is None:
-            rows_known = False
-        else:
+        if r is not None:
             total_rows += int(r)
+        elif d.get("per_row"):
+            # a consolidated sidecar with no row stamp: size unknown
+            # and potentially months of folded tombstones — never
+            # force-broadcast it (plain unstamped entries stay hinted:
+            # per-commit batch-sized by construction)
+            hint_ok = False
     tmax = tomb.groupBy(*keys).agg(F.max("__dv_v").alias("__dv_v"))
-    if rows_known and total_rows > _DV_BROADCAST_MAX_ROWS:
-        tmax_side = tmax  # too big to hint — AQE decides from stats
-    else:
+    if hint_ok and total_rows <= _DV_BROADCAST_MAX_ROWS:
         tmax_side = F.broadcast(tmax)
+    else:
+        tmax_side = tmax  # too big / unknown — AQE decides from stats
     if "added_version" in manifest.columns:
         av = F.coalesce(F.col("added_version"), F.lit(-1)).cast("long")
     else:  # legacy manifest rows: every file predates every tombstone
@@ -3504,6 +3529,7 @@ def _txn_rewrite_unlocked(
     jvm, hp, fs = _fs_for(spark, path)
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
+    _check_protocol_head(spark, mdir, f"{op or 'rewrite'} {path}")
 
     if txn is not None:
         # exactly-once for STREAMED rewrites (a foreachBatch retention
@@ -3807,6 +3833,7 @@ def _delete_mor_unlocked(
 
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    _check_protocol(head, "write", f"delete_where (merge-on-read) {path}")
 
     if txn is not None:
         seen = head.get("txns", {}).get(str(txn[0]))
@@ -4057,6 +4084,19 @@ def delete_where(
     clustering (a user-id purge over a ts-clustered table).  See
     ``_delete_mor_unlocked``; ``materialize_deletes`` folds the
     suppression back in.
+
+    Isolation divergence from Delta (merge-on-read only): a collided
+    MOR delete re-commits over PURE-APPEND winners even when the
+    appended rows match the delete predicate — the tombstone keeps its
+    read-snapshot version stamp, so the outcome is the exact SERIAL
+    order delete-then-append (the winner's rows survive; serializable,
+    oracle-gated).  Delta's conflict matrix instead raises
+    ConcurrentAppendException for predicate-matching appends even
+    under WriteSerializable; callers porting Delta retry logic should
+    expect the silent (and serializable) ordering here, or force the
+    full retry themselves by re-running under ``retry_on_conflict``
+    after a read-validate.  See ``_rebase_tombstone`` for the exact
+    commute/retry split.
     """
     if strategy not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
@@ -4124,6 +4164,7 @@ def _update_mor_unlocked(
     _sweep_removed(spark, mdir)
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    _check_protocol(head, "write", f"update_where (merge-on-read) {path}")
     skipped_ledger = {
         "files_total": None,
         "files_rewritten": 0,
@@ -4219,6 +4260,13 @@ def update_where(
     ``rows_before == rows_after`` always (updates never change
     cardinality; asserted by the tests and the registered query's
     oracle).
+
+    Isolation divergence from Delta (``strategy='merge-on-read'``
+    only): a collided MOR update re-commits over pure-append winners
+    in exact serial order (tombstone keeps its read-snapshot stamp —
+    winner appends survive even when they match the predicate), where
+    Delta raises ConcurrentAppendException; see ``delete_where`` for
+    the full note.
     """
     resolved = {
         c: (F.expr(e) if isinstance(e, str) else e)
@@ -4335,6 +4383,7 @@ def _update_stats_index_unlocked(
     mdir = _manifest_dir(path, manifest_path)
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
+    _check_protocol_head(spark, mdir, f"update_stats_index {path}")
 
     current = _leaf_file_uris(spark, path)
     snap_v = manifest_version(spark, mdir)
@@ -4702,7 +4751,26 @@ def _rebase_tombstone(
         ours = spark.read.parquet(*list(our_dv_files)).select(*keys)
         wt: DataFrame | None = None
         for d in winner_tombs:
-            t = _dv_frame(spark, d, keys).select(*keys)
+            t = _dv_frame(spark, d, keys)
+            if d.get("per_row"):
+                # a winner MOR-delete commit that was ALSO a checkpoint
+                # re-emits FULL history in one consolidated per-row
+                # sidecar (_consolidate_dvs) — without this filter the
+                # semi-join would compare our keys against every key
+                # EVER deleted and force a spurious full retry on any
+                # overlap with an already-invisible key.  Only rows
+                # stamped inside the conflict span are actually fresh.
+                # Residual corner (accounting-only): a winner that was
+                # itself REBASED keeps its original read-snapshot stamp,
+                # which can sit at or below our read_snap — its folded
+                # fresh keys then slip this check and an overlapping
+                # pair of erasures commutes where the full retry would
+                # have de-duplicated the ledger/CDC delete row.
+                # Visibility is identical either way (delete∘delete is
+                # idempotent per key); plain entries are left unfiltered
+                # so their behavior is unchanged.
+                t = t.filter(F.col("__dv_v") > F.lit(int(read_snap)))
+            t = t.select(*keys)
             wt = t if wt is None else wt.unionByName(t)
         if (
             ours.join(F.broadcast(wt), on=keys, how="leftsemi")
@@ -4811,6 +4879,7 @@ def _append_files_unlocked(
     # fall back to the reconstruction read)
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    _check_protocol(head, "write", f"append_files {path}")
     have_table = snap_v is not None or bool(
         _flat_manifest_files(spark, mdir)
     )
@@ -5092,7 +5161,14 @@ def merge_into(
     strategy: str = "copy-on-write",
 ) -> dict:
     """Per-table-serialized entry to ``_merge_into_unlocked`` (see
-    ``_log_lock`` for the writer-concurrency contract)."""
+    ``_log_lock`` for the writer-concurrency contract).
+
+    Isolation divergence from Delta (``strategy='merge-on-read'``
+    only): a collided MOR merge re-commits over pure-append winners in
+    exact serial order (the tombstone keeps its read-snapshot stamp,
+    so winner appends survive even when they carry a merged key),
+    where Delta raises ConcurrentAppendException under
+    WriteSerializable; see ``delete_where`` for the full note."""
     with _log_lock(_manifest_dir(path, manifest_path)):
         return _merge_into_unlocked(
             spark, source, path, keys, manifest_path=manifest_path,
@@ -5187,6 +5263,7 @@ def _merge_into_unlocked(
     # deletion vectors, and the cdf flag all ride the same JSON
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
+    _check_protocol(head, "write", f"merge_into {path}")
 
     if txn is not None:
         seen = head.get("txns", {}).get(str(txn[0]))
@@ -5423,9 +5500,18 @@ def _merge_into_unlocked(
                 fs.delete(hp(tmp), True)
                 raise
         if obs_in is not None:
-            rows_before = int(
-                _obs_result(obs_in, verify_rows=_verify)["n"] or 0
-            )
+            # INPUT-side observation: carries only the candidate row
+            # count (no constraint metrics ride it), and a lost metrics
+            # row here means AQE collapsed the CANDIDATE branch empty —
+            # zero is exactly right.  The OUTPUT footers are the WRONG
+            # ground truth for this branch: an all-new-keys (or fully
+            # DV-suppressed) update merge writes its inserted source
+            # rows while the candidate subtree is genuinely empty, so
+            # verifying against `tmp` would see actual>0 and re-raise
+            # in precisely the scenario the fallback exists for.
+            # Candidate FOOTER counts are wrong too (they predate DV
+            # suppression) — so no verify_rows on this observation.
+            rows_before = int(_obs_result(obs_in)["n"] or 0)
         if mode == "ignore" and rows_after == 0:
             # every source key already exists: nothing to add, nothing
             # to rewrite — no commit needed (a replay re-derives the
@@ -5901,6 +5987,7 @@ def _materialize_deletes_unlocked(
     jvm, hp, fs = _fs_for(spark, path)
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
+    _check_protocol_head(spark, mdir, f"materialize_deletes {path}")
 
     snap_v = manifest_version(spark, mdir)
     dvs = _active_dvs(spark, mdir, version=snap_v)
@@ -6097,6 +6184,7 @@ def restore_table(
         jvm, hp, fs = _fs_for(spark, path)
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
+        _check_protocol_head(spark, mdir, f"restore_table {path}")
         versions = _committed_versions(spark, mdir)
         if version not in versions:
             raise ValueError(
@@ -6192,6 +6280,7 @@ def add_table_constraint(
     with _log_lock(mdir):
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
+        _check_protocol_head(spark, mdir, f"add_table_constraint {path}")
         snap_v = manifest_version(spark, mdir)
         if snap_v is None:
             raise ValueError(
@@ -6532,6 +6621,8 @@ def maintain_table(
             f"no committed snapshot at {mdir} — create the table with "
             "append_files first"
         )
+    # fail fast before composing any step (each gated op re-checks)
+    _check_protocol_head(spark, mdir, f"maintain_table {path}")
     actions: dict = {}
     dvs = _active_dvs(spark, mdir)
     debt_rows = 0
@@ -6726,6 +6817,11 @@ def vacuum_table(
     removed: list[str] = []
     with _log_lock(mdir):
         jvm, hp, fs = _fs_for(spark, path)
+        # a table stamped beyond this build's feature level may
+        # reference files in ways this build cannot parse — sweeping
+        # by a misread manifest could delete live data, so refuse
+        # up front like every other write/maintenance entry point
+        _check_protocol_head(spark, mdir, f"vacuum_table {path}")
         now_ms = _time.time() * 1000.0
         young = lambda st: (now_ms - st.getModificationTime()) < age_floor_ms
 

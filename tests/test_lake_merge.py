@@ -546,3 +546,80 @@ def test_delete_where_txn_replay_is_noop(spark, tmp_path):
     t = read_table(spark, tbl)
     assert t.filter("v = -1").count() == 10
     assert t.filter("v = -99").count() == 0
+
+
+def test_obs_result_input_observation_has_no_output_verify(
+    spark, tmp_path, monkeypatch
+):
+    """The INPUT-side observation (candidate row count) must not be
+    verified against the OUTPUT temp dir's footers: an all-new-keys
+    update merge writes inserted rows while the candidate subtree is
+    genuinely empty, so when AQE collapses the empty candidate branch
+    the verify would see actual>0 and re-raise the Py4J assertion in
+    exactly the scenario the zero-default fallback was built for.
+    Pin: the output observation verifies, the input one does not."""
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    calls = []
+    real = sinks._obs_result
+
+    def spy(obs, verify_rows=None):
+        calls.append(verify_rows is not None)
+        return real(obs, verify_rows=verify_rows)
+
+    monkeypatch.setattr(sinks, "_obs_result", spy)
+    # update merge with candidates (matched keys) — both observations
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")
+    )
+    led = sinks.merge_into(spark, src, tbl, keys=["k"])
+    assert calls == [True, False]  # output verified, input not
+    assert led["rows_updated"] == 10 and led["rows_before"] > 0
+
+    # all-NEW-keys update merge (empty candidate subtree): the exact
+    # ADVICE scenario — must succeed with rows_before == 0 even if AQE
+    # collapses the candidate branch
+    calls.clear()
+    src2 = spark.range(5000, 5010).select(
+        F.col("id").alias("k"), F.lit(3).cast("long").alias("v")
+    )
+    led2 = sinks.merge_into(spark, src2, tbl, keys=["k"])
+    assert led2["rows_inserted"] == 10 and led2["rows_before"] == 0
+    assert read_table(spark, tbl).count() == 110
+
+
+def test_obs_result_fallback_unit_contract():
+    """_obs_result unit contract: a lost metrics row defaults to zeros
+    when no ground truth or zero actual rows; re-raises when the
+    ground truth proves rows landed; non-AQE Py4J errors re-raise."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    class _FakeErr(Py4JJavaError):
+        def __init__(self, msg):
+            Exception.__init__(self, msg)
+            self._msg = msg
+
+        def __str__(self):
+            return self._msg
+
+    class _Obs:
+        def __init__(self, msg):
+            self._msg = msg
+
+        @property
+        def get(self):
+            raise _FakeErr(self._msg)
+
+    aqe = "assertion failed: toPyRow on empty relation"
+    # no ground truth -> zero-default
+    vals = sinks._obs_result(_Obs(aqe))
+    assert vals["n"] == 0 and vals["anything"] == 0
+    # verified-zero ground truth -> zero-default
+    vals = sinks._obs_result(_Obs(aqe), verify_rows=lambda: 0)
+    assert vals["n"] == 0
+    # rows actually landed -> re-raise (constraint counts unknowable)
+    with _pytest.raises(Py4JJavaError):
+        sinks._obs_result(_Obs(aqe), verify_rows=lambda: 7)
+    # unrelated Py4J error -> re-raise regardless
+    with _pytest.raises(Py4JJavaError):
+        sinks._obs_result(_Obs("java.io.IOException: boom"))

@@ -1468,3 +1468,49 @@ def test_restore_to_pre_fold_snapshot(spark, tmp_path):
             strategy="merge-on-read", keys=["k"],
         )
     assert read_table(spark, tbl).count() == 89
+
+
+def test_unstamped_consolidated_dv_disables_broadcast_hint(
+    spark, tmp_path
+):
+    """A consolidated ``per_row`` sidecar whose commit-time footer read
+    failed carries ``rows=None`` — unlike an unstamped PLAIN entry
+    (per-commit batch-sized by construction) its size is unknown and
+    can be months of folded tombstones, so the suppression join must
+    drop the broadcast hint instead of keeping it (the OOM-forcing
+    default the advice flagged)."""
+    import json as _json
+
+    tbl = _seed(spark, tmp_path, n=100, files=2)
+    for i in range(10):  # v1..v10; v10 checkpoints + consolidates
+        delete_where(
+            spark, tbl, None, {"k": (i, i)},
+            strategy="merge-on-read", keys=["k"],
+        )
+    mdir = tbl + "/_stats_manifest"
+    head_v = sinks.manifest_version(spark, mdir)
+    mp = os.path.join(mdir, f"v{head_v}", "_COMMIT")
+    m = _json.loads(open(mp).read())
+    assert any(d.get("per_row") for d in m["dvs"])  # fold happened
+
+    def _hints(df):
+        s = df._jdf.queryExecution().analyzed().toString()
+        return s.count("UnresolvedHint broadcast") + s.count(
+            "ResolvedHint (strategy=broadcast)"
+        )
+
+    # stamped consolidated entry (small): hint kept
+    assert _hints(read_table(spark, tbl)) == 2
+    # strip the stamp from the per_row entry only
+    for d in m["dvs"]:
+        if d.get("per_row"):
+            d["rows"] = None
+    with open(mp, "w") as f:
+        f.write(_json.dumps(m))
+    crc = os.path.join(os.path.dirname(mp), "._COMMIT.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    t = read_table(spark, tbl)
+    assert _hints(t) == 1  # file map stays hinted; tombstone join not
+    # visibility unchanged either way
+    assert t.count() == 90 and t.filter("k < 10").count() == 0

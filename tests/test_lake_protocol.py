@@ -201,3 +201,60 @@ def test_explicit_protocol_upgrade(spark, tmp_path):
     hist = sinks.table_history(spark, tbl)
     assert hist[-1]["protocol"] == {"min_reader": 1, "min_writer": 2}
     assert hist[0]["protocol"] is None  # pre-upgrade snapshot
+
+
+def test_future_protocol_refuses_before_any_data_work(spark, tmp_path):
+    """The writer-side gate fires at the HEAD of every locked
+    write/maintenance entry point, not just at the commit choke point:
+    a lower-level build running compact/materialize/vacuum/maintain on
+    an upgraded table must refuse BEFORE scanning, rewriting, or moving
+    any file in — no live ``_TXN`` intent, no moved-in files, every
+    data file byte-untouched (the late commit-time refusal left debris
+    for the next op's recovery to clean)."""
+    import glob
+
+    tbl = _seed(spark, tmp_path)
+    # a second small file so compact_table has real work to refuse
+    append_files(
+        spark,
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+        ).coalesce(1),
+        tbl,
+    )
+    # a little DV debt so materialize/maintain would have real work
+    delete_where(
+        spark, tbl, None, {"k": (0, 4)},
+        strategy="merge-on-read", keys=["k"],
+    )
+    _stamp_protocol(tbl, min_reader=1, min_writer=99)
+    mdir = tbl + "/_stats_manifest"
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+    }
+
+    ops = [
+        lambda: sinks.compact_table(spark, tbl, target_bytes=1 << 20),
+        lambda: sinks.materialize_deletes(spark, tbl),
+        lambda: sinks.vacuum_table(spark, tbl, min_age_s=0),
+        lambda: sinks.maintain_table(spark, tbl, min_age_s=0),
+        lambda: sinks.update_stats_index(spark, tbl, None),
+        lambda: sinks.restore_table(spark, tbl, version=0),
+        lambda: sinks.add_table_constraint(spark, tbl, "v_ok", "v >= 0"),
+        lambda: delete_where(spark, tbl, None, {"k": (5, 9)}),
+        lambda: delete_where(
+            spark, tbl, None, {"k": (5, 9)},
+            strategy="merge-on-read", keys=["k"],
+        ),
+    ]
+    for op in ops:
+        with pytest.raises(ProtocolUnsupported, match="feature level"):
+            op()
+        assert not os.path.exists(os.path.join(mdir, "_TXN"))
+
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+    }
+    assert after == before  # zero data work happened

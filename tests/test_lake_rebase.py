@@ -494,3 +494,62 @@ def test_two_racing_mor_deletes_overlap_full_retries(
     # the winner already removed 5..9 — the retry deletes only 0..4
     assert led["rows_deleted"] == 5
     assert read_table(spark, tbl).count() == 85
+
+
+def test_collided_mor_delete_commutes_past_checkpoint_fold(
+    spark, tmp_path, monkeypatch
+):
+    """A winner MOR delete whose commit is ALSO a checkpoint folds ALL
+    historical tombstones into one consolidated per-row sidecar
+    (``_consolidate_dvs``) — the loser's disjointness check must
+    compare only span-FRESH winner keys, not every key ever deleted.
+    Here the loser re-erases keys that were erased once, RE-INSERTED,
+    and are now visible again: those keys sit in the folded history,
+    so without the ``__dv_v > read_snap`` restriction the semi-join
+    would see an overlap with already-invisible tombstones and force a
+    spurious full retry on a commute-safe disjoint pair."""
+    tbl = _seed(spark, tmp_path)  # v0: keys 0..99
+    # v1: erase keys 0..9 — they enter tombstone HISTORY
+    sinks.delete_where(
+        spark, tbl, None, {"k": (0, 9)},
+        strategy="merge-on-read", keys=["k"],
+    )
+    # v2: re-insert keys 0..9 — visible again, history keeps 0..9@v1
+    append_files(spark, _batch(spark, 0, 10, -5).coalesce(1), tbl)
+
+    # force the winner's commit (v3) to checkpoint, so the fold emits
+    # one consolidated per_row sidecar carrying 0..9@1 AND 50..59@3
+    monkeypatch.setattr(sinks, "_CHECKPOINT_EVERY", 3)
+
+    def competitor():
+        sinks._delete_mor_unlocked(
+            spark, tbl, None, {"k": (50, 59)}, ["k"],
+        )
+
+    state = _interleave_commit(monkeypatch, spark, tbl, competitor)
+    # the loser erases the RE-INSERTED keys 0..9: disjoint from the
+    # winner's fresh keys (50..59), overlapping only dv HISTORY
+    led = sinks.delete_where(
+        spark, tbl, None, {"k": (0, 9)},
+        strategy="merge-on-read", keys=["k"],
+    )
+    assert led["rebased"] == 1 and led["rows_deleted"] == 10
+    assert led["files_rewritten"] == 0 and led["files_added"] == 0
+    # the winner really folded: one consolidated per_row entry active
+    dvs = sinks._active_dvs(spark, tbl + "/_stats_manifest")
+    assert any(d.get("per_row") for d in dvs)
+    # the loser's files (incl. its tombstone sidecar) survived the
+    # re-commit byte-untouched
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+        if "_stats_manifest" not in p
+    }
+    for p, mt in state["probe"].items():
+        assert p in after and after[p] == mt, p
+    # serial-order visibility: both erasures applied, nothing
+    # resurrected, nothing over-deleted
+    t = read_table(spark, tbl)
+    assert t.filter("k <= 9").count() == 0
+    assert t.filter("k >= 50 and k <= 59").count() == 0
+    assert t.count() == 100 - 10 - 10
