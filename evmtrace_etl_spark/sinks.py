@@ -2164,11 +2164,17 @@ def _log_lock(mdir: str) -> "_threading.Lock":
       ``_LOCK``), the version parquet renames into ``v<N>``
       fail-if-exists, and the ``expected_version`` guard raises
       ``SnapshotConflict`` for the loser (who rolls its own files
-      back) — two-process-tested.  Intent RECOVERY (rolling a dead
-      writer's ``_TXN`` back) still assumes a single maintenance
-      actor: a live remote writer between intent and commit looks
-      identical to a crashed one, the same granularity as Delta on S3
-      without a coordinating LogStore."""
+      back) — two-process-tested.  Intent RECOVERY is lease-scoped
+      too (``_recover_txn`` adjudicates under the same lease, and
+      commits verify their ``_TXN`` intent token under it), so two
+      maintenance actors in separate processes cannot both adjudicate
+      one intent, and an adjudication cannot interleave with the
+      victim's commit — the victim loses cleanly via
+      ``SnapshotConflict`` and retries.  What remains at the
+      Delta-on-S3-without-LogStore granularity: a LIVE remote writer
+      between intent and commit still LOOKS crashed, so an impatient
+      recovery wastes its work (never corrupts it); ``vacuum_table``
+      age-floors the marker to avoid that."""
     with _LOG_LOCKS_GUARD:
         return _LOG_LOCKS.setdefault(_lock_key(mdir), _threading.Lock())
 
@@ -2315,7 +2321,11 @@ def _commit_manifest(
 ) -> int:
     """``_commit_manifest_unleased`` under the cross-process commit
     lease (see ``_CommitLease``) — the version-compute → rename →
-    marker window of two DRIVERS can never interleave."""
+    marker window of two DRIVERS can never interleave.  Pass
+    ``intent_token`` (from ``_write_txn_intent``) when the transaction
+    logged a ``_TXN`` intent: the token is re-verified under the lease
+    so a commit can never land over files a cross-process maintenance
+    actor already adjudicated and rolled back."""
     with _CommitLease(spark, manifest_path):
         return _commit_manifest_unleased(
             spark, manifest_path, added_stats, removed, **kwargs
@@ -2350,6 +2360,7 @@ def _commit_manifest_unleased(
     stats_cols_override: Sequence[str] | None = None,
     metrics: dict | None = None,
     protocol_floor: tuple[int, int] | None = None,
+    intent_token: str | None = None,
 ) -> int:
     """Commit the next manifest version with one atomic marker rename.
     ``added_stats`` = stats rows for the files THIS commit adds (the
@@ -2392,6 +2403,27 @@ def _commit_manifest_unleased(
     import uuid as _uuid
 
     jvm, hp, fs = _fs_for(spark, manifest_path)
+    if intent_token is not None:
+        # under the lease: our _TXN intent must still be OURS.  A
+        # cross-process maintenance actor that adjudicated it as
+        # crashed has already deleted our moved-in files — committing
+        # a manifest that references them would corrupt the snapshot.
+        # Raising here makes adjudication-vs-commit a clean loss: the
+        # caller rolls back (idempotent — the files are gone) and
+        # retries from a fresh snapshot.
+        try:
+            cur_tok = _read_json_marker(
+                spark, f"{manifest_path}/_TXN"
+            ).get("intent")
+        except Exception:
+            cur_tok = None
+        if cur_tok != intent_token:
+            raise SnapshotConflict(
+                f"manifest at {manifest_path}: this transaction's _TXN "
+                "intent was adjudicated (rolled back as crashed) by "
+                "another maintenance actor — its moved-in files are "
+                "gone; retry from a fresh snapshot"
+            )
     committed = _committed_versions(spark, manifest_path)
     nxt = (committed[-1] + 1) if committed else 0
     if expected_version is not None and nxt != expected_version:
@@ -2627,9 +2659,9 @@ def _commit_manifest_unleased(
                 "another writer — retry from a fresh snapshot"
             )
         # a marker-less v<N> is a crashed attempt (same-driver writers
-        # serialize on _log_lock, so it cannot be live here); clear it
-        # so the rename can land.  Cross-driver crashed-attempt cleanup
-        # keeps single-maintenance-actor granularity (see _log_lock).
+        # serialize on _log_lock, and we HOLD the cross-process lease,
+        # so it cannot be a live cross-driver writer's either); clear
+        # it so the rename can land.
         fs.delete(hp(vdir), True)
     if not fs.rename(hp(tmpdir), hp(vdir)):
         fs.delete(hp(tmpdir), True)
@@ -2850,7 +2882,7 @@ def _post_commit_sweep(spark: SparkSession, manifest_path: str) -> list[str]:
 
 
 def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
-    """Crash recovery for an interrupted ``delete_where``: its ``_TXN``
+    """Crash recovery for an interrupted transaction: its ``_TXN``
     intent marker records the planned file adds/removes and the version
     it meant to commit.  If that version committed, roll FORWARD (sweep
     the removed files); otherwise roll BACK (delete the txn's added
@@ -2858,22 +2890,92 @@ def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
     reader saw them).  Either way the table returns to a state where
     incremental maintenance's "unknown file on disk == new ingest" rule
     is safe again.  Idempotent; runs at the head of every maintenance
-    op."""
+    op.
+
+    ADJUDICATION IS LEASE-SCOPED (cross-process safe): the whole
+    read-marker → check-committed → delete-files → delete-marker
+    window runs under the table's ``_CommitLease``, so
+
+    - two maintenance actors in separate processes (a ``maintain_every``
+      streaming driver racing a cron ``maintain_table``/``vacuum_table``)
+      can never BOTH adjudicate the same intent: the loser re-checks
+      under the lease and finds the marker gone;
+    - an adjudication can never interleave with a COMMIT: the stalled-
+      adjudicator hazard (read "not committed", stall, victim commits
+      that version, resume, delete now-referenced files) is closed
+      because commits hold the same lease and verify their own intent
+      token (``intent_token`` on ``_commit_manifest``) — a writer whose
+      live intent was adjudicated as crashed re-raises
+      ``SnapshotConflict`` instead of committing over its rolled-back
+      files, and retries from a fresh snapshot.
+
+    The fast path (no marker — every healthy transaction) acquires
+    nothing.  A LIVE remote writer between intent and commit still
+    looks identical to a crashed one at this granularity (the
+    Delta-on-S3-without-LogStore shape); adjudicating it is SAFE — the
+    victim detects the adjudication at its commit point via the token
+    and full-retries — just wasteful, which is why ``vacuum_table``
+    additionally age-floors the marker before recovering."""
     jvm, hp, fs = _fs_for(spark, manifest_path)
     tpath = hp(f"{manifest_path}/_TXN")
     if not fs.exists(tpath):
         return None
-    txn = _read_json_marker(spark, f"{manifest_path}/_TXN")
-    committed = txn["expected_version"] in _committed_versions(
-        spark, manifest_path
-    )
-    if committed:
-        _sweep_removed(spark, manifest_path)
-    else:
-        for f in txn.get("added", []):
-            fs.delete(hp(f), False)
+    with _CommitLease(spark, manifest_path):
+        if not fs.exists(tpath):
+            return None  # the other actor adjudicated while we waited
+        try:
+            txn = _read_json_marker(spark, f"{manifest_path}/_TXN")
+        except Exception:
+            return None  # owner cleared it between exists and read
+        committed = txn["expected_version"] in _committed_versions(
+            spark, manifest_path
+        )
+        if committed:
+            _sweep_removed(spark, manifest_path)
+        else:
+            for f in txn.get("added", []):
+                fs.delete(hp(f), False)
+        fs.delete(tpath, False)
+        return {"rolled": "forward" if committed else "back", **txn}
+
+
+def _write_txn_intent(spark: SparkSession, mdir: str, payload: dict) -> str:
+    """Write (or restamp) the ``_TXN`` intent marker carrying a fresh
+    INTENT TOKEN and return the token.  The writer passes it to
+    ``_commit_manifest(intent_token=...)``, which re-verifies — under
+    the commit lease — that the marker still carries this token right
+    before committing: if a cross-process maintenance actor adjudicated
+    the intent as crashed (rolling the moved-in files back) the token
+    is gone and the commit refuses with ``SnapshotConflict`` instead of
+    landing a manifest that references deleted files."""
+    import uuid as _uuid
+
+    tok = _uuid.uuid4().hex
+    _write_json_marker(spark, mdir, "_TXN", {**payload, "intent": tok})
+    return tok
+
+
+def _clear_txn_intent(
+    spark: SparkSession, mdir: str, intent_token: str | None = None
+) -> None:
+    """Delete the ``_TXN`` marker at the healthy end of a transaction —
+    but only while it is still OURS: after our commit, a maintenance
+    actor may have rolled the marker forward (deleting it) and a
+    FOREIGN writer may have landed its own intent; deleting that would
+    needlessly fail the foreign commit's token check.  ``None`` skips
+    the ownership read (legacy callers that never stamped a token)."""
+    jvm, hp, fs = _fs_for(spark, mdir)
+    tpath = hp(f"{mdir}/_TXN")
+    if intent_token is not None:
+        try:
+            if (
+                _read_json_marker(spark, f"{mdir}/_TXN").get("intent")
+                != intent_token
+            ):
+                return
+        except Exception:
+            return  # gone already (rolled forward) — nothing to clear
     fs.delete(tpath, False)
-    return {"rolled": "forward" if committed else "back", **txn}
 
 
 def committed_schema(
@@ -3158,16 +3260,21 @@ def _ensure_mapping(
 
 
 def _rollback_conflict(spark: SparkSession, manifest_path: str,
-                       added: Sequence[str]) -> None:
+                       added: Sequence[str],
+                       intent_token: str | None = None) -> None:
     """Undo a transaction that lost the optimistic-concurrency race
     AFTER moving its files into the table: delete the moved-in files
     (no committed manifest references them) and this txn's ``_TXN``
     intent marker, so a retry from a fresh snapshot starts clean and
-    incremental maintenance cannot adopt the orphans as new ingest."""
+    incremental maintenance cannot adopt the orphans as new ingest.
+    With ``intent_token`` the marker is deleted only while it is still
+    OURS — if a cross-process adjudicator already rolled us back and a
+    foreign writer landed its own intent, deleting theirs would
+    needlessly fail their commit's token check."""
     jvm, hp, fs = _fs_for(spark, manifest_path)
     for f in added:
         fs.delete(hp(f), False)
-    fs.delete(hp(f"{manifest_path}/_TXN"), False)
+    _clear_txn_intent(spark, manifest_path, intent_token)
 
 
 def _move_files_in(fs, hp, planned: Sequence[tuple[str, str]]) -> list[str]:
@@ -3724,10 +3831,9 @@ def _txn_rewrite_unlocked(
             (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
             for rel, _ln in _leaf_files(spark, tmp)
         ]
-        _write_json_marker(
+        itok = _write_txn_intent(
             spark,
             mdir,
-            "_TXN",
             {
                 "expected_version": expected,
                 "added": [dst for _src, dst in planned]
@@ -3761,7 +3867,7 @@ def _txn_rewrite_unlocked(
                 keep_versions=keep_versions, partition_by=pcols, txn=txn,
                 added_files=added, changes=changes_files,
                 added_rows=delta_rows, stats_schema=delta_schema,
-                op=op,
+                op=op, intent_token=itok,
                 metrics={
                     "rows_written": int(rows_after),
                     "files_added": len(added),
@@ -3769,10 +3875,13 @@ def _txn_rewrite_unlocked(
                 },
             )
         except SnapshotConflict:
-            _rollback_conflict(spark, mdir, added + list(changes_files or []))
+            _rollback_conflict(
+                spark, mdir, added + list(changes_files or []),
+                intent_token=itok,
+            )
             raise
         _post_commit_sweep(spark, mdir)
-        fs.delete(hp(f"{mdir}/_TXN"), False)
+        _clear_txn_intent(spark, mdir, itok)
         ledger.update(
             {
                 "files_rewritten": len(cand),
@@ -3952,10 +4061,9 @@ def _delete_mor_unlocked(
         commit_v = expected
         rebased = 0
         while True:
-            _write_json_marker(
+            itok = _write_txn_intent(
                 spark,
                 mdir,
-                "_TXN",
                 {
                     "expected_version": commit_v,
                     "added": dv_files + list(changes_files or []),
@@ -3970,6 +4078,7 @@ def _delete_mor_unlocked(
                     dvs_add=dv_entries,
                     changes=changes_files,
                     op="delete (merge-on-read)",
+                    intent_token=itok,
                     metrics={
                         "rows_deleted": int(rows_matched),
                         "dv_files": len(dv_files),
@@ -3996,7 +4105,8 @@ def _delete_mor_unlocked(
                 )
                 if rb is None or rb == "skip":
                     _rollback_conflict(
-                        spark, mdir, dv_files + list(changes_files or [])
+                        spark, mdir, dv_files + list(changes_files or []),
+                        intent_token=itok,
                     )
                     if rb == "skip":
                         return {
@@ -4022,7 +4132,7 @@ def _delete_mor_unlocked(
                     )
                     for d in {os.path.dirname(f) for f in old_changes}:
                         fs.delete(hp(d), True)
-        fs.delete(hp(f"{mdir}/_TXN"), False)
+        _clear_txn_intent(spark, mdir, itok)
         ledger.update(
             {
                 "dv_files": len(dv_files),
@@ -4610,9 +4720,11 @@ def _rebase_append(
     - the winner changed the partition-column stamp (our files'
       directory layout no longer matches the table's);
     - the schemas no longer merge add-only (type clash);
-    - any of OUR moved-in files is gone — a cross-process writer's
-      head-of-op intent recovery rolled our in-flight attempt back as
-      crashed (the documented single-maintenance-actor granularity);
+    - any of OUR moved-in files is gone — a cross-process actor's
+      lease-scoped intent recovery adjudicated our in-flight attempt
+      as crashed (a live writer between intent and commit looks
+      crashed at the Delta-on-S3 granularity; the commit-side intent
+      token catches the same loss even without a conflict);
       re-committing would reference deleted files, so the loser
       re-runs the batch instead.  O(batch) existence probes.
 
@@ -4997,10 +5109,9 @@ def _append_files_unlocked(
         for rel, _ln in _leaf_files(spark, tmp)
     ]
     expected = (snap_v if snap_v is not None else -1) + 1
-    _write_json_marker(
+    itok = _write_txn_intent(
         spark,
         mdir,
-        "_TXN",
         {
             "expected_version": expected,
             "added": [dst for _src, dst in planned],
@@ -5071,6 +5182,7 @@ def _append_files_unlocked(
                 stats_schema=delta_schema,
                 changes=changes_files,
                 op="append",
+                intent_token=itok,
                 metrics={
                     "rows_written": int(rows),
                     "files_added": len(added),
@@ -5097,7 +5209,8 @@ def _append_files_unlocked(
                 # committed this txn's batch id (the batch is durable;
                 # landing ours too would double it)
                 _rollback_conflict(
-                    spark, mdir, added + list(changes_files or [])
+                    spark, mdir, added + list(changes_files or []),
+                    intent_token=itok,
                 )
                 if rb == "skip":
                     return {
@@ -5127,17 +5240,16 @@ def _append_files_unlocked(
                     fs.delete(hp(d), True)
             # refresh the intent marker so crash recovery rolls this
             # attempt forward/back against the version it now targets
-            _write_json_marker(
+            itok = _write_txn_intent(
                 spark,
                 mdir,
-                "_TXN",
                 {
                     "expected_version": expected,
                     "added": added + list(changes_files or []),
                     "removed": [],
                 },
             )
-    fs.delete(hp(f"{mdir}/_TXN"), False)
+    _clear_txn_intent(spark, mdir, itok)
     return {
         "rows": int(rows),
         "files_added": len(added),
@@ -5553,10 +5665,9 @@ def _merge_into_unlocked(
             (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
             for rel, _ln in _leaf_files(spark, tmp)
         ]
-        _write_json_marker(
+        itok = _write_txn_intent(
             spark,
             mdir,
-            "_TXN",
             {
                 "expected_version": expected,
                 "added": [dst for _src_f, dst in planned]
@@ -5610,6 +5721,7 @@ def _merge_into_unlocked(
                     added_rows=delta_rows,
                     stats_schema=delta_schema,
                     op=op or f"merge ({mode}, {strategy})",
+                    intent_token=itok,
                     metrics={
                         "rows_source": int(n_src),
                         "rows_written": int(rows_after),
@@ -5639,6 +5751,7 @@ def _merge_into_unlocked(
                     _rollback_conflict(
                         spark, mdir,
                         added + dv_files + list(changes_files or []),
+                        intent_token=itok,
                     )
                     if rb == "skip":
                         return {
@@ -5662,10 +5775,9 @@ def _merge_into_unlocked(
                     )
                     for d in {os.path.dirname(f) for f in old_changes}:
                         fs.delete(hp(d), True)
-                _write_json_marker(
+                itok = _write_txn_intent(
                     spark,
                     mdir,
-                    "_TXN",
                     {
                         "expected_version": commit_v,
                         "added": added
@@ -5675,7 +5787,7 @@ def _merge_into_unlocked(
                     },
                 )
         _post_commit_sweep(spark, mdir)
-        fs.delete(hp(f"{mdir}/_TXN"), False)
+        _clear_txn_intent(spark, mdir, itok)
 
         if mor:
             rows_updated = rows_inserted = None
@@ -6088,10 +6200,9 @@ def _materialize_deletes_unlocked(
         (tmp + "/" + rel, path.rstrip("/") + "/" + rel)
         for rel, _ln in _leaf_files(spark, tmp)
     ]
-    _write_json_marker(
+    itok = _write_txn_intent(
         spark,
         mdir,
-        "_TXN",
         {
             "expected_version": expected,
             "added": [dst for _src, dst in planned],
@@ -6119,6 +6230,7 @@ def _materialize_deletes_unlocked(
             changes=[] if _table_cdf(spark, mdir) else None,
             added_rows=delta_rows, stats_schema=delta_schema,
             op="materialize-deletes",
+            intent_token=itok,
             metrics={
                 "files_added": len(added),
                 "files_removed": len(cand),
@@ -6126,10 +6238,10 @@ def _materialize_deletes_unlocked(
             },
         )
     except SnapshotConflict:
-        _rollback_conflict(spark, mdir, added)
+        _rollback_conflict(spark, mdir, added, intent_token=itok)
         raise
     _post_commit_sweep(spark, mdir)
-    fs.delete(hp(f"{mdir}/_TXN"), False)
+    _clear_txn_intent(spark, mdir, itok)
     ledger.update(
         {
             "files_rewritten": len(cand),

@@ -11,6 +11,12 @@ keys [lo + 10*b, lo + 10*b + 9] — the two-erasure-jobs-racing shape;
 a collision with the parent either rebases (disjoint tombstones /
 pure-append winners) or full-retries through retry_on_conflict — the
 exactly-once ledger is the contract either way.
+mode "vacuum_loop": run vacuum_table(min_age_s=0) n_batches times —
+the second maintenance actor of the two-actor recovery race; prints
+one CHILD_VACUUM line per round with what it swept.
+mode "recover": call sinks._recover_txn once and print CHILD_ROLLED
+<back|forward|none> — the observable half of the exactly-once
+adjudication contract.
 """
 
 import sys
@@ -18,10 +24,12 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from evmtrace_etl_spark import sinks
 from evmtrace_etl_spark.sinks import (
     append_files,
     delete_where,
     retry_on_conflict,
+    vacuum_table,
 )
 
 
@@ -37,8 +45,20 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if mode == "recover":
+        got = sinks._recover_txn(spark, tbl + "/_stats_manifest")
+        print(
+            f"CHILD_ROLLED {got['rolled'] if got else 'none'}",
+            flush=True,
+        )
+        spark.stop()
+        print("CHILD_DONE", flush=True)
+        return
     for b in range(n_batches):
-        if mode == "delmor":
+        if mode == "vacuum_loop":
+            removed = vacuum_table(spark, tbl, min_age_s=0)
+            print(f"CHILD_VACUUM {len(removed)}", flush=True)
+        elif mode == "delmor":
             slice_lo = lo + 10 * b
             led = retry_on_conflict(
                 lambda: delete_where(
