@@ -3678,8 +3678,20 @@ def _txn_rewrite_unlocked(
         listed = {r["file"] for r in manifest.select("file").collect()}
         cand = [f for f in candidates if f in listed]
         if candidates and not cand:
-            # an explicit candidate list entirely outside the committed
-            # snapshot is a path-form mismatch or untracked files — a
+            if any(not fs.exists(hp(f)) for f in candidates):
+                # the candidates vanished from DISK too: a concurrent
+                # commit (another compactor, an in-band maintain pass)
+                # rewrote and swept them between the caller's listing
+                # and this snapshot pin — the two-actor maintenance
+                # race, not a bug.  Retryable: a retry re-lists from
+                # the fresh snapshot and converges to a no-op.
+                raise SnapshotConflict(
+                    f"all {len(candidates)} candidate files were "
+                    f"rewritten and swept by a concurrent commit at "
+                    f"{mdir} — retry from a fresh listing"
+                )
+            # still on disk but entirely outside the committed
+            # snapshot: a path-form mismatch or untracked files — a
             # silent no-op here would report success without compacting
             raise ValueError(
                 f"none of the {len(candidates)} candidate files appear "
@@ -7173,6 +7185,7 @@ def start_lake_merge_stream(
     available_now: bool = True,
     maintain_every: int | None = None,
     maintain_kwargs: dict | None = None,
+    on_maintain: "Callable[[dict], None] | None" = None,
 ):
     """Streaming keyed upsert through the snapshot log — the streaming
     half of ``merge_into``, completing the unification the reference's
@@ -7192,7 +7205,11 @@ def start_lake_merge_stream(
     ``maintain_every``/``maintain_kwargs``: the in-band maintenance
     cadence (see ``start_lake_append_stream``) — for a merge-on-read
     stream this is also what keeps the tombstone debt materialized at
-    the thresholds instead of growing until an external REORG."""
+    the thresholds instead of growing until an external REORG.
+    ``on_maintain`` (optional) receives each in-band maintenance
+    ledger — wire it to the monitoring tier
+    (``streaming.monitor.record_maintenance``) so an operator can SEE
+    that the stream is bounding its own debt."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():  # e.g. a final watermark-commit batch
@@ -7211,9 +7228,24 @@ def start_lake_merge_stream(
                 txn=(app_id, int(batch_id)),
             )
         if maintain_every and (int(batch_id) + 1) % int(maintain_every) == 0:
-            maintain_table(
-                sp, path, manifest_path, **(maintain_kwargs or {})
+            # maintenance losing a race to ANOTHER maintenance actor
+            # (the two-actor deployment: an external cron maintain/
+            # vacuum on the same table) must not kill the stream —
+            # every step is idempotent and converging, so the bounded
+            # retry is always the right response here
+            actions = retry_on_conflict(
+                lambda: maintain_table(
+                    sp, path, manifest_path, **(maintain_kwargs or {})
+                )
             )
+            if on_maintain is not None:
+                on_maintain(
+                    {
+                        "batch_id": int(batch_id),
+                        "version": manifest_version(sp, mdir),
+                        "actions": actions,
+                    }
+                )
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)
@@ -7235,6 +7267,7 @@ def start_lake_append_stream(
     available_now: bool = True,
     maintain_every: int | None = None,
     maintain_kwargs: dict | None = None,
+    on_maintain: "Callable[[dict], None] | None" = None,
 ):
     """Wire a streaming DataFrame into ``append_files`` — checkpointed
     ``foreachBatch`` where each micro-batch lands as ONE snapshot
@@ -7254,7 +7287,12 @@ def start_lake_append_stream(
     snapshot transaction).  Idempotent under checkpoint replay: the
     ingest skips on its txn stamp and a re-run maintenance pass
     converges to a no-op.  ``maintain_kwargs`` pass through
-    (thresholds, target_bytes, min_age_s)."""
+    (thresholds, target_bytes, min_age_s).  ``on_maintain`` (optional)
+    receives each in-band maintenance ledger
+    (``{"batch_id", "version", "actions"}``) — wire it to the
+    monitoring tier (``streaming.monitor.record_maintenance``) so the
+    T6/T7 health surface shows the stream bounding its own debt
+    instead of the ledger dying inside this closure."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         append_files(
@@ -7266,10 +7304,26 @@ def start_lake_append_stream(
             txn=(app_id, int(batch_id)),
         )
         if maintain_every and (int(batch_id) + 1) % int(maintain_every) == 0:
-            maintain_table(
-                batch.sparkSession, path, manifest_path,
-                **(maintain_kwargs or {}),
+            # see start_lake_merge_stream: a maintenance-vs-maintenance
+            # race (external cron actor) retries instead of failing
+            # the stream — idempotent, converging
+            actions = retry_on_conflict(
+                lambda: maintain_table(
+                    batch.sparkSession, path, manifest_path,
+                    **(maintain_kwargs or {}),
+                )
             )
+            if on_maintain is not None:
+                on_maintain(
+                    {
+                        "batch_id": int(batch_id),
+                        "version": manifest_version(
+                            batch.sparkSession,
+                            _manifest_dir(path, manifest_path),
+                        ),
+                        "actions": actions,
+                    }
+                )
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

@@ -50,6 +50,48 @@ def record_batch_heads(
         stats.update(**{f"latest_{kind}_block_{row['chain_id']}": row["latest_block"]})
 
 
+def record_maintenance(stats: EngineStats, prefix: str = "maintain"):
+    """Adapter for the lake sinks' ``on_maintain`` hook: returns a
+    callback that folds each in-band ``maintain_table`` ledger into the
+    T6 stats map, so ``GET /health`` (T7) shows that a long-running
+    stream is actually bounding its file/tombstone debt — which batch
+    last maintained, at what table version, what each step did, and how
+    much DV debt was observed.  Without this the ledger returns into
+    the foreachBatch closure and is dropped."""
+
+    def _on_maintain(ledger: dict) -> None:
+        actions = ledger.get("actions") or {}
+
+        def _summ(step) -> dict | None:
+            if step is None:
+                return None
+            if isinstance(step, list):  # vacuum returns removed paths
+                return {"removed": len(step)}
+            return {
+                k: step[k]
+                for k in (
+                    "files_rewritten", "files_added", "rows_suppressed",
+                    "dv_files_removed", "version",
+                )
+                if k in step
+            }
+
+        stats.update(
+            **{
+                f"last_{prefix}_batch": ledger.get("batch_id"),
+                f"last_{prefix}_version": ledger.get("version"),
+                f"last_{prefix}_dv_files": actions.get("dv_files"),
+                f"last_{prefix}_dv_rows": actions.get("dv_rows"),
+                f"last_{prefix}_actions": {
+                    step: _summ(actions.get(step))
+                    for step in ("materialize", "compact", "vacuum")
+                },
+            }
+        )
+
+    return _on_maintain
+
+
 class ProgressListener(StreamingQueryListener):
     """Captures streaming progress into EngineStats (replaces the
     reference's offset map; offsets live in query progress here)."""

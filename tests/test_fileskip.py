@@ -911,3 +911,98 @@ def test_lake_append_stream_in_band_maintenance(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert read_table(spark, tbl).count() == 600
+
+
+def test_two_actor_maintain_interleaves_with_in_band_stream(
+    spark, tmp_path
+):
+    """An EXTERNAL maintain_table loop races the stream's own
+    maintain_every on the same table (same process; the cross-process
+    leg is tests/test_lake_recovery.py): every interleaving must keep
+    the ingest exactly-once, converge — the post-drain maintenance
+    rewrites nothing — and leave no orphaned temp dirs and no live
+    _TXN intent.  The composed op's convergence contract was only
+    asserted serially before."""
+    import threading
+
+    from evmtrace_etl_spark import sinks
+    from evmtrace_etl_spark.sinks import (
+        read_table,
+        retry_on_conflict,
+        start_lake_append_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    tbl = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    for lo in range(0, 800, 100):  # eight one-file arrivals
+        spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stop = threading.Event()
+    external_runs = []
+    errors: list = []
+
+    def external_maintainer() -> None:
+        # fire external maintenance continuously while the stream's
+        # in-band cadence runs — the two-actor deployment shape
+        try:
+            while not stop.is_set():
+                if sinks.manifest_version(
+                    spark, tbl + "/_stats_manifest"
+                ) is not None:
+                    led = retry_on_conflict(
+                        lambda: sinks.maintain_table(
+                            spark, tbl, min_age_s=0
+                        ),
+                        attempts=10,
+                    )
+                    external_runs.append(led)
+        except Exception as exc:  # pragma: no cover - fails the test
+            errors.append(exc)
+
+    ext = threading.Thread(target=external_maintainer)
+    ext.start()
+    try:
+        q = start_lake_append_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl, ckpt, cols=["k"], app_id="maint2",
+            maintain_every=2, maintain_kwargs={"min_age_s": 0},
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None  # in-band maintain never dies to a race
+    finally:
+        stop.set()
+        ext.join(timeout=120)
+    assert not errors
+    assert external_runs  # the external actor really ran concurrently
+
+    t = read_table(spark, tbl)
+    assert t.count() == 800 and t.select("k").distinct().count() == 800
+    mdir = tbl + "/_stats_manifest"
+    assert not os.path.exists(os.path.join(mdir, "_TXN"))
+    assert not os.path.exists(os.path.join(mdir, "_LOCK"))
+    # no orphaned temp siblings from any losing actor
+    parent = os.path.dirname(tbl)
+    debris = [
+        p
+        for p in os.listdir(parent)
+        if p.startswith("lake._")
+    ]
+    assert debris == [], debris
+    # convergence: a first post-drain pass may compact fragments the
+    # final ingest batch landed after the last in-band pass; the
+    # SECOND pass must rewrite nothing
+    sinks.maintain_table(spark, tbl, min_age_s=0)
+    led = sinks.maintain_table(spark, tbl, min_age_s=0)
+    assert (led["compact"] or {"files_rewritten": 0})[
+        "files_rewritten"
+    ] == 0
+    assert led["materialize"] is None
+    # and the ingest stayed exactly-once through every interleaving
+    assert read_table(spark, tbl).count() == 800

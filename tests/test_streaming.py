@@ -900,3 +900,64 @@ def test_stream_resumes_from_checkpoint_without_reprocessing(spark, tmp_path):
     c_batch = with_checksummed_addresses(c_batch, *CONTRACT_ADDRESS_COLS)
     assert _rows(sink.read(spark, "transactions")) == _rows(tx_batch)
     assert _rows(sink.read(spark, "contracts")) == _rows(c_batch)
+
+
+def test_in_band_maintenance_surfaces_on_health(spark, tmp_path):
+    """T6/T7 observability for maintain_every (r13 left the ledger
+    dying inside the foreachBatch closure): the lake append stream's
+    ``on_maintain`` hook wired to ``monitor.record_maintenance`` puts
+    the last in-band maintenance — batch id, table version, per-step
+    summaries, observed DV debt — into the stats map, and ``/health``
+    serves it, so an operator can SEE the stream bounding its own
+    debt."""
+    import glob as _glob
+    import os as _os
+
+    from evmtrace_etl_spark.sinks import (
+        read_table,
+        start_lake_append_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    _os.makedirs(src)
+    tbl = str(tmp_path / "lake")
+    for lo in range(0, 400, 100):
+        spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stats = monitor.EngineStats()
+    q = start_lake_append_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl, str(tmp_path / "ckpt"), cols=["k"], app_id="obs",
+        maintain_every=2, maintain_kwargs={"min_age_s": 0},
+        on_maintain=monitor.record_maintenance(stats),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert read_table(spark, tbl).count() == 400
+
+    snap = stats.snapshot()
+    assert snap["last_maintain_batch"] >= 1
+    assert snap["last_maintain_version"] >= 1
+    assert snap["last_maintain_dv_files"] == 0  # append-only stream
+    acts = snap["last_maintain_actions"]
+    assert set(acts) == {"materialize", "compact", "vacuum"}
+    assert acts["materialize"] is None  # no dv debt to fold
+    assert acts["compact"] is not None  # fragments really compacted
+    assert "files_rewritten" in acts["compact"]
+
+    server = monitor.start_health_server(stats, port=0)
+    try:
+        health = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.server_port}/health"
+            ).read()
+        )
+        assert health["stats"]["last_maintain_batch"] >= 1
+        assert "compact" in health["stats"]["last_maintain_actions"]
+    finally:
+        server.shutdown()
