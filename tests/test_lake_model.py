@@ -1,12 +1,21 @@
 """Model-based differential test of the whole lake tier: seeded random
 PROGRAMS of mixed operations (appends, copy-on-write and merge-on-read
 merges/deletes/updates, compaction, materialize, column rename, type
-widening, the maintain_table composite, vacuum) run against both the
+widening, the maintain_table composite, vacuum, protocol upgrade, and
+RESTORE to a random retained snapshot) run against both the
 snapshot-logged table and a plain Python dict model — after EVERY
-operation the visible table must equal the model exactly.
+operation the visible table must equal the model exactly (on restore,
+the model rolls back to its recorded state for that version, column
+name and value type included).
 This is the catch-all for cross-feature interactions no single-feature
 test enumerates (a tombstone surviving a compaction, a rename breaking
-DV suppression, a merge resurrecting a deleted key, ...)."""
+DV suppression, a merge resurrecting a deleted key, a restore across a
+DV fold or rename, an upgraded protocol floor breaking a later op...).
+
+Seeds are OPS-LIST-PINNED: changing the ``ops`` list re-maps every
+random draw — re-pin the parametrized seeds and the long-program seed
+(which must cross the every-10-commits DV consolidation) whenever the
+op mix changes."""
 
 from __future__ import annotations
 
@@ -52,18 +61,27 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
     model: dict[int, tuple[int, int]] = {
         k: (k % 7, k * 10) for k in range(100)
     }
+    # retain_removed so RESTORE stays valid across the program's
+    # copy-on-write rewrites (replaced files kept until their snapshot
+    # leaves keep_versions — the retention contract restore rides)
     append_files(
         spark, _df(spark, model).coalesce(2), tbl, cols=["k"],
-        keep_versions=10,
+        keep_versions=10, retain_removed=True,
     )
     next_k = 100
     trace = []
     ops = [
         "append", "merge_cow", "merge_mor", "delete_mor", "update_mor",
         "delete_cow", "update_cow", "compact", "materialize", "rename",
-        "widen", "maintain", "vacuum",
+        "widen", "maintain", "vacuum", "upgrade", "restore",
     ]
     renamed = False
+    mdir = tbl + "/_stats_manifest"
+    # model snapshots per committed version, for RESTORE: the model
+    # rolls back with the table (column name and value type included)
+    history: dict[int, tuple[dict, str, str]] = {
+        sinks.manifest_version(spark, mdir): (dict(model), val_col, val_type)
+    }
     for step in range(n_ops):
         op = rng.choice(ops)
         trace.append(op)
@@ -161,14 +179,39 @@ def _run_program(spark, tmp_path, seed: int, n_ops: int = 12) -> list:
             )
             model.update(fresh)
             val_type = "long"
+        elif op == "upgrade":
+            # explicit protocol floor raise mid-program: a metadata-
+            # only commit every later op must keep working under
+            sinks.upgrade_table_protocol(
+                spark, tbl, min_reader=2, min_writer=2
+            )
+        elif op == "restore":
+            # RESTORE to a random RETAINED recorded snapshot (possibly
+            # across a DV fold, a rename, or a widen) — the model, the
+            # column name, and the value type all roll back with it
+            committed = set(sinks._committed_versions(spark, mdir))
+            candidates = sorted(v for v in history if v in committed)
+            if candidates:
+                target = rng.choice(candidates[-5:])
+                sinks.restore_table(spark, tbl, version=target)
+                model, val_col, val_type = history[target]
+                model = dict(model)
+                renamed = val_col != "v"
         _check(spark, tbl, model, val_col)
+        history[sinks.manifest_version(spark, mdir)] = (
+            dict(model), val_col, val_type,
+        )
     return trace
 
 
-@pytest.mark.parametrize("seed", [7, 23, 61])
+# seeds re-pinned for the r14 ops list (upgrade/restore added): 2/3/9
+# collectively cover restore-after-rename, repeated upgrades, restore
+# across maintain, and every pre-existing op class
+@pytest.mark.parametrize("seed", [2, 3, 9])
 def test_random_lake_program_matches_model(spark, tmp_path, seed):
     trace = _run_program(spark, tmp_path, seed)
     assert len(trace) == 12
+    assert "restore" in trace or "upgrade" in trace  # new ops exercised
 
 
 def test_long_lake_program_crosses_dv_consolidation(spark, tmp_path):
@@ -177,11 +220,14 @@ def test_long_lake_program_crosses_dv_consolidation(spark, tmp_path):
     with >1 active deletion vector) drives the model-based check
     ACROSS the checkpoint DV fold: the consolidated per-row sidecar
     must serve byte-identical visibility to the per-commit sidecars
-    it replaced, through every later op of the program."""
+    it replaced, through every later op of the program — which for
+    this seed also includes a mid-program protocol upgrade, a restore,
+    and a rename BEFORE the fold."""
     import glob
 
     trace = _run_program(spark, tmp_path, seed=101, n_ops=24)
     assert len(trace) == 24
+    assert "upgrade" in trace and "restore" in trace and "rename" in trace
     tbl = str(tmp_path / "t101")
     # the program really crossed the fold (seed-pinned — revisit the
     # seed if the op mix ever changes)
