@@ -3212,7 +3212,14 @@ def lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the reproducibility contract a training pipeline
     needs: "rebuild the corpus exactly as it was when run X sampled
     it" is one O(metadata) snapshot resolution, not a table copy —
-    while rewrites keep landing on the head."""
+    while rewrites keep landing on the head.
+
+    r14 registry consolidation: the RESTORE gate (``lake_restore`` —
+    Delta's RESTORE VERSION AS OF with junk-append + MOR-corruption
+    roll-back, formerly its own ``inv_lake_restore`` row) rides this
+    row as a fourth labeled leg (``snapshot='restored'``, its own
+    build table) — both history surfaces verify through one row, every
+    mechanism still runs end-to-end."""
     from functools import reduce
 
     from ..sinks import commit_timestamp, read_table
@@ -3244,6 +3251,9 @@ def lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             leg("v0", version=0),
             leg("v1", as_of_timestamp=ts_v1),
             leg("head"),
+            lake_restore(spark, sf_dir).withColumn(
+                "snapshot", F.lit("restored")
+            ),
         ],
     )
 
@@ -3258,12 +3268,21 @@ WITH v1 AS (
   SELECT * FROM v1
   WHERE NOT (event_id >= 0
              AND event_id <= (SELECT max(event_id) // 5 FROM events))
+), restored AS (
+  -- the RESTORE gate's final state (see lake_restore): junk append +
+  -- MOR corruption rolled back to v0, then one legitimate keyed merge
+  SELECT event_id, user_id,
+    CASE WHEN event_id % 10 = 2 THEN 'post' ELSE event_type END AS event_type,
+    CASE WHEN event_id % 10 = 2 THEN value + 5.0 ELSE value END AS value
+  FROM events
 ), lab AS (
   SELECT 'v0' AS snapshot, event_id, user_id, event_type, value FROM events
   UNION ALL
   SELECT 'v1', event_id, user_id, event_type, value FROM v1
   UNION ALL
   SELECT 'head', event_id, user_id, event_type, value FROM head
+  UNION ALL
+  SELECT 'restored', event_id, user_id, event_type, value FROM restored
 )
 SELECT snapshot, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
@@ -4638,7 +4657,6 @@ QUERIES = {
     "inv_lake_cdc_feed": lake_cdc_feed,
     "inv_lake_stream_changes": lake_stream_changes,
     "inv_lake_cluster_skip": lake_cluster_skip,
-    "inv_lake_restore": lake_restore,
     "inv_lake_timetravel": lake_timetravel,
     "inv_lake_constraint_gate": lake_constraint_gate,
     "inv_lake_delete_mor": lake_delete_mor,
@@ -4703,7 +4721,6 @@ ORACLES = {
     "inv_lake_cdc_feed": LAKE_CDC_FEED_SQL,
     "inv_lake_stream_changes": LAKE_STREAM_CHANGES_SQL,
     "inv_lake_cluster_skip": LAKE_CLUSTER_SKIP_SQL,
-    "inv_lake_restore": LAKE_RESTORE_SQL,
     "inv_lake_timetravel": LAKE_TIMETRAVEL_SQL,
     "inv_lake_constraint_gate": LAKE_CONSTRAINT_GATE_SQL,
     "inv_lake_delete_mor": LAKE_DELETE_MOR_SQL,

@@ -2799,6 +2799,113 @@ FROM pc
 """)
 
 
+# ---------------------------------------------------------------------------
+# Registry-consolidation composites (r14): several recall/serve ladders
+# share one fixture and one rollup schema, so each pair verifies through
+# ONE registry row — a `leg` column labels the branches, the oracle is
+# the union of the legs' SQL, and BOTH machines still run end-to-end on
+# every verification.  The leaf functions above remain the callable API
+# (and the unit/plan tests pin them individually); consolidation brings
+# the registry back under the driver window's 3-round staleness bound.
+# ---------------------------------------------------------------------------
+
+
+def _legs_sql(legs: "list[tuple[str, str]]") -> str:
+    """UNION ALL of full oracle statements, each labeled with its leg
+    (DuckDB accepts a WITH-headed statement inside the subquery)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS leg, t.* FROM (\n{sql}\n) t"
+        for name, sql in legs
+    )
+
+
+def _legged(name: str, df: DataFrame) -> DataFrame:
+    return df.withColumn("leg", F.lit(name))
+
+
+def llm_ivf_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-codebook AND trained-codebook IVF recall on the uniform
+    corpus as one row (legs 'seed'/'trained') — the Lloyd's-fit
+    regression signal of the old ``llm_ivf_trained_recall`` row rides
+    the same verification."""
+    return _legged("seed", llm_ivf_recall(spark, sf_dir)).unionByName(
+        _legged("trained", llm_ivf_trained_recall(spark, sf_dir))
+    )
+
+
+def llm_ivf_recall_clustered_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed + trained IVF recall on the CLUSTERED corpus (legs
+    'seed'/'trained') — absorbs ``llm_ivf_trained_recall_clustered``."""
+    return _legged(
+        "seed", llm_ivf_recall_clustered(spark, sf_dir)
+    ).unionByName(
+        _legged("trained", llm_ivf_trained_recall_clustered(spark, sf_dir))
+    )
+
+
+def llm_pq_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC recall on the uniform AND clustered corpora (legs
+    'uniform'/'clustered') — absorbs ``llm_pq_recall_clustered``."""
+    return _legged("uniform", llm_pq_recall(spark, sf_dir)).unionByName(
+        _legged("clustered", llm_pq_recall_clustered(spark, sf_dir))
+    )
+
+
+def llm_ivfpq_recall_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC recall plus the two-stage exact-re-rank recall on the
+    clustered corpus (legs 'adc'/'rerank') — absorbs
+    ``llm_ivfpq_rerank_recall``; the measured ladder (0.192 ADC →
+    0.876 rerank@50 at sf0.01) verifies in one row."""
+    return _legged(
+        "adc", llm_ivfpq_recall_clustered(spark, sf_dir)
+    ).unionByName(
+        _legged("rerank", llm_ivfpq_rerank_recall(spark, sf_dir))
+    )
+
+
+def llm_ivf_trained_topk_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inline trained-IVF serve AND the persisted-index
+    (partition-pruned) serve as one row (legs 'inline'/'index') — the
+    two paths are bit-equal by contract and shared one oracle already;
+    absorbs ``llm_ivf_index_topk``.  The index scan's partition-prune
+    plan shape stays pinned by tests/test_plan_shapes.py."""
+    return _legged(
+        "inline", llm_ivf_trained_topk(spark, sf_dir)
+    ).unionByName(_legged("index", llm_ivf_index_topk(spark, sf_dir)))
+
+
+IVF_RECALL_LADDER_SQL = _legs_sql(
+    [("seed", IVF_RECALL_SQL), ("trained", IVF_TRAINED_RECALL_SQL)]
+)
+IVF_RECALL_CLUSTERED_LADDER_SQL = _legs_sql(
+    [
+        ("seed", _with_clustered_corpus(IVF_RECALL_SQL)),
+        ("trained", _with_clustered_corpus(IVF_TRAINED_RECALL_SQL)),
+    ]
+)
+PQ_RECALL_LADDER_SQL = _legs_sql(
+    [
+        ("uniform", PQ_RECALL_SQL),
+        ("clustered", _with_clustered_corpus(PQ_RECALL_SQL)),
+    ]
+)
+IVFPQ_RECALL_LADDER_SQL = _legs_sql(
+    [
+        ("adc", IVFPQ_RECALL_CLUSTERED_SQL),
+        ("rerank", IVFPQ_RERANK_RECALL_SQL),
+    ]
+)
+IVF_TRAINED_TOPK_SERVED_SQL = _legs_sql(
+    [("inline", IVF_TRAINED_TOPK_SQL), ("index", IVF_TRAINED_TOPK_SQL)]
+)
+
+
 QUERIES = {
     "llm_exact_dup_groups": llm_exact_dup_groups,
     "llm_near_dup_pairs": llm_near_dup_pairs,
@@ -2838,7 +2945,7 @@ QUERIES = {
     "llm_length_quantiles": llm_length_quantiles,
     "llm_ivf_train": llm_ivf_train,
     "llm_seq_packing": llm_seq_packing,
-    "llm_ivf_recall": llm_ivf_recall,
+    "llm_ivf_recall": llm_ivf_recall_ladder,
     "llm_simhash_near_dups": llm_simhash_near_dups,
     "llm_simhash_band_stats": llm_simhash_band_stats,
     "llm_unigram_logprob": llm_unigram_logprob,
@@ -2849,7 +2956,7 @@ QUERIES = {
     "llm_tfidf_top_terms": llm_tfidf_top_terms,
     "llm_pq_topk": llm_pq_topk,
     "llm_snapshot_diff": llm_snapshot_diff,
-    "llm_pq_recall": llm_pq_recall,
+    "llm_pq_recall": llm_pq_recall_ladder,
     "llm_pq_trained_topk": llm_pq_trained_topk,
     "llm_quality_classifier": llm_quality_classifier,
     "llm_hashed_tf_vectors": llm_hashed_tf_vectors,
@@ -2858,12 +2965,8 @@ QUERIES = {
     "llm_sketch_profile": llm_sketch_profile,
     "llm_sketch_accuracy": llm_sketch_accuracy,
     "llm_cms_heavy_hitters": llm_cms_heavy_hitters,
-    "llm_ivf_trained_topk": llm_ivf_trained_topk,
-    "llm_ivf_index_topk": llm_ivf_index_topk,
-    "llm_ivf_trained_recall": llm_ivf_trained_recall,
-    "llm_ivf_recall_clustered": llm_ivf_recall_clustered,
-    "llm_ivf_trained_recall_clustered": llm_ivf_trained_recall_clustered,
-    "llm_pq_recall_clustered": llm_pq_recall_clustered,
+    "llm_ivf_trained_topk": llm_ivf_trained_topk_served,
+    "llm_ivf_recall_clustered": llm_ivf_recall_clustered_ladder,
     "llm_semantic_dedup": llm_semantic_dedup,
     "llm_semantic_cell_stats": llm_semantic_cell_stats,
     "llm_split_manifest": llm_split_manifest,
@@ -2871,8 +2974,7 @@ QUERIES = {
     "llm_cell_purity_clustered": llm_cell_purity_clustered,
     "llm_zipf_spectrum": llm_zipf_spectrum,
     "llm_ivfpq_topk": llm_ivfpq_topk,
-    "llm_ivfpq_recall_clustered": llm_ivfpq_recall_clustered,
-    "llm_ivfpq_rerank_recall": llm_ivfpq_rerank_recall,
+    "llm_ivfpq_recall_clustered": llm_ivfpq_recall_ladder,
     "llm_cross_source_dups": llm_cross_source_dups,
     "llm_source_mixture": llm_source_mixture,
 }
@@ -2916,7 +3018,7 @@ ORACLES = {
     "llm_length_quantiles": LENGTH_QUANTILES_SQL,
     "llm_ivf_train": IVF_TRAIN_SQL,
     "llm_seq_packing": SEQ_PACKING_SQL,
-    "llm_ivf_recall": IVF_RECALL_SQL,
+    "llm_ivf_recall": IVF_RECALL_LADDER_SQL,
     "llm_simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
     "llm_simhash_band_stats": SIMHASH_BAND_STATS_SQL,
     "llm_unigram_logprob": UNIGRAM_LOGPROB_SQL,
@@ -2927,7 +3029,7 @@ ORACLES = {
     "llm_tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "llm_pq_topk": PQ_TOPK_SQL,
     "llm_snapshot_diff": SNAPSHOT_DIFF_SQL,
-    "llm_pq_recall": PQ_RECALL_SQL,
+    "llm_pq_recall": PQ_RECALL_LADDER_SQL,
     "llm_pq_trained_topk": PQ_TRAINED_TOPK_SQL,
     "llm_quality_classifier": QUALITY_CLASSIFIER_SQL,
     "llm_hashed_tf_vectors": HASHED_TF_SQL,
@@ -2935,14 +3037,8 @@ ORACLES = {
     "llm_source_quality_gate": SOURCE_QUALITY_GATE_SQL,
     "llm_sketch_accuracy": SKETCH_ACCURACY_SQL,
     "llm_cms_heavy_hitters": CMS_HEAVY_HITTERS_SQL,
-    "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SQL,
-    "llm_ivf_index_topk": IVF_TRAINED_TOPK_SQL,
-    "llm_ivf_trained_recall": IVF_TRAINED_RECALL_SQL,
-    "llm_ivf_recall_clustered": _with_clustered_corpus(IVF_RECALL_SQL),
-    "llm_ivf_trained_recall_clustered": _with_clustered_corpus(
-        IVF_TRAINED_RECALL_SQL
-    ),
-    "llm_pq_recall_clustered": _with_clustered_corpus(PQ_RECALL_SQL),
+    "llm_ivf_trained_topk": IVF_TRAINED_TOPK_SERVED_SQL,
+    "llm_ivf_recall_clustered": IVF_RECALL_CLUSTERED_LADDER_SQL,
     "llm_semantic_dedup": SEMANTIC_DEDUP_SQL,
     "llm_semantic_cell_stats": SEMANTIC_CELL_STATS_SQL,
     "llm_split_manifest": SPLIT_MANIFEST_SQL,
@@ -2950,8 +3046,7 @@ ORACLES = {
     "llm_cell_purity_clustered": CELL_PURITY_CLUSTERED_SQL,
     "llm_zipf_spectrum": ZIPF_SPECTRUM_SQL,
     "llm_ivfpq_topk": IVFPQ_TOPK_SQL,
-    "llm_ivfpq_recall_clustered": IVFPQ_RECALL_CLUSTERED_SQL,
-    "llm_ivfpq_rerank_recall": IVFPQ_RERANK_RECALL_SQL,
+    "llm_ivfpq_recall_clustered": IVFPQ_RECALL_LADDER_SQL,
     "llm_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
     "llm_source_mixture": SOURCE_MIXTURE_SQL,
 }

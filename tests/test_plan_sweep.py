@@ -41,6 +41,9 @@ BNLJ_BUDGET = {
     # 4 unrolled pagerank iterations x 1 dangling-mass scalar each
     "inv_trade_pagerank": 4,
     "zk_callgraph_rank": 4,
+    # r14 composite row: uniform + clustered PQ recall legs, each with
+    # the one-row-scalar ADC normalizer BNLJ its standalone row budgeted
+    "llm_pq_recall": 2,
 }
 
 
