@@ -105,3 +105,45 @@ def test_passing_curve_skips_the_reprobe():
 
     final, gate = reprobe_curve(_pts(3000, 7600, 13500), boom)
     assert gate["pass"] and calls == [] and "retries" not in gate
+
+
+def test_head_anomaly_decision():
+    """head_anomalous: fires only when the first point sits under
+    HEAD_REPROBE_FACTOR x the previous round's same-fixture rate;
+    missing history or an empty curve never fires."""
+    from bench import head_anomalous
+
+    pts = _pts(1264, 5679, 11370)  # the literal r13 artifact shape
+    assert head_anomalous(pts, 3802)        # r12 head: 1264 < 0.5*3802
+    assert not head_anomalous(pts, 2400)    # 1264 >= 0.5*2400
+    assert not head_anomalous(pts, None)    # no history -> never
+    assert not head_anomalous([], 3802)     # no curve  -> never
+    assert not head_anomalous(pts, 0.0)     # degenerate history
+
+
+def test_prev_head_rate_parses_truncated_artifact(tmp_path):
+    """prev_head_rate reads the NEWEST BENCH_r*.json and regex-parses
+    the matching files_per_trigger point out of the driver's truncated
+    `tail` string (artifacts do not carry a parsed JSON document)."""
+    import json as _json
+
+    from bench import prev_head_rate
+
+    tail13 = (
+        '..."streaming": {"rows": 99000, "files": 16, "points": '
+        '[{"seconds": 78.333, "rows_per_sec": 1263.8, '
+        '"micro_batches": 4, "files_per_trigger": 4}, '
+        '{"seconds": 17.434, "rows_per_sec": 5678.5, '
+        '"micro_batches": 2, "files_per_trigger": 8}]}}'
+    )
+    tail12 = tail13.replace("1263.8", "3801.7")
+    (tmp_path / "BENCH_r12.json").write_text(
+        _json.dumps({"rc": 0, "tail": tail12})
+    )
+    (tmp_path / "BENCH_r13.json").write_text(
+        _json.dumps({"rc": 0, "tail": tail13})
+    )
+    assert prev_head_rate(str(tmp_path), 4) == 1263.8  # newest wins
+    assert prev_head_rate(str(tmp_path), 8) == 5678.5
+    assert prev_head_rate(str(tmp_path), 16) is None   # point absent
+    assert prev_head_rate(str(tmp_path / "nope"), 4) is None
