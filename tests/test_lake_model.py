@@ -232,3 +232,111 @@ def test_long_lake_program_crosses_dv_consolidation(spark, tmp_path):
     # the program really crossed the fold (seed-pinned — revisit the
     # seed if the op mix ever changes)
     assert glob.glob(tbl + "/_deletes/consolidated-*")
+
+
+def test_streamed_lake_program_matches_model(spark, tmp_path):
+    """Streaming leg of the model test: fresh keys arrive through a
+    REAL checkpointed lake-append stream (txn-stamped exactly-once,
+    in-band maintain_every=2) interleaved with randomly drawn
+    non-append lake ops on the same table — after EVERY step the
+    visible table must equal the dict model.  This composes streaming
+    ingest with MOR erasure/rectification, keyed merge, compaction,
+    and vacuum in one random walk, which no single-feature streaming
+    test exercises.  (Separate from ``_run_program`` so its op-mix
+    changes never invalidate the pinned batch-program seeds.)"""
+    import glob as _glob
+
+    from evmtrace_etl_spark.sinks import start_lake_append_stream
+
+    rng = random.Random(17)
+    tbl = str(tmp_path / "stream_tbl")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    import os as _os
+
+    _os.makedirs(src)
+    model: dict[int, tuple[int, int]] = {
+        k: (k % 7, k * 10) for k in range(100)
+    }
+    append_files(
+        spark, _df(spark, model).coalesce(2), tbl, cols=["k"],
+        keep_versions=10,
+    )
+    next_k = 100
+
+    def stream_in(fresh: dict) -> None:
+        # one availableNow drain over the shared checkpoint: only the
+        # newly staged file lands, as ONE txn-stamped commit, with the
+        # in-band maintenance cadence live
+        _df(spark, fresh).coalesce(1).write.mode("append").parquet(src)
+        q = start_lake_append_stream(
+            spark.readStream.schema("k long, u long, v int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl, ckpt, cols=["k"], app_id="model_stream",
+            maintain_every=2, maintain_kwargs={"min_age_s": 0},
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    for step in range(8):
+        if step % 2 == 0:  # every other step: streamed arrival
+            n = rng.randint(5, 25)
+            fresh = {
+                k: (k % 7, k * 10) for k in range(next_k, next_k + n)
+            }
+            next_k += n
+            stream_in(fresh)
+            model.update(fresh)
+        else:
+            op = rng.choice(
+                ["delete_mor", "update_mor", "merge_cow", "compact",
+                 "vacuum"]
+            )
+            if op == "delete_mor":
+                r = rng.randint(0, 6)
+                delete_where(
+                    spark, tbl, None, {"u": r},
+                    strategy="merge-on-read", keys=["k"],
+                )
+                model = {k: t for k, t in model.items() if t[0] != r}
+            elif op == "update_mor":
+                r = rng.randint(0, 6)
+                d = rng.randint(1, 1000)
+                update_where(
+                    spark, tbl, None, {"u": r}, {"v": f"v + {d}"},
+                    strategy="merge-on-read", keys=["k"],
+                )
+                model = {
+                    k: (u, v + d if u == r else v)
+                    for k, (u, v) in model.items()
+                }
+            elif op == "merge_cow":
+                keys = rng.sample(sorted(model), min(len(model), 10))
+                rows = {k: (k % 7, rng.randint(-999, 999)) for k in keys}
+                merge_into(spark, _df(spark, rows), tbl, keys=["k"])
+                model.update(rows)
+            elif op == "compact":
+                compact_table(spark, tbl, target_bytes=1 << 20)
+            elif op == "vacuum":
+                sinks.vacuum_table(spark, tbl, min_age_s=0)
+        _check(spark, tbl, model, "v")
+
+    # a replayed drain over the same checkpoint is a no-op (txn stamps)
+    before = sorted(
+        (r["k"], r["u"], r["v"])
+        for r in read_table(spark, tbl).collect()
+    )
+    q = start_lake_append_stream(
+        spark.readStream.schema("k long, u long, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl, ckpt, cols=["k"], app_id="model_stream",
+        maintain_every=2, maintain_kwargs={"min_age_s": 0},
+    )
+    q.awaitTermination(120)
+    after = sorted(
+        (r["k"], r["u"], r["v"])
+        for r in read_table(spark, tbl).collect()
+    )
+    assert after == before
