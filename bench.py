@@ -140,16 +140,27 @@ _POINT_RE = (
 )
 
 
+#: How many recent BENCH artifacts the head-anomaly baseline spans.
+#: Using only the NEWEST round would self-poison: once one stalled
+#: head is recorded (r13's 1,264 vs r12's 3,802), every later stall
+#: compares against the stalled level and never re-probes.  The MAX
+#: over a short window anchors the baseline to the healthy level.
+HEAD_BASELINE_ROUNDS = 5
+
+
 def prev_head_rate(repo_dir: str, fpt: int) -> float | None:
-    """The newest ``BENCH_r*.json`` artifact's recorded rows/sec for
-    the SAME ``files_per_trigger`` point, or None when no artifact /
-    no matching point parses.  Driver artifacts store only a truncated
+    """The healthy-baseline rows/sec for the SAME ``files_per_trigger``
+    point: the MAX recorded over the newest ``HEAD_BASELINE_ROUNDS``
+    ``BENCH_r*.json`` artifacts (host noise only ever slows a drain, so
+    max-over-recent is the unbiased healthy level and cannot be
+    poisoned by one recorded stall).  None when no artifact / no
+    matching point parses.  Driver artifacts store only a truncated
     ``tail`` of the bench JSON line, so this parses point dicts by
     regex instead of loading the document."""
     import glob
     import re
 
-    best_round, best_tail = -1, None
+    tails: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
         if m is None:
@@ -160,16 +171,15 @@ def prev_head_rate(repo_dir: str, fpt: int) -> float | None:
         except (OSError, ValueError):
             continue
         tail = doc.get("tail") if isinstance(doc, dict) else None
-        if isinstance(tail, str) and int(m.group(1)) > best_round:
-            best_round, best_tail = int(m.group(1)), tail
-    if best_tail is None:
-        return None
-    import re as _re
-
-    for sec, rate, f in _re.findall(_POINT_RE, best_tail):
-        if int(f) == int(fpt):
-            return float(rate)
-    return None
+        if isinstance(tail, str):
+            tails.append((int(m.group(1)), tail))
+    best: float | None = None
+    for _rnd, tail in sorted(tails)[-HEAD_BASELINE_ROUNDS:]:
+        for _sec, rate, f in re.findall(_POINT_RE, tail):
+            if int(f) == int(fpt):
+                r = float(rate)
+                best = r if best is None or r > best else best
+    return best
 
 
 def head_anomalous(

@@ -1986,16 +1986,17 @@ def _check_protocol(head: dict, action: str, ctx: str) -> None:
 
 def _check_protocol_head(spark: SparkSession, mdir: str, ctx: str) -> None:
     """Early writer-side protocol gate for the locked write/maintenance
-    entry points (right after ``_recover_txn``): without it a
+    entry points — called BEFORE ``_recover_txn``/``_sweep_removed``,
+    not just before the op's own data work: adjudicating a newer
+    build's ``_TXN`` intent or sweeping its pending backlog under this
+    build's stale interpretation of the head commit could destroy files
+    a higher-level snapshot still references.  Without the gate a
     lower-level build running a maintenance op (compact / materialize /
-    delete) on an upgraded table would scan, rewrite, and MOVE FILES IN
-    before being refused at the ``_commit_manifest`` choke point —
-    refusal still precedes the marker so nothing corrupts, but the
-    failure is late and leaves moved-in files plus a live ``_TXN``
-    intent for the next op's recovery.  Here the refusal lands before
-    any data work.  The commit-time check remains the backstop for
-    entry points that read the head themselves (they call
-    ``_check_protocol`` inline on the head they already loaded)."""
+    delete) on an upgraded table would also scan, rewrite, and MOVE
+    FILES IN before being refused at the ``_commit_manifest`` choke
+    point — refusal still precedes the marker so nothing corrupts, but
+    the failure is late and leaves debris.  Here the refusal lands
+    before ANY mutation.  The commit-time check remains the backstop."""
     v = manifest_version(spark, mdir)
     if v is None:
         return
@@ -2926,7 +2927,14 @@ def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
         try:
             txn = _read_json_marker(spark, f"{manifest_path}/_TXN")
         except Exception:
-            return None  # owner cleared it between exists and read
+            # benign ONLY when the marker vanished under us (the owner
+            # cleared it between the exists check and the read) — a
+            # marker still present means a real read fault, and
+            # reporting "nothing to recover" would let the caller
+            # proceed to adopt a crashed writer's orphans as ingest
+            if fs.exists(tpath):
+                raise
+            return None
         committed = txn["expected_version"] in _committed_versions(
             spark, manifest_path
         )
@@ -2958,15 +2966,22 @@ def _write_txn_intent(spark: SparkSession, mdir: str, payload: dict) -> str:
 def _clear_txn_intent(
     spark: SparkSession, mdir: str, intent_token: str | None = None
 ) -> None:
-    """Delete the ``_TXN`` marker at the healthy end of a transaction —
-    but only while it is still OURS: after our commit, a maintenance
-    actor may have rolled the marker forward (deleting it) and a
-    FOREIGN writer may have landed its own intent; deleting that would
-    needlessly fail the foreign commit's token check.  ``None`` skips
-    the ownership read (legacy callers that never stamped a token)."""
+    """Delete the ``_TXN`` marker at the end of a transaction — but
+    only while it is still OURS: after our commit, a maintenance actor
+    may have rolled the marker forward (deleting it) and a FOREIGN
+    writer may have landed its own intent; deleting that would
+    needlessly fail the foreign commit's token check.  The
+    check-then-delete runs under the ``_CommitLease`` (the same mutex
+    adjudication and commits hold), closing the read-ours/delete TOCTOU
+    — three driver-side metadata ops on the happy path.  ``None``
+    skips the ownership read AND the lease (legacy callers that never
+    stamped a token)."""
     jvm, hp, fs = _fs_for(spark, mdir)
     tpath = hp(f"{mdir}/_TXN")
-    if intent_token is not None:
+    if intent_token is None:
+        fs.delete(tpath, False)
+        return
+    with _CommitLease(spark, mdir):
         try:
             if (
                 _read_json_marker(spark, f"{mdir}/_TXN").get("intent")
@@ -2975,7 +2990,7 @@ def _clear_txn_intent(
                 return
         except Exception:
             return  # gone already (rolled forward) — nothing to clear
-    fs.delete(tpath, False)
+        fs.delete(tpath, False)
 
 
 def committed_schema(
@@ -3634,9 +3649,12 @@ def _txn_rewrite_unlocked(
 
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
+    # gate BEFORE recovery/sweep: adjudicating a newer build's intent
+    # or sweeping its backlog under this build's stale semantics could
+    # destroy files a higher-level snapshot references
+    _check_protocol_head(spark, mdir, f"{op or 'rewrite'} {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
-    _check_protocol_head(spark, mdir, f"{op or 'rewrite'} {path}")
 
     if txn is not None:
         # exactly-once for STREAMED rewrites (a foreachBatch retention
@@ -3949,12 +3967,12 @@ def _delete_mor_unlocked(
 
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
+    _check_protocol_head(spark, mdir, f"delete_where (merge-on-read) {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
 
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
-    _check_protocol(head, "write", f"delete_where (merge-on-read) {path}")
 
     if txn is not None:
         seen = head.get("txns", {}).get(str(txn[0]))
@@ -4282,11 +4300,11 @@ def _update_mor_unlocked(
     files.  Same key-uniqueness contract as ``merge_into``; CDC tables
     get update pre/postimages from the merge engine."""
     mdir = _manifest_dir(path, manifest_path)
+    _check_protocol_head(spark, mdir, f"update_where (merge-on-read) {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
-    _check_protocol(head, "write", f"update_where (merge-on-read) {path}")
     skipped_ledger = {
         "files_total": None,
         "files_rewritten": 0,
@@ -4503,9 +4521,9 @@ def _update_stats_index_unlocked(
     version.
     """
     mdir = _manifest_dir(path, manifest_path)
+    _check_protocol_head(spark, mdir, f"update_stats_index {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
-    _check_protocol_head(spark, mdir, f"update_stats_index {path}")
 
     current = _leaf_file_uris(spark, path)
     snap_v = manifest_version(spark, mdir)
@@ -4994,6 +5012,7 @@ def _append_files_unlocked(
 
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
+    _check_protocol_head(spark, mdir, f"append_files {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
 
@@ -5003,7 +5022,6 @@ def _append_files_unlocked(
     # fall back to the reconstruction read)
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
-    _check_protocol(head, "write", f"append_files {path}")
     have_table = snap_v is not None or bool(
         _flat_manifest_files(spark, mdir)
     )
@@ -5379,6 +5397,7 @@ def _merge_into_unlocked(
     keys = list(keys)
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
+    _check_protocol_head(spark, mdir, f"merge_into {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
 
@@ -5387,7 +5406,6 @@ def _merge_into_unlocked(
     # deletion vectors, and the cdf flag all ride the same JSON
     snap_v = manifest_version(spark, mdir)
     head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
-    _check_protocol(head, "write", f"merge_into {path}")
 
     if txn is not None:
         seen = head.get("txns", {}).get(str(txn[0]))
@@ -6109,9 +6127,9 @@ def _materialize_deletes_unlocked(
 
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
+    _check_protocol_head(spark, mdir, f"materialize_deletes {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
-    _check_protocol_head(spark, mdir, f"materialize_deletes {path}")
 
     snap_v = manifest_version(spark, mdir)
     dvs = _active_dvs(spark, mdir, version=snap_v)
@@ -6306,9 +6324,9 @@ def restore_table(
         )
     with _log_lock(mdir):
         jvm, hp, fs = _fs_for(spark, path)
+        _check_protocol_head(spark, mdir, f"restore_table {path}")
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
-        _check_protocol_head(spark, mdir, f"restore_table {path}")
         versions = _committed_versions(spark, mdir)
         if version not in versions:
             raise ValueError(
@@ -6402,9 +6420,9 @@ def add_table_constraint(
     constraints."""
     mdir = _manifest_dir(path, manifest_path)
     with _log_lock(mdir):
+        _check_protocol_head(spark, mdir, f"add_table_constraint {path}")
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
-        _check_protocol_head(spark, mdir, f"add_table_constraint {path}")
         snap_v = manifest_version(spark, mdir)
         if snap_v is None:
             raise ValueError(

@@ -122,9 +122,11 @@ def test_head_anomaly_decision():
 
 
 def test_prev_head_rate_parses_truncated_artifact(tmp_path):
-    """prev_head_rate reads the NEWEST BENCH_r*.json and regex-parses
-    the matching files_per_trigger point out of the driver's truncated
-    `tail` string (artifacts do not carry a parsed JSON document)."""
+    """prev_head_rate takes the MAX same-files_per_trigger rate over
+    the newest HEAD_BASELINE_ROUNDS BENCH_r*.json artifacts (one
+    recorded stall must not poison the baseline), regex-parsed out of
+    the driver's truncated `tail` string (artifacts do not carry a
+    parsed JSON document)."""
     import json as _json
 
     from bench import prev_head_rate
@@ -143,7 +145,17 @@ def test_prev_head_rate_parses_truncated_artifact(tmp_path):
     (tmp_path / "BENCH_r13.json").write_text(
         _json.dumps({"rc": 0, "tail": tail13})
     )
-    assert prev_head_rate(str(tmp_path), 4) == 1263.8  # newest wins
+    # MAX over the recent window: r13's stalled 1263.8 cannot poison
+    # the baseline while r12's healthy 3801.7 is in the window
+    assert prev_head_rate(str(tmp_path), 4) == 3801.7
     assert prev_head_rate(str(tmp_path), 8) == 5678.5
     assert prev_head_rate(str(tmp_path), 16) is None   # point absent
     assert prev_head_rate(str(tmp_path / "nope"), 4) is None
+    # an artifact OUTSIDE the window no longer anchors the baseline
+    from bench import HEAD_BASELINE_ROUNDS
+
+    for r in range(14, 14 + HEAD_BASELINE_ROUNDS):
+        (tmp_path / f"BENCH_r{r}.json").write_text(
+            _json.dumps({"rc": 0, "tail": tail13})
+        )
+    assert prev_head_rate(str(tmp_path), 4) == 1263.8

@@ -234,6 +234,22 @@ def test_future_protocol_refuses_before_any_data_work(spark, tmp_path):
         for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
     }
 
+    # a crashed (future-build) writer's intent: the gate must refuse
+    # BEFORE intent recovery — adjudicating a newer build's intent or
+    # sweeping its backlog under this build's stale semantics could
+    # destroy files a higher-level snapshot references
+    orphan = os.path.join(tbl, "part-99999-feedface.c000.snappy.parquet")
+    import shutil as _shutil
+
+    _shutil.copy(glob.glob(tbl + "/*.parquet")[0], orphan)
+    import json as _json
+
+    with open(os.path.join(mdir, "_TXN"), "w") as f:
+        _json.dump(
+            {"expected_version": 99, "added": [orphan], "removed": []},
+            f,
+        )
+
     ops = [
         lambda: sinks.compact_table(spark, tbl, target_bytes=1 << 20),
         lambda: sinks.materialize_deletes(spark, tbl),
@@ -247,14 +263,32 @@ def test_future_protocol_refuses_before_any_data_work(spark, tmp_path):
             spark, tbl, None, {"k": (5, 9)},
             strategy="merge-on-read", keys=["k"],
         ),
+        lambda: append_files(
+            spark,
+            spark.range(900, 910).select(
+                F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+            ).coalesce(1),
+            tbl,
+        ),
+        lambda: merge_into(
+            spark,
+            spark.range(900, 910).select(
+                F.col("id").alias("k"), F.lit(1).cast("int").alias("v")
+            ),
+            tbl, keys=["k"],
+        ),
     ]
     for op in ops:
         with pytest.raises(ProtocolUnsupported, match="feature level"):
             op()
-        assert not os.path.exists(os.path.join(mdir, "_TXN"))
+        # the future writer's intent was NOT adjudicated: marker and
+        # its referenced file both survive every refused entry point
+        assert os.path.exists(os.path.join(mdir, "_TXN"))
+        assert os.path.exists(orphan)
 
     after = {
         p: os.path.getmtime(p)
         for p in glob.glob(tbl + "/**/*.parquet", recursive=True)
+        if p != orphan
     }
     assert after == before  # zero data work happened
