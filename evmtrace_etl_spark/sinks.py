@@ -6471,6 +6471,7 @@ def drop_table_constraint(
     a no-op commit-free return, mirroring IF EXISTS)."""
     mdir = _manifest_dir(path, manifest_path)
     with _log_lock(mdir):
+        _check_protocol_head(spark, mdir, f"drop_table_constraint {path}")
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
         snap_v = manifest_version(spark, mdir)
@@ -6588,6 +6589,7 @@ def rename_column(
     (``_guard_mapped_ddl``).  Returns {version, renamed}."""
     mdir = _manifest_dir(path, manifest_path)
     with _log_lock(mdir):
+        _check_protocol_head(spark, mdir, f"column DDL {path}")
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
         snap_v = manifest_version(spark, mdir)
@@ -6668,6 +6670,7 @@ def drop_column(
     {version, dropped}."""
     mdir = _manifest_dir(path, manifest_path)
     with _log_lock(mdir):
+        _check_protocol_head(spark, mdir, f"column DDL {path}")
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
         snap_v = manifest_version(spark, mdir)
@@ -6829,6 +6832,7 @@ def upgrade_table_protocol(
         )
     mdir = _manifest_dir(path, manifest_path)
     with _log_lock(mdir):
+        _check_protocol_head(spark, mdir, f"upgrade_table_protocol {path}")
         _recover_txn(spark, mdir)
         _sweep_removed(spark, mdir)
         snap_v = manifest_version(spark, mdir)

@@ -277,6 +277,10 @@ def test_future_protocol_refuses_before_any_data_work(spark, tmp_path):
             ),
             tbl, keys=["k"],
         ),
+        lambda: rename_column(spark, tbl, "v", "vv"),
+        lambda: sinks.drop_column(spark, tbl, "v"),
+        lambda: sinks.drop_table_constraint(spark, tbl, "v_ok"),
+        lambda: sinks.upgrade_table_protocol(spark, tbl, min_writer=2),
     ]
     for op in ops:
         with pytest.raises(ProtocolUnsupported, match="feature level"):
