@@ -235,3 +235,33 @@ def test_cross_process_maintain_vs_vacuum_over_crashed_intent(
         "files_rewritten"
     ] == 0
     assert led["materialize"] is None  # no dv debt past threshold
+
+
+def test_intent_token_primitives_ownership_contract(spark, tmp_path):
+    """Unit contract of the r14 intent-token primitives:
+    ``_write_txn_intent`` stamps a fresh token per call (restamps
+    replace the marker), and ``_clear_txn_intent`` deletes the marker
+    only under a MATCHING token — a stale owner cannot delete a
+    foreign writer's live intent; tokenless clears keep the legacy
+    unconditional behavior; clearing an absent marker is a no-op."""
+    tbl = _seed(spark, tmp_path)
+    mdir = tbl + "/_stats_manifest"
+    tpath = os.path.join(mdir, "_TXN")
+
+    a = sinks._write_txn_intent(
+        spark, mdir, {"expected_version": 5, "added": [], "removed": []}
+    )
+    b = sinks._write_txn_intent(  # restamp: marker replaced, new token
+        spark, mdir, {"expected_version": 6, "added": [], "removed": []}
+    )
+    assert a != b and os.path.exists(tpath)
+    with open(tpath) as f:
+        assert json.load(f)["intent"] == b
+
+    sinks._clear_txn_intent(spark, mdir, a)  # stale owner: must NOT delete
+    assert os.path.exists(tpath)
+    sinks._clear_txn_intent(spark, mdir, b)  # current owner: deletes
+    assert not os.path.exists(tpath)
+    sinks._clear_txn_intent(spark, mdir, b)  # absent: no-op, no raise
+    sinks._clear_txn_intent(spark, mdir, None)  # legacy: no-op on absent
+    assert not os.path.exists(os.path.join(mdir, "_LOCK"))  # lease released
