@@ -1984,7 +1984,9 @@ def _check_protocol(head: dict, action: str, ctx: str) -> None:
         )
 
 
-def _check_protocol_head(spark: SparkSession, mdir: str, ctx: str) -> None:
+def _check_protocol_head(
+    spark: SparkSession, mdir: str, ctx: str
+) -> "tuple[int | None, dict]":
     """Early writer-side protocol gate for the locked write/maintenance
     entry points — called BEFORE ``_recover_txn``/``_sweep_removed``,
     not just before the op's own data work: adjudicating a newer
@@ -1996,11 +1998,19 @@ def _check_protocol_head(spark: SparkSession, mdir: str, ctx: str) -> None:
     FILES IN before being refused at the ``_commit_manifest`` choke
     point — refusal still precedes the marker so nothing corrupts, but
     the failure is late and leaves debris.  Here the refusal lands
-    before ANY mutation.  The commit-time check remains the backstop."""
+    before ANY mutation.  The commit-time check remains the backstop.
+
+    Returns ``(snap_v, head)`` (``(None, {})`` for a pre-first-commit
+    table) so the entry points that pin their transaction on the head
+    marker reuse THIS read instead of listing and reading the head a
+    second time after recovery — recovery and the sweep never change
+    the committed-version set, so the gate's head stays valid."""
     v = manifest_version(spark, mdir)
     if v is None:
-        return
-    _check_protocol(_commit_info(spark, mdir, v), "write", ctx)
+        return None, {}
+    head = _commit_info(spark, mdir, v)
+    _check_protocol(head, "write", ctx)
+    return v, head
 
 
 def _schema_widened(prev_sj: dict | None, new_sj: dict | None) -> bool:
@@ -2924,16 +2934,26 @@ def _recover_txn(spark: SparkSession, manifest_path: str) -> dict | None:
     with _CommitLease(spark, manifest_path):
         if not fs.exists(tpath):
             return None  # the other actor adjudicated while we waited
-        try:
-            txn = _read_json_marker(spark, f"{manifest_path}/_TXN")
-        except Exception:
+        txn = None
+        for _attempt in range(3):
+            try:
+                txn = _read_json_marker(spark, f"{manifest_path}/_TXN")
+                break
+            except Exception:
+                # a LIVE writer's rebase restamp replaces the marker
+                # delete-then-rename (not lease-scoped) — retry across
+                # that microsecond window before judging
+                import time as _time
+
+                _time.sleep(0.05)
+        if txn is None:
             # benign ONLY when the marker vanished under us (the owner
-            # cleared it between the exists check and the read) — a
-            # marker still present means a real read fault, and
-            # reporting "nothing to recover" would let the caller
-            # proceed to adopt a crashed writer's orphans as ingest
+            # cleared it, or is mid-replace) — a marker still present
+            # after the retries means a real read fault, and reporting
+            # "nothing to recover" would let the caller proceed to
+            # adopt a crashed writer's orphans as ingest
             if fs.exists(tpath):
-                raise
+                _read_json_marker(spark, f"{manifest_path}/_TXN")  # raise it
             return None
         committed = txn["expected_version"] in _committed_versions(
             spark, manifest_path
@@ -2975,22 +2995,39 @@ def _clear_txn_intent(
     adjudication and commits hold), closing the read-ours/delete TOCTOU
     — three driver-side metadata ops on the happy path.  ``None``
     skips the ownership read AND the lease (legacy callers that never
-    stamped a token)."""
+    stamped a token).
+
+    NEVER raises: the clear is pure hygiene — a marker left behind is
+    adjudicated by the next op's recovery (roll-FORWARD after our
+    commit: an idempotent sweep; roll-back on the conflict path: our
+    files are already gone), so a lease timeout (a foreign driver
+    legitimately holding ``_LOCK`` past the TTL) or a transient FS
+    fault must neither mask the ``SnapshotConflict`` the caller is
+    re-raising nor fail a transaction that already durably
+    committed."""
+    import logging
+
     jvm, hp, fs = _fs_for(spark, mdir)
     tpath = hp(f"{mdir}/_TXN")
     if intent_token is None:
         fs.delete(tpath, False)
         return
-    with _CommitLease(spark, mdir):
-        try:
-            if (
-                _read_json_marker(spark, f"{mdir}/_TXN").get("intent")
-                != intent_token
-            ):
-                return
-        except Exception:
-            return  # gone already (rolled forward) — nothing to clear
-        fs.delete(tpath, False)
+    try:
+        with _CommitLease(spark, mdir):
+            try:
+                if (
+                    _read_json_marker(spark, f"{mdir}/_TXN").get("intent")
+                    != intent_token
+                ):
+                    return
+            except Exception:
+                return  # gone already (rolled forward) — nothing to clear
+            fs.delete(tpath, False)
+    except Exception as exc:
+        logging.getLogger(__name__).warning(
+            "leaving _TXN intent at %s for the next op's recovery "
+            "(clear failed: %s)", mdir, exc,
+        )
 
 
 def committed_schema(
@@ -3967,12 +4004,11 @@ def _delete_mor_unlocked(
 
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
-    _check_protocol_head(spark, mdir, f"delete_where (merge-on-read) {path}")
+    snap_v, head = _check_protocol_head(
+        spark, mdir, f"delete_where (merge-on-read) {path}"
+    )
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
-
-    snap_v = manifest_version(spark, mdir)
-    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
 
     if txn is not None:
         seen = head.get("txns", {}).get(str(txn[0]))
@@ -4300,11 +4336,11 @@ def _update_mor_unlocked(
     files.  Same key-uniqueness contract as ``merge_into``; CDC tables
     get update pre/postimages from the merge engine."""
     mdir = _manifest_dir(path, manifest_path)
-    _check_protocol_head(spark, mdir, f"update_where (merge-on-read) {path}")
+    snap_v, head = _check_protocol_head(
+        spark, mdir, f"update_where (merge-on-read) {path}"
+    )
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
-    snap_v = manifest_version(spark, mdir)
-    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
     skipped_ledger = {
         "files_total": None,
         "files_rewritten": 0,
@@ -5012,16 +5048,13 @@ def _append_files_unlocked(
 
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
-    _check_protocol_head(spark, mdir, f"append_files {path}")
+    # ONE listing + ONE head-marker read (the protocol gate's) serve
+    # the whole transaction: snapshot pin, txn idempotence, stats
+    # columns, schema, and the partition layout all ride the same JSON
+    # (pre-log flat manifests fall back to the reconstruction read)
+    snap_v, head = _check_protocol_head(spark, mdir, f"append_files {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
-
-    # ONE listing + ONE head-marker read serve the whole transaction:
-    # snapshot pin, txn idempotence, stats columns, schema, and the
-    # partition layout all ride the same JSON (pre-log flat manifests
-    # fall back to the reconstruction read)
-    snap_v = manifest_version(spark, mdir)
-    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
     have_table = snap_v is not None or bool(
         _flat_manifest_files(spark, mdir)
     )
@@ -5397,15 +5430,13 @@ def _merge_into_unlocked(
     keys = list(keys)
     mdir = _manifest_dir(path, manifest_path)
     jvm, hp, fs = _fs_for(spark, path)
-    _check_protocol_head(spark, mdir, f"merge_into {path}")
+    # ONE listing + ONE head-marker read (the protocol gate's) serve
+    # the whole transaction: snapshot pin, txn idempotence, schema,
+    # partition columns, active deletion vectors, and the cdf flag all
+    # ride the same JSON
+    snap_v, head = _check_protocol_head(spark, mdir, f"merge_into {path}")
     _recover_txn(spark, mdir)
     _sweep_removed(spark, mdir)
-
-    # ONE listing + ONE head-marker read serve the whole transaction:
-    # snapshot pin, txn idempotence, schema, partition columns, active
-    # deletion vectors, and the cdf flag all ride the same JSON
-    snap_v = manifest_version(spark, mdir)
-    head = _commit_info(spark, mdir, snap_v) if snap_v is not None else {}
 
     if txn is not None:
         seen = head.get("txns", {}).get(str(txn[0]))

@@ -276,8 +276,20 @@ def test_streamed_lake_program_matches_model(spark, tmp_path):
             tbl, ckpt, cols=["k"], app_id="model_stream",
             maintain_every=2, maintain_kwargs={"min_age_s": 0},
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         assert q.exception() is None
+        q.stop()
+        # Spark 4 guards a checkpoint against concurrent query
+        # instances; deregistration is async — wait until this drain
+        # leaves the active list before the next one reuses the ckpt
+        import time as _t
+
+        deadline = _t.time() + 30
+        while (
+            any(x.id == q.id for x in spark.streams.active)
+            and _t.time() < deadline
+        ):
+            _t.sleep(0.2)
 
     for step in range(8):
         if step % 2 == 0:  # every other step: streamed arrival
@@ -322,7 +334,20 @@ def test_streamed_lake_program_matches_model(spark, tmp_path):
                 sinks.vacuum_table(spark, tbl, min_age_s=0)
         _check(spark, tbl, model, "v")
 
-    # a replayed drain over the same checkpoint is a no-op (txn stamps)
+    # force a REAL redelivery of the last batch: removing its commit
+    # marker from the checkpoint (offsets kept) makes Spark re-run
+    # that batch on restart — the (app_id, batch_id) txn stamp must
+    # then skip it, or the table double-counts.  (A restart over an
+    # up-to-date checkpoint would drain zero batches and prove
+    # nothing.)
+    commits = sorted(
+        int(f) for f in _os.listdir(_os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    )
+    _os.remove(_os.path.join(ckpt, "commits", str(commits[-1])))
+    crc = _os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if _os.path.exists(crc):  # stale checksum breaks the atomic rewrite
+        _os.remove(crc)
     before = sorted(
         (r["k"], r["u"], r["v"])
         for r in read_table(spark, tbl).collect()
@@ -334,7 +359,9 @@ def test_streamed_lake_program_matches_model(spark, tmp_path):
         tbl, ckpt, cols=["k"], app_id="model_stream",
         maintain_every=2, maintain_kwargs={"min_age_s": 0},
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
+    assert q.exception() is None
+    q.stop()
     after = sorted(
         (r["k"], r["u"], r["v"])
         for r in read_table(spark, tbl).collect()
