@@ -809,6 +809,66 @@ def _with_blooms(writer, bloom_cols: Sequence[str] | None, ndv: int):
     return writer
 
 
+def _walk_leaf_statuses(
+    spark: SparkSession, path: str, attempts: int = 5
+) -> list[tuple[str, str, int]]:
+    """(relative path, full URI, bytes) of every leaf file under
+    ``path`` via the Hadoop ``FileSystem`` recursive listing, with
+    hidden subtrees (``_``/``.``-prefixed segments) excluded — the
+    same rule Spark's own file index applies.
+
+    The ``RemoteIterator`` walk is NOT atomic: a concurrent actor
+    (vacuum sweeping retired files, a compactor replacing fragments —
+    the two-actor maintenance shape) can delete a directory between
+    the iterator's listing of the parent and its descent, and
+    ``hasNext()`` then throws ``FileNotFoundException`` mid-walk.
+    That race means the listing observed a half-applied state, so the
+    whole walk RESTARTS from scratch (bounded attempts) — vanished
+    entries simply don't appear in the consistent re-listing.  Any
+    other Java fault re-raises unchanged.
+
+    Two Java shapes observed for the same race: a plain
+    ``FileNotFoundException`` (directory removed before descent) and
+    ``RuntimeException: ... ls: cannot access ...: No such file or
+    directory`` (``RawLocalFileSystem`` shelling out for permissions
+    on an entry — e.g. an adjudicated ``_TXN`` marker — deleted
+    between listing and stat; hidden-path filtering happens in Python
+    AFTER the stat, so even metadata entries race)."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    root = fs.getFileStatus(p).getPath().toUri().getPath()
+    last: Exception | None = None
+    for _ in range(attempts):
+        try:
+            it = fs.listFiles(p, True)
+            out: list[tuple[str, str, int]] = []
+            while it.hasNext():
+                st = it.next()
+                full = st.getPath().toUri().getPath()
+                rel = full[len(root):].lstrip("/")
+                if any(s.startswith(("_", ".")) for s in rel.split("/")):
+                    continue
+                uri = st.getPath().toString()
+                if uri.startswith("file:"):
+                    uri = full  # posix path for local files (pyarrow)
+                out.append((rel, uri, int(st.getLen())))
+            return out
+        except Py4JJavaError as e:
+            msg = str(e)
+            if (
+                "FileNotFoundException" not in msg
+                and "No such file or directory" not in msg
+            ):
+                raise
+            last = e
+            time.sleep(0.02)
+    raise last  # type: ignore[misc]  # attempts >= 1 exhausted
+
+
 def _leaf_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(relative path, bytes) of every leaf DATA file under ``path``,
     via the Hadoop ``FileSystem`` API (HDFS/S3A-portable, no driver
@@ -817,21 +877,9 @@ def _leaf_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     are excluded too — the same rule Spark's own file index applies —
     so metadata dirs like the in-table ``_stats_manifest`` are never
     mistaken for data."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    root = fs.getFileStatus(p).getPath().toUri().getPath()
-    it = fs.listFiles(p, True)
-    out: list[tuple[str, int]] = []
-    while it.hasNext():
-        st = it.next()
-        full = st.getPath().toUri().getPath()
-        rel = full[len(root):].lstrip("/")
-        if any(s.startswith(("_", ".")) for s in rel.split("/")):
-            continue
-        out.append((rel, int(st.getLen())))
-    return out
+    return [
+        (rel, ln) for rel, _uri, ln in _walk_leaf_statuses(spark, path)
+    ]
 
 
 def compact_partitioned_parquet(
@@ -1089,23 +1137,7 @@ def _leaf_file_uris(spark: SparkSession, path: str) -> list[str]:
     pyarrow.  Hidden directory subtrees (``_``/``.``-prefixed path
     segments — e.g. the in-table ``_stats_manifest``) are skipped,
     matching Spark's own listing semantics."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    root = fs.getFileStatus(p).getPath().toUri().getPath()
-    it = fs.listFiles(p, True)
-    paths: list[str] = []
-    while it.hasNext():
-        st = it.next()
-        rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
-        if any(s.startswith(("_", ".")) for s in rel.split("/")):
-            continue
-        uri = st.getPath().toString()
-        if uri.startswith("file:"):
-            uri = st.getPath().toUri().getPath()
-        paths.append(uri)
-    return paths
+    return [uri for _rel, uri, _ln in _walk_leaf_statuses(spark, path)]
 
 
 def parquet_stats_index(
