@@ -426,8 +426,13 @@ def connected_components(
     truncates lineage with ``localCheckpoint`` so plan size stays
     constant.  Convergence is detected by the label-sum (labels only
     ever decrease, so an unchanged sum ⇒ a fixed point) — one scalar
-    per round to the driver, never the labels themselves.
+    per round to the driver, never the labels themselves — and the
+    scalar rides the round's OWN materialization as an ``observe``
+    metric (CollectMetrics fires under the eager checkpoint), so a
+    round is exactly one distributed action, not
+    materialize-then-rescan.
     """
+    from pyspark.sql import Observation
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = 0
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -464,6 +469,7 @@ def connected_components(
             chase = merged.select(
                 F.col("vid").alias("_cv"), F.col("label").alias("_cl")
             )
+            obs = Observation()
             labels = _materialize(
                 merged.join(chase, merged["label"] == chase["_cv"], "left")
                 .select(
@@ -473,10 +479,12 @@ def connected_components(
                         F.col("label"),
                     ).alias("label"),
                 )
+                .observe(
+                    obs,
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                )
             )
-            cur = labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            cur = obs.get["s"]
             if cur == prev_sum:
                 break
             prev_sum = cur

@@ -279,6 +279,23 @@ def ivf_assignments(
     )
 
 
+def seed_cents(
+    emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """The deterministic seed codebook (first ``n_centroids`` vec_ids'
+    vectors), as the sorted ``(cen_id, vector)`` list every IVF entry
+    point inlines.  Exposed so composite harnesses that run several
+    IVF paths over ONE corpus (seed + trained recall ladders) can
+    collect the seed once and pass it to each path instead of paying
+    one identical full-scan collect per leg."""
+    return sorted(
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -286,6 +303,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: a coarse quantizer assigns every vector to its
     nearest centroid cell; queries probe their ``n_probe`` nearest cells
@@ -299,12 +317,8 @@ def ivf_topk(
     makes brute force unnecessary.  At scale the cell id becomes the
     partition key.
     """
-    cents = sorted(
-        (r[0], r[1])
-        for r in emb.filter(F.col("vec_id") < n_centroids)
-        .select("vec_id", vec_col)
-        .collect()
-    )
+    if cents is None:
+        cents = seed_cents(emb, n_centroids, vec_col)
     return _ivf_topk_with_cents(
         emb, cents, n_queries, k, n_probe, vec_col
     )
@@ -552,11 +566,22 @@ def ann_recall(
 
 
 def _recall_rollup(exact: DataFrame, approx: DataFrame) -> DataFrame:
-    """Per-query recall of ``approx`` top-k against ``exact`` top-k."""
+    """Per-query recall of ``approx`` top-k against ``exact`` top-k.
+
+    Both sides are harness panels bounded at n_queries x k rows (a few
+    hundred), but the approx side arrives through a corpus-wide
+    window, so the planner's size estimate is corpus-sized and it
+    picks a sort-merge join — two Exchanges plus sorts to match a few
+    hundred rows.  The explicit broadcast of the (bounded, build-side-
+    legal for the left-outer) approx side collapses the rollup to one
+    BroadcastHashJoin; at any corpus scale the panel stays
+    n_queries x k, so the hint is size-safe by construction."""
     hits = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
-    joined = exact.join(hits, on=["query_id", "neighbor_id"], how="left")
+    joined = exact.join(
+        F.broadcast(hits), on=["query_id", "neighbor_id"], how="left"
+    )
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
@@ -827,6 +852,7 @@ def ivf_train(
     n_iters: int = 2,
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    seed: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Lloyd's k-means refinement of the IVF codebook — the training
     step that turns ``ivf_topk``'s deterministic seed into a fitted
@@ -846,12 +872,8 @@ def ivf_train(
     dead-centroid pruning); seed centroids are the first
     ``n_centroids`` vec_ids, so the whole fit is reproducible.
     """
-    seed = sorted(
-        (int(r[0]), [float(v) for v in r[1]])
-        for r in emb.filter(F.col("vec_id") < n_centroids)
-        .select("vec_id", vec_col)
-        .collect()
-    )
+    if seed is None:
+        seed = seed_cents(emb, n_centroids, vec_col)
     cents = seed
     rolled = None
     for it in range(n_iters):
@@ -887,6 +909,7 @@ def ivf_trained_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    seed: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """The full production IVF path: fit the codebook with Lloyd's
     (``ivf_train``), then serve top-k from the FITTED cells — the
@@ -900,7 +923,7 @@ def ivf_trained_topk(
     centroid means are what both engines serve from, so the oracle
     reproduces the scores bit-for-bit.
     """
-    trained = ivf_train(emb, n_centroids, n_iters, vec_col, dim)
+    trained = ivf_train(emb, n_centroids, n_iters, vec_col, dim, seed=seed)
     cents = sorted(
         (int(r["cen_id"]), [float(r[f"d{i}"]) for i in range(dim)])
         for r in trained.collect()
@@ -1184,6 +1207,60 @@ def pq_recall(
     return _recall_rollup(exact, approx)
 
 
+def ivfpq_codebooks(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 8,
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """The two driver-side dictionaries of the IVFADC index — the coarse
+    IVF codebook (seed cents) and the residual PQ sub-codebooks — as one
+    reusable pair.  ``ivfpq_topk`` and ``ivfpq_rerank_topk`` derive the
+    pair themselves when not given one; harnesses running BOTH paths
+    over one corpus (the ADC/rerank recall ladder) compute it once and
+    pass it to each, halving the codebook collects without changing a
+    single inlined literal."""
+    cents = seed_cents(emb, n_centroids, vec_col)
+    if len(cents) != n_centroids:
+        raise ValueError(
+            f"IVF codebook needs vec_ids 0..{n_centroids - 1} present"
+        )
+    wc = _ivf_with_cells(emb, cents, vec_col)
+    cent_case = (
+        "CASE cell "
+        + " ".join(
+            f"WHEN {cid} THEN {_pq_lit_arr(cvec)}" for cid, cvec in cents
+        )
+        + " END"
+    )
+    res_expr = (
+        f"zip_with({vec_col}, {cent_case}, (x, c) -> CAST(x AS DOUBLE) - c)"
+    )
+    corpus = wc.select(
+        "vec_id",
+        (-F.col("_cells")[0]["neg_cen"]).alias("cell"),
+        F.col(vec_col),
+    ).withColumn("_res", F.expr(res_expr))
+    seed_rows = sorted(
+        (r[0], list(r[1]))
+        for r in corpus.filter(
+            (F.col("vec_id") >= n_centroids)
+            & (F.col("vec_id") < n_centroids + n_codes)
+        )
+        .select("vec_id", "_res")
+        .collect()
+    )
+    if len(seed_rows) != n_codes:
+        raise ValueError(
+            f"PQ seeds need vec_ids {n_centroids}.."
+            f"{n_centroids + n_codes - 1} present"
+        )
+    seeds = [v for _, v in seed_rows]
+    d = len(seeds[0]) // n_subspaces
+    return cents, _pq_subcents(seeds, n_subspaces, d)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -1193,6 +1270,7 @@ def ivfpq_topk(
     n_subspaces: int = 8,
     n_codes: int = 8,
     vec_col: str = "embedding",
+    codebooks: tuple | None = None,
 ) -> DataFrame:
     """IVF+PQ residual composition (Jégou et al. 2011, the IVFADC
     index): the coarse IVF quantizer assigns each vector to a cell,
@@ -1226,16 +1304,12 @@ def ivfpq_topk(
 
     Output: query_id, neighbor_id, rank, adist.
     """
-    cents = sorted(
-        (r[0], list(r[1]))
-        for r in emb.filter(F.col("vec_id") < n_centroids)
-        .select("vec_id", vec_col)
-        .collect()
-    )
-    if len(cents) != n_centroids:
-        raise ValueError(
-            f"IVF codebook needs vec_ids 0..{n_centroids - 1} present"
+    if codebooks is None:
+        codebooks = ivfpq_codebooks(
+            emb, n_centroids, n_subspaces, n_codes, vec_col
         )
+    cents, subcents = codebooks
+    d = len(subcents[0][0])
     wc = _ivf_with_cells(emb, cents, vec_col)
     cent_case = (
         "CASE cell "
@@ -1252,24 +1326,6 @@ def ivfpq_topk(
         (-F.col("_cells")[0]["neg_cen"]).alias("cell"),
         F.col(vec_col),
     ).withColumn("_res", F.expr(res_expr))
-
-    seed_rows = sorted(
-        (r[0], list(r[1]))
-        for r in corpus.filter(
-            (F.col("vec_id") >= n_centroids)
-            & (F.col("vec_id") < n_centroids + n_codes)
-        )
-        .select("vec_id", "_res")
-        .collect()
-    )
-    if len(seed_rows) != n_codes:
-        raise ValueError(
-            f"PQ seeds need vec_ids {n_centroids}.."
-            f"{n_centroids + n_codes - 1} present"
-        )
-    seeds = [v for _, v in seed_rows]
-    d = len(seeds[0]) // n_subspaces
-    subcents = _pq_subcents(seeds, n_subspaces, d)
 
     cd = _pq_dists_df(corpus, subcents, d, "_res", extra_cols=("cell",))
     enc = cd.select(
@@ -1353,6 +1409,7 @@ def ivfpq_rerank_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    codebooks: tuple | None = None,
 ) -> DataFrame:
     """Two-stage ANN serving: IVFADC produces a cheap top-``rerank``
     candidate list per query, then the TRUE vectors of just those
@@ -1370,7 +1427,8 @@ def ivfpq_rerank_topk(
     Output: query_id, neighbor_id, rank, sim (exact, round 6).
     """
     cand = ivfpq_topk(
-        emb, n_queries, rerank, n_centroids, n_probe, vec_col=vec_col
+        emb, n_queries, rerank, n_centroids, n_probe, vec_col=vec_col,
+        codebooks=codebooks,
     ).select("query_id", "neighbor_id")
     qv = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

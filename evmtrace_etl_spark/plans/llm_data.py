@@ -463,7 +463,9 @@ def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_index_topk(spark, _ivf_index_cache[sf_dir], emb)
 
 
-def llm_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_ivf_trained_recall(
+    spark: SparkSession, sf_dir: str, _seed=None
+) -> DataFrame:
     """Recall@k of the TRAINED IVF path vs exact brute force — closes
     the measure-don't-guess loop on the Lloyd's fit (compare against
     llm_ivf_recall's seed-codebook figure).  Round 4's apparent
@@ -476,6 +478,7 @@ def llm_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         n_queries=RECALL_QUERIES,
         n_iters=IVF_TRAIN_ITERS,
+        seed=_seed,
     )
     return similarity._recall_rollup(
         _exact_panel(spark, sf_dir, clustered=False), approx
@@ -487,10 +490,17 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(_docs(spark, sf_dir))
 
 
-def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the seed-codebook IVF path vs exact brute force."""
+def llm_ivf_recall(
+    spark: SparkSession, sf_dir: str, _seed=None
+) -> DataFrame:
+    """Recall@k of the seed-codebook IVF path vs exact brute force.
+
+    ``_seed`` lets the recall LADDER pass the already-collected seed
+    codebook so the seed and trained legs share one collect (the seed
+    is identical by construction); standalone calls collect it
+    themselves."""
     approx = similarity.ivf_topk(
-        _emb(spark, sf_dir), n_queries=RECALL_QUERIES
+        _emb(spark, sf_dir), n_queries=RECALL_QUERIES, cents=_seed
     )
     return similarity._recall_rollup(
         _exact_panel(spark, sf_dir, clustered=False), approx
@@ -528,13 +538,16 @@ def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def llm_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_ivf_recall_clustered(
+    spark: SparkSession, sf_dir: str, _seed=None
+) -> DataFrame:
     """Seed-IVF recall on the CLUSTERED corpus — the structured-data
     leg of the sizing harness (the uniform fixture has no clusters, so
     its recall figures sit at the index's noise floor; this one shows
     what the index does on data shaped like real embeddings)."""
     approx = similarity.ivf_topk(
-        _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES
+        _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES,
+        cents=_seed,
     )
     return similarity._recall_rollup(
         _exact_panel(spark, sf_dir, clustered=True), approx
@@ -542,7 +555,7 @@ def llm_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_ivf_trained_recall_clustered(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, _seed=None
 ) -> DataFrame:
     """Trained-IVF recall on the clustered corpus — paired with
     ``llm_ivf_recall_clustered`` so a Lloyd's-fit regression shows up
@@ -551,6 +564,7 @@ def llm_ivf_trained_recall_clustered(
         _clustered_emb(spark, sf_dir),
         n_queries=RECALL_QUERIES,
         n_iters=IVF_TRAIN_ITERS,
+        seed=_seed,
     )
     return similarity._recall_rollup(
         _exact_panel(spark, sf_dir, clustered=True), approx
@@ -2667,14 +2681,18 @@ FROM vp_ranked WHERE rank <= 5
 
 
 def llm_ivfpq_recall_clustered(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, _codebooks=None
 ) -> DataFrame:
     """IVF+PQ recall on the clustered corpus — the measured answer to
     plain PQ's within-cluster ranking floor (0.192 vs 0.084 at
     sf0.01): residual codes spend the bit budget on within-cell
-    offsets instead of re-describing the cluster position."""
+    offsets instead of re-describing the cluster position.
+
+    ``_codebooks`` lets the ADC/rerank LADDER collect the (identical
+    by construction) IVF + PQ dictionaries once for both legs."""
     approx = similarity.ivfpq_topk(
-        _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES
+        _clustered_emb(spark, sf_dir), n_queries=RECALL_QUERIES,
+        codebooks=_codebooks,
     )
     return similarity._recall_rollup(
         _exact_panel(spark, sf_dir, clustered=True), approx
@@ -2714,7 +2732,7 @@ _RERANK = 50
 
 
 def llm_ivfpq_rerank_recall(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, _codebooks=None
 ) -> DataFrame:
     """Two-stage (ADC scan → exact re-rank of top-R) recall on the
     clustered corpus."""
@@ -2722,6 +2740,7 @@ def llm_ivfpq_rerank_recall(
         _clustered_emb(spark, sf_dir),
         n_queries=RECALL_QUERIES,
         rerank=_RERANK,
+        codebooks=_codebooks,
     )
     return similarity._recall_rollup(
         _exact_panel(spark, sf_dir, clustered=True), approx
@@ -2823,34 +2842,68 @@ def _legged(name: str, df: DataFrame) -> DataFrame:
     return df.withColumn("leg", F.lit(name))
 
 
+def _par_legs(*thunks):
+    """Construct independent composite legs CONCURRENTLY (the
+    overlap-independent-jobs pattern): each leg's driver round-trips
+    (codebook collects, persisted-index reads) are jobs the OTHER
+    leg's tail would otherwise leave the executors idle for.  Plain
+    threads suffice — DataFrame construction and collects are
+    thread-safe, and leg results come back in argument order so the
+    composed union is deterministic."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def llm_ivf_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-codebook AND trained-codebook IVF recall on the uniform
     corpus as one row (legs 'seed'/'trained') — the Lloyd's-fit
     regression signal of the old ``llm_ivf_trained_recall`` row rides
-    the same verification."""
-    return _legged("seed", llm_ivf_recall(spark, sf_dir)).unionByName(
-        _legged("trained", llm_ivf_trained_recall(spark, sf_dir))
+    the same verification.  The seed codebook (identical in both legs
+    by construction) is collected ONCE and shared; the exact panel is
+    pre-warmed before the legs build so the memoized fixture is not
+    raced."""
+    _exact_panel(spark, sf_dir, clustered=False)
+    seed = similarity.seed_cents(_emb(spark, sf_dir))
+    s, t = _par_legs(
+        lambda: llm_ivf_recall(spark, sf_dir, _seed=seed),
+        lambda: llm_ivf_trained_recall(spark, sf_dir, _seed=seed),
     )
+    return _legged("seed", s).unionByName(_legged("trained", t))
 
 
 def llm_ivf_recall_clustered_ladder(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Seed + trained IVF recall on the CLUSTERED corpus (legs
-    'seed'/'trained') — absorbs ``llm_ivf_trained_recall_clustered``."""
-    return _legged(
-        "seed", llm_ivf_recall_clustered(spark, sf_dir)
-    ).unionByName(
-        _legged("trained", llm_ivf_trained_recall_clustered(spark, sf_dir))
+    'seed'/'trained') — absorbs ``llm_ivf_trained_recall_clustered``.
+    Shares one seed-codebook collect across the legs, like
+    ``llm_ivf_recall_ladder``."""
+    _exact_panel(spark, sf_dir, clustered=True)
+    seed = similarity.seed_cents(_clustered_emb(spark, sf_dir))
+    s, t = _par_legs(
+        lambda: llm_ivf_recall_clustered(spark, sf_dir, _seed=seed),
+        lambda: llm_ivf_trained_recall_clustered(
+            spark, sf_dir, _seed=seed
+        ),
     )
+    return _legged("seed", s).unionByName(_legged("trained", t))
 
 
 def llm_pq_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC recall on the uniform AND clustered corpora (legs
-    'uniform'/'clustered') — absorbs ``llm_pq_recall_clustered``."""
-    return _legged("uniform", llm_pq_recall(spark, sf_dir)).unionByName(
-        _legged("clustered", llm_pq_recall_clustered(spark, sf_dir))
+    'uniform'/'clustered') — absorbs ``llm_pq_recall_clustered``.
+    The legs read different corpora (no shareable codebook), so they
+    only build concurrently."""
+    _exact_panel(spark, sf_dir, clustered=False)
+    _exact_panel(spark, sf_dir, clustered=True)
+    u, c = _par_legs(
+        lambda: llm_pq_recall(spark, sf_dir),
+        lambda: llm_pq_recall_clustered(spark, sf_dir),
     )
+    return _legged("uniform", u).unionByName(_legged("clustered", c))
 
 
 def llm_ivfpq_recall_ladder(
@@ -2859,12 +2912,20 @@ def llm_ivfpq_recall_ladder(
     """IVFADC recall plus the two-stage exact-re-rank recall on the
     clustered corpus (legs 'adc'/'rerank') — absorbs
     ``llm_ivfpq_rerank_recall``; the measured ladder (0.192 ADC →
-    0.876 rerank@50 at sf0.01) verifies in one row."""
-    return _legged(
-        "adc", llm_ivfpq_recall_clustered(spark, sf_dir)
-    ).unionByName(
-        _legged("rerank", llm_ivfpq_rerank_recall(spark, sf_dir))
+    0.876 rerank@50 at sf0.01) verifies in one row.  Both legs serve
+    from the SAME IVF+PQ dictionaries, so the codebook collect pair
+    runs once instead of once per leg."""
+    _exact_panel(spark, sf_dir, clustered=True)
+    codebooks = similarity.ivfpq_codebooks(_clustered_emb(spark, sf_dir))
+    a, r = _par_legs(
+        lambda: llm_ivfpq_recall_clustered(
+            spark, sf_dir, _codebooks=codebooks
+        ),
+        lambda: llm_ivfpq_rerank_recall(
+            spark, sf_dir, _codebooks=codebooks
+        ),
     )
+    return _legged("adc", a).unionByName(_legged("rerank", r))
 
 
 def llm_ivf_trained_topk_served(
@@ -2874,10 +2935,21 @@ def llm_ivf_trained_topk_served(
     (partition-pruned) serve as one row (legs 'inline'/'index') — the
     two paths are bit-equal by contract and shared one oracle already;
     absorbs ``llm_ivf_index_topk``.  The index scan's partition-prune
-    plan shape stays pinned by tests/test_plan_shapes.py."""
-    return _legged(
-        "inline", llm_ivf_trained_topk(spark, sf_dir)
-    ).unionByName(_legged("index", llm_ivf_index_topk(spark, sf_dir)))
+    plan shape stays pinned by tests/test_plan_shapes.py.  The index
+    is built (or found memoized) BEFORE the legs construct in
+    parallel, so the build-once fixture is not raced."""
+    from .sink_parity import _workdir
+
+    emb = _emb(spark, sf_dir)
+    if sf_dir not in _ivf_index_cache:
+        path = _workdir("ivf_index")
+        similarity.write_ivf_index(emb, path, n_iters=IVF_TRAIN_ITERS)
+        _ivf_index_cache[sf_dir] = path
+    inline, index = _par_legs(
+        lambda: llm_ivf_trained_topk(spark, sf_dir),
+        lambda: llm_ivf_index_topk(spark, sf_dir),
+    )
+    return _legged("inline", inline).unionByName(_legged("index", index))
 
 
 IVF_RECALL_LADDER_SQL = _legs_sql(

@@ -23,7 +23,13 @@ def main() -> None:
     from evmtrace_etl_spark import registry
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    spark = get_spark(app_name="profile_r14", cpus=cpus, shuffle_partitions=cpus)
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    spark = get_spark(
+        app_name="profile_r14",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf=extra or None,
+    )
     qs = registry.queries()
     if not names:
         names = sorted(qs)
