@@ -241,13 +241,18 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: bin (floor(true_j·10) capped at 9), n_pairs, avg_est,
     avg_true, avg_abs_err.
     """
-    sets_ = shingle_hashes(docs, text_col)
-    # one signature pass feeds BOTH the pair generation and the scoring
-    # join (evaluating _signatures_from_sets twice would run the
-    # per-document minhash fold over the corpus twice)
-    sigs = _materialize(_signatures_from_sets(sets_))
-    both = sigs.join(sets_, on="doc_id")
-    pairs = _pairs_from_sigs(sigs)
+    # the corpus shingle pass materializes ONCE, then signature+set
+    # rows materialize from it ONCE, and all three downstream consumers
+    # (pair generation, scoring sides a and b) read checkpointed rows.
+    # Materializing only the signatures left ``sets_`` unmaterialized
+    # inside the sa/sb join branches, so the scoring action re-ran the
+    # corpus shingle pass per side (4 parquet-scan instances in its
+    # plan); now the raw corpus is scanned exactly once per calibration.
+    sets_ = _materialize(shingle_hashes(docs, text_col))
+    both = _materialize(
+        _signatures_from_sets(sets_).join(sets_, on="doc_id")
+    )
+    pairs = _pairs_from_sigs(both)
     sa = both.select(
         F.col("doc_id").alias("doc_a"),
         F.col("signature").alias("_sig_a"),

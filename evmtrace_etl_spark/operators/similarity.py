@@ -1117,30 +1117,33 @@ def pq_train(
         raise ValueError("vector dim must divide by n_subspaces")
     d = dim // n_subspaces
     subcents = _pq_subcents(seeds, n_subspaces, d)
-    based = _pq_dists_df(emb, subcents, d, vec_col)
-    coded = based.join(
-        emb.select("vec_id", vec_col), "vec_id"
-    ).select(
+    # the vector rides through the dists Generate barrier (extra_cols)
+    # instead of being re-joined on vec_id afterwards: the means pass
+    # needs no Exchange at all before its one aggregate
+    based = _pq_dists_df(emb, subcents, d, vec_col, extra_cols=(vec_col,))
+    coded = based.select(
         vec_col,
         *[
             F.expr(_pq_code_expr(m, n_codes)).cast("int").alias(f"_c{m}")
             for m in range(n_subspaces)
         ],
     )
-    # (m, code, dim-position, component) rows -> per-(m,c,dim) means
-    pieces = [
-        coded.select(
-            F.lit(m).alias("_m"),
-            F.col(f"_c{m}").alias("_c"),
-            F.posexplode(
-                F.expr(f"slice({vec_col}, {m * d + 1}, {d})")
-            ).alias("_i", "_v"),
-        )
+    # (m, code, dim-position, component) rows -> per-(m,c,dim) means.
+    # ONE inline() of all subspaces' (m, code, sub-vector) structs, then
+    # one posexplode: the previous n_subspaces-way union re-derived the
+    # whole scan+dists subtree per subspace (union branches share no
+    # CSE), i.e. n_subspaces corpus scans for one training pass.  The
+    # per-(m,c,i) row set is identical (a null/short vector slices to
+    # the same dropped rows), and the mean is an order-independent
+    # decimal sum / count, so the trained centroids are bit-unchanged.
+    subs = ", ".join(
+        f"named_struct('_m', {m}, '_c', _c{m}, "
+        f"'_sub', slice({vec_col}, {m * d + 1}, {d}))"
         for m in range(n_subspaces)
-    ]
-    allp = pieces[0]
-    for piece in pieces[1:]:
-        allp = allp.unionByName(piece)
+    )
+    allp = coded.select(F.expr(f"inline(array({subs}))")).select(
+        "_m", "_c", F.posexplode("_sub").alias("_i", "_v")
+    )
     means = (
         allp.groupBy("_m", "_c", "_i")
         .agg(
