@@ -358,7 +358,7 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(json.dumps({
+    doc = {
         "metric": "headline_queries_total",
         "value": round(sum(ok.values()), 4),
         "unit": "sec",
@@ -366,7 +366,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": passes,
         "streaming": streaming,
-    }))
+    }
+    # The stdout line is the driver contract; artifacts built from a
+    # clipped stdout tail have twice lost the per-query map (BENCH_r13
+    # recorded "parsed": null), so ALSO write the full document to a
+    # file a reader can load whole.  Path overridable for tests.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "bench_out.json")
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh)
+    except OSError as exc:  # pragma: no cover - fs failure must not kill bench
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -215,47 +215,90 @@ def lsh_topk(
     )
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Euclidean norm folded driver-side in the same sequential order
+    as the JVM/oracle HOF fold (bit-identical doubles)."""
+    import math
+
+    s = 0.0
+    for v in vec:
+        s += float(v) * float(v)
+    return math.sqrt(s)
+
+
+def _hof_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _ivf_codebook_df(spark, cents: list[tuple[int, list[float]]]):
+    """The IVF codebook as a ONE-ROW broadcastable table: ``_cb`` is an
+    array of (cen_id, vec, nrm) structs sorted by cen_id, with each
+    centroid's norm pre-folded driver-side (same sequential order as
+    the oracle).  Attaching it with ``crossJoin(F.broadcast(...))`` —
+    the house one-row-scalar idiom — ships the codebook ONCE per
+    executor via a BroadcastExchange instead of inlining ~1k double
+    literals into every expression tree: Janino then compiles the
+    (codebook-independent) expression once per plan SHAPE and the
+    codegen cache hits across legs/queries with different trained
+    codebooks, and task binaries stop carrying kilo-literal arrays
+    (guide §3.1/§4 — broadcast the small side, keep compute in JVM)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField(
+            "_cb",
+            ArrayType(
+                StructType([
+                    StructField("cen_id", LongType(), False),
+                    StructField("vec", ArrayType(DoubleType(), False), False),
+                    StructField("nrm", DoubleType(), False),
+                ]),
+                False,
+            ),
+            False,
+        )
+    ])
+    row = [
+        (int(cid), [float(v) for v in cvec], _py_norm(cvec))
+        for cid, cvec in sorted(cents)
+    ]
+    return spark.createDataFrame([(row,)], schema)
+
+
 def _ivf_with_cells(
     emb: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
 ) -> DataFrame:
     """``emb`` plus ``_cells``: per-centroid (sim, -cen_id) structs sorted
-    (sim DESC, cen_id ASC) — same order as the oracle's row_number.
+    (sim DESC, cen_id ASC) — same order as the oracle's row_number —
+    plus ``_cb``, the broadcast codebook column (kept so residual
+    consumers reuse the SAME broadcast instead of re-inlining).
 
-    The math is generated as ONE SQL expr() string: building the same
-    tree through the Column API costs a py4j round-trip per plan node
-    (~3 s for 16 centroids), and fully-flattened element_at chains blow
-    up Janino codegen compilation — the HOF form parsed JVM-side is the
-    sweet spot.  Bit-parity is preserved: the aggregate() fold is the
-    same left-to-right IEEE double chain as the oracle's list_reduce,
-    float repr+`D` literals round-trip exactly, and centroid norms fold
-    to Python doubles computed in the identical sequential order.
+    The codebook arrives as a broadcast one-row table
+    (``_ivf_codebook_df``); the per-row math is one transform() over
+    its struct array.  Bit-parity is preserved: the aggregate() fold is
+    the same left-to-right IEEE double chain as the oracle's
+    list_reduce, the broadcast row stores the identical Python doubles
+    the old plan inlined as literals, and centroid norms fold
+    driver-side in the identical sequential order.
     """
-
-    def _py_norm(vec: list[float]) -> float:
-        import math
-
-        s = 0.0
-        for v in vec:
-            s += float(v) * float(v)
-        return math.sqrt(s)
-
-    def _hof_dot(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-        )
-
-    def _lit_arr(vec: list[float]) -> str:
-        return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
-
-    with_norm = emb.withColumn(
+    cb = _ivf_codebook_df(emb.sparkSession, cents)
+    with_norm = emb.crossJoin(F.broadcast(cb)).withColumn(
         "_vnorm", F.expr(f"sqrt({_hof_dot(vec_col, vec_col)})")
     )
-    sims_sql = "array(" + ", ".join(
-        f"named_struct('cs', round({_hof_dot(vec_col, _lit_arr(cvec))} / "
-        f"(_vnorm * {_py_norm(cvec)!r}D), 6), 'neg_cen', {-cen_id}L)"
-        for cen_id, cvec in cents
-    ) + ")"
+    sims_sql = (
+        "transform(_cb, c -> named_struct("
+        f"'cs', round({_hof_dot(vec_col, 'c.vec')} / (_vnorm * c.nrm), 6), "
+        "'neg_cen', -c.cen_id))"
+    )
     return with_norm.withColumn(
         "_cells", F.expr(f"reverse(array_sort({sims_sql}))")
     )
@@ -955,16 +998,36 @@ def _pq_seed_codebook(
     return [vec for _, vec in cb]
 
 
-def _pq_lit_arr(vec: list[float]) -> str:
-    return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
+#: Residual (vector − assigned cell centroid) off the broadcast IVF
+#: codebook column ``_cb`` (carried through from ``_ivf_with_cells``):
+#: the centroid lookup is a ≤ n_centroids scan of the broadcast struct
+#: array — exact double subtraction, bit-identical to the old inlined
+#: CASE-literal form (same centroid doubles, same zip_with order).
+_RES_EXPR = (
+    "zip_with({vec}, element_at(filter(_cb, c -> c.cen_id = cell), 1).vec, "
+    "(x, c) -> CAST(x AS DOUBLE) - c)"
+)
 
 
-def _pq_l2sq(sub_expr: str, cent: list[float]) -> str:
-    return (
-        f"aggregate(zip_with({sub_expr}, {_pq_lit_arr(cent)}, (x, y) -> "
-        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "0.0D, (acc, x) -> acc + x)"
-    )
+def _pq_codebook_df(spark, subcents: list[list[list[float]]]):
+    """The PQ sub-codebooks as a ONE-ROW broadcastable table: ``_pqcb``
+    is the m-major flattening of ``subcents[m][c]`` (one length-d
+    array<double> per (subspace, code), code-minor) — the broadcast
+    analog of the old inlined-literal sub-codebooks, same rationale as
+    ``_ivf_codebook_df``."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField(
+            "_pqcb",
+            ArrayType(ArrayType(DoubleType(), False), False),
+            False,
+        )
+    ])
+    flat = [
+        [float(v) for v in cent] for cents in subcents for cent in cents
+    ]
+    return spark.createDataFrame([(flat,)], schema)
 
 
 def _pq_dists_df(
@@ -983,17 +1046,26 @@ def _pq_dists_df(
     compiles and evaluates exactly once (inlining them twice put ~130
     expressions through Janino and cost ~7 s before the first row).
 
+    The sub-codebooks arrive as a broadcast one-row table
+    (``_pq_codebook_df``); one indexed transform() replaces the old
+    per-(m,c) inlined-literal expressions — identical ops in identical
+    order (slice by ``i div n_codes``, the same zip_with/aggregate
+    L2² fold, round 6, DECIMAL(20,6) cast), so ``_dists`` is
+    bit-unchanged.
+
     ``subcents[m][c]`` = centroid c of subspace m (length-d list)."""
-    dists = ", ".join(
-        f"CAST(round({_pq_l2sq(f'slice({vec_col}, {m * d + 1}, {d})', cent)}, 6)"
-        " AS DECIMAL(20,6))"
-        for m, cents in enumerate(subcents)
-        for cent in cents
+    n_codes = len(subcents[0])
+    cb = _pq_codebook_df(emb.sparkSession, subcents)
+    dists = (
+        f"transform(_pqcb, (cent, i) -> CAST(round(aggregate(zip_with("
+        f"slice({vec_col}, (i div {n_codes}) * {d} + 1, {d}), cent, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x), 6) AS DECIMAL(20,6)))"
     )
-    return emb.select(
+    return emb.crossJoin(F.broadcast(cb)).select(
         "vec_id",
         *extra_cols,
-        F.explode(F.expr(f"array(array({dists}))")).alias("_dists"),
+        F.explode(F.expr(f"array({dists})")).alias("_dists"),
     )
 
 
@@ -1230,21 +1302,12 @@ def ivfpq_codebooks(
             f"IVF codebook needs vec_ids 0..{n_centroids - 1} present"
         )
     wc = _ivf_with_cells(emb, cents, vec_col)
-    cent_case = (
-        "CASE cell "
-        + " ".join(
-            f"WHEN {cid} THEN {_pq_lit_arr(cvec)}" for cid, cvec in cents
-        )
-        + " END"
-    )
-    res_expr = (
-        f"zip_with({vec_col}, {cent_case}, (x, c) -> CAST(x AS DOUBLE) - c)"
-    )
     corpus = wc.select(
         "vec_id",
         (-F.col("_cells")[0]["neg_cen"]).alias("cell"),
         F.col(vec_col),
-    ).withColumn("_res", F.expr(res_expr))
+        "_cb",
+    ).withColumn("_res", F.expr(_RES_EXPR.format(vec=vec_col)))
     seed_rows = sorted(
         (r[0], list(r[1]))
         for r in corpus.filter(
@@ -1314,20 +1377,12 @@ def ivfpq_topk(
     cents, subcents = codebooks
     d = len(subcents[0][0])
     wc = _ivf_with_cells(emb, cents, vec_col)
-    cent_case = (
-        "CASE cell "
-        + " ".join(
-            f"WHEN {cid} THEN {_pq_lit_arr(cvec)}" for cid, cvec in cents
-        )
-        + " END"
-    )
-    res_expr = (
-        f"zip_with({vec_col}, {cent_case}, (x, c) -> CAST(x AS DOUBLE) - c)"
-    )
+    res_expr = _RES_EXPR.format(vec=vec_col)
     corpus = wc.select(
         "vec_id",
         (-F.col("_cells")[0]["neg_cen"]).alias("cell"),
         F.col(vec_col),
+        "_cb",
     ).withColumn("_res", F.expr(res_expr))
 
     cd = _pq_dists_df(corpus, subcents, d, "_res", extra_cols=("cell",))
@@ -1345,12 +1400,14 @@ def ivfpq_topk(
         .select(
             "vec_id",
             F.col(vec_col),
+            "_cb",
             F.explode(F.expr(f"slice(_cells, 1, {n_probe})")).alias("_pc"),
         )
         .select(
             "vec_id",
             (-F.col("_pc")["neg_cen"]).alias("cell"),
             F.col(vec_col),
+            "_cb",
         )
         .withColumn("_res", F.expr(res_expr))
     )

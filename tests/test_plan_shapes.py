@@ -44,8 +44,11 @@ def docs(spark):
 
 def test_ivf_assignment_is_shuffle_free(emb):
     """VERDICT r2 'what's wrong #4' done-criterion: centroid assignment
-    is a narrow projection — no Exchange, no Window — because the
-    codebook is inlined, not joined."""
+    never shuffles the corpus — no shuffle Exchange, no Window.  Since
+    r15 the codebook arrives as a BROADCAST one-row table (a
+    BroadcastExchange + one-row-scalar BNLJ, the house idiom) instead
+    of kilo-literal inlined arrays, so the only Exchange allowed is the
+    broadcast one."""
     cents = sorted(
         (r[0], r[1])
         for r in emb.filter(F.col("vec_id") < 16)
@@ -53,10 +56,30 @@ def test_ivf_assignment_is_shuffle_free(emb):
         .collect()
     )
     plan = plan_of(similarity.ivf_assignments(emb, cents))
-    assert "Exchange" not in plan
+    # the codebook must arrive broadcast...
+    assert "BroadcastExchange" in plan
+    # ...and nothing else may exchange (a shuffle of the corpus here
+    # would sink the 100 TB assignment pass)
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
     assert "Window" not in plan
     # and the math stayed JVM-side
     assert "EvalPython" not in plan
+
+
+def test_pq_codebooks_arrive_broadcast(emb):
+    """r15 (VERDICT r14 ask #1): the PQ sub-codebooks reach the serve
+    plan as a broadcast one-row table, never as inlined literal
+    arrays — the plan must carry a BroadcastExchange and the distance
+    transform, and must NOT embed the codebook's doubles (a kilo-
+    literal plan re-ships the codebook in every task binary and
+    defeats the codegen cache across legs)."""
+    plan = plan_of(similarity.pq_topk(emb))
+    assert "BroadcastExchange" in plan
+    # the seed codebook's doubles must not be plan literals: the first
+    # corpus vector (vec_id 0) IS seed centroid 0, so any inlined
+    # sub-codebook would print its components in the plan text
+    row0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    assert f"{float(row0[0][0])!r}" not in plan
 
 
 def test_lsh_topk_broadcasts_queries(emb):

@@ -41,9 +41,25 @@ BNLJ_BUDGET = {
     # 4 unrolled pagerank iterations x 1 dangling-mass scalar each
     "inv_trade_pagerank": 4,
     "zk_callgraph_rank": 4,
-    # r14 composite row: uniform + clustered PQ recall legs, each with
-    # the one-row-scalar ADC normalizer BNLJ its standalone row budgeted
-    "llm_pq_recall": 2,
+    # r15: the IVF/PQ codebooks arrive as broadcast ONE-ROW tables
+    # (VERDICT r14 ask #1 — BroadcastExchange instead of kilo-literal
+    # inlined arrays), so every ANN plan carries one-row-scalar BNLJs:
+    # one per codebook attachment, times the subtree sharing of the
+    # serve shape (assigned + probes both derive from the with-cells
+    # projection).  Counts audited 2026-08-18 from the captured plans;
+    # every build side is a single-row LocalTableScan by construction.
+    "llm_cell_purity_clustered": 2,
+    "llm_ivf_recall": 4,
+    "llm_ivf_recall_clustered": 4,
+    "llm_ivf_topk": 2,
+    "llm_ivf_trained_topk": 4,
+    "llm_ivfpq_recall_clustered": 8,
+    "llm_ivfpq_topk": 4,
+    # 2 legs x (2 PQ-codebook scalars + the one-row ADC normalizer its
+    # standalone row budgeted in r14)
+    "llm_pq_recall": 6,
+    "llm_pq_topk": 3,
+    "llm_pq_trained_topk": 3,
 }
 
 
