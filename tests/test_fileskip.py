@@ -17,6 +17,10 @@ from evmtrace_etl_spark.sinks import (
     prune_files,
     read_file_pruned,
 )
+import pytest
+
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
 
 
 def _build(spark, tmp_path, n_files: int = 8):

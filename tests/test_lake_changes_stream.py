@@ -19,6 +19,9 @@ from evmtrace_etl_spark.sources.lake_changes import (
     start_lake_changes_stream,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _src(spark, tmp_path, n_commits: int = 3) -> str:
     tbl = str(tmp_path / "src")

@@ -22,6 +22,9 @@ from evmtrace_etl_spark.sinks import (
     rename_column,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _seed(spark, tmp_path, **kw) -> str:
     tbl = str(tmp_path / "tbl")

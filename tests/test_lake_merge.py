@@ -24,6 +24,9 @@ from evmtrace_etl_spark.sinks import (
     retry_on_conflict,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _seed(spark, tmp_path, n: int = 1000, files: int = 8) -> str:
     """Manifest-tracked table of n rows id-clustered into `files`

@@ -36,6 +36,9 @@ from evmtrace_etl_spark.sinks import (
     update_where,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _df(spark, rows, val_col="v", val_type="int"):
     return spark.createDataFrame(

@@ -25,6 +25,9 @@ from evmtrace_etl_spark.sinks import (
     update_where,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _seed(spark, tmp_path, n: int = 1000, files: int = 8) -> str:
     """Key-clustered manifest-tracked table (same shape as

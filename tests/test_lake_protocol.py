@@ -25,6 +25,9 @@ from evmtrace_etl_spark.sinks import (
     table_changes,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _seed(spark, tmp_path, name="tbl") -> str:
     tbl = str(tmp_path / name)

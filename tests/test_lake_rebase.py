@@ -24,6 +24,9 @@ from evmtrace_etl_spark.sinks import (
     read_table,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _seed(spark, tmp_path, **kw) -> str:
     tbl = str(tmp_path / "tbl")

@@ -34,6 +34,9 @@ from evmtrace_etl_spark.sinks import (
     retry_on_conflict,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _seed(spark, tmp_path, n=100, files=2) -> str:
     tbl = str(tmp_path / "tbl")

@@ -29,6 +29,9 @@ from evmtrace_etl_spark.sinks import (
     version_at_timestamp,
 )
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _data_files(tbl: str) -> set[str]:
     return {

@@ -25,6 +25,10 @@ from evmtrace_etl_spark.operators.graph import (
     triangle_counts,
 )
 from evmtrace_etl_spark.operators.relational import asof_join
+import pytest
+
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
 
 def _utc_naive(ts: int) -> "datetime.datetime":
     """Naive UTC datetime from an epoch second (utcfromtimestamp is

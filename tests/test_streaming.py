@@ -21,6 +21,9 @@ from evmtrace_etl_spark.sinks import (
 from evmtrace_etl_spark.sources import fixtures
 from evmtrace_etl_spark.streaming import monitor, runner, sources
 
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 
 def _rows(df):
     return sorted(map(repr, df.collect()))

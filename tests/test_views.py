@@ -5,6 +5,10 @@ from __future__ import annotations
 
 from evmtrace_etl_spark import registry
 from evmtrace_etl_spark.views import EFFECTFUL, TABLES, register_views
+import pytest
+
+# r15: deep scenario module — full-tier only (see tests/conftest.py)
+pytestmark = pytest.mark.slow
 
 SF = "/root/testdata/sf0.001"
 
